@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture/table loader. Tables are directories-of-parquet (single file in
+  * the fixtures, many files at scale) — `spark.read.parquet(dir)` plans one
+  * `FileSourceScanExec` with per-file splits, the Spark-native analog of the
+  * reference's block enumeration (HdfsMasterNode.java:154-172).
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as a
+    // timestamp; with spark.sql.legacy.parquet.nanosAsLong=true it arrives
+    // as Long nanos — truncate to µs TimestampType (matches DuckDB's
+    // date_trunc('microseconds', ts)).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+}

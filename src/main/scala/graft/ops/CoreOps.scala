@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One listed file — the engine's "shard" row (SURVEY §1.1).
+  * Mirrors the semantics of ShardPlacement.java:6-21 in the reference:
+  * (id, length, host) — here (path, length) since locality is Spark-native.
+  */
+case class FileEntry(name: String, path: String, length: Long, isDir: Boolean)
+
+/** Core relational operators — pure `DataFrame => DataFrame` functions, one
+  * per SURVEY §2 inventory row. All are declarative (Catalyst-optimizable):
+  * no collect-loops, no RDDs, no UDFs. At 100 TB each compiles to the plan
+  * you'd hand-write: broadcast/sort-merge joins, partial aggregation,
+  * parquet predicate pushdown.
+  */
+object CoreOps {
+
+  // ── §2.1 S1/S2: recursive directory listing as a DataFrame ────────────
+  /** Recursive file listing → DataFrame. Reference walks the NameNode with
+    * cursor pagination (HdfsMasterNode.java:110-147); Spark-native listing
+    * uses the Hadoop FileSystem API once on the driver (cheap: metadata
+    * only) and parallelizes the *result* — at 100 TB the per-file work
+    * (splits, scans) is executor-side, exactly like InMemoryFileIndex.
+    */
+  def fileListing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[FileEntry] = {
+      val entries = fs.listStatus(p).toSeq
+      entries.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq(FileEntry(st.getPath.getName, st.getPath.toString, st.getLen, isDir = false))
+      }
+    }
+    import spark.implicits._
+    spark.createDataset(walk(path)).toDF()
+  }
+
+  // ── §2.2 P3/P4: filters ───────────────────────────────────────────────
+  /** Point lookup — pushed to the parquet scan as `PushedFilters: [EqualTo]`. */
+  def pointLookup(df: DataFrame, key: String, value: Column): DataFrame =
+    df.where(col(key) === value)
+
+  // ── §2.3 J3: semi-join probe (placements ⋉ ids) ───────────────────────
+  /** The reference's sorted-set range probe (HdfsSynchronizer.java:417-431)
+    * as a relational left-semi join; Catalyst broadcasts the id side when
+    * small.
+    */
+  def placementsOf(placements: DataFrame, ids: DataFrame, key: String): DataFrame =
+    placements.join(ids.select(key).distinct(), Seq(key), "left_semi")
+
+  // ── §2.3 J5/J6: existence checks, returning violators ─────────────────
+  /** Shard ids that still have placements (must be empty before delete —
+    * HdfsSynchronizer.java:263-273). */
+  def orphanPlacements(ids: DataFrame, placements: DataFrame, key: String): DataFrame =
+    ids.join(placements, Seq(key), "left_semi")
+
+  /** Shard ids with zero placements (must be empty before insert —
+    * HdfsSynchronizer.java:282-289). */
+  def unplacedShards(ids: DataFrame, placements: DataFrame, key: String): DataFrame =
+    ids.join(placements, Seq(key), "left_anti")
+
+  // ── §2.5 O2/O3: set algebra (the diff engine's core) ──────────────────
+  /** new = source − target (HdfsSynchronizer.java:177-188). Set semantics:
+    * inputs are deduplicated, matching the reference's TreeSet/HashSet.
+    */
+  def diffNew(source: DataFrame, target: DataFrame): DataFrame =
+    source.distinct().except(target)
+
+  /** old = target − source. */
+  def diffOld(source: DataFrame, target: DataFrame): DataFrame =
+    target.distinct().except(source)
+
+  /** View maintenance: current = (existing − deleted) ∪ inserted
+    * (HdfsSynchronizer.java:253-257). UNION set semantics. */
+  def currentSet(existing: DataFrame, deleted: DataFrame, inserted: DataFrame): DataFrame =
+    existing.except(deleted).union(inserted).distinct()
+
+  // ── §2.4 A1: min/max per group, stored as strings (MinMaxValue) ───────
+  /** Per-shard min/max of the partition column, coerced to strings like
+    * MinMaxValue.java:4-30 / CitusMasterNode.java:233-235. One distributed
+    * job with map-side partial aggregation — replaces the reference's
+    * per-shard JDBC round trips (SURVEY §3.3).
+    */
+  def minMaxPerGroup(df: DataFrame, group: String, valueCol: Column,
+                     fmt: Column => Column = _.cast(StringType)): DataFrame =
+    df.groupBy(col(group)).agg(
+      fmt(min(valueCol)).as("min_value"),
+      fmt(max(valueCol)).as("max_value"))
+
+  // ── §2.4 A3: first-non-null across ordered candidates ─────────────────
+  /** Replica-fallback semantics (HdfsSynchronizer.java:294-310): per group,
+    * the value of the first candidate (in total `order`) whose value is
+    * non-null. Deterministic: implemented as a ranking window over the
+    * non-null rows, not `first(ignoreNulls)` (whose result depends on
+    * partition order).
+    */
+  def firstNonNullPerGroup(df: DataFrame, group: String, order: Seq[String],
+                           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(order.map(col): _*)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(group), col(valueCol))
+  }
+
+  // ── §2.4 A2: distinct ─────────────────────────────────────────────────
+  def distinctIds(df: DataFrame, cols: String*): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  // ── §2.5 O1: multi-key total sort ─────────────────────────────────────
+  /** TreeSet total order (ShardPlacement.java:77-98) → global sort. At
+    * scale this is a range-partitioned sort, Spark's native total order. */
+  def multikeySort(df: DataFrame, keys: String*): DataFrame =
+    df.orderBy(keys.map(col): _*)
+
+  // ── §2.5 O4: explode / generator ──────────────────────────────────────
+  /** One row per array element with its position — the reference's
+    * block → replica fan-out (HdfsMasterNode.java:86-100). */
+  def explodePositional(df: DataFrame, idCol: String, arrayCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(arrayCol)).as(Seq("pos", "val")))
+
+  // ── §2.5 O5: options-to-table (pg_options_to_table analog) ───────────
+  /** Key/value text → (key, value) rows, like pg_options_to_table over
+    * ftoptions (CitusMasterNode.java:338-381). Input here is a JSON-ish
+    * string map; `from_json` + `explode` keeps it codegen-friendly.
+    */
+  def optionsToTable(df: DataFrame, idCol: String, optionsCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(from_json(col(optionsCol), MapType(StringType, LongType)))
+          .as(Seq("option_name", "option_value")))
+
+  // ── §2.1 S10: unsigned 64-bit id rendering ────────────────────────────
+  /** `tableName_<unsigned64(id)>` (CitusWorkerNode.java:185-193): negative
+    * ids are rendered as id + 2^64. DECIMAL(20,0) — Long cannot hold 2^64.
+    */
+  private val TwoPow64 = lit(BigDecimal("18446744073709551616")).cast(DecimalType(21, 0))
+  def unsignedId(id: Column): Column = {
+    val d = id.cast(DecimalType(20, 0))
+    when(id >= 0, d).otherwise((d.cast(DecimalType(21, 0)) + TwoPow64).cast(DecimalType(20, 0)))
+  }
+  def shardTableName(tableName: String, id: Column): Column =
+    concat(lit(tableName), lit("_"), unsignedId(id).cast(StringType))
+}
