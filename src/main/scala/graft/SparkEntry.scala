@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
+import graft.ext.{Dedup, Events, Media, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,7 +164,95 @@ object SparkEntry {
           sum(col("l_quantity").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_base_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── §2.9 X1: exact dedup by content hash ─────────────────────────────
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+
+    // ── §2.9 X1b: MinHash + LSH near-dup candidate pairs ─────────────────
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("da", "db")),
+
+    // ── §2.9 X1c: SimHash fingerprints ───────────────────────────────────
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // ── §2.9 X1d: exact n-gram Jaccard near-dup pairs ────────────────────
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 0.3)
+        .orderBy("da", "db")),
+
+    // ── §2.9 X2: brute-force cosine top-k ────────────────────────────────
+    "q_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 10, k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("pid", "rank")),
+
+    // ── §2.9 X2b: embedding-cosine near-dup pairs ────────────────────────
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 100, threshold = 0.35)
+        .orderBy("da", "db")),
+
+    // ── §2.9 X2c: IVF approximate top-k (scale path; rows-only check) ───
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 10, k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("pid", "rank")),
+
+    // ── §2.9 X3: per-language corpus stats ──────────────────────────────
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.textStats(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
+    // ── §2.9: language-ID heuristic ──────────────────────────────────────
+    "q_langid" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // ── §2.9: quality scoring ────────────────────────────────────────────
+    "q_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9: token counting ─────────────────────────────────────────────
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCount(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9: document fingerprinting ────────────────────────────────────
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9 X4: tumbling-window event aggregation ──────────────────────
+    "q_event_tumbling" -> ((s, dir) =>
+      Events.tumbling(t(s, dir, "events")).orderBy("hour_ts", "event_type")),
+
+    // ── §2.9 X5: gap-based sessionization ────────────────────────────────
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events")).orderBy("user_id", "session_seq")),
+
+    // ── §2.9 X6: top-k per group (ranking window) ────────────────────────
+    "q_topk_per_group" -> ((s, dir) =>
+      Events.topKPerGroup(t(s, dir, "orders"), "o_orderpriority",
+        "o_totalprice", "o_orderkey", 3)
+        .select(col("o_orderpriority"), col("rank").cast(LongType).as("rank"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")),
+
+    // ── §2.9 X7: approx distinct next to exact (rows-only check) ────────
+    "q_approx_distinct" -> ((s, dir) =>
+      Events.approxDistinct(t(s, dir, "events")).orderBy("event_type")),
+
+    // ── §2.9: multimodal binary plumbing (batched decode stub) ──────────
+    "q_media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.features(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,6 +344,151 @@ object SparkEntry {
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b))
+         SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id
+         ORDER BY da, db""",
+    "q_dedup_simhash" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) cnt FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                       FROM documents) GROUP BY 1,2),
+         bits AS (SELECT doc_id, cnt, md5(tok) h, j FROM tc, unnest(range(0,64)) jj(j)),
+         b2 AS (SELECT doc_id, j,
+                  sum(cnt * (2 * (CAST(floor((strpos('0123456789abcdef',
+                      substr(h, CAST(j//4 AS INT)+1, 1)) - 1) / pow(2, j%4)) AS BIGINT) % 2) - 1)) s
+                FROM bits GROUP BY 1,2)
+         SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) simhash
+         FROM b2 GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         sz AS (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
+         inter AS (SELECT a.doc_id da, c.doc_id db, count(*) i
+                   FROM tri a JOIN tri c ON a.sh = c.sh AND c.doc_id > a.doc_id
+                   GROUP BY 1,2)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
+           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+         WHERE jaccard >= 0.3 ORDER BY da, db""",
+    "q_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, c.vec_id nid,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         r AS (SELECT pid, nid, sim,
+                      row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid) rank
+               FROM s)
+         SELECT pid, rank, nid, sim FROM r WHERE rank <= 5 ORDER BY pid, rank""",
+    "q_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings)
+         SELECT p.vec_id da, c.vec_id db,
+                round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+         FROM n p, n c WHERE p.vec_id < 100 AND c.vec_id > p.vec_id
+           AND round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) >= 0.35
+         ORDER BY da, db""",
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                round(avg(n_chars), 6) AS avg_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_langid" ->
+      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         sc AS (SELECT doc_id,
+           (length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 + (length(p)-length(replace(p,' die ','')))/5 AS s_de,
+           (length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' and ','')))/5 + (length(p)-length(replace(p,' of ','')))/4 AS s_en,
+           (length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' los ','')))/5 + (length(p)-length(replace(p,' que ','')))/5 AS s_es,
+           (length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' les ','')))/5 + (length(p)-length(replace(p,' est ','')))/5 AS s_fr,
+           (length(p)-length(replace(p,' de ','')))/4 + (length(p)-length(replace(p,' shi ','')))/5 + (length(p)-length(replace(p,' zai ','')))/5 AS s_zh
+           FROM s)
+         SELECT doc_id,
+                CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                     WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best FROM sc)
+         ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH q AS (SELECT doc_id, lower(text) t,
+                           CAST(length(text) AS DOUBLE) len,
+                           ' ' || lower(text) || ' ' p,
+                           CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS DOUBLE) ntok
+                    FROM documents),
+         c AS (SELECT doc_id,
+                 length(regexp_replace(t, '[^a-z]', '', 'g')) / len AS alpha,
+                 (len - length(replace(t, ' ', ''))) / len AS space,
+                 ((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3
+                  + (length(p)-length(replace(p,' of ','')))/4 + (length(p)-length(replace(p,' and ','')))/5) / ntok AS stop
+               FROM q)
+         SELECT doc_id, round(alpha, 6) AS alpha_ratio, round(space, 6) AS space_ratio,
+                round(stop, 6) AS stop_ratio,
+                round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
+         FROM c ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS BIGINT) AS n_tokens,
+                CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_tokens_bpe
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) nt
+                    FROM documents),
+         r AS (SELECT doc_id,
+                      CAST(sum(ascii(substr(nt, CAST(i AS INT), 1))
+                               * ((i * 2654435761) % 1000003)) % 1000003 AS BIGINT) AS fp_roll
+               FROM n, unnest(range(1, length(nt)+1)) t(i) GROUP BY 1)
+         SELECT n.doc_id, md5(nt) AS fp_md5, r.fp_roll
+         FROM n JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""",
+    "q_event_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) ep FROM events),
+         l AS (SELECT user_id, event_id, ep,
+                      lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) prev FROM e),
+         f AS (SELECT user_id, event_id, ep,
+                      CASE WHEN prev IS NULL OR ep - prev > 1800 THEN 1 ELSE 0 END is_new FROM l),
+         s AS (SELECT user_id, ep,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM f)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ep) AS start_ep, max(ep) AS end_ep
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) rank
+           FROM orders)
+         WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "q_media_features" ->
+      """WITH c AS (SELECT doc_id,
+                           CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS BIGINT) checksum
+                    FROM documents, unnest(range(1, length(text)+1)) t(i) GROUP BY 1)
+         SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+                ascii(substr(d.text, 1, 1)) AS head_byte, c.checksum
+         FROM documents d JOIN c USING (doc_id) ORDER BY doc_id"""
   )
 }

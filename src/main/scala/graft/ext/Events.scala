@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators, batch form (SURVEY §2.9 X4–X7). The streaming
+  * forms (Structured Streaming with watermarks / session_window /
+  * flatMapGroupsWithState) live in graft.streaming; these batch plans are
+  * the semantics contract the streaming variants must match.
+  */
+object Events {
+
+  /** X4 — tumbling-window aggregation via Spark's `window()`. Output keys
+    * on the window start as epoch seconds (BIGINT — portable across
+    * engines; hour-aligned windows coincide with date_trunc('hour')).
+    * Value sum goes through DECIMAL(38,6): double summation order is
+    * nondeterministic across partitions, decimal is exact.
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** X5 — gap-based sessionization (gaps-and-islands): a new session
+    * starts after `gapSec` of inactivity. Timestamps are truncated to
+    * seconds first so ns/µs precision differences between engines cannot
+    * flip a gap decision. One shuffle (partition by user), two window
+    * passes, one aggregation — the classic scalable formulation.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val ts = unix_timestamp(date_trunc("second", col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), ts.as("ep"))
+      .withColumn("prev", lag(col("ep"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ep")).as("start_ep"), max(col("ep")).as("end_ep"))
+  }
+
+  /** X6 — top-k per group via ranking window, deterministic tiebreak. */
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** X7 — approximate distinct (HLL++) next to the exact count. The
+    * approximate column has no cross-engine oracle (sketch internals
+    * differ); the exact column is the oracle-checked variant and the spec
+    * asserts the approximation error bound.
+    */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+}

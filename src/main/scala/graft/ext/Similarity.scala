@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY §2.9 X2).
+  *
+  * Vectors are `array<float>`; all math is done after casting elements to
+  * double with higher-order functions (`zip_with` + `aggregate`) — codegen
+  * paths, no UDF. The fold is left-to-right in index order, so the oracle
+  * (DuckDB `list_dot_product` on `DOUBLE[]`) reproduces the result
+  * bit-for-bit before rounding.
+  *
+  * Scale: brute-force is the correctness baseline (probes × corpus, fine
+  * when the probe set is bounded); `ivfTopK` is the 100 TB path — vectors
+  * are bucketed by nearest centroid (one shuffle on centroid id), probes
+  * scan only `nprobe` buckets, so the per-probe work drops by
+  * (#centroids / nprobe)×. A real deployment would broadcast the centroid
+  * table (tiny) exactly as done here.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> once; reused by all operators. */
+  def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Pairwise cosine of two vector-bearing frames; `sim` rounded to 6 dp
+    * for cross-engine hash stability. */
+  private def cosineJoin(probes: DataFrame, corpus: DataFrame): DataFrame =
+    probes.join(corpus, col("nid") =!= col("pid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+
+  private def prep(emb: DataFrame, idCol: String, vecCol: String,
+                   idAs: String, vAs: String, nAs: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    emb.select(col(idCol).as(idAs), v.as(vAs)).withColumn(nAs, norm(col(vAs)))
+  }
+
+  /** Brute-force cosine top-k: every probe vs the whole corpus, ranked by
+    * (sim DESC, neighbor id ASC) — the deterministic tiebreak keeps the
+    * oracle hash stable. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     probePred: Column => Column, k: Int): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
+    cosineJoin(broadcast(probes), corpus)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, a < b. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   probePred: Column => Column, threshold: Double): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
+    broadcast(probes).join(corpus, col("nid") > col("pid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
+  }
+
+  /** IVF-style approximate top-k (the scale path).
+    *
+    * Index build: centroids = a deterministic sample of the corpus
+    * (id % centroidEvery == 0 — a stand-in for k-means, which would be an
+    * iterative version of exactly this assignment job); every vector is
+    * assigned to its nearest centroid (broadcast join, one pass).
+    * Search: each probe ranks centroids, keeps `nprobe`, and scans only
+    * vectors assigned to those centroids.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probePred: Column => Column, k: Int,
+              centroidEvery: Int = 47, nprobe: Int = 3): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val centroids = prep(
+      emb.where(pmod(col(idCol), lit(centroidEvery)) === 0), idCol, vecCol,
+      "cid", "cv", "cn")
+
+    // index: nearest centroid per vector (broadcast the tiny centroid set)
+    val wAssign = Window.partitionBy(col("nid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = corpus.join(broadcast(centroids), lit(true))
+      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("nid"), col("nv"), col("nn"), col("cid"))
+
+    // search: top-nprobe centroids per probe
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
+    val wProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probeBuckets = probes.join(broadcast(centroids), lit(true))
+      .withColumn("csim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("pid"), col("pv"), col("pn"), col("cid"))
+
+    // scan only the selected buckets
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probeBuckets)
+      .join(assigned, Seq("cid"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.9 north star).
+  * All are pure column expressions / declarative plans: codegen-friendly,
+  * no UDFs, embarrassingly parallel — at 100 TB they run as a single
+  * map-side pass over the documents table (no shuffle except the final
+  * aggregations).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (lower-cased). */
+  def tokens(text: Column): Column = split(trim(lower(text)), " +")
+
+  /** Distinct-preserving word n-gram shingles (n=3). Empty array when the
+    * document has fewer than n tokens (guard: Spark `sequence(1,0)` would
+    * be descending, not empty).
+    */
+  def wordTrigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Occurrences of a literal marker in text, via length arithmetic
+    * (portable across engines; no regex dialect risk). */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+
+  /** Language-ID heuristic: per-language stopword-marker occurrence score,
+    * argmax with alphabetical tiebreak. An n-gram/stopword heuristic like
+    * fastText's cheap baseline — deterministic and SQL-expressible, so the
+    * oracle can replay it exactly. (On the synthetic fixture vocabulary the
+    * scores are usually 0 and the tiebreak dominates; the operator is the
+    * deliverable, not fixture accuracy.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " los ", " que "),
+    "fr" -> Seq(" le ", " les ", " est "),
+    "zh" -> Seq(" de ", " shi ", " zai "))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
+  /** Predicted language per document: argmax over langScore, ties broken
+    * by language code ascending. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, ms)) =>
+      d.withColumn(s"__s_$lang", langScore(col(textCol), ms))
+    }
+    // argmax via greatest + first matching CASE: langMarkers is sorted by
+    // language code, so the first equal score (alphabetically smallest
+    // language) wins ties.
+    val best = greatest(langMarkers.map { case (l, _) => col(s"__s_$l") }: _*)
+    val pred = langMarkers.foldRight(lit(null).cast(StringType)) { case ((l, _), acc) =>
+      when(col(s"__s_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col(idCol), col("pred_lang"))
+  }
+
+  /** Quality score: alpha ratio, whitespace ratio, stopword density —
+    * weighted blend, rounded for cross-engine stability. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val len = length(t).cast(DoubleType)
+    val alphaRatio = length(regexp_replace(t, "[^a-z]", "")) / len
+    val spaceRatio = (len - length(regexp_replace(t, " ", ""))) / len
+    val stop = langScore(col(textCol), Seq(" the ", " a ", " of ", " and "))
+    val nTok = size(tokens(col(textCol))).cast(DoubleType)
+    val stopRatio = stop / nTok
+    val score = round(alphaRatio * 0.5 + (lit(1.0) - spaceRatio) * 0.3
+      + least(stopRatio * 10, lit(1.0)) * 0.2, 6)
+    df.select(col(idCol),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(spaceRatio, 6).as("space_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      score.as("quality"))
+  }
+
+  /** Token count: whitespace tokenization plus a BPE-ish proxy
+    * (ceil(bytes/4) — the classic "~4 bytes per token" rule). */
+  def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).cast(LongType).as("n_tokens"),
+      ceil(octet_length(col(textCol)) / 4.0).cast(LongType).as("n_tokens_bpe"))
+
+  /** Document fingerprints: (a) md5 of whitespace-normalized lower-cased
+    * text — exact-dedup key; (b) a positional polynomial hash
+    * (sum ascii(c_i) * ((i*2654435761) mod 1000003) mod 1000003) computed
+    * with a higher-order fold — no explode, stays inside codegen.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val rolling = aggregate(
+      sequence(lit(1), length(norm)),
+      lit(0L),
+      (acc, i) => (acc + ascii(norm.substr(i, lit(1))).cast(LongType)
+        * ((i.cast(LongType) * lit(2654435761L)) % 1000003L)) % 1000003L)
+    df.select(col(idCol), md5(norm).as("fp_md5"), rolling.as("fp_roll"))
+  }
+
+  /** Per-language corpus statistics. */
+  def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =
+    df.groupBy(col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(nCharsCol)).as("sum_chars"),
+      round(avg(col(nCharsCol)), 6).as("avg_chars"),
+      min(col(nCharsCol)).as("min_chars"),
+      max(col(nCharsCol)).as("max_chars"))
+}
