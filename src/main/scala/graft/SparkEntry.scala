@@ -6,6 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
 import graft.ext.{Dedup, Events, Media, Similarity, TextOps}
+import graft.meta.MetaStore
+import graft.sync.SyncEngine
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -252,6 +254,33 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Media.features(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ── §2.6 T1-T4 + §3.1: the WHOLE sync pipeline, end to end ──────────
+    // Source snapshot derived from lineitem, catalog seeded from orders;
+    // after sync the catalog placements must equal the source snapshot
+    // exactly (diff convergence) — which is what the oracle asserts.
+    // Exercises S5-S8 sinks, J4-J6 guards, O2/O3 algebra, T1 atomic commit.
+    "q_sync_apply" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("shard_id"),
+        col("l_linenumber").cast(LongType).as("shard_length"),
+        concat(lit("host"), (col("l_suppkey") % 7).cast(StringType)).as("hostname"))
+        .distinct()
+      val ord = t(s, dir, "orders")
+      val catShards = ord.select(lit(1L).as("table_id"),
+        col("o_orderkey").as("shard_id"), lit("f").as("storage"),
+        lit(null).cast(StringType).as("min_value"),
+        lit(null).cast(StringType).as("max_value"))
+      val catPlacements = ord.select(col("o_orderkey").as("shard_id"),
+        lit(1L).as("shard_length"),
+        concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
+        .distinct()
+      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val store = new MetaStore(s, root)
+      store.commit(catShards, catPlacements)
+      new SyncEngine(s, store).sync(1L, src.select("shard_id").distinct(), src)
+      store.placements.orderBy("shard_id", "shard_length", "hostname")
     })
   )
 
@@ -489,6 +518,11 @@ object SparkEntry {
                     FROM documents, unnest(range(1, length(text)+1)) t(i) GROUP BY 1)
          SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
                 ascii(substr(d.text, 1, 1)) AS head_byte, c.checksum
-         FROM documents d JOIN c USING (doc_id) ORDER BY doc_id"""
+         FROM documents d JOIN c USING (doc_id) ORDER BY doc_id""",
+    "q_sync_apply" ->
+      """SELECT DISTINCT l_orderkey AS shard_id,
+                CAST(l_linenumber AS BIGINT) AS shard_length,
+                'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
+         FROM lineitem ORDER BY shard_id, shard_length, hostname"""
   )
 }
