@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/scheduler once so the first measured query
+    // doesn't absorb session startup; touches no fixture data.
+    spark.range(0, 1000000).selectExpr("sum(id) as s").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

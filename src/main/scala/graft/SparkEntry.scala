@@ -267,6 +267,7 @@ object SparkEntry {
         col("l_linenumber").cast(LongType).as("shard_length"),
         concat(lit("host"), (col("l_suppkey") % 7).cast(StringType)).as("hostname"))
         .distinct()
+        .persist()  // snapshot feeds both diff sides — scan+distinct once
       val ord = t(s, dir, "orders")
       val catShards = ord.select(lit(1L).as("table_id"),
         col("o_orderkey").as("shard_id"), lit("f").as("storage"),

@@ -25,11 +25,15 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-trigram shingles, exploded to (doc_id, sh) rows. */
+  /** Word-trigram shingles, exploded to (doc_id, sh) rows (with
+    * duplicates; callers needing set semantics add `.distinct()`). The
+    * token array is bound to its own projection first — see
+    * TextOps.trigramsOfTokens. */
   def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.wordTrigrams(col(textCol))).as("sh"))
-      .distinct()
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        explode(TextOps.trigramsOfTokens(col("__t"))).as("sh"))
 
   /** MinHash + LSH near-dup candidates.
     *
@@ -48,15 +52,16 @@ object Dedup {
                  k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // No shingle distinct needed: min over a multiset equals min over the
+    // set. All k min-hashes are computed as k aggregate columns in ONE
+    // groupBy — the partial (map-side) aggregation reduces each partition
+    // to ≤ |docs| rows before the only shuffle, vs. exploding k× rows.
     val sh = shingles(docs, idCol, textCol)
-    val mh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("k"), col("sh"))
-      .select(col("doc_id"), col("k"),
-        md5(concat(col("k").cast(StringType), lit("|"), col("sh"))).as("m"))
-      .groupBy("doc_id", "k").agg(min("m").as("m"))
-    val sig = mh.groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("k"), col("m")))).as("s"))
-      .select(col("doc_id"), transform(col("s"), x => x.getField("m")).as("sig"))
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val bandHash = (0 until r).map(i => element_at(col("sig"), col("b") * r + i + 1))
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
@@ -79,21 +84,19 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val bits = toks
-      .select(col("doc_id"), col("cnt"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("digit",
-        conv(col("h").substr((floor(col("j") / 4) + 1).cast(IntegerType), lit(1)), 16, 10)
-          .cast(LongType))
-      .withColumn("bit", pmod(floor(col("digit") / pow(lit(2.0), col("j") % 4)), lit(2)))
-    val perBit = bits.groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("s"))
-      .select(col("doc_id"), col("j"),
-        when(col("s") > 0, lit("1")).otherwise(lit("0")).as("bit"))
-    perBit.groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("bit")))).as("a"))
-      .select(col("doc_id"),
-        array_join(transform(col("a"), x => x.getField("bit")), "").as("simhash"))
+    // 64 weighted-bit sums as 64 aggregate columns over the token rows —
+    // one shuffle with map-side partials, vs. exploding 64× rows. The md5
+    // is evaluated once per token row and each bit slices a hex digit.
+    val bitSums = (0 until 64).map { j =>
+      val digit = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast(LongType)
+      val bit = pmod(floor(digit / pow(lit(2.0), lit(j % 4))), lit(2))
+      sum(col("cnt") * (bit * 2 - 1)).as(s"s$j")
+    }
+    val perDoc = toks.withColumn("h", md5(col("tok")))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fingerprint = concat((0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+    perDoc.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,
@@ -104,7 +107,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
+    // Join on the 64-bit hash of the shingle, not the string: an 8-byte
+    // shuffle/join key instead of a ~30-char one. A cross-shingle xxhash64
+    // collision (P ≈ n²/2⁶⁵) would add a spurious intersection element;
+    // negligible even at 10⁹ distinct shingles.
     val sh = shingles(docs, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("c"), col("a.sh") === col("c.sh") && col("c.doc_id") > col("a.doc_id"))

@@ -15,17 +15,21 @@ object TextOps {
   /** Whitespace tokenization (lower-cased). */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 
-  /** Distinct-preserving word n-gram shingles (n=3). Empty array when the
-    * document has fewer than n tokens (guard: Spark `sequence(1,0)` would
-    * be descending, not empty).
+  /** Word n-gram shingles (n=3) over an ALREADY-MATERIALIZED token-array
+    * column. Empty array when the document has fewer than n tokens (guard:
+    * Spark `sequence(1,0)` would be descending, not empty).
+    *
+    * Callers must bind the token array to its own projection first
+    * (`.select(tokens(text).as("t"))` then `trigramsOfTokens(col("t"))`):
+    * passing `tokens(text)` directly would inline the split into the
+    * transform lambda and re-split the document once per shingle position —
+    * O(tokens²) work per document.
     */
-  def wordTrigrams(text: Column): Column = {
-    val t = tokens(text)
+  def trigramsOfTokens(t: Column): Column =
     when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 
   /** Occurrences of a literal marker in text, via length arithmetic
     * (portable across engines; no regex dialect risk). */
@@ -100,13 +104,17 @@ object TextOps {
     * with a higher-order fold — no explode, stays inside codegen.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    // Bind the normalized text to its own projection so the regex runs once
+    // per row, not once per use inside the fold lambda.
+    val nt = col("__nt")
     val rolling = aggregate(
-      sequence(lit(1), length(norm)),
+      sequence(lit(1), length(nt)),
       lit(0L),
-      (acc, i) => (acc + ascii(norm.substr(i, lit(1))).cast(LongType)
+      (acc, i) => (acc + ascii(nt.substr(i, lit(1))).cast(LongType)
         * ((i.cast(LongType) * lit(2654435761L)) % 1000003L)) % 1000003L)
-    df.select(col(idCol), md5(norm).as("fp_md5"), rolling.as("fp_roll"))
+    df.select(col(idCol),
+        lower(regexp_replace(col(textCol), "\\s+", " ")).as("__nt"))
+      .select(col(idCol), md5(nt).as("fp_md5"), rolling.as("fp_roll"))
   }
 
   /** Per-language corpus statistics. */

@@ -57,55 +57,71 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
            stats: Option[DataFrame] = None): Long = {
     val diff = calculateDiff(tableId, sourceIds, sourcePlacements)
 
-    // No-op fast path (README.md:10-13: empty diff ⇒ "the application
-    // does nothing"). Four cheap metadata jobs; skips the commit entirely.
-    if (diff.newShardIds.isEmpty && diff.oldShardIds.isEmpty
-        && diff.newPlacements.isEmpty && diff.oldPlacements.isEmpty)
-      return store.currentVersion
+    // The four diff frames each feed several consumers (no-op check,
+    // guards, view maintenance, commit) — persist so each `except` runs
+    // once instead of once per consumer.
+    val cached = Seq(diff.newShardIds, diff.oldShardIds,
+      diff.newPlacements, diff.oldPlacements)
+    cached.foreach(_.persist())
+    try {
+      // No-op fast path (README.md:10-13: empty diff ⇒ "the application
+      // does nothing"). ONE job over the union of all four diffs — which
+      // also populates their caches for the stages below.
+      val anyChange = cached
+        .map(_.select(lit(1).as("one")))
+        .reduce(_.union(_))
+        .limit(1)
+      if (anyChange.isEmpty) return store.currentVersion
 
-    // Post-apply placement set (view maintenance, HdfsSynchronizer:253-257)
-    val currentPlacements = CoreOps.currentSet(
-      diff.catalogPlacements, diff.oldPlacements, diff.newPlacements)
+      // Post-apply placement set (view maintenance, HdfsSynchronizer:253-257).
+      // Unlike the general CoreOps.currentSet, no trailing distinct: the
+      // inserted set (source − catalog) is disjoint from (catalog − deleted)
+      // by construction, so the union is already a set — one shuffle fewer.
+      val currentPlacements = diff.catalogPlacements
+        .except(diff.oldPlacements)
+        .union(diff.newPlacements)
+        .persist()
+      try {
+        // Guard J5: a removed shard must have NO remaining placements
+        // (HdfsSynchronizer.java:263-273).
+        val orphans = CoreOps.orphanPlacements(diff.oldShardIds, currentPlacements, "shard_id")
+        val orphanHead = orphans.limit(1).collect()
+        if (orphanHead.nonEmpty)
+          throw new SyncAbortException(
+            s"shard ${orphanHead.head.getLong(0)} was removed but still has placements")
 
-    // Guard J5: a removed shard must have NO remaining placements
-    // (HdfsSynchronizer.java:263-273).
-    val orphans = CoreOps.orphanPlacements(diff.oldShardIds, currentPlacements, "shard_id")
-    val orphanHead = orphans.limit(1).collect()
-    if (orphanHead.nonEmpty)
-      throw new SyncAbortException(
-        s"shard ${orphanHead.head.getLong(0)} was removed but still has placements")
+        // Guard J6: a new shard must have at least one placement
+        // (HdfsSynchronizer.java:282-289).
+        val unplaced = CoreOps.unplacedShards(diff.newShardIds, currentPlacements, "shard_id")
+        val unplacedHead = unplaced.limit(1).collect()
+        if (unplacedHead.nonEmpty)
+          throw new SyncAbortException(
+            s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
 
-    // Guard J6: a new shard must have at least one placement
-    // (HdfsSynchronizer.java:282-289).
-    val unplaced = CoreOps.unplacedShards(diff.newShardIds, currentPlacements, "shard_id")
-    val unplacedHead = unplaced.limit(1).collect()
-    if (unplacedHead.nonEmpty)
-      throw new SyncAbortException(
-        s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
+        // New shard rows, with optional min/max stats (CitusMasterNode:221-242).
+        val newShardRows = {
+          val base = diff.newShardIds
+            .select(lit(tableId).as("table_id"), col("shard_id"),
+              lit("f").as("storage"))
+          stats match {
+            case Some(st) => base.join(st, Seq("shard_id"), "left")
+              .select(col("table_id"), col("shard_id"), col("storage"),
+                col("min_value").cast("string"), col("max_value").cast("string"))
+            case None => base
+              .withColumn("min_value", lit(null).cast("string"))
+              .withColumn("max_value", lit(null).cast("string"))
+          }
+        }
+        val keptShards = store.shards
+          .join(diff.oldShardIds, Seq("shard_id"), "left_anti")
+        val newShards = keptShards.select(
+            col("table_id"), col("shard_id"), col("storage"),
+            col("min_value"), col("max_value"))
+          .union(newShardRows)
 
-    // New shard rows, with optional min/max stats (CitusMasterNode:221-242).
-    val newShardRows = {
-      val base = diff.newShardIds
-        .select(lit(tableId).as("table_id"), col("shard_id"),
-          lit("f").as("storage"))
-      val joined = stats match {
-        case Some(st) => base.join(st, Seq("shard_id"), "left")
-          .select(col("table_id"), col("shard_id"), col("storage"),
-            col("min_value").cast("string"), col("max_value").cast("string"))
-        case None => base
-          .withColumn("min_value", lit(null).cast("string"))
-          .withColumn("max_value", lit(null).cast("string"))
-      }
-      joined
-    }
-    val keptShards = store.shards
-      .join(diff.oldShardIds, Seq("shard_id"), "left_anti")
-    val newShards = keptShards.select(
-        col("table_id"), col("shard_id"), col("storage"),
-        col("min_value"), col("max_value"))
-      .union(newShardRows)
-
-    store.commit(newShards, currentPlacements)
+        store.commit(newShards, currentPlacements)
+      } finally currentPlacements.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Per-shard min/max of a partition column, as one distributed job —
