@@ -52,7 +52,7 @@ object CoreOps {
     * small.
     */
   def placementsOf(placements: DataFrame, ids: DataFrame, key: String): DataFrame =
-    placements.join(ids.select(key).distinct(), Seq(key), "left_semi")
+    placements.join(ids.select(key), Seq(key), "left_semi")  // semi-join dedups the build side itself
 
   // ── §2.3 J5/J6: existence checks, returning violators ─────────────────
   /** Shard ids that still have placements (must be empty before delete —
@@ -66,15 +66,16 @@ object CoreOps {
     ids.join(placements, Seq(key), "left_anti")
 
   // ── §2.5 O2/O3: set algebra (the diff engine's core) ──────────────────
-  /** new = source − target (HdfsSynchronizer.java:177-188). Set semantics:
-    * inputs are deduplicated, matching the reference's TreeSet/HashSet.
+  /** new = source − target (HdfsSynchronizer.java:177-188). Set semantics
+    * match the reference's TreeSet/HashSet: Spark's `except` is EXCEPT
+    * DISTINCT, so no explicit dedup pass is needed on either side.
     */
   def diffNew(source: DataFrame, target: DataFrame): DataFrame =
-    source.distinct().except(target)
+    source.except(target)
 
   /** old = target − source. */
   def diffOld(source: DataFrame, target: DataFrame): DataFrame =
-    target.distinct().except(source)
+    target.except(source)
 
   /** View maintenance: current = (existing − deleted) ∪ inserted
     * (HdfsSynchronizer.java:253-257). UNION set semantics. */
