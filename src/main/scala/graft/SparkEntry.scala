@@ -125,6 +125,18 @@ object SparkEntry {
         c => date_format(c, "yyyy-MM-dd HH:mm:ss"))
         .orderBy("l_suppkey")),
 
+    // ── §4: stats-driven shard pruning (the stats' purpose, README:42-46)
+    "q_stats_prune" -> ((s, dir) => {
+      val stats = CoreOps.minMaxPerGroup(
+        t(s, dir, "lineitem"), "l_orderkey", col("l_shipdate"),
+        c => date_format(c, "yyyy-MM-dd HH:mm:ss"))
+      CoreOps.pruneByStats(stats,
+          lit("1995-06-01 00:00:00"), lit("1995-09-01 00:00:00"))
+        .select(col("l_orderkey").as("shard_id"),
+          col("min_value"), col("max_value"))
+        .orderBy("shard_id")
+    }),
+
     // ── §2.4 A3: first-non-null across ordered candidates ───────────────
     "q_first_per_group" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn(
@@ -334,6 +346,13 @@ object SparkEntry {
                 strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_value,
                 strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_value
          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_stats_prune" ->
+      """SELECT l_orderkey AS shard_id, mn AS min_value, mx AS max_value FROM (
+           SELECT l_orderkey, strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') mn,
+                  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') mx
+           FROM lineitem GROUP BY l_orderkey)
+         WHERE mn <= '1995-09-01 00:00:00' AND mx >= '1995-06-01 00:00:00'
+         ORDER BY shard_id""",
     "q_first_per_group" ->
       """SELECT user_id, stat FROM (
            SELECT user_id, value AS stat,

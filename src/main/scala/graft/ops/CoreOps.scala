@@ -147,4 +147,19 @@ object CoreOps {
   }
   def shardTableName(tableName: String, id: Column): Column =
     concat(lit(tableName), lit("_"), unsignedId(id).cast(StringType))
+
+  // ── §4: statistics-driven pruning (the stats' purpose, README.md:42-46) ─
+  /** Shards whose [min_value, max_value] interval overlaps [lo, hi] — the
+    * partition-pruning predicate CitusDB evaluates against the stats this
+    * tool stores. Stats are strings (MinMaxValue semantics); callers use an
+    * order-preserving encoding (e.g. 'yyyy-MM-dd HH:mm:ss', zero-padded
+    * numbers) so string comparison IS range comparison. Null stats (shard
+    * never scanned) are conservatively kept — pruning may only skip shards
+    * PROVEN disjoint. At scale this is the engine-side file-skipping step
+    * that cuts a 100 TB scan to the overlapping shards before any data is
+    * read; the same predicate shape Spark applies to parquet footers.
+    */
+  def pruneByStats(stats: DataFrame, lo: Column, hi: Column): DataFrame =
+    stats.where(col("min_value").isNull || col("max_value").isNull
+      || (col("min_value") <= hi && col("max_value") >= lo))
 }

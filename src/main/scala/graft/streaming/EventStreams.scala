@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming forms of the event operators (SURVEY §2.8): the
+  * reference's batch "process exactly the delta each run" model
+  * (README.md:10-13) generalizes to continuous incremental processing.
+  * Each transform is source-agnostic (`DataFrame => DataFrame`), so the
+  * same code runs over `readStream` (incremental, stateful) and `read`
+  * (batch backfill) — Spark's native batch/streaming unification.
+  *
+  * Scale: state is partitioned by group key in the state store; the
+  * watermark bounds state size (late rows beyond it are dropped), which is
+  * what makes the operators runnable indefinitely at 100 TB/day.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts — the streaming form of
+    * Events.tumbling (X4). Append mode emits each hour once its watermark
+    * passes; schema matches the batch form.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).cast(LongType).as("hour_ts"),
+        col("event_type"), col("n"))
+
+  /** Gap-based sessionization via the native session_window — the
+    * streaming form of Events.sessionize (X5): sessions close when no
+    * event arrives within `gap`, state evicted by the watermark.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).cast(LongType).as("start_ep"),
+        unix_timestamp(col("session_window.end")).cast(LongType).as("end_ep"),
+        col("n_events"))
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sync.SyncEngine
+
+/** Streaming driver for the sync engine: the reference's "re-run the tool
+  * when HDFS changes" operational loop (README.md:10-13) as a checkpointed
+  * Structured Streaming query. Each micro-batch must carry ONE complete
+  * source snapshot of (shard_id, shard_length, hostname); the engine diffs
+  * it against the catalog and applies the delta — the no-op fast path makes
+  * unchanged snapshots free, exactly like the batch tool.
+  *
+  * `Trigger.AvailableNow` = "process whatever snapshots have arrived, then
+  * stop": the cron-driven batch deployment. A processing-time trigger makes
+  * it continuous. The checkpoint makes redelivery safe: sync is idempotent,
+  * so an at-least-once replay of a snapshot converges to the same catalog.
+  */
+class StreamingSync(engine: SyncEngine, tableId: Long) {
+
+  def start(snapshots: DataFrame, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val pl = batch.select("shard_id", "shard_length", "hostname")
+          engine.sync(tableId, pl.select("shard_id").distinct(), pl)
+        }
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.MetaStore
+import graft.streaming.{EventStreams, StreamingSync}
+import graft.sync.SyncEngine
+
+/** Streaming operators tested through the PUBLIC file-source API (no
+  * internal MemoryStream): write fixture slices as parquet, readStream
+  * over them with Trigger.AvailableNow, and compare against the batch
+  * forms — Spark's batch/streaming unification makes the transforms
+  * directly comparable.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Fixture events with second-truncated µs timestamps (what the batch
+    * sessionizer keys on). */
+  private def events: DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("ts"))
+
+  test("streaming tumbling counts (complete mode) == batch groupBy") {
+    val dir = tmp("graft_stream_events_")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("tumb_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_tumb_"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("tumb_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("streaming session_window sessions match batch gap-sessionization") {
+    val dir = tmp("graft_stream_sess_")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val q = EventStreams.sessions(stream).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_sess_"))
+      .start()
+    q.awaitTermination()
+
+    // Compare (user_id, start_ep, n_events); end differs by design
+    // (session_window end = last event + gap, batch end = last event).
+    val got = spark.table("sess_stream")
+      .select("user_id", "start_ep", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.ext.Events.sessionize(events)
+      .select(col("user_id"), col("start_ep"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("StreamingSync: snapshot files applied in order, catalog converges") {
+    import spark.implicits._
+    val snapDir = tmp("graft_stream_snap_")
+    val store = new MetaStore(spark, tmp("graft_stream_meta_"))
+    val engine = new SyncEngine(spark, store)
+
+    val snap1 = Seq((1L, 100L, "a"), (1L, 100L, "b"), (2L, 50L, "a"))
+      .toDF("shard_id", "shard_length", "hostname")
+    val snap2 = Seq((1L, 100L, "a"), (3L, 70L, "c"))
+      .toDF("shard_id", "shard_length", "hostname")
+    snap1.coalesce(1).write.parquet(snapDir + "/s1")
+    Thread.sleep(1100)  // file-source orders batches by modification time
+    snap2.coalesce(1).write.parquet(snapDir + "/s2")
+
+    val stream = spark.readStream.schema(snap1.schema)
+      .option("maxFilesPerTrigger", "1")  // one snapshot per micro-batch
+      .option("recursiveFileLookup", "true")
+      .parquet(snapDir)
+    val ckpt = tmp("graft_ckpt_sync_")
+    val q = new StreamingSync(engine, 1L).start(stream, ckpt)
+    q.awaitTermination()
+
+    val placements = store.placements.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(placements == Set((1L, 100L, "a"), (3L, 70L, "c")),
+      "catalog must converge to the LAST snapshot")
+    val vAfter = store.currentVersion
+
+    // Redelivery/restart with no new files: checkpoint means no batches,
+    // catalog untouched — the streaming form of idempotent re-run.
+    val q2 = new StreamingSync(engine, 1L).start(
+      spark.readStream.schema(snap1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(snapDir), ckpt)
+    q2.awaitTermination()
+    assert(store.currentVersion == vAfter)
+  }
+}
