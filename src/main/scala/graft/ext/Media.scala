@@ -66,4 +66,39 @@ object Media {
   def features(docs: DataFrame, idCol: String, textCol: String)
               (implicit spark: SparkSession): DataFrame =
     decodeStub(asMedia(docs, idCol, textCol)).toDF()
+
+  /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,
+    * scales, re-encodes per partition; the stub keeps a deterministic
+    * byte-budget prefix so schema/plumbing (binary in, binary out, metadata
+    * updated) is testable. Declarative truncation — no UDF.
+    */
+  def resizeStub(items: Dataset[MediaItem], maxBytes: Int)
+                (implicit spark: SparkSession): Dataset[MediaItem] = {
+    import spark.implicits._
+    items.toDF()
+      .withColumn("media",
+        when(octet_length(col("media")) > maxBytes,
+          expr(s"substring(media, 1, $maxBytes)")).otherwise(col("media")))
+      .withColumn("n_bytes", octet_length(col("media")).cast(LongType))
+      .as[MediaItem]
+  }
+
+  /** Frame-sampling STUB: one "video" payload → every `stride`-th
+    * fixed-size frame as its own row (doc_id, frame_no, frame). A real
+    * pipeline demuxes containers per partition; the plumbing — binary
+    * explode with positional metadata, rows ∝ payload size — is the real
+    * shape of the operator at scale.
+    */
+  def frameSample(items: Dataset[MediaItem], frameBytes: Int, stride: Int)
+                 (implicit spark: SparkSession): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    items.toDF()
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, CAST(greatest(ceil(n_bytes / ${frameBytes.toLong}) - 1, 0) AS INT)),
+                i -> substring(media, i * $frameBytes + 1, $frameBytes))"""))
+          .as(Seq("frame_no", "frame")))
+      .where(col("frame_no") % stride === 0)
+  }
 }

@@ -162,4 +162,24 @@ object CoreOps {
   def pruneByStats(stats: DataFrame, lo: Column, hi: Column): DataFrame =
     stats.where(col("min_value").isNull || col("max_value").isNull
       || (col("min_value") <= hi && col("max_value") >= lo))
+
+  // ── skew handling: salted equi-join ───────────────────────────────────
+  /** Equi-join where `skewed`'s key distribution has heavy hitters that
+    * would overload single shuffle partitions: each skewed row gets a
+    * deterministic salt in [0, salts) (hash of the whole row — spreads a
+    * hot key across `salts` partitions), the other side is replicated
+    * `salts`×, and the join keys on (key, salt). Result equals the plain
+    * join; shuffle skew drops by up to `salts`×. Use when AQE's runtime
+    * skew-join split (enabled by default) isn't available — e.g. the skewed
+    * aggregation feeding the join, or broadcast-ineligible sides.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts > 0)
+    val left = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts.toLong)))
+    val right = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    left.join(right, Seq(key, "__salt")).drop("__salt")
+  }
 }

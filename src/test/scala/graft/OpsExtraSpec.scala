@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Media
+import graft.ops.CoreOps
+import graft.sources.ShardTables
+
+class OpsExtraSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("shard tables: unsigned naming, idempotent register/drop, per-shard minMax") {
+    assert(ShardTables.shardTableName("t", 5L) == "t_5")
+    assert(ShardTables.shardTableName("t", -1L) == "t_18446744073709551615",
+      "negative ids render as id + 2^64 (CitusWorkerNode.java:185-193)")
+
+    val loc = s"${TestSpark.sfDir}/lineitem.parquet"
+    val name = ShardTables.register(spark, "li", -7L, loc)
+    assert(spark.table(name).count() > 0)
+    // T3 idempotence: re-register must converge, not fail
+    assert(ShardTables.register(spark, "li", -7L, loc) == name)
+    val (mn, mx) = ShardTables.minMax(spark, "li", -7L, "l_quantity")
+    assert(mn.isDefined && mx.isDefined && mn.get <= mx.get)
+    ShardTables.drop(spark, "li", -7L)
+    ShardTables.drop(spark, "li", -7L) // drop-if-exists: second drop is a no-op
+    assert(!spark.catalog.tableExists(name))
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val sup = Tables.load(spark, TestSpark.sfDir, "supplier")
+      .select("s_suppkey", "s_name")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val plain = li.join(sup, Seq("l_suppkey"))
+    val salted = CoreOps.saltedJoin(li, sup, "l_suppkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select(sum(col("l_quantity"))).collect().head.get(0)
+      == plain.select(sum(col("l_quantity"))).collect().head.get(0))
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+  }
+
+  test("media resize and frame sampling plumbing") {
+    implicit val s: SparkSession = spark
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(50)
+    val items = Media.asMedia(docs, "doc_id", "text")
+
+    val resized = Media.resizeStub(items, maxBytes = 100)
+    assert(resized.collect().forall(m => m.n_bytes <= 100 && m.media.length <= 100))
+
+    val frames = Media.frameSample(items, frameBytes = 64, stride = 2)
+    val byDoc = frames.groupBy("doc_id").count()
+      .join(items.toDF().select(col("doc_id"), col("n_bytes")), "doc_id")
+    // every stride-th 64-byte frame: count == ceil(ceil(n/64) / 2)
+    val bad = byDoc.where(col("count") =!=
+      ceil(ceil(col("n_bytes") / 64.0) / 2.0).cast("long"))
+    assert(bad.isEmpty, "frame count must match ceil(ceil(bytes/64)/stride)")
+    // frames are ≤ 64 bytes and non-empty
+    assert(frames.where(octet_length(col("frame")) > 64
+      || octet_length(col("frame")) === 0).isEmpty)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CoreOps
+
+/** Plan-shape assertions — the properties that decide 100 TB behavior,
+  * pinned so a refactor can't silently regress them:
+  *   - predicate pushdown: point lookups reach the parquet scan as
+  *     PushedFilters (footer min/max + row-group skipping do the pruning)
+  *   - column pruning: a narrow projection must scan a narrow ReadSchema
+  *   - broadcast: small-dimension joins must not shuffle the big side
+  *   - whole-stage codegen: the scalar hot path stays inside codegen
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup is pushed to the parquet scan") {
+    val df = CoreOps.pointLookup(
+      Tables.load(spark, TestSpark.sfDir, "orders"), "o_custkey", lit(42L))
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]"),
+      s"filter must reach the scan, got:\n$plan")
+  }
+
+  test("narrow projection prunes the scan schema") {
+    val df = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plan = physical(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan must read only projected columns, got: $readSchema")
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the big side)") {
+    val n = Tables.load(spark, TestSpark.sfDir, "nation")
+    val r = Tables.load(spark, TestSpark.sfDir, "region")
+    val plan = physical(n.join(r, n("n_regionkey") === r("r_regionkey")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("semi-join guards plan as joins, not subquery loops") {
+    val ids = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey").as("shard_id"))
+    val placements = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(col("l_orderkey").as("shard_id"))
+    val plan = physical(CoreOps.orphanPlacements(ids, placements, "shard_id"))
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+  }
+
+  test("text operators stay inside whole-stage codegen") {
+    val df = graft.ext.TextOps.tokenCount(
+      Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
+    // codegen'd operators print with the `*(stageId)` prefix
+    assert(physical(df).linesIterator.exists(l => l.trim.startsWith("*(")),
+      s"expected a whole-stage-codegen stage:\n${physical(df)}")
+  }
+}
