@@ -198,6 +198,12 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 0.3)
         .orderBy("da", "db")),
 
+    // ── §2.9 X1e: the composed scale pipeline — LSH candidates, exact
+    //    Jaccard verification restricted to candidates ────────────────────
+    "q_dedup_verified" -> ((s, dir) =>
+      Dedup.minHashVerified(t(s, dir, "documents"), "doc_id", "text", 0.3)
+        .orderBy("da", "db")),
+
     // ── §2.9 X2: brute-force cosine top-k ────────────────────────────────
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -431,6 +437,28 @@ object SparkEntry {
          inter AS (SELECT a.doc_id da, c.doc_id db, count(*) i
                    FROM tri a JOIN tri c ON a.sh = c.sh AND c.doc_id > a.doc_id
                    GROUP BY 1,2)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
+           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+         WHERE jaccard >= 0.3 ORDER BY da, db""",
+    "q_dedup_verified" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
+         sz AS (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
+         inter AS (SELECT da, db, count(*) i FROM cand
+                   JOIN tri a ON a.doc_id = da
+                   JOIN tri c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2)
          SELECT da, db, jaccard FROM (
            SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
            FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)

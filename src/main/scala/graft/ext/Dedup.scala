@@ -99,6 +99,32 @@ object Dedup {
     perDoc.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
+  /** The composed scale pipeline: MinHash+LSH candidate generation, then
+    * exact Jaccard verification restricted to the candidate pairs — the
+    * shape that holds at 100 TB (LSH bounds the candidate set; the exact
+    * O(|pair| × shingles) verification never sees non-candidates).
+    */
+  def minHashVerified(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minHashLsh(docs, idCol, textCol, k, bands)
+    val sh = shingles(docs, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("da") === col("a.doc_id"))
+      .join(sh.as("c"), col("db") === col("c.doc_id") && col("a.sh") === col("c.sh"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact verification — at scale
     * this runs AFTER minHashLsh restricts to candidates; standalone it is

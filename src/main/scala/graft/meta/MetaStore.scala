@@ -1,7 +1,7 @@
 package graft.meta
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Parquet-backed metadata catalog with atomic multi-table commits.
@@ -59,6 +59,17 @@ class MetaStore(spark: SparkSession, root: String) {
 
   def shards: DataFrame = table("shards", shardsSchema)
   def placements: DataFrame = table("placements", placementsSchema)
+
+  /** Typed views — the pipeline's row types as case-class Datasets
+    * (SURVEY §1.3: metadata pipeline is typed, user data stays dynamic). */
+  def shardsDs: Dataset[ShardInfo] = {
+    import spark.implicits._
+    shards.as[ShardInfo]
+  }
+  def placementsDs: Dataset[ShardPlacement] = {
+    import spark.implicits._
+    placements.as[ShardPlacement]
+  }
 
   /** Atomically replace BOTH tables: write v<N+1> fully, then flip the
     * pointer (single-file overwrite). Old state remains readable until the
