@@ -76,6 +76,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessions: batch == gaps-and-islands sessionizer") {
+    implicit val s = spark
+    import graft.streaming.StatefulSessions
+    val ev = events
+    // closedSessions emits every session CLOSED by a later event; drain is
+    // each user's final open session — together they equal the batch form.
+    val got = StatefulSessions.closedSessions(ev).toDF()
+      .union(StatefulSessions.drain(ev))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.ext.Events.sessionize(ev)
+      .select(col("user_id"), col("start_ep"), col("end_ep"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessions: incremental stream closes prior-batch sessions") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    val dir = tmp("graft_stream_state_")
+    // batch 1: two events 10s apart; batch 2: one event 1h later — it must
+    // close the first session exactly once, with state carried across batches.
+    Seq((7L, 1L, "2024-01-01 00:00:00"), (7L, 2L, "2024-01-01 00:00:10"))
+      .toDF("user_id", "event_id", "t")
+      .select(col("user_id"), col("event_id"), col("t").cast("timestamp").as("ts"))
+      .coalesce(1).write.parquet(dir + "/b1")
+    Thread.sleep(1100)
+    Seq((7L, 3L, "2024-01-01 01:00:10"))
+      .toDF("user_id", "event_id", "t")
+      .select(col("user_id"), col("event_id"), col("t").cast("timestamp").as("ts"))
+      .coalesce(1).write.parquet(dir + "/b2")
+
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = StatefulSessions.closedSessions(stream).toDF().writeStream
+      .format("memory").queryName("state_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_state_"))
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("state_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(out == Set((7L, base, base + 10, 2L)),
+      "the hour-later event must close the first session (start, end=+10s, n=2)")
+  }
+
   test("StreamingSync: snapshot files applied in order, catalog converges") {
     import spark.implicits._
     val snapDir = tmp("graft_stream_snap_")
