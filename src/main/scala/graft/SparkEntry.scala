@@ -98,7 +98,9 @@ object SparkEntry {
       CoreOps.placementsOf(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey"),
         urgent, "l_orderkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (orderkey, linenumber) is NOT unique in the synthetic fixtures —
+        // all three columns are needed for a total order
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
     }),
 
     // ── §2.3 J5: orphan-placement violators ──────────────────────────────
@@ -337,7 +339,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_suppkey""",
     "q_orphan_placements" ->
       """SELECT DISTINCT o_orderkey AS shard_id FROM orders
          WHERE o_orderstatus = 'F'

@@ -54,6 +54,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // The 100 TB path for repeated large-large joins: bucket both sides on
+    // the join key at write time; the join then needs NO Exchange — the
+    // bucketing is the partitioning, exactly like the reference colocating
+    // shard placements with their data (README.md:5-6).
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.load(spark, TestSpark.sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = physical(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("text operators stay inside whole-stage codegen") {
     val df = graft.ext.TextOps.tokenCount(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
