@@ -53,75 +53,82 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     * aggregation by the caller instead of per-shard round trips.
     * Returns the committed version.
     */
+  /** The apply stage exploits two algebraic collapses the reference's
+    * incremental form hides (it HAD to apply deltas through JDBC; a
+    * full-overwrite commit does not):
+    *
+    *   1. The post-apply placement set (catalog − old) ∪ new is exactly
+    *      the SOURCE set: (catalog ∩ source) ∪ (source − catalog) =
+    *      source. So view maintenance, both guards, and the commit read
+    *      the cached source snapshot — the two placement-level `except`s
+    *      (the dominant shuffles: full-width rows both directions)
+    *      disappear from the apply path entirely.
+    *   2. Placement row-diffs are then needed only for NO-OP DETECTION,
+    *      and only when the id sets are identical — one count plus one
+    *      one-directional except (equal counts + empty src−cat ⇒ sets
+    *      equal), skipped whenever the id diff already proves a change.
+    */
   def sync(tableId: Long, sourceIds: DataFrame, sourcePlacements: DataFrame,
            stats: Option[DataFrame] = None): Long = {
-    val diff = calculateDiff(tableId, sourceIds, sourcePlacements)
-
-    // The four diff frames each feed several consumers (no-op check,
-    // guards, view maintenance, commit) — persist so each `except` runs
-    // once instead of once per consumer.
-    val cached = Seq(diff.newShardIds, diff.oldShardIds,
-      diff.newPlacements, diff.oldPlacements)
-    cached.foreach(_.persist())
+    val catalogIds = store.shards.where(col("table_id") === tableId)
+      .select("shard_id")
+    val catalogPlacements = store.placements
+    val srcIds = sourceIds.select("shard_id").dropDuplicates().persist()
+    val srcPl = sourcePlacements.select("shard_id", "shard_length", "hostname")
+      .dropDuplicates().persist()
+    val newShardIds = CoreOps.diffNew(srcIds, catalogIds).persist()
+    val oldShardIds = CoreOps.diffOld(srcIds, catalogIds).persist()
     try {
-      // No-op fast path (README.md:10-13: empty diff ⇒ "the application
-      // does nothing"). ONE job over the union of all four diffs — which
-      // also populates their caches for the stages below.
-      val anyChange = cached
-        .map(_.select(lit(1).as("one")))
-        .reduce(_.union(_))
-        .limit(1)
-      if (anyChange.isEmpty) return store.currentVersion
+      // No-op fast path (README.md:10-13): id diffs first (narrow, cheap);
+      // placement comparison only if the id sets are identical.
+      val idsChanged = !newShardIds.select(lit(1).as("one"))
+        .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
+      val changed = idsChanged ||
+        srcPl.count() != catalogPlacements.count() ||
+        !srcPl.except(catalogPlacements).limit(1).isEmpty
+      if (!changed) return store.currentVersion
 
-      // Post-apply placement set (view maintenance, HdfsSynchronizer:253-257).
-      // Unlike the general CoreOps.currentSet, no trailing distinct: the
-      // inserted set (source − catalog) is disjoint from (catalog − deleted)
-      // by construction, so the union is already a set — one shuffle fewer.
-      val currentPlacements = diff.catalogPlacements
-        .except(diff.oldPlacements)
-        .union(diff.newPlacements)
-        .persist()
-      try {
-        // Guard J5: a removed shard must have NO remaining placements
-        // (HdfsSynchronizer.java:263-273).
-        val orphans = CoreOps.orphanPlacements(diff.oldShardIds, currentPlacements, "shard_id")
-        val orphanHead = orphans.limit(1).collect()
-        if (orphanHead.nonEmpty)
-          throw new SyncAbortException(
-            s"shard ${orphanHead.head.getLong(0)} was removed but still has placements")
+      // Guard J5: a removed shard must have NO remaining placements in the
+      // post-apply set — i.e. in the source snapshot
+      // (HdfsSynchronizer.java:263-273).
+      val orphanHead = CoreOps.orphanPlacements(oldShardIds, srcPl, "shard_id")
+        .limit(1).collect()
+      if (orphanHead.nonEmpty)
+        throw new SyncAbortException(
+          s"shard ${orphanHead.head.getLong(0)} was removed but still has placements")
 
-        // Guard J6: a new shard must have at least one placement
-        // (HdfsSynchronizer.java:282-289).
-        val unplaced = CoreOps.unplacedShards(diff.newShardIds, currentPlacements, "shard_id")
-        val unplacedHead = unplaced.limit(1).collect()
-        if (unplacedHead.nonEmpty)
-          throw new SyncAbortException(
-            s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
+      // Guard J6: a new shard must have at least one placement
+      // (HdfsSynchronizer.java:282-289).
+      val unplacedHead = CoreOps.unplacedShards(newShardIds, srcPl, "shard_id")
+        .limit(1).collect()
+      if (unplacedHead.nonEmpty)
+        throw new SyncAbortException(
+          s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
 
-        // New shard rows, with optional min/max stats (CitusMasterNode:221-242).
-        val newShardRows = {
-          val base = diff.newShardIds
-            .select(lit(tableId).as("table_id"), col("shard_id"),
-              lit("f").as("storage"))
-          stats match {
-            case Some(st) => base.join(st, Seq("shard_id"), "left")
-              .select(col("table_id"), col("shard_id"), col("storage"),
-                col("min_value").cast("string"), col("max_value").cast("string"))
-            case None => base
-              .withColumn("min_value", lit(null).cast("string"))
-              .withColumn("max_value", lit(null).cast("string"))
-          }
+      // New shard rows, with optional min/max stats (CitusMasterNode:221-242).
+      val newShardRows = {
+        val base = newShardIds
+          .select(lit(tableId).as("table_id"), col("shard_id"),
+            lit("f").as("storage"))
+        stats match {
+          case Some(st) => base.join(st, Seq("shard_id"), "left")
+            .select(col("table_id"), col("shard_id"), col("storage"),
+              col("min_value").cast("string"), col("max_value").cast("string"))
+          case None => base
+            .withColumn("min_value", lit(null).cast("string"))
+            .withColumn("max_value", lit(null).cast("string"))
         }
-        val keptShards = store.shards
-          .join(diff.oldShardIds, Seq("shard_id"), "left_anti")
-        val newShards = keptShards.select(
-            col("table_id"), col("shard_id"), col("storage"),
-            col("min_value"), col("max_value"))
-          .union(newShardRows)
+      }
+      val keptShards = store.shards
+        .join(oldShardIds, Seq("shard_id"), "left_anti")
+      val newShards = keptShards.select(
+          col("table_id"), col("shard_id"), col("storage"),
+          col("min_value"), col("max_value"))
+        .union(newShardRows)
 
-        store.commit(newShards, currentPlacements)
-      } finally currentPlacements.unpersist()
-    } finally cached.foreach(_.unpersist())
+      store.commit(newShards, srcPl)
+    } finally
+      Seq(srcIds, srcPl, newShardIds, oldShardIds).foreach(_.unpersist())
   }
 
   /** Per-shard min/max of a partition column, as one distributed job —
