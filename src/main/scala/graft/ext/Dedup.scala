@@ -49,14 +49,20 @@ object Dedup {
     * the band hash fan-out; AQE skew-join handles the residue.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 16, bands: Int = 4): DataFrame = {
+                 k: Int = 16, bands: Int = 4): DataFrame =
+    minHashLshFromShingles(shingles(docs, idCol, textCol), k, bands)
+
+  /** LSH banding over precomputed (doc_id, sh) shingle rows — callers that
+    * also need the shingles (e.g. minHashVerified) persist them and share.
+    */
+  def minHashLshFromShingles(sh: DataFrame,
+                             k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // No shingle distinct needed: min over a multiset equals min over the
     // set. All k min-hashes are computed as k aggregate columns in ONE
     // groupBy — the partial (map-side) aggregation reduces each partition
     // to ≤ |docs| rows before the only shuffle, vs. exploding k× rows.
-    val sh = shingles(docs, idCol, textCol)
     val minCols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -106,8 +112,9 @@ object Dedup {
     */
   def minHashVerified(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cand = minHashLsh(docs, idCol, textCol, k, bands)
-    val sh = shingles(docs, idCol, textCol)
+    val rawSh = shingles(docs, idCol, textCol).persist()
+    val cand = minHashLshFromShingles(rawSh, k, bands)
+    val sh = rawSh
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
