@@ -182,6 +182,16 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ── fact ⋈ broadcast-dim aggregate over the part dimension ──────────
+    "q_brand_volume" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
     // ── §2.9 X1: exact dedup by content hash ─────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
@@ -402,6 +412,12 @@ object SparkEntry {
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_brand_volume" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
