@@ -43,4 +43,18 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).cast(LongType).as("start_ep"),
         unix_timestamp(col("session_window.end")).cast(LongType).as("end_ep"),
         col("n_events"))
+
+  /** Streaming exact dedup — the continuous form of Dedup.exact (X1):
+    * documents whose content hash was already seen within the watermark
+    * horizon are dropped. State = one row per distinct hash, evicted once
+    * the watermark passes — the property that lets a 100 TB/day ingest
+    * dedup run forever with bounded state. (Cross-horizon dedup is the
+    * batch job's mandate; the two compose.)
+    */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+                  tsCol: String, watermark: String = "24 hours"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol), md5(col(textCol)).as("h"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
 }

@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming dedup keeps one row per content hash") {
+    import spark.implicits._
+    val dir = tmp("graft_stream_dedup_")
+    // two distinct texts, one duplicated across the batch
+    Seq((1L, "alpha beta", "2024-01-01 00:00:00"),
+        (2L, "alpha beta", "2024-01-01 00:10:00"),
+        (3L, "gamma delta", "2024-01-01 00:20:00"))
+      .toDF("doc_id", "text", "t")
+      .select(col("doc_id"), col("text"), col("t").cast("timestamp").as("ts"))
+      .coalesce(1).write.parquet(dir + "/b1")
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = graft.streaming.EventStreams.dedupStream(stream, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_dedup_"))
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2 && kept.contains(3L) && (kept - 3L).subsetOf(Set(1L, 2L)),
+      s"one survivor per hash, got $kept")
+  }
+
   test("flatMapGroupsWithState sessions: batch == gaps-and-islands sessionizer") {
     implicit val s = spark
     import graft.streaming.StatefulSessions
