@@ -236,6 +236,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("pid", "rank")),
 
+    // ── §2.9 X2d: sign-LSH bucketed ANN (rows-only check: the bucketing
+    //    hash is engine-side, not oracle-expressible) ───────────────────
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.signLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 10, k = 5, nBits = 4)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("pid", "rank")),
+
     // ── §2.9 X3: per-language corpus stats ──────────────────────────────
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(t(s, dir, "documents"), "lang", "n_chars")

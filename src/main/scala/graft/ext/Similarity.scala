@@ -76,6 +76,50 @@ object Similarity {
       .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
   }
 
+  /** Sign-LSH (random-hyperplane) bucketed ANN — the alternative scale
+    * path to IVF: each vector gets an `nBits`-bit signature (sign of the
+    * dot product with `nBits` deterministic pseudo-random hyperplanes);
+    * probes compare only against corpus vectors in the SAME bucket, so the
+    * join keys on the signature — the bucketing IS the shuffle
+    * partitioning, like the MinHash bands. Hyperplane component h[p][d] is
+    * derived from xxhash64(p, d): deterministic across runs and engines,
+    * no stored model. Recall is tunable via nBits (fewer bits → bigger
+    * buckets → higher recall, more compute).
+    */
+  def signLshTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  probePred: Column => Column, k: Int,
+                  nBits: Int = 8): DataFrame = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
+    // signature bit p = sign(sum_d v[d] * h(p, d)) with h in [-1, 1):
+    // the hyperplane component is a deterministic hash of (p, d).
+    def hyper(p: Int): Column = {
+      // h(p, d) for d = 0..dim-1, built per-row from the vector's indices
+      transform(col("__v"), (_, d) =>
+        (pmod(xxhash64(lit(p), d), lit(2000000L)).cast(DoubleType)
+          / lit(1000000.0)) - lit(1.0))
+    }
+    val withSig = (df: DataFrame) => {
+      val sigBits = (0 until nBits).map(p =>
+        when(call_function("graft_dot", col("__v"), hyper(p)) >= 0, lit(1))
+          .otherwise(lit(0)).cast(StringType))
+      df.withColumn("__sig", concat(sigBits: _*))
+    }
+    val corpus = withSig(prep(emb, idCol, vecCol, "nid", "nv", "nn")
+      .withColumn("__v", transform(col("nv"), _.cast(DoubleType))))
+      .select(col("nid"), col("nv"), col("nn"), col("__sig"))
+    val probes = withSig(prep(emb.where(probePred(col(idCol))), idCol, vecCol,
+        "pid", "pv", "pn")
+      .withColumn("__v", transform(col("pv"), _.cast(DoubleType))))
+      .select(col("pid"), col("pv"), col("pn"), col("__sig"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
+    probes.join(corpus, Seq("__sig"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** IVF-style approximate top-k (the scale path).
     *
     * Index build: centroids = a deterministic sample of the corpus

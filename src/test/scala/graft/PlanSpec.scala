@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k per group plans a WindowGroupLimit (partial top-k before shuffle)") {
+    // rank <= k is pushed below the shuffle as WindowGroupLimitExec
+    // (partial mode) — each map task keeps only k rows per group, so the
+    // sort shuffle moves O(groups × k), not O(rows). This is why no custom
+    // top-k physical operator is needed (SURVEY §7.3).
+    val df = graft.ext.Events.topKPerGroup(
+      Tables.load(spark, TestSpark.sfDir, "orders"),
+      "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+    val plan = physical(df)
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("text operators stay inside whole-stage codegen") {
     val df = graft.ext.TextOps.tokenCount(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
