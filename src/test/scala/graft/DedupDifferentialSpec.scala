@@ -1,0 +1,127 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Differential tests against an independent in-memory implementation on
+  * randomized corpora — guards against a bug shared by the Spark code and
+  * its hand-written DuckDB oracle (both were authored together; this
+  * reference is derived only from the operator definitions).
+  */
+class DedupDifferentialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private def randomDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    (0L until n.toLong).map { id =>
+      val len = 4 + rnd.nextInt(20)
+      id -> Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+  }
+
+  private def trigrams(text: String): Set[String] =
+    text.trim.toLowerCase.split(" +").toSeq.sliding(3)
+      .filter(_.size == 3).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("ngramJaccard matches the in-memory trigram Jaccard on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2)) {
+      val docs = randomDocs(seed, 60)
+      val want = (for {
+        (da, ta) <- docs; (db, tb) <- docs if db > da
+        j = jaccard(trigrams(ta), trigrams(tb)) if j >= 0.3
+      } yield (da, db, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+
+      val got = Dedup.ngramJaccard(docs.toDF("doc_id", "text"), "doc_id", "text", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("minhash LSH: exact duplicates always collide, disjoint-vocab docs never") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val base = Seq.fill(30)(words(rnd.nextInt(6))).mkString(" ")      // vocab A
+    val other = Seq.fill(30)(words(6 + rnd.nextInt(6))).mkString(" ") // vocab B
+    val docs = Seq(
+      (1L, base), (2L, base),             // identical → must be candidates
+      (3L, other), (4L, other + " mu"),   // near-identical, vocab B
+      (5L, base + " " + base)             // doubled text, same shingle SET
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must share every band")
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)),
+      "shingle-set-identical docs must share every band (min over multiset)")
+    assert(pairs.contains((3L, 4L)), "one-token diff on 28 shared shingles")
+    val groupA = Set(1L, 2L, 5L)
+    val groupB = Set(3L, 4L)
+    assert(!pairs.exists(p =>
+        (groupA.contains(p._1) && groupB.contains(p._2)) ||
+        (groupB.contains(p._1) && groupA.contains(p._2))),
+      s"disjoint vocabularies must never bucket together: $pairs")
+  }
+
+  test("simHash: identical docs identical; fingerprint = sign of hash-bit sums") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta gamma alpha"),
+      (3L, "mu lambda kappa iota theta eta")).toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).length == 64 && fp(1L).forall(c => c == '0' || c == '1'))
+
+    // independent recomputation for doc 1
+    val counts = "alpha beta gamma alpha".split(" ").groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0 until 64).map { j =>
+      val s = counts.map { case (tok, cnt) =>
+        val digit = Integer.parseInt(hex(tok).charAt(j / 4).toString, 16)
+        val bit = (digit >> (j % 4)) & 1
+        cnt * (2L * bit - 1L)
+      }.sum
+      if (s > 0) '1' else '0'
+    }.mkString
+    assert(fp(1L) == want, "simhash must equal the definition recomputed independently")
+  }
+
+  test("brute-force cosine equals in-memory cosine on random vectors") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", _ < 3, k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (p <- 0L until 3L) {
+      val expect = vecs.filter(_._1 != p)
+        .map { case (id, v) => (id, cos(vecs(p.toInt)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(2).map(_._1)
+      assert(got((p, 1)) == expect(0) && got((p, 2)) == expect(1), s"probe $p")
+    }
+  }
+}
