@@ -294,6 +294,15 @@ object SparkEntry {
       Media.features(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ── §2.9: multimodal frame sampling (binary explode, oracle-exact) ──
+    "q_media_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.frameSample(
+          Media.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, stride = 2)
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // ── §2.6 T1-T4 + §3.1: the WHOLE sync pipeline, end to end ──────────
     // Source snapshot derived from lineitem, catalog seeded from orders;
     // after sync the catalog placements must equal the source snapshot
@@ -593,6 +602,13 @@ object SparkEntry {
          SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
                 ascii(substr(d.text, 1, 1)) AS head_byte, c.checksum
          FROM documents d JOIN c USING (doc_id) ORDER BY doc_id""",
+    "q_media_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_no,
+                encode(substr(text, CAST(i*64+1 AS INT), 64)) AS frame
+         FROM documents,
+              unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
+         WHERE i % 2 = 0
+         ORDER BY doc_id, frame_no""",
     "q_sync_apply" ->
       """SELECT DISTINCT l_orderkey AS shard_id,
                 CAST(l_linenumber AS BIGINT) AS shard_length,

@@ -36,4 +36,19 @@ class SignLshSpec extends AnyFunSuite {
     assert(meanTrue > 0 && meanLsh >= 0.5 * meanTrue,
       s"mean LSH top-1 sim $meanLsh too far below true $meanTrue")
   }
+
+  test("IVF ANN: sims bounded by true best, useful quality") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 25, k = 1)
+      .select(col("pid"), col("sim").as("ivf_sim"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 25, k = 1)
+      .select(col("pid"), col("sim").as("true_sim"))
+    val joined = ivf.join(brute, "pid").cache()
+    assert(joined.where(col("ivf_sim") > col("true_sim")).isEmpty)
+    val Array(meanIvf, meanTrue) = joined
+      .agg(avg(col("ivf_sim")), avg(col("true_sim"))).collect().head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(meanTrue > 0 && meanIvf >= 0.6 * meanTrue,
+      s"mean IVF top-1 sim $meanIvf too far below true $meanTrue")
+  }
 }
