@@ -11,6 +11,9 @@ object Tables {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.LongType
 
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as a
@@ -21,5 +24,14 @@ object Tables {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
+  }
+
+  /** Register every table of a dataset directory as a temp view (plus the
+    * engine functions), so the whole surface is reachable from
+    * `spark.sql(...)` — the SQL front door next to the DataFrame API.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    GraftExtensions.ensure(spark)
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
   }
 }

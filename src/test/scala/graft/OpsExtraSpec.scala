@@ -42,6 +42,21 @@ class OpsExtraSpec extends AnyFunSuite {
     assert(salted.columns.sorted.sameElements(plain.columns.sorted))
   }
 
+  test("SQL front door: registered views + engine functions answer spark.sql") {
+    Tables.registerAll(spark, TestSpark.sfDir)
+    val viaSql = spark.sql(
+      """SELECT n_name, r_name FROM nation
+         JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""").collect()
+    val viaDf = SparkEntry.queries("q_server_of_table")(spark, TestSpark.sfDir).collect()
+    assert(viaSql.sameElements(viaDf))
+    // native engine function callable from SQL
+    val sim = spark.sql(
+      """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS d
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id
+         WHERE a.vec_id < 3 ORDER BY a.vec_id""").collect()
+    assert(sim.length == 3 && sim.forall(r => r.getDouble(1) > 0))
+  }
+
   test("media resize and frame sampling plumbing") {
     implicit val s: SparkSession = spark
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(50)
