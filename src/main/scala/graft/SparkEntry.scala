@@ -328,6 +328,7 @@ object SparkEntry {
       val store = new MetaStore(s, root)
       store.commit(catShards, catPlacements)
       new SyncEngine(s, store).sync(1L, src.select("shard_id").distinct(), src)
+      src.unpersist() // sync's actions all ran inside; result reads parquet
       store.placements.orderBy("shard_id", "shard_length", "hostname")
     })
   )
