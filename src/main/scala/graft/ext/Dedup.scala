@@ -112,7 +112,7 @@ object Dedup {
     */
   def minHashVerified(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rawSh = shingles(docs, idCol, textCol).persist()
+    val rawSh = shingles(docs, idCol, textCol)
     val cand = minHashLshFromShingles(rawSh, k, bands)
     val sh = rawSh
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
