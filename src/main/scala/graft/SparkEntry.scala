@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
-import graft.ext.{Dedup, Events, Media, Similarity, TextOps}
+import graft.ext.{Analytics, Dedup, Events, Media, Similarity, TextOps}
 import graft.meta.MetaStore
 import graft.sync.SyncEngine
 
@@ -302,6 +302,60 @@ object SparkEntry {
           frameBytes = 64, stride = 2)
         .orderBy("doc_id", "frame_no")
     }),
+
+    // ── §2.9: backward as-of join — latest view at-or-before each
+    //    purchase per user; union-scan formulation, ONE shuffle ──────────
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ep"), col("event_id"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ep"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      Analytics.asOfJoin(p, v, "user_id", "ep", "event_id", Seq("view_event_id"))
+        .withColumnRenamed("r_ep", "view_ep")
+        .orderBy("event_id")
+    }),
+
+    // ── §2.9: banded range join (broadcast band table) ──────────────────
+    "q_range_join" -> ((s, dir) =>
+      Analytics.bandJoin(t(s, dir, "part"), "p_size", "p_retailprice",
+        Seq(("XS", 1, 10), ("S", 11, 20), ("M", 21, 30),
+          ("L", 31, 40), ("XL", 41, 50)))
+        .orderBy("band")),
+
+    // ── §2.9: rollup / grouping-sets subtotals ──────────────────────────
+    "q_rollup" -> ((s, dir) =>
+      Analytics.rollup2(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── §2.9: running total per user (decimal-exact prefix sums) ────────
+    "q_running_total" -> ((s, dir) =>
+      Analytics.runningTotal(
+        t(s, dir, "events").withColumn("ep", unix_micros(col("ts"))),
+        "user_id", "ep", "event_id", "value")
+        .orderBy("user_id", "event_id")),
+
+    // ── §2.9: pivot event types to count columns (explicit values) ──────
+    "q_pivot" -> ((s, dir) =>
+      Analytics.pivotCounts(t(s, dir, "events"), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")),
+
+    // ── §2.9: exact interpolated quantiles per group ────────────────────
+    "q_quantiles" -> ((s, dir) =>
+      Analytics.quantiles(t(s, dir, "events"), "event_type", "value",
+        Seq(0.25, 0.5, 0.75, 0.9), Seq("p25", "p50", "p75", "p90"))
+        .orderBy("event_type")),
+
+    // ── §2.5: INTERSECT — the complement of the diff engine's EXCEPT ────
+    "q_intersect" -> ((s, dir) =>
+      Analytics.intersectKeys(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("key")),
+        t(s, dir, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("key")))
+        .orderBy("key")),
 
     // ── §2.6 T1-T4 + §3.1: the WHOLE sync pipeline, end to end ──────────
     // Source snapshot derived from lineitem, catalog seeded from orders;
@@ -610,6 +664,53 @@ object SparkEntry {
               unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
          WHERE i % 2 = 0
          ORDER BY doc_id, frame_no""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ep, event_id
+                    FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS view_ep, max(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.user_id, p.ep, p.event_id, v.view_ep, v.view_event_id
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ep >= v.view_ep
+         ORDER BY p.event_id""",
+    "q_range_join" ->
+      """SELECT band, count(*) AS n_rows,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM part JOIN (VALUES ('XS', 1, 10), ('S', 11, 20), ('M', 21, 30),
+                         ('L', 31, 40), ('XL', 41, 50)) AS b(band, lo, hi)
+           ON p_size BETWEEN lo AND hi
+         GROUP BY band ORDER BY band""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_running_total" ->
+      """SELECT user_id, epoch_us(ts) AS ep, event_id,
+                round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_value
+         FROM events ORDER BY user_id, event_id""",
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_quantiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.75), 6) AS p75,
+                round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_intersect" ->
+      """SELECT l_orderkey AS key FROM lineitem
+         INTERSECT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY key""",
     "q_sync_apply" ->
       """SELECT DISTINCT l_orderkey AS shard_id,
                 CAST(l_linenumber AS BIGINT) AS shard_length,

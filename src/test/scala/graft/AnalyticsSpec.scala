@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Analytics
+
+/** Edge semantics of the as-of join's union-scan formulation, which the
+  * DuckDB ASOF oracle exercises only statistically: equal-timestamp match
+  * (<= semantics), no-match nulls, and per-key isolation.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin: <= match, strictly-later right excluded, left semantics") {
+    val left = Seq(
+      (1L, 5L, 100L),   // before any view -> null match
+      (1L, 15L, 101L),  // between views at 10 and 20 -> 10
+      (1L, 20L, 102L),  // equal ts -> matches (<= semantics)
+      (2L, 50L, 103L)   // other key: only key-1 views exist -> null
+    ).toDF("user_id", "ep", "event_id")
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L))
+      .toDF("user_id", "ep", "view_id")
+
+    val got = Analytics.asOfJoin(left, right, "user_id", "ep", "event_id",
+        Seq("view_id"))
+      .orderBy("event_id")
+      .select("event_id", "r_ep", "view_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+
+    assert(got.toSeq === Seq(
+      (100L, None, None),
+      (101L, Some(10L), Some(900L)),
+      (102L, Some(20L), Some(901L)),
+      (103L, None, None)))
+  }
+
+  test("asOfJoin: null right value does not un-match the row (struct carry)") {
+    val left = Seq((1L, 30L, 1L)).toDF("user_id", "ep", "event_id")
+    val right = Seq((1L, 10L, Some(7L)), (1L, 20L, None: Option[Long]))
+      .toDF("user_id", "ep", "v")
+    val r = Analytics.asOfJoin(left, right, "user_id", "ep", "event_id", Seq("v"))
+      .select("r_ep", "v").collect().head
+    // Latest right row is (20, null): r_ep must be 20 and v null — not
+    // the older row's 7 leaking through per-column last(ignoreNulls).
+    assert(r.getLong(0) === 20L)
+    assert(r.isNullAt(1))
+  }
+
+  test("pivotCounts fills absent cells with 0 and rollup2 emits subtotals") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "t")
+    val piv = Analytics.pivotCounts(df, "k", "t", Seq("a", "b"))
+      .orderBy("k").collect()
+    assert(piv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 0L), (2L, 0L, 1L)))
+
+    val ro = Analytics.rollup2(
+      Seq(("x", "p", 1.0), ("x", "q", 2.0)).toDF("a", "b", "v"), "a", "b", "v")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(ro.toSeq === Seq(
+      ("ALL", "ALL", 2L, 3.0), ("x", "ALL", 2L, 3.0),
+      ("x", "p", 1L, 1.0), ("x", "q", 1L, 2.0)))
+  }
+}
