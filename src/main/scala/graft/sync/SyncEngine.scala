@@ -1,6 +1,6 @@
 package graft.sync
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.meta.{MetaStore, MetadataDiff}
@@ -9,6 +9,16 @@ import graft.ops.CoreOps
 /** Snapshot-inconsistency abort, mirroring the reference's global abort
   * conditions (HdfsSynchronizer.java:263-289). */
 class SyncAbortException(msg: String) extends RuntimeException(msg)
+
+/** Outcome of a fault-tolerant sync: the committed catalog version plus the
+  * per-placement worker operations that failed and were skipped — the
+  * set-oriented analog of the reference's log-and-skip accounting
+  * (HdfsSynchronizer.java:228-251: `deletedShardPlacementSet` /
+  * `insertedShardPlacementSet` track only the successes).
+  *
+  * `skipped` columns: (op: "drop"|"create", shard_id, shard_length, hostname).
+  */
+case class SyncResult(version: Long, skipped: Array[(String, Long, Long, String)])
 
 /** The reference's whole program as one function (SURVEY §3.1):
   * source snapshot → five-way diff → validate → atomically apply.
@@ -19,12 +29,27 @@ class SyncAbortException(msg: String) extends RuntimeException(msg)
   * aggregations at scale), the guards are semi/anti joins, and the apply is
   * one atomic two-table commit. Node boundaries become shuffle boundaries.
   *
+  * Scoping: placements carry no table id (pg_dist_shard_placement has none);
+  * the reference scopes them per table by joining through pg_dist_shard on
+  * logicalrelid (CitusMasterNode.java:33-37, MASTER_FETCH_TABLE_SHARD_
+  * PLACEMENTS). Same here — every diff/guard/no-op check runs against THIS
+  * table's placements (semi-join on the table's catalog shard ids), and a
+  * commit rewrites only this table's slice, preserving every other table's
+  * rows. Shard ids are globally unique across tables (they are HDFS block
+  * ids — HdfsSynchronizer.java:136-141), which is what makes the semi-join
+  * scoping exact.
+  *
   * Idempotence (README.md:10-13): sync(sync(s)) == sync(s) — after a sync
   * the catalog equals the source snapshot, so the next diff is empty.
   * Atomicity (README.md:15-19): guards run BEFORE the commit; a violation
   * aborts with the catalog untouched.
   */
 class SyncEngine(spark: SparkSession, store: MetaStore) {
+
+  /** This table's placement slice of the global placements table —
+    * the MASTER_FETCH_TABLE_SHARD_PLACEMENTS analog. */
+  private def scopedPlacements(catalogIds: DataFrame): DataFrame =
+    store.placements.join(catalogIds.select("shard_id"), Seq("shard_id"), "left_semi")
 
   /** Diff the source snapshot against the catalog
     * (HdfsSynchronizer.java:142-205). `sourceIds` and `sourcePlacements`
@@ -38,7 +63,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
                     sourcePlacements: DataFrame): MetadataDiff = {
     val catalogIds = store.shards.where(col("table_id") === tableId)
       .select("shard_id")
-    val catalogPlacements = store.placements
+    val catalogPlacements = scopedPlacements(catalogIds)
     MetadataDiff(
       newShardIds = CoreOps.diffNew(sourceIds, catalogIds),
       oldShardIds = CoreOps.diffOld(sourceIds, catalogIds),
@@ -52,8 +77,8 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     * shards — the --fetch-min-max path (§3.3), computed as ONE distributed
     * aggregation by the caller instead of per-shard round trips.
     * Returns the committed version.
-    */
-  /** The apply stage exploits two algebraic collapses the reference's
+    *
+    * The apply stage exploits two algebraic collapses the reference's
     * incremental form hides (it HAD to apply deltas through JDBC; a
     * full-overwrite commit does not):
     *
@@ -72,7 +97,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
            stats: Option[DataFrame] = None): Long = {
     val catalogIds = store.shards.where(col("table_id") === tableId)
       .select("shard_id")
-    val catalogPlacements = store.placements
+    val catalogPlacements = scopedPlacements(catalogIds)
     val srcIds = sourceIds.select("shard_id").dropDuplicates().persist()
     val srcPl = sourcePlacements.select("shard_id", "shard_length", "hostname")
       .dropDuplicates().persist()
@@ -80,7 +105,9 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     val oldShardIds = CoreOps.diffOld(srcIds, catalogIds).persist()
     try {
       // No-op fast path (README.md:10-13): id diffs first (narrow, cheap);
-      // placement comparison only if the id sets are identical.
+      // placement comparison only if the id sets are identical. Both sides
+      // scoped to this table — another table's rows must not defeat the
+      // fast path.
       val idsChanged = !newShardIds.select(lit(1).as("one"))
         .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
       val changed = idsChanged ||
@@ -105,30 +132,124 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         throw new SyncAbortException(
           s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
 
-      // New shard rows, with optional min/max stats (CitusMasterNode:221-242).
-      val newShardRows = {
-        val base = newShardIds
-          .select(lit(tableId).as("table_id"), col("shard_id"),
-            lit("f").as("storage"))
-        stats match {
-          case Some(st) => base.join(st, Seq("shard_id"), "left")
-            .select(col("table_id"), col("shard_id"), col("storage"),
-              col("min_value").cast("string"), col("max_value").cast("string"))
-          case None => base
-            .withColumn("min_value", lit(null).cast("string"))
-            .withColumn("max_value", lit(null).cast("string"))
-        }
-      }
-      val keptShards = store.shards
-        .join(oldShardIds, Seq("shard_id"), "left_anti")
-      val newShards = keptShards.select(
-          col("table_id"), col("shard_id"), col("storage"),
-          col("min_value"), col("max_value"))
-        .union(newShardRows)
-
-      store.commit(newShards, srcPl)
+      commitState(tableId, catalogIds, newShardIds, oldShardIds, srcPl, stats)
     } finally
       Seq(srcIds, srcPl, newShardIds, oldShardIds).foreach(_.unpersist())
+  }
+
+  /** T4 — fault-tolerant apply (HdfsSynchronizer.java:228-251, :339-364,
+    * :373-415): per-placement worker failures are logged and SKIPPED, not
+    * fatal; only the structural invariants abort:
+    *
+    *   - a failed drop whose shard survives (replica churn) → the placement
+    *     simply stays in the catalog, retried next run;
+    *   - a failed drop on a fully-removed shard → that shard still has a
+    *     placement in the post-apply set → guard J5 aborts (the reference's
+    *     "Could not remove shard placements for shardId");
+    *   - a failed create → the placement is not inserted; fatal only if the
+    *     shard ends with ZERO placements → guard J6 aborts ("Could not find
+    *     shard placement for shardId").
+    *
+    * `workerApply` is the worker-side DDL stage: it receives the attempted
+    * operations (op: "drop"|"create", shard_id, shard_length, hostname) and
+    * must return them with an added boolean `ok` column — in a real
+    * deployment a mapPartitions that executes DDL against each host and
+    * catches per-row failures (the error-column-and-accumulate shape); the
+    * default marks everything ok, reducing to the strict path. Unlike the
+    * strict `sync`, the post-apply set here is NOT the source snapshot —
+    * it is (catalog − successfulDrops) ∪ successfulCreates, the reference's
+    * `currentShardPlacementSet` (HdfsSynchronizer.java:253-257).
+    */
+  def syncTolerant(tableId: Long, sourceIds: DataFrame,
+                   sourcePlacements: DataFrame,
+                   workerApply: DataFrame => DataFrame = SyncEngine.allOk,
+                   stats: Option[DataFrame] = None): SyncResult = {
+    val catalogIds = store.shards.where(col("table_id") === tableId)
+      .select("shard_id")
+    val catalogPlacements = scopedPlacements(catalogIds).persist()
+    val srcIds = sourceIds.select("shard_id").dropDuplicates().persist()
+    val srcPl = sourcePlacements.select("shard_id", "shard_length", "hostname")
+      .dropDuplicates().persist()
+    val newShardIds = CoreOps.diffNew(srcIds, catalogIds).persist()
+    val oldShardIds = CoreOps.diffOld(srcIds, catalogIds).persist()
+    val plCols = Seq(col("shard_id"), col("shard_length"), col("hostname"))
+    val attempted = CoreOps.diffOld(srcPl, catalogPlacements)
+      .select(lit("drop").as("op") +: plCols: _*)
+      .unionByName(CoreOps.diffNew(srcPl, catalogPlacements)
+        .select(lit("create").as("op") +: plCols: _*))
+    val applied = workerApply(attempted).persist()
+    try {
+      val skipped = applied.where(!col("ok"))
+        .select(col("op") +: plCols: _*)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+      // current = (catalog − successfulDrops) ∪ successfulCreates
+      // (HdfsSynchronizer.java:253-257) — the guards and the commit all read
+      // this set, NOT the source snapshot, because failures make them differ.
+      val deleted = applied.where(col("op") === "drop" && col("ok")).select(plCols: _*)
+      val inserted = applied.where(col("op") === "create" && col("ok")).select(plCols: _*)
+      val current = CoreOps.currentSet(catalogPlacements, deleted, inserted).persist()
+
+      try {
+        val idsChanged = !newShardIds.select(lit(1).as("one"))
+          .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
+        val anyApplied = !applied.where(col("ok")).limit(1).isEmpty
+        if (!idsChanged && !anyApplied)
+          return SyncResult(store.currentVersion, skipped)
+
+        val orphanHead = CoreOps.orphanPlacements(oldShardIds, current, "shard_id")
+          .limit(1).collect()
+        if (orphanHead.nonEmpty)
+          throw new SyncAbortException(
+            s"could not remove shard placements for shard ${orphanHead.head.getLong(0)}")
+
+        val unplacedHead = CoreOps.unplacedShards(newShardIds, current, "shard_id")
+          .limit(1).collect()
+        if (unplacedHead.nonEmpty)
+          throw new SyncAbortException(
+            s"could not find shard placement for shard ${unplacedHead.head.getLong(0)}")
+
+        val v = commitState(tableId, catalogIds, newShardIds, oldShardIds,
+          current, stats)
+        SyncResult(v, skipped)
+      } finally current.unpersist()
+    } finally
+      Seq(catalogPlacements, srcIds, srcPl, newShardIds, oldShardIds, applied)
+        .foreach(_.unpersist())
+  }
+
+  /** Shared commit tail: build the new shards table (kept + new, stats
+    * attached — CitusMasterNode.java:221-242) and rewrite ONLY this table's
+    * placement slice, preserving every other table's rows.
+    */
+  private def commitState(tableId: Long, catalogIds: DataFrame,
+                          newShardIds: DataFrame, oldShardIds: DataFrame,
+                          tablePlacements: DataFrame,
+                          stats: Option[DataFrame]): Long = {
+    val newShardRows = {
+      val base = newShardIds
+        .select(lit(tableId).as("table_id"), col("shard_id"),
+          lit("f").as("storage"))
+      stats match {
+        case Some(st) => base.join(st, Seq("shard_id"), "left")
+          .select(col("table_id"), col("shard_id"), col("storage"),
+            col("min_value").cast("string"), col("max_value").cast("string"))
+        case None => base
+          .withColumn("min_value", lit(null).cast("string"))
+          .withColumn("max_value", lit(null).cast("string"))
+      }
+    }
+    val keptShards = store.shards
+      .join(oldShardIds, Seq("shard_id"), "left_anti")
+    val newShards = keptShards.select(
+        col("table_id"), col("shard_id"), col("storage"),
+        col("min_value"), col("max_value"))
+      .union(newShardRows)
+    // Other tables' placements pass through untouched: the commit replaces
+    // only the slice reachable from THIS table's (pre-sync) catalog ids.
+    val otherPlacements = store.placements
+      .join(catalogIds.select("shard_id"), Seq("shard_id"), "left_anti")
+    store.commit(newShards, otherPlacements.union(tablePlacements))
   }
 
   /** Per-shard min/max of a partition column, as one distributed job —
@@ -138,4 +259,16 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
   def computeStats(data: DataFrame, shardCol: String, partitionCol: String): DataFrame =
     CoreOps.minMaxPerGroup(data, shardCol, col(partitionCol))
       .withColumnRenamed(shardCol, "shard_id")
+}
+
+object SyncEngine {
+  /** Default worker stage: every DDL op succeeds (the strict-path limit of
+    * the tolerant sync). */
+  val allOk: DataFrame => DataFrame =
+    _.withColumn("ok", lit(true))
+
+  /** Deterministic failure injection for tests: an op fails iff
+    * pred(row) — e.g. hash-based sampling — holds. */
+  def failWhere(pred: Column): DataFrame => DataFrame =
+    _.withColumn("ok", !pred)
 }

@@ -107,6 +107,34 @@ class SyncEngineSpec extends AnyFunSuite {
       "after sync the catalog equals the source snapshot (convergence)")
   }
 
+  test("scenario 8: two tables — syncing one leaves the other's slice intact") {
+    val (store, engine) = freshStore()
+    // table 1: shards 10, 11; table 2: shards 20, 21 (shard ids globally
+    // unique, as in the reference — they are HDFS block ids)
+    val shards = Seq(
+      ShardInfo(1L, 10L, "f", None, None), ShardInfo(1L, 11L, "f", None, None),
+      ShardInfo(2L, 20L, "f", None, None), ShardInfo(2L, 21L, "f", None, None)).toDF()
+    store.commit(shards, pl(
+      (10L, 100L, "a"), (11L, 200L, "a"), (20L, 300L, "x"), (21L, 400L, "y")))
+
+    // replica churn + shard add on table 1 only
+    engine.sync(1L, ids(10L, 12L), pl((10L, 100L, "b"), (12L, 5L, "c")))
+
+    // table 2's shards AND placements are untouched
+    assert(store.shards.where(col("table_id") === 2L).count() == 2)
+    assert(placementSet(store) ==
+      Set((10L, 100L, "b"), (12L, 5L, "c"), (20L, 300L, "x"), (21L, 400L, "y")),
+      "table 2's placements must survive a table-1 sync")
+    assert(shardIdSet(store) == Set(10L, 12L, 20L, 21L))
+
+    // no-op fast path must hold per table even with the other table present
+    val v = store.currentVersion
+    assert(engine.sync(1L, ids(10L, 12L), pl((10L, 100L, "b"), (12L, 5L, "c"))) == v,
+      "table-scoped re-sync must be a no-op despite table 2's rows")
+    assert(engine.sync(2L, ids(20L, 21L), pl((20L, 300L, "x"), (21L, 400L, "y"))) == v,
+      "table-2 re-sync must also be a no-op")
+  }
+
   test("min/max stats attach to new shards (--fetch-min-max path)") {
     val (store, engine) = freshStore()
     seed(store)
