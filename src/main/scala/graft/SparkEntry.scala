@@ -205,15 +205,18 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
-    // ── §2.9 X1d: exact n-gram Jaccard near-dup pairs ────────────────────
+    // ── §2.9 X1d: exact n-gram Jaccard near-dup pairs. maxDf caps the
+    //    per-shingle join fan-out (df² pairs per hot shingle otherwise) ───
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 0.3)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 0.3,
+        maxDf = 100)
         .orderBy("da", "db")),
 
     // ── §2.9 X1e: the composed scale pipeline — LSH candidates, exact
-    //    Jaccard verification restricted to candidates ────────────────────
+    //    Jaccard verification restricted to candidates, df-capped ─────────
     "q_dedup_verified" -> ((s, dir) =>
-      Dedup.minHashVerified(t(s, dir, "documents"), "doc_id", "text", 0.3)
+      Dedup.minHashVerified(t(s, dir, "documents"), "doc_id", "text", 0.3,
+        maxDf = 100)
         .orderBy("da", "db")),
 
     // ── §2.9 X2: brute-force cosine top-k ────────────────────────────────
@@ -284,9 +287,16 @@ object SparkEntry {
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderpriority", "rank")),
 
-    // ── §2.9 X7: approx distinct next to exact (rows-only check) ────────
+    // ── §2.9 X7: approx distinct next to exact. The sketch value itself
+    //    has no cross-engine oracle; the emitted artifact is deterministic
+    //    and DuckDB-checkable: the exact count plus a boolean asserting the
+    //    HLL++ estimate landed within 5% of it (the oracle expects TRUE) ──
     "q_approx_distinct" -> ((s, dir) =>
-      Events.approxDistinct(t(s, dir, "events")).orderBy("event_type")),
+      Events.approxDistinct(t(s, dir, "events"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_5pct"))
+        .orderBy("event_type")),
 
     // ── §2.9: multimodal binary plumbing (batched decode stub) ──────────
     "q_media_features" -> ((s, dir) => {
@@ -294,12 +304,17 @@ object SparkEntry {
       Media.features(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }),
 
-    // ── §2.9: multimodal frame sampling (binary explode, oracle-exact) ──
+    // ── §2.9: multimodal frame sampling (binary explode, oracle-exact).
+    //    Frames are emitted hex-encoded: the operator's binary output is
+    //    the real shape, but raw bytes aren't sortable/hashable by the
+    //    pandas oracle harness — hex strings are, on both engines ─────────
     "q_media_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Media.frameSample(
           Media.asMedia(t(s, dir, "documents"), "doc_id", "text"),
           frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_no"),
+          lower(hex(col("frame"))).as("frame"))
         .orderBy("doc_id", "frame_no")
     }),
 
@@ -521,8 +536,10 @@ object SparkEntry {
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         tri0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         tri AS (SELECT * FROM tri0 WHERE sh IN (
+                   SELECT sh FROM tri0 GROUP BY sh HAVING count(*) <= 100)),
          sz AS (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
          inter AS (SELECT a.doc_id da, c.doc_id db, count(*) i
                    FROM tri a JOIN tri c ON a.sh = c.sh AND c.doc_id > a.doc_id
@@ -544,10 +561,12 @@ object SparkEntry {
                    FROM sig, unnest(range(0,4)) bb(b)),
          cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         sz AS (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
+         trif AS (SELECT * FROM tri WHERE sh IN (
+                    SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
+         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
          inter AS (SELECT da, db, count(*) i FROM cand
-                   JOIN tri a ON a.doc_id = da
-                   JOIN tri c ON c.doc_id = db AND c.sh = a.sh
+                   JOIN trif a ON a.doc_id = da
+                   JOIN trif c ON c.doc_id = db AND c.sh = a.sh
                    GROUP BY 1, 2)
          SELECT da, db, jaccard FROM (
            SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
@@ -650,6 +669,10 @@ object SparkEntry {
                     ORDER BY o_totalprice DESC, o_orderkey) rank
            FROM orders)
          WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                TRUE AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_media_features" ->
       """WITH c AS (SELECT doc_id,
                            CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS BIGINT) checksum
@@ -659,7 +682,7 @@ object SparkEntry {
          FROM documents d JOIN c USING (doc_id) ORDER BY doc_id""",
     "q_media_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_no,
-                encode(substr(text, CAST(i*64+1 AS INT), 64)) AS frame
+                lower(hex(encode(substr(text, CAST(i*64+1 AS INT), 64)))) AS frame
          FROM documents,
               unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
          WHERE i % 2 = 0

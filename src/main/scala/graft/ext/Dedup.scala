@@ -105,18 +105,41 @@ object Dedup {
     perDoc.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
+  /** Document-frequency cap over distinct (doc_id, sh) rows: shingles that
+    * appear in more than `maxDf` documents are dropped from the shingle
+    * space BEFORE any shingle-key join. On a real corpus the top stopword
+    * n-grams ("one of the", "as well as") occur in a large fraction of all
+    * documents; a shingle-key self-join produces df² pairs for each, so a
+    * single hot shingle is a scale-killing shuffle partition at 100 TB.
+    * Capping df bounds the per-key fan-out at maxDf² — the standard
+    * practice (such near-universal shingles carry no similarity signal
+    * anyway). Jaccard is then computed over the capped shingle space on
+    * BOTH the intersection and the sizes, so it remains a true Jaccard of
+    * the filtered sets.
+    */
+  private def capDf(distinctSh: DataFrame, maxDf: Int): DataFrame = {
+    if (maxDf == Int.MaxValue) distinctSh
+    else {
+      val df = distinctSh.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf)
+      distinctSh.join(df.select("sh"), Seq("sh"), "left_semi")
+    }
+  }
+
   /** The composed scale pipeline: MinHash+LSH candidate generation, then
     * exact Jaccard verification restricted to the candidate pairs — the
     * shape that holds at 100 TB (LSH bounds the candidate set; the exact
-    * O(|pair| × shingles) verification never sees non-candidates).
+    * O(|pair| × shingles) verification never sees non-candidates, and the
+    * df cap bounds every shingle-key join partition).
     */
   def minHashVerified(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+                      threshold: Double, k: Int = 16, bands: Int = 4,
+                      maxDf: Int = Int.MaxValue): DataFrame = {
     val rawSh = shingles(docs, idCol, textCol)
     val cand = minHashLshFromShingles(rawSh, k, bands)
-    val sh = rawSh
+    val sh = capDf(rawSh
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .distinct()
+      .distinct(), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("da") === col("a.doc_id"))
@@ -139,14 +162,14 @@ object Dedup {
     * shingle, not doc×doc).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     // Join on the 64-bit hash of the shingle, not the string: an 8-byte
     // shuffle/join key instead of a ~30-char one. A cross-shingle xxhash64
     // collision (P ≈ n²/2⁶⁵) would add a spurious intersection element;
     // negligible even at 10⁹ distinct shingles.
-    val sh = shingles(docs, idCol, textCol)
+    val sh = capDf(shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .distinct()
+      .distinct(), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("c"), col("a.sh") === col("c.sh") && col("c.doc_id") > col("a.doc_id"))
