@@ -232,20 +232,45 @@ object SparkEntry {
         _ < 100, threshold = 0.35)
         .orderBy("da", "db")),
 
-    // ── §2.9 X2c: IVF approximate top-k (scale path; rows-only check) ───
-    "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        _ < 10, k = 5)
-        .withColumn("rank", col("rank").cast(LongType))
-        .orderBy("pid", "rank")),
+    // ── §2.9 X2c: IVF approximate top-k (scale path). The ANN result set
+    //    itself is engine-side (bucketing isn't oracle-expressible), so the
+    //    declared artifact is deterministic recall accounting: for each
+    //    probe, did the index recover at least one of the true top-k
+    //    (computed exactly in the same query)? The oracle expects TRUE per
+    //    probe. nprobe is high relative to the tiny fixture corpus (the
+    //    floor must hold at 500 vectors); at scale nCentroids grows ~√n
+    //    and nprobe stays a small constant fraction. ──────────────────────
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
+        nprobe = 16)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5)
+      val hits = ann.select("pid", "nid")
+        .join(exact.select("pid", "nid"), Seq("pid", "nid"), "left_semi")
+        .groupBy("pid").agg(count(lit(1)).as("hits"))
+      exact.select("pid").distinct()
+        .join(hits, Seq("pid"), "left")
+        .select(col("pid"), lit(5L).as("k"),
+          (coalesce(col("hits"), lit(0L)) >= 1L).as("found_true_neighbor"))
+        .orderBy("pid")
+    }),
 
-    // ── §2.9 X2d: sign-LSH bucketed ANN (rows-only check: the bucketing
-    //    hash is engine-side, not oracle-expressible) ───────────────────
-    "q_ann_lsh" -> ((s, dir) =>
-      Similarity.signLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        _ < 10, k = 5, nBits = 4)
-        .withColumn("rank", col("rank").cast(LongType))
-        .orderBy("pid", "rank")),
+    // ── §2.9 X2d: sign-LSH bucketed ANN — same deterministic recall
+    //    artifact as q_ann_ivf (OR-amplified 8×4-bit signatures) ──────────
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10,
+        k = 5, nBits = 4, nTables = 8)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5)
+      val hits = ann.select("pid", "nid")
+        .join(exact.select("pid", "nid"), Seq("pid", "nid"), "left_semi")
+        .groupBy("pid").agg(count(lit(1)).as("hits"))
+      exact.select("pid").distinct()
+        .join(hits, Seq("pid"), "left")
+        .select(col("pid"), lit(5L).as("k"),
+          (coalesce(col("hits"), lit(0L)) >= 1L).as("found_true_neighbor"))
+        .orderBy("pid")
+    }),
 
     // ── §2.9 X3: per-language corpus stats ──────────────────────────────
     "q_text_stats" -> ((s, dir) =>
@@ -673,6 +698,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
                 TRUE AS within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_ann_ivf" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    "q_ann_lsh" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_media_features" ->
       """WITH c AS (SELECT doc_id,
                            CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS BIGINT) checksum

@@ -76,45 +76,70 @@ object Similarity {
       .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
   }
 
+  /** splitmix64 finalizer — the deterministic PRNG behind the LSH
+    * hyperplanes (public-domain constant mix, same family as
+    * java.util.SplittableRandom). */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Hyperplane p over `dim` dimensions: components uniform in [-1, 1),
+    * derived deterministically from (p, d). Materialized ONCE as a plan
+    * literal — each row then pays only the codegen dot product, not
+    * dim × nBits hash evaluations. */
+  private def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      (splitmix64(p.toLong * 1048573L + d) >>> 11).toDouble /
+        (1L << 52).toDouble - 1.0
+    }
+
   /** Sign-LSH (random-hyperplane) bucketed ANN — the alternative scale
-    * path to IVF: each vector gets an `nBits`-bit signature (sign of the
-    * dot product with `nBits` deterministic pseudo-random hyperplanes);
-    * probes compare only against corpus vectors in the SAME bucket, so the
-    * join keys on the signature — the bucketing IS the shuffle
-    * partitioning, like the MinHash bands. Hyperplane component h[p][d] is
-    * derived from xxhash64(p, d): deterministic across runs and engines,
-    * no stored model. Recall is tunable via nBits (fewer bits → bigger
-    * buckets → higher recall, more compute).
+    * path to IVF: each vector gets an `nBits`-bit signature per hash table
+    * (sign of the dot product with deterministic pseudo-random
+    * hyperplanes); probes compare only against corpus vectors sharing a
+    * bucket in AT LEAST ONE of the `nTables` tables — the classic
+    * (nBits, L) OR-amplification: per-table miss probability is driven
+    * down exponentially in L, at the cost of an L× bucketed index. The
+    * join keys on (table, signature) — the bucketing IS the shuffle
+    * partitioning, like the MinHash bands; no all-pairs stage exists. The
+    * hyperplanes are literal array columns baked into the plan (no stored
+    * model, no per-row recomputation). Recall tunes via (nBits ↓, L ↑);
+    * cost via (nBits ↑, L ↓).
     */
   def signLshTopK(emb: DataFrame, idCol: String, vecCol: String,
                   probePred: Column => Column, k: Int,
-                  nBits: Int = 8): DataFrame = {
+                  nBits: Int = 8, nTables: Int = 4): DataFrame = {
     graft.GraftExtensions.ensure(emb.sparkSession)
-    // signature bit p = sign(sum_d v[d] * h(p, d)) with h in [-1, 1):
-    // the hyperplane component is a deterministic hash of (p, d).
-    def hyper(p: Int): Column = {
-      // h(p, d) for d = 0..dim-1, built per-row from the vector's indices
-      transform(col("__v"), (_, d) =>
-        (pmod(xxhash64(lit(p), d), lit(2000000L)).cast(DoubleType)
-          / lit(1000000.0)) - lit(1.0))
+    val dim = emb.limit(1).select(size(col(vecCol))).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    // one row per (vector, table) with that table's signature — the L×
+    // index; hyperplane (t, p) is globally indexed t*nBits + p
+    val withSig = (df: DataFrame, v: String) => {
+      val sigs = (0 until nTables).map { tbl =>
+        struct(lit(tbl).as("t"),
+          concat((0 until nBits).map(p =>
+            when(call_function("graft_dot", col(v),
+              typedLit(hyperplane(tbl * nBits + p, dim))) >= 0,
+              lit("1")).otherwise(lit("0"))): _*).as("sig"))
+      }
+      df.withColumn("__ts", explode(array(sigs: _*)))
+        .withColumn("__t", col("__ts.t"))
+        .withColumn("__sig", col("__ts.sig"))
+        .drop("__ts")
     }
-    val withSig = (df: DataFrame) => {
-      val sigBits = (0 until nBits).map(p =>
-        when(call_function("graft_dot", col("__v"), hyper(p)) >= 0, lit(1))
-          .otherwise(lit(0)).cast(StringType))
-      df.withColumn("__sig", concat(sigBits: _*))
-    }
-    val corpus = withSig(prep(emb, idCol, vecCol, "nid", "nv", "nn")
-      .withColumn("__v", transform(col("nv"), _.cast(DoubleType))))
-      .select(col("nid"), col("nv"), col("nn"), col("__sig"))
-    val probes = withSig(prep(emb.where(probePred(col(idCol))), idCol, vecCol,
-        "pid", "pv", "pn")
-      .withColumn("__v", transform(col("pv"), _.cast(DoubleType))))
-      .select(col("pid"), col("pv"), col("pn"), col("__sig"))
+    val corpus = withSig(prep(emb, idCol, vecCol, "nid", "nv", "nn"), "nv")
+    val probes = withSig(
+      prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn"), "pv")
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
-    probes.join(corpus, Seq("__sig"))
+    probes.join(corpus, Seq("__t", "__sig"))
       .where(col("nid") =!= col("pid"))
       .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      // a pair can collide in several tables — one candidate per (pid, nid)
+      .groupBy(col("pid"), col("nid"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
@@ -122,25 +147,61 @@ object Similarity {
 
   /** IVF-style approximate top-k (the scale path).
     *
-    * Index build: centroids = a deterministic sample of the corpus
-    * (id % centroidEvery == 0 — a stand-in for k-means, which would be an
-    * iterative version of exactly this assignment job); every vector is
-    * assigned to its nearest centroid (broadcast join, one pass).
+    * Index build: `nCentroids` seed vectors are drawn by a deterministic
+    * pseudo-random sample (top-n by hash of id) — the count is FIXED,
+    * independent of corpus size, so the centroid table stays broadcastable
+    * at any scale and assignment cost is |corpus| × nCentroids, not
+    * |corpus|²/const. `lloydIters` k-means refinement steps then move each
+    * centroid to the mean of its assigned cluster (the classic Lloyd
+    * iteration, run as the same assignment job plus one aggregation —
+    * means are accumulated in DECIMAL so the refined centroids are
+    * bit-deterministic across partitionings). Every vector is assigned to
+    * its nearest refined centroid (broadcast join, one pass).
     * Search: each probe ranks centroids, keeps `nprobe`, and scans only
     * vectors assigned to those centroids.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               probePred: Column => Column, k: Int,
-              centroidEvery: Int = 47, nprobe: Int = 3): DataFrame = {
+              nCentroids: Int = 64, nprobe: Int = 3,
+              lloydIters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
-    val centroids = prep(
-      emb.where(pmod(col(idCol), lit(centroidEvery)) === 0), idCol, vecCol,
-      "cid", "cv", "cn")
+
+    // seed sample: top-nCentroids by splitmix-style hash order — stable,
+    // cheap (TakeOrdered, no full sort), size-independent of the corpus
+    var centroids = corpus
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+      .limit(nCentroids)
+      .select(col("nid").as("cid"),
+        transform(col("nv"), _.cast(DoubleType)).as("cv"))
+
+    val wNearest = Window.partitionBy(col("nid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    for (_ <- 0 until lloydIters) {
+      // assign to nearest seed (norm of nv is constant per nid — dividing
+      // by it cannot change the per-vector ranking, so csim omits it)
+      val assignedTo = corpus.join(broadcast(centroids), lit(true))
+        .withColumn("csim", dot(col("nv"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
+        .withColumn("crank", row_number().over(wNearest))
+        .where(col("crank") === 1)
+        .select(col("cid"), col("nv"))
+      // Lloyd step: centroid ← mean of its cluster, per dimension.
+      // DECIMAL accumulation ⇒ identical result for any partition order.
+      centroids = assignedTo
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(38, 12))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast(DoubleType)).as("cv"))
+    }
+    val cent = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
 
     // index: nearest centroid per vector (broadcast the tiny centroid set)
     val wAssign = Window.partitionBy(col("nid"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = corpus.join(broadcast(centroids), lit(true))
+    val assigned = corpus.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .withColumn("crank", row_number().over(wAssign))
       .where(col("crank") === 1)
@@ -150,7 +211,7 @@ object Similarity {
     val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
     val wProbe = Window.partitionBy(col("pid"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val probeBuckets = probes.join(broadcast(centroids), lit(true))
+    val probeBuckets = probes.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
       .withColumn("crank", row_number().over(wProbe))
       .where(col("crank") <= nprobe)
