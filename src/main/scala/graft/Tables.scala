@@ -19,9 +19,12 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as a
     // timestamp; with spark.sql.legacy.parquet.nanosAsLong=true it arrives
     // as Long nanos — truncate to µs TimestampType (matches DuckDB's
-    // date_trunc('microseconds', ts)).
+    // date_trunc('microseconds', ts)). FLOOR division (`div` truncates
+    // toward zero, which would round pre-epoch negative nanos the wrong
+    // way); pmod keeps the arithmetic in exact Long range.
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case None => df
     }
   }

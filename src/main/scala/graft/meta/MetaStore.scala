@@ -2,7 +2,13 @@ package graft.meta
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+
+/** Two writers raced for the same catalog version; the loser must retry
+  * against the new state (the reference surfaces the same condition as a
+  * serialization failure of its PostgreSQL transaction block). */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 /** Parquet-backed metadata catalog with atomic multi-table commits.
   *
@@ -12,7 +18,9 @@ import org.apache.spark.sql.types._
   * the same contract is a versioned-directory layout with a single pointer
   * file — a minimal Delta-style log:
   *
-  *   root/v<N>/shards/…parquet, root/v<N>/placements/…parquet
+  *   root/v<N>/shards/…parquet, root/v<N>/placements/…parquet,
+  *   root/v<N>/tables/…parquet (absent in old versions → empty)
+  *   root/v<N>/_claim              ← created exclusively; writer's lease
   *   root/_current                 ← contains "<N>"; one-file flip = commit
   *
   * Readers resolve `_current` then read that version's directories, so a
@@ -20,6 +28,20 @@ import org.apache.spark.sql.types._
   * catalog. Re-running sync converges (idempotence, README.md:10-13).
   * At scale the pointer flip is O(1) regardless of table size, and writes
   * are plain distributed parquet jobs.
+  *
+  * Concurrency: the version number is claimed EXCLUSIVELY before any data
+  * is written — `fs.create(v<N+1>/_claim, overwrite=false)` fails for the
+  * second writer, which gets a ConcurrentCommitException instead of the
+  * two writers' parquet files silently interleaving under one version.
+  * This serializes commits; it does NOT retry the loser's work against the
+  * winner's state (the reference got that from Postgres transactions) —
+  * callers that race must re-read and re-diff, which the sync engine's
+  * idempotent re-run does naturally.
+  *
+  * Invariant: committed `placements` must be duplicate-free (the sync
+  * engine's snapshots are deduplicated before commit). The no-op fast path
+  * compares set cardinalities and assumes it; external writers seeding a
+  * catalog through `commit` directly must uphold it.
   */
 class MetaStore(spark: SparkSession, root: String) {
 
@@ -34,6 +56,14 @@ class MetaStore(spark: SparkSession, root: String) {
     StructField("shard_id", LongType, nullable = false),
     StructField("shard_length", LongType, nullable = false),
     StructField("hostname", StringType, nullable = false)))
+
+  /** Logical-table metadata — the analog of the partition-column half of
+    * `master_get_table_metadata` (CitusMasterNode.java:312-331): which
+    * column a table's min/max shard statistics are computed over. */
+  val tablesSchema: StructType = StructType(Seq(
+    StructField("table_id", LongType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("partition_column", StringType, nullable = true)))
 
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,12 +83,13 @@ class MetaStore(spark: SparkSession, root: String) {
 
   private def table(name: String, schema: StructType): DataFrame = {
     val v = currentVersion
-    if (v < 0) empty(schema)
+    if (v < 0 || !fs.exists(new Path(rootPath, s"v$v/$name"))) empty(schema)
     else spark.read.schema(schema).parquet(s"$root/v$v/$name")
   }
 
   def shards: DataFrame = table("shards", shardsSchema)
   def placements: DataFrame = table("placements", placementsSchema)
+  def tables: DataFrame = table("tables", tablesSchema)
 
   /** Typed views — the pipeline's row types as case-class Datasets
     * (SURVEY §1.3: metadata pipeline is typed, user data stays dynamic). */
@@ -71,14 +102,49 @@ class MetaStore(spark: SparkSession, root: String) {
     placements.as[ShardPlacement]
   }
 
-  /** Atomically replace BOTH tables: write v<N+1> fully, then flip the
-    * pointer (single-file overwrite). Old state remains readable until the
-    * flip — the observable contract of the reference's master transaction.
+  /** The partition column registered for a table, if any — what the
+    * reference fetches per sync via `master_get_table_metadata` so the
+    * stats path knows which column to aggregate (SURVEY §3.3). */
+  def partitionColumnOf(tableId: Long): Option[String] =
+    tables.where(col("table_id") === tableId)
+      .select("partition_column").limit(1).collect()
+      .headOption.flatMap(r => Option(r.getString(0)))
+
+  /** Upsert one logical table's metadata row (name + partition column).
+    * Shards/placements are carried forward unchanged into the new version.
     */
-  def commit(newShards: DataFrame, newPlacements: DataFrame): Long = {
+  def registerTable(tableId: Long, name: String,
+                    partitionColumn: Option[String]): Long = {
+    import spark.implicits._
+    val updated = tables.where(col("table_id") =!= tableId)
+      .unionByName(Seq((tableId, name, partitionColumn))
+        .toDF("table_id", "table_name", "partition_column"))
+    commit(shards, placements, Some(updated))
+  }
+
+  /** Atomically replace the catalog tables: claim v<N+1> exclusively,
+    * write it fully, then flip the pointer (single-file overwrite). Old
+    * state remains readable until the flip — the observable contract of
+    * the reference's master transaction. `newTables` defaults to carrying
+    * the current table-metadata forward.
+    *
+    * @throws ConcurrentCommitException if another writer claimed v<N+1>
+    *         first; re-read the catalog and retry the whole operation.
+    */
+  def commit(newShards: DataFrame, newPlacements: DataFrame,
+             newTables: Option[DataFrame] = None): Long = {
     val next = currentVersion + 1
+    val claim = new Path(rootPath, s"v$next/_claim")
+    try fs.create(claim, false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new ConcurrentCommitException(
+          s"version $next already claimed by another writer (root=$root)")
+    }
     newShards.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/shards")
     newPlacements.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/placements")
+    newTables.getOrElse(tables)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/tables")
     val out = fs.create(pointer, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     next

@@ -21,24 +21,51 @@ object CoreOps {
 
   // ── §2.1 S1/S2: recursive directory listing as a DataFrame ────────────
   /** Recursive file listing → DataFrame. Reference walks the NameNode with
-    * cursor pagination (HdfsMasterNode.java:110-147); Spark-native listing
-    * uses the Hadoop FileSystem API once on the driver (cheap: metadata
-    * only) and parallelizes the *result* — at 100 TB the per-file work
-    * (splits, scans) is executor-side, exactly like InMemoryFileIndex.
+    * cursor pagination, single-threaded (HdfsMasterNode.java:110-147).
+    * Here the driver lists only the ROOT level; every first-level
+    * subdirectory's subtree is walked in parallel on the executors — the
+    * same shape as Spark's own InMemoryFileIndex parallel partition
+    * discovery, so a directory of millions of files never serializes
+    * through one thread. The Hadoop configuration travels as plain
+    * key/value pairs (Configuration itself is not serializable).
     */
-  def fileListing(spark: SparkSession, dir: String): DataFrame = {
+  def fileListing(spark: SparkSession, dir: String,
+                  parallelism: Int = 32): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(p: Path): Seq[FileEntry] = {
-      val entries = fs.listStatus(p).toSeq
-      entries.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else Seq(FileEntry(st.getPath.getName, st.getPath.toString, st.getLen, isDir = false))
-      }
-    }
+    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    spark.createDataset(walk(path)).toDF()
+
+    def walk(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[FileEntry] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(fs, st.getPath)
+        else Seq(FileEntry(st.getPath.getName, st.getPath.toString, st.getLen,
+          isDir = false))
+      }
+
+    val rootPath = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = rootPath.getFileSystem(conf)
+    val top = fs.listStatus(rootPath).toSeq
+    val rootFiles = top.filter(!_.isDirectory).map(st =>
+      FileEntry(st.getPath.getName, st.getPath.toString, st.getLen, isDir = false))
+    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString)
+    val rootDf = spark.createDataset(rootFiles).toDF()
+    if (subDirs.isEmpty) rootDf
+    else {
+      val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+      val sub = spark.sparkContext
+        .parallelize(subDirs, math.min(subDirs.size, parallelism))
+        .mapPartitions { dirs =>
+          val c = new Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          dirs.flatMap { d =>
+            val p = new Path(d)
+            walk(p.getFileSystem(c), p)
+          }
+        }
+      rootDf.union(spark.createDataset(sub).toDF())
+    }
   }
 
   // ── §2.2 P3/P4: filters ───────────────────────────────────────────────

@@ -39,14 +39,19 @@ object ShardTables {
   def register(spark: SparkSession, table: String, shardId: Long,
                location: String): String = {
     val name = shardTableName(table, shardId)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$location'")
+    // escape the interpolated identifier/literal (the reference
+    // parameterizes its worker DDL; string-built SQL must quote-escape or
+    // a path containing ' or a name containing ` breaks the statement)
+    val qName = name.replace("`", "``")
+    val qLoc = location.replace("'", "''")
+    spark.sql(s"DROP TABLE IF EXISTS `$qName`")
+    spark.sql(s"CREATE TABLE `$qName` USING parquet LOCATION '$qLoc'")
     name
   }
 
   /** Idempotent drop (S11). */
   def drop(spark: SparkSession, table: String, shardId: Long): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS `${shardTableName(table, shardId)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${shardTableName(table, shardId).replace("`", "``")}`")
 
   /** The stats query the reference runs per new shard (§3.3): min/max of
     * the partition column over ONE shard table. The set-oriented form for

@@ -259,6 +259,18 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
   def computeStats(data: DataFrame, shardCol: String, partitionCol: String): DataFrame =
     CoreOps.minMaxPerGroup(data, shardCol, col(partitionCol))
       .withColumnRenamed(shardCol, "shard_id")
+
+  /** Catalog-resolved stats: the partition column comes from the table's
+    * registered metadata — the reference resolves it the same way per sync
+    * via `master_get_table_metadata` (CitusMasterNode.java:312-331) rather
+    * than requiring callers to know it out-of-band.
+    */
+  def computeStats(tableId: Long, data: DataFrame, shardCol: String): DataFrame = {
+    val partitionCol = store.partitionColumnOf(tableId).getOrElse(
+      throw new SyncAbortException(
+        s"no partition column registered for table $tableId"))
+    computeStats(data, shardCol, partitionCol)
+  }
 }
 
 object SyncEngine {

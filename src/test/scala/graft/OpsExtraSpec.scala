@@ -28,6 +28,29 @@ class OpsExtraSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(name))
   }
 
+  test("distributed file listing handles a 10k-file tree") {
+    val root = java.nio.file.Files.createTempDirectory("graft_listing_")
+    // 2 root-level files + 100 subdirs × 100 files (one nested dir deep)
+    java.nio.file.Files.writeString(root.resolve("top_a.txt"), "x")
+    java.nio.file.Files.writeString(root.resolve("top_b.txt"), "yy")
+    for (d <- 0 until 100) {
+      val sub = java.nio.file.Files.createDirectories(
+        root.resolve(f"d$d%03d").resolve("nested"))
+      for (f <- 0 until 100)
+        java.nio.file.Files.writeString(sub.resolve(f"f$f%03d.dat"), "z" * (f + 1))
+    }
+    val listing = CoreOps.fileListing(spark, root.toString).cache()
+    assert(listing.count() == 10002)
+    assert(listing.where(col("isDir")).isEmpty)
+    // lengths survive the distributed walk
+    assert(listing.where(col("name") === "top_b.txt").collect().head
+      .getAs[Long]("length") == 2L)
+    assert(listing.where(col("name") === "f099.dat").count() == 100)
+    assert(listing.where(col("name") === "f099.dat").collect()
+      .forall(_.getAs[Long]("length") == 100L))
+    listing.unpersist()
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_quantity")
