@@ -205,6 +205,15 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
 
+    // ── §2.9 X1c': SimHash near-dup PAIRS — pigeonhole banding (any pair
+    //    within Hamming ≤ 7 agrees on one of 8 bands), bucket join on the
+    //    band value, popcount(xor) verification. No all-pairs stage ───────
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 7)
+        .withColumn("hamming", col("hamming").cast(LongType))
+        .orderBy("da", "db")),
+
     // ── §2.9 X1d: exact n-gram Jaccard near-dup pairs. maxDf caps the
     //    per-shingle join fan-out (df² pairs per hot shingle otherwise) ───
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -558,6 +567,25 @@ object SparkEntry {
                 FROM bits GROUP BY 1,2)
          SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) simhash
          FROM b2 GROUP BY doc_id ORDER BY doc_id""",
+    // The oracle verifies ALL pairs (the banded Spark plan is exact for
+    // Hamming <= maxHamming by pigeonhole, so full-pairs replay matches).
+    "q_simhash_pairs" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) cnt FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                       FROM documents) GROUP BY 1,2),
+         bits AS (SELECT doc_id, cnt, md5(tok) h, j FROM tc, unnest(range(0,64)) jj(j)),
+         b2 AS (SELECT doc_id, j,
+                  sum(cnt * (2 * (CAST(floor((strpos('0123456789abcdef',
+                      substr(h, CAST(j//4 AS INT)+1, 1)) - 1) / pow(2, j%4)) AS BIGINT) % 2) - 1)) s
+                FROM bits GROUP BY 1,2),
+         ch AS (SELECT doc_id, j // 8 AS b,
+                  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) c
+                FROM b2 GROUP BY 1, 2),
+         ham AS (SELECT a.doc_id da, c.doc_id db, sum(bit_count(xor(a.c, c.c))) hh
+                 FROM ch a JOIN ch c ON a.b = c.b AND c.doc_id > a.doc_id
+                 GROUP BY 1, 2)
+         SELECT da, db, CAST(hh AS BIGINT) hamming FROM ham
+         WHERE hh <= 7 ORDER BY da, db""",
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),

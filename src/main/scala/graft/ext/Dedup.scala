@@ -80,29 +80,81 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprint per document: 64 bits, bit j = sign of the
-    * count-weighted sum over tokens of (2*bit_j(md5(token)) - 1).
-    * Near-dup docs (high token overlap) get identical/close fingerprints;
-    * grouping by fingerprint is the dedup shuffle key.
-    * Bit j of a token = bit (j mod 4) of hex digit (j div 4) of its md5.
-    */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-document SimHash bit sums (doc_id, s0..s63): s_j is the
+    * count-weighted sum over tokens of (2*bit_j(md5(token)) - 1); the
+    * fingerprint's bit j is sign(s_j). All 64 sums are computed as 64
+    * aggregate columns over the token rows — one shuffle with map-side
+    * partials, vs. exploding 64× rows. The md5 is evaluated once per token
+    * row; bit j of a token = bit (j mod 4) of hex digit (j div 4). */
+  private def simHashBitSums(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    // 64 weighted-bit sums as 64 aggregate columns over the token rows —
-    // one shuffle with map-side partials, vs. exploding 64× rows. The md5
-    // is evaluated once per token row and each bit slices a hex digit.
     val bitSums = (0 until 64).map { j =>
       val digit = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast(LongType)
       val bit = pmod(floor(digit / pow(lit(2.0), lit(j % 4))), lit(2))
       sum(col("cnt") * (bit * 2 - 1)).as(s"s$j")
     }
-    val perDoc = toks.withColumn("h", md5(col("tok")))
+    toks.withColumn("h", md5(col("tok")))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+  }
+
+  /** SimHash fingerprint per document: 64 bits, bit j = sign of the
+    * count-weighted sum over tokens of (2*bit_j(md5(token)) - 1).
+    * Near-dup docs (high token overlap) get identical/close fingerprints;
+    * grouping by fingerprint is the dedup shuffle key.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fingerprint = concat((0 until 64).map(j =>
       when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
-    perDoc.select(col("doc_id"), fingerprint.as("simhash"))
+    simHashBitSums(docs, idCol, textCol)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** SimHash near-dup PAIRS at corpus scale (Manku/Jain/Sarma, WWW'07
+    * pigeonhole): split the 64-bit fingerprint into (maxHamming+1) bands —
+    * any pair within Hamming distance maxHamming agrees exactly on ≥1 band
+    * — bucket-join on (band index, band value), then verify candidates
+    * with popcount(xor) over the full fingerprint.
+    *
+    * Scale: the band join IS the shuffle partitioning (key = band value);
+    * no all-pairs stage. Per-band bucket fan-out is |corpus| / 2^w for
+    * w-bit bands — lower maxHamming ⇒ wider bands ⇒ smaller buckets. At
+    * 100 TB pair with a 128-bit fingerprint or pre-group identical
+    * fingerprints (exact dups) before banding so a giant duplicate cluster
+    * can't explode one bucket.
+    *
+    * Returns (da, db, hamming) with da < db, hamming ≤ maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val w = 64 / bands
+    // Band b = bits [b*w, (b+1)*w) of the fingerprint, packed into a long.
+    val chunkCols = (0 until bands).map { b =>
+      (0 until w).map(i =>
+        when(col(s"s${b * w + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"c$b")
+    }
+    val sig = simHashBitSums(docs, idCol, textCol)
+      .select(col("doc_id") +: chunkCols: _*)
+      .select(col("doc_id"),
+        array((0 until bands).map(b => col(s"c$b")): _*).as("cs"))
+    val banded = sig.select(col("doc_id"), col("cs"),
+      posexplode(col("cs")).as(Seq("b", "bv")))
+    val hamming = (0 until bands).map(b =>
+      bit_count(element_at(col("a.cs"), b + 1)
+        .bitwiseXOR(element_at(col("c.cs"), b + 1)))).reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv")
+          && col("c.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Document-frequency cap over distinct (doc_id, sh) rows: shingles that

@@ -100,6 +100,42 @@ class DedupDifferentialSpec extends AnyFunSuite {
     assert(fp(1L) == want, "simhash must equal the definition recomputed independently")
   }
 
+  test("simHashPairs equals in-memory all-pairs Hamming filter") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fingerprint(text: String): Long = {
+      val counts = text.trim.toLowerCase.split(" +").toSeq.groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        val s = counts.map { case (tok, cnt) =>
+          val digit = Integer.parseInt(hex(tok).charAt(j / 4).toString, 16)
+          cnt * (2L * ((digit >> (j % 4)) & 1) - 1L)
+        }.sum
+        if (s > 0) acc | (1L << j) else acc
+      }
+    }
+    for ((seed, maxHam) <- Seq((3, 7), (4, 15))) {
+      // near-dup-rich corpus: random docs plus mutated copies
+      val rnd = new Random(seed)
+      val base = randomDocs(seed, 40)
+      val docs = base ++ base.take(10).map { case (id, t) =>
+        (id + 100L, t + " " + words(rnd.nextInt(words.size))) }
+      val fps = docs.map { case (id, t) => id -> fingerprint(t) }
+      val want = (for {
+        (da, fa) <- fps; (db, fb) <- fps if db > da
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxHam
+      } yield (da, db, h.toLong)).toSet
+      val got = Dedup.simHashPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", maxHamming = maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).asInstanceOf[Number].longValue)).toSet
+      assert(got == want, s"seed=$seed maxHam=$maxHam")
+      assert(want.nonEmpty, s"fixture must exercise pairs (seed=$seed)")
+    }
+  }
+
   test("brute-force cosine equals in-memory cosine on random vectors") {
     import spark.implicits._
     val rnd = new Random(11)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Layout, StatsSkipping}
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val fmt = (c: org.apache.spark.sql.Column) =>
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private val lo = "1995-06-01 00:00:00"
+  private val hi = "1995-08-01 00:00:00"
+
+  test("clusterBy turns a hash-shuffled layout into a skipping-friendly one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+
+    // Worst case: hash-shuffled write — every file spans the full date
+    // range, so a 2-month range predicate prunes nothing.
+    li.repartition(8).write.parquet(s"$base/hashed")
+    val hashedStats = StatsSkipping.fileStats(spark, s"$base/hashed", "l_shipdate", fmt)
+    assert(Layout.scanFraction(hashedStats, lo, hi) == 1.0,
+      "hash layout must read every file for a range predicate")
+
+    // clusterBy: range repartition + in-partition sort on the same key.
+    val stats = Layout.clusterBy(spark, li, s"$base/clustered", 8,
+      Seq("l_shipdate"), fmt).cache()
+    assert(stats.count() == 8, "one stats row per output file")
+    val frac = Layout.scanFraction(stats, lo, hi)
+    assert(frac < 0.5, s"clustered layout must prune most files, read $frac")
+
+    // Same answers as a full scan, reading only surviving files.
+    val pruned = StatsSkipping.readRange(spark, s"$base/clustered", stats, lo, hi)
+      .where(col("l_shipdate") >= lit(lo) && col("l_shipdate") <= lit(hi))
+    val full = li
+      .where(col("l_shipdate") >= lit(lo) && col("l_shipdate") <= lit(hi))
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum(col("l_quantity"))).collect().head.get(0)
+      == full.agg(sum(col("l_quantity"))).collect().head.get(0))
+  }
+}
