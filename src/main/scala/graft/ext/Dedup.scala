@@ -72,8 +72,12 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), md5(concat(bandHash: _*)).as("bh"))
+    // Shuffle (merge) join, never broadcast: at corpus scale the banded
+    // table is the whole dataset, and a shuffle self-join lets ReuseExchange
+    // compute the signature pipeline ONCE for both sides (a BroadcastExchange
+    // on one side would force a second full computation).
     banded.as("a")
-      .join(banded.as("c"),
+      .join(banded.as("c").hint("merge"),
         col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
           && col("c.doc_id") > col("a.doc_id"))
       .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
@@ -91,12 +95,18 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    // Bind the 16 hex digits of md5(tok) to their own projection (16 convs
+    // per token row, each consumed by 4 bit sums — CollapseProject keeps
+    // multi-use non-trivial aliases materialized), then slice bits with
+    // integer shifts instead of double-precision pow/floor/pmod.
+    val digits = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast(LongType).as(s"d$i"))
     val bitSums = (0 until 64).map { j =>
-      val digit = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast(LongType)
-      val bit = pmod(floor(digit / pow(lit(2.0), lit(j % 4))), lit(2))
+      val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1L))
       sum(col("cnt") * (bit * 2 - 1)).as(s"s$j")
     }
     toks.withColumn("h", md5(col("tok")))
+      .select(col("doc_id") +: col("cnt") +: digits: _*)
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
   }
 
@@ -147,8 +157,11 @@ object Dedup {
     val hamming = (0 until bands).map(b =>
       bit_count(element_at(col("a.cs"), b + 1)
         .bitwiseXOR(element_at(col("c.cs"), b + 1)))).reduce(_ + _)
+    // Shuffle join for the same reason as minHashLshFromShingles: identical
+    // exchanges on both sides → ReuseExchange runs the 64-column signature
+    // aggregation once; a broadcast side would recompute it.
     banded.as("a")
-      .join(banded.as("c"),
+      .join(banded.as("c").hint("merge"),
         col("a.b") === col("c.b") && col("a.bv") === col("c.bv")
           && col("c.doc_id") > col("a.doc_id"))
       .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),

@@ -104,16 +104,20 @@ object TextOps {
     * with a higher-order fold — no explode, stays inside codegen.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Bind the normalized text to its own projection so the regex runs once
-    // per row, not once per use inside the fold lambda.
+    // Bind the normalized text and its char array to their own projections
+    // so each is computed once per row, not once per use inside the fold
+    // lambda. Indexing the char array is O(1) per element; substr on the
+    // string would re-scan from the start (O(len²) per document).
     val nt = col("__nt")
+    val chars = col("__chars")
     val rolling = aggregate(
-      sequence(lit(1), length(nt)),
+      sequence(lit(1), size(chars)),
       lit(0L),
-      (acc, i) => (acc + ascii(nt.substr(i, lit(1))).cast(LongType)
+      (acc, i) => (acc + ascii(element_at(chars, i)).cast(LongType)
         * ((i.cast(LongType) * lit(2654435761L)) % 1000003L)) % 1000003L)
     df.select(col(idCol),
         lower(regexp_replace(col(textCol), "\\s+", " ")).as("__nt"))
+      .select(col(idCol), nt, split(nt, "").as("__chars"))
       .select(col(idCol), md5(nt).as("fp_md5"), rolling.as("fp_roll"))
   }
 
