@@ -38,10 +38,10 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * callers that race must re-read and re-diff, which the sync engine's
   * idempotent re-run does naturally.
   *
-  * Invariant: committed `placements` must be duplicate-free (the sync
-  * engine's snapshots are deduplicated before commit). The no-op fast path
-  * compares set cardinalities and assumes it; external writers seeding a
-  * catalog through `commit` directly must uphold it.
+  * Committed `placements` are duplicate-free as written by the sync engine
+  * (snapshots are deduplicated before commit). The sync no-op fast path
+  * compares symmetric set differences, so an externally seeded catalog
+  * with duplicate rows degrades nothing — `except` is distinct-based.
   */
 class MetaStore(spark: SparkSession, root: String) {
 
@@ -141,10 +141,20 @@ class MetaStore(spark: SparkSession, root: String) {
         throw new ConcurrentCommitException(
           s"version $next already claimed by another writer (root=$root)")
     }
-    newShards.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/shards")
-    newPlacements.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/placements")
-    newTables.getOrElse(tables)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/tables")
+    // The three table writes are independent jobs — run them concurrently
+    // (cluster schedulers interleave their stages; the commit is gated on
+    // all three completing before the pointer flip either way).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val carriedTables = newTables.getOrElse(tables)
+    Await.result(Future.sequence(Seq(
+      Future(newShards.write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/v$next/shards")),
+      Future(newPlacements.write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/v$next/placements")),
+      Future(carriedTables.write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/v$next/tables")))), Duration.Inf)
     val out = fs.create(pointer, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     next

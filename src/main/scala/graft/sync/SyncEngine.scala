@@ -104,33 +104,31 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     val newShardIds = CoreOps.diffNew(srcIds, catalogIds).persist()
     val oldShardIds = CoreOps.diffOld(srcIds, catalogIds).persist()
     try {
-      // No-op fast path (README.md:10-13): id diffs first (narrow, cheap);
-      // placement comparison only if the id sets are identical. Both sides
-      // scoped to this table — another table's rows must not defeat the
-      // fast path.
-      val idsChanged = !newShardIds.select(lit(1).as("one"))
-        .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
+      // No-op fast path (README.md:10-13): id diffs first — a union of two
+      // persisted narrow sets, whose shuffles the guards need anyway. Only
+      // if the id sets are identical does the placement comparison run, as
+      // ONE action over the symmetric difference (both excepts in one job;
+      // putting the excepts in the id-check union would drag their shuffle
+      // stages into every apply-path job — parent stages run regardless of
+      // which union partitions a take() probes). Both sides are scoped to
+      // this table — another table's rows must not defeat the fast path.
+      val one = (d: DataFrame) => d.select(lit(1).as("one"))
+      val idsChanged = !one(newShardIds).union(one(oldShardIds)).limit(1).isEmpty
       val changed = idsChanged ||
-        srcPl.count() != catalogPlacements.count() ||
-        !srcPl.except(catalogPlacements).limit(1).isEmpty
+        !one(srcPl.except(catalogPlacements))
+          .union(one(catalogPlacements.except(srcPl)))
+          .limit(1).isEmpty
       if (!changed) return store.currentVersion
 
-      // Guard J5: a removed shard must have NO remaining placements in the
-      // post-apply set — i.e. in the source snapshot
-      // (HdfsSynchronizer.java:263-273).
-      val orphanHead = CoreOps.orphanPlacements(oldShardIds, srcPl, "shard_id")
-        .limit(1).collect()
-      if (orphanHead.nonEmpty)
-        throw new SyncAbortException(
-          s"shard ${orphanHead.head.getLong(0)} was removed but still has placements")
-
-      // Guard J6: a new shard must have at least one placement
-      // (HdfsSynchronizer.java:282-289).
-      val unplacedHead = CoreOps.unplacedShards(newShardIds, srcPl, "shard_id")
-        .limit(1).collect()
-      if (unplacedHead.nonEmpty)
-        throw new SyncAbortException(
-          s"shard ${unplacedHead.head.getLong(0)} is new but has no placements")
+      // Guards J5 + J6 as ONE job (both read the same persisted inputs;
+      // a second action would only pay scheduler overhead again):
+      // J5 — a removed shard must have NO remaining placements in the
+      // post-apply set, i.e. in the source snapshot
+      // (HdfsSynchronizer.java:263-273); J6 — a new shard must have at
+      // least one placement (HdfsSynchronizer.java:282-289).
+      checkGuards(oldShardIds, newShardIds, srcPl,
+        orphanMsg = id => s"shard $id was removed but still has placements",
+        unplacedMsg = id => s"shard $id is new but has no placements")
 
       commitState(tableId, catalogIds, newShardIds, oldShardIds, srcPl, stats)
     } finally
@@ -197,17 +195,9 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         if (!idsChanged && !anyApplied)
           return SyncResult(store.currentVersion, skipped)
 
-        val orphanHead = CoreOps.orphanPlacements(oldShardIds, current, "shard_id")
-          .limit(1).collect()
-        if (orphanHead.nonEmpty)
-          throw new SyncAbortException(
-            s"could not remove shard placements for shard ${orphanHead.head.getLong(0)}")
-
-        val unplacedHead = CoreOps.unplacedShards(newShardIds, current, "shard_id")
-          .limit(1).collect()
-        if (unplacedHead.nonEmpty)
-          throw new SyncAbortException(
-            s"could not find shard placement for shard ${unplacedHead.head.getLong(0)}")
+        checkGuards(oldShardIds, newShardIds, current,
+          orphanMsg = id => s"could not remove shard placements for shard $id",
+          unplacedMsg = id => s"could not find shard placement for shard $id")
 
         val v = commitState(tableId, catalogIds, newShardIds, oldShardIds,
           current, stats)
@@ -216,6 +206,25 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     } finally
       Seq(catalogPlacements, srcIds, srcPl, newShardIds, oldShardIds, applied)
         .foreach(_.unpersist())
+  }
+
+  /** Both structural guards evaluated in one Spark action: violating shard
+    * ids arrive tagged, and the first row (orphans first, matching the
+    * reference's check order) decides the abort message. */
+  private def checkGuards(oldShardIds: DataFrame, newShardIds: DataFrame,
+                          postApply: DataFrame,
+                          orphanMsg: Long => String,
+                          unplacedMsg: Long => String): Unit = {
+    val head = CoreOps.orphanPlacements(oldShardIds, postApply, "shard_id")
+      .select(col("shard_id"), lit("orphan").as("kind"))
+      .unionByName(CoreOps.unplacedShards(newShardIds, postApply, "shard_id")
+        .select(col("shard_id"), lit("unplaced").as("kind")))
+      .limit(1).collect()
+    head.headOption.foreach { r =>
+      throw new SyncAbortException(
+        if (r.getString(1) == "orphan") orphanMsg(r.getLong(0))
+        else unplacedMsg(r.getLong(0)))
+    }
   }
 
   /** Shared commit tail: build the new shards table (kept + new, stats
