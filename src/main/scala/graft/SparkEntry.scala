@@ -352,6 +352,23 @@ object SparkEntry {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // ── §2.9: REAL container decode — synthesize a valid RIFF/WAVE PCM16
+    //    file per doc, parse it back (chunk walk, LE fields, PCM energy);
+    //    every output column travels through the binary container ────────
+    "q_media_wav" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.wavRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9: REAL container decode — 24-bit BMP (header validation,
+    //    bottom-up padded pixel rows, channel sum) ───────────────────────
+    "q_media_bmp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.bmpRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9: backward as-of join — latest view at-or-before each
     //    purchase per user; union-scan formulation, ONE shuffle ──────────
     "q_asof_join" -> ((s, dir) => {
@@ -748,6 +765,31 @@ object SparkEntry {
               unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
          WHERE i % 2 = 0
          ORDER BY doc_id, frame_no""",
+    // Real-decode round trips: the engine emits what the WAV/BMP parsers
+    // read OUT of the synthesized containers; the oracle recomputes the
+    // same integer facts directly from the text (ASCII fixture: byte i ==
+    // ascii(char i)). sample i = (byte-128)*256; WAV is PCM16 @ 8 kHz.
+    "q_media_wav" ->
+      """WITH agg AS (SELECT doc_id,
+                             count(*) nf,
+                             sum(CAST((ascii(substr(text, CAST(j AS INT), 1)) - 128) * 256 AS BIGINT)
+                               * CAST((ascii(substr(text, CAST(j AS INT), 1)) - 128) * 256 AS BIGINT)) en
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1)
+         SELECT doc_id, CAST(8000 AS BIGINT) sample_rate, CAST(nf AS BIGINT) n_frames,
+                CAST(nf * 1000 // 8000 AS BIGINT) duration_ms, CAST(en AS BIGINT) energy
+         FROM agg ORDER BY doc_id""",
+    // BMP: width 16 → 48 channel bytes per row, text zero-padded to full
+    // rows (padding adds 0 to the sum); height = ceil(bytes/48), min 1.
+    "q_media_bmp" ->
+      """WITH agg AS (SELECT doc_id, strlen(text) n,
+                             sum(ascii(substr(text, CAST(j AS INT), 1))) s
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1, 2)
+         SELECT doc_id, CAST(16 AS BIGINT) width,
+                CAST(greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) AS BIGINT) height,
+                CAST(24 AS BIGINT) bpp, CAST(s AS BIGINT) sum_channels
+         FROM agg ORDER BY doc_id""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ep, event_id
                     FROM events WHERE event_type = 'purchase'),

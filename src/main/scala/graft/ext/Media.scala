@@ -16,11 +16,14 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, head_byte: Int, checksum: 
   * run per-partition in batches (the JVM analog of `mapInPandas` — one
   * decoder init per partition, amortized over its rows).
   *
-  * The decode step itself is a STUB (this container has no image/audio
-  * codecs): `decodeStub` computes deterministic byte-level features where
-  * a real pipeline would run JPEG/PNG decode + a vision encoder. The
+  * Two decode tiers: formats needing no codec library — RIFF/WAVE PCM16
+  * and 24-bit BMP — are decoded FOR REAL via MediaCodecs (wavRoundTrip /
+  * bmpRoundTrip, oracle-verified end-to-end). For compressed formats
+  * (JPEG/PNG/MP4) this container has no codecs, so `decodeStub` computes
+  * deterministic byte-level features where a real pipeline would plug a
+  * decoder + vision encoder into the same per-partition slot. The
   * Spark-side plumbing — binary schema, partition-batched execution,
-  * feature schema — is real and oracle-tested.
+  * feature schema — is identical for both tiers and oracle-tested.
   */
 object Media {
 
@@ -66,6 +69,58 @@ object Media {
   def features(docs: DataFrame, idCol: String, textCol: String)
               (implicit spark: SparkSession): DataFrame =
     decodeStub(asMedia(docs, idCol, textCol)).toDF()
+
+  /** Synthesize a genuine RIFF/WAVE PCM16 container per document (samples
+    * derived from the text bytes), then REALLY parse it back with
+    * MediaCodecs.decodeWav — chunk walk, little-endian fields, PCM energy.
+    * Every emitted column travels THROUGH the binary container: the decoder
+    * reads them out of the bytes, not out of the inputs. Runs per partition
+    * (encoder/decoder state is plain byte arithmetic; a real codec handle
+    * would be initialized once per partition in the same place).
+    */
+  def wavRoundTrip(docs: DataFrame, idCol: String, textCol: String,
+                   sampleRate: Int = 8000)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val samples = Array.tabulate(bytes.length)(i =>
+            (((bytes(i) & 0xff) - 128) * 256).toShort)
+          val wav = MediaCodecs.encodeWavPcm16(samples, sampleRate)
+          val info = MediaCodecs.decodeWav(wav)
+          (id, info.sampleRate.toLong, info.nFrames, info.durationMs, info.energy)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "energy")
+  }
+
+  /** Synthesize a genuine 24-bit BMP per document (fixed width; channel
+    * bytes = text bytes zero-padded to full rows), then REALLY parse it
+    * back with MediaCodecs.decodeBmp — header validation, bottom-up padded
+    * rows, channel sum. Geometry columns come from the decoded header. */
+  def bmpRoundTrip(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 16)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val rowBytes = width * 3
+          val height = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+          val channels = java.util.Arrays.copyOf(bytes, rowBytes * height)
+          val bmp = MediaCodecs.encodeBmp24(width, height, channels)
+          val info = MediaCodecs.decodeBmp(bmp)
+          (id, info.width.toLong, info.height.toLong,
+            info.bitsPerPixel.toLong, info.sumChannels)
+        }
+      }
+      .toDF("doc_id", "width", "height", "bpp", "sum_channels")
+  }
 
   /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,
     * scales, re-encodes per partition; the stub keeps a deterministic

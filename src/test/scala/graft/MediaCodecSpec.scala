@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Media, MediaCodecs}
+
+class MediaCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("WAV round trip: decoded fields equal encoded parameters") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = MediaCodecs.encodeWavPcm16(samples, sampleRate = 8000)
+    val info = MediaCodecs.decodeWav(wav)
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nFrames == 6)
+    assert(info.durationMs == 6 * 1000L / 8000)
+    assert(info.energy == samples.map(s => s.toLong * s).sum)
+  }
+
+  test("WAV decoder skips unknown chunks and honors word alignment") {
+    val base = MediaCodecs.encodeWavPcm16(Array[Short](5, -5), 16000)
+    // splice an odd-sized LIST chunk (3 bytes + 1 pad) between fmt and data
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    val info = MediaCodecs.decodeWav(spliced)
+    assert(info.sampleRate == 16000 && info.nFrames == 2 && info.energy == 50)
+  }
+
+  test("WAV decoder rejects non-RIFF, truncated, and non-PCM input") {
+    intercept[IllegalArgumentException](MediaCodecs.decodeWav("not a wav at all".getBytes))
+    val good = MediaCodecs.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    intercept[IllegalArgumentException](MediaCodecs.decodeWav(good.take(30)))
+    val nonPcm = good.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException](MediaCodecs.decodeWav(nonPcm))
+  }
+
+  test("BMP round trip: geometry from header, channel sum over padded rows") {
+    // 3x2 image: rows are 9 bytes of payload + 3 pad bytes (12-byte rows)
+    val channels = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val bmp = MediaCodecs.encodeBmp24(3, 2, channels)
+    val info = MediaCodecs.decodeBmp(bmp)
+    assert(info.width == 3 && info.height == 2 && info.bitsPerPixel == 24)
+    assert(info.sumChannels == channels.map(_ & 0xff).map(_.toLong).sum)
+    // padding must exist and not contribute
+    assert(bmp.length == 54 + 12 * 2)
+  }
+
+  test("BMP decoder rejects non-BMP and truncated pixel data") {
+    intercept[IllegalArgumentException](MediaCodecs.decodeBmp(Array.fill[Byte](54)(0)))
+    val good = MediaCodecs.encodeBmp24(3, 2, new Array[Byte](18))
+    intercept[IllegalArgumentException](MediaCodecs.decodeBmp(good.take(60)))
+  }
+
+  test("distributed WAV/BMP round trips agree with direct computation") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = Seq((1L, "hello world"), (2L, "x"), (3L, "a" * 100))
+      .toDF("doc_id", "text")
+    val wav = Media.wavRoundTrip(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, text) <- Seq((1L, "hello world"), (2L, "x"), (3L, "a" * 100))) {
+      val e = text.getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256L)
+        .map(s => s * s).sum
+      assert(wav(id) == ((8000L, text.length.toLong,
+        text.length * 1000L / 8000, e)), s"doc $id")
+    }
+    val bmp = Media.bmpRoundTrip(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bmp(1L) == ((16L, 1L, 24L, "hello world".getBytes.map(_.toLong).sum)))
+    assert(bmp(3L) == ((16L, 3L, 24L, 100L * 'a'.toLong))) // 100 bytes → 3 rows
+  }
+}
