@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
-import graft.ext.{Analytics, Dedup, Events, Media, Similarity, TextOps}
+import graft.ext.{Analytics, Dedup, Events, Media, Sampling, Similarity, TextOps}
 import graft.meta.MetaStore
 import graft.sync.SyncEngine
 
@@ -228,6 +228,28 @@ object SparkEntry {
         maxDf = 100)
         .orderBy("da", "db")),
 
+    // ── §2.9 X1f: edit-distance-verified near-dups — LSH candidates,
+    //    Levenshtein over a bounded prefix (O(pairs) verification) ────────
+    "q_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 40, prefixLen = 80)
+        .orderBy("da", "db")),
+
+    // ── §2.9: deterministic 10% sample — md5-bucket filter, reproducible
+    //    across reruns/engines/layouts (no rand()) ────────────────────────
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ── §2.9: leakage-free train/valid/test split — assignment hashes the
+    //    GROUP key (source), so all docs of a source share a split ────────
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(t(s, dir, "documents"), "source",
+        Seq(("train", 80), ("valid", 10), ("test", 10)))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")),
+
     // ── §2.9 X2: brute-force cosine top-k ────────────────────────────────
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -395,6 +417,17 @@ object SparkEntry {
       Analytics.rollup2(t(s, dir, "lineitem"),
         "l_returnflag", "l_linestatus", "l_quantity")
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── §2.9: CUBE — all four grouping sets in one Expand+aggregate ──────
+    "q_cube" -> ((s, dir) =>
+      Analytics.cube2(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── §2.9: inter-arrival gaps per user (lead/lag window surface) ──────
+    "q_lag_gaps" -> ((s, dir) =>
+      Events.interArrival(t(s, dir, "events"))
+        .orderBy("event_id")),
 
     // ── §2.9: running total per user (decimal-exact prefix sums) ────────
     "q_running_total" -> ((s, dir) =>
@@ -573,6 +606,58 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
          ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id
          ORDER BY da, db""",
+    // Same LSH candidate CTEs as q_dedup_minhash, plus bounded-prefix
+    // Levenshtein verification (DuckDB's levenshtein = the classic DP).
+    "q_edit_distance" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)
+         SELECT da, db,
+                CAST(levenshtein(substr(ta.text,1,80), substr(tb.text,1,80)) AS BIGINT) edit_dist
+         FROM cand JOIN documents ta ON ta.doc_id = da
+                   JOIN documents tb ON tb.doc_id = db
+         WHERE levenshtein(substr(ta.text,1,80), substr(tb.text,1,80)) <= 40
+         ORDER BY da, db""",
+    // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
+    // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
+    "q_hash_sample" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents),
+         v AS (SELECT doc_id, lang,
+                 ((strpos('0123456789abcdef', substr(m,1,1))-1) * 268435456
+                + (strpos('0123456789abcdef', substr(m,2,1))-1) * 16777216
+                + (strpos('0123456789abcdef', substr(m,3,1))-1) * 1048576
+                + (strpos('0123456789abcdef', substr(m,4,1))-1) * 65536
+                + (strpos('0123456789abcdef', substr(m,5,1))-1) * 4096
+                + (strpos('0123456789abcdef', substr(m,6,1))-1) * 256
+                + (strpos('0123456789abcdef', substr(m,7,1))-1) * 16
+                + (strpos('0123456789abcdef', substr(m,8,1))-1)) % 100 AS bucket
+               FROM h)
+         SELECT doc_id, lang FROM v WHERE bucket < 10 ORDER BY doc_id""",
+    "q_split_assign" ->
+      """WITH v AS (SELECT doc_id, source,
+                 ((strpos('0123456789abcdef', substr(md5(source),1,1))-1) * 268435456
+                + (strpos('0123456789abcdef', substr(md5(source),2,1))-1) * 16777216
+                + (strpos('0123456789abcdef', substr(md5(source),3,1))-1) * 1048576
+                + (strpos('0123456789abcdef', substr(md5(source),4,1))-1) * 65536
+                + (strpos('0123456789abcdef', substr(md5(source),5,1))-1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(source),6,1))-1) * 256
+                + (strpos('0123456789abcdef', substr(md5(source),7,1))-1) * 16
+                + (strpos('0123456789abcdef', substr(md5(source),8,1))-1)) % 100 AS bucket
+               FROM documents)
+         SELECT doc_id, source,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM v ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) cnt FROM (
                        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
@@ -812,6 +897,18 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_lag_gaps" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ep,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+         FROM events ORDER BY event_id""",
     "q_running_total" ->
       """SELECT user_id, epoch_us(ts) AS ep, event_id,
                 round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (

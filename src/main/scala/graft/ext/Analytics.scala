@@ -89,6 +89,19 @@ object Analytics {
         coalesce(col(k2), lit(sentinel)).as(k2),
         col("n_rows"), col("sum_value"))
 
+  /** CUBE over two keys — all four grouping sets in one pass (Spark plans
+    * a single Expand + one aggregation; no union of four scans). Same
+    * sentinel convention as rollup2.
+    */
+  def cube2(df: DataFrame, k1: String, k2: String, sumCol: String,
+            sentinel: String = "ALL"): DataFrame =
+    df.cube(col(k1), col(k2))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(sumCol).cast(DecimalType(38, 6))).cast(DoubleType).as("sum_value"))
+      .select(coalesce(col(k1), lit(sentinel)).as(k1),
+        coalesce(col(k2), lit(sentinel)).as(k2),
+        col("n_rows"), col("sum_value"))
+
   /** Running total per key in (ep, tie) order. The sum runs over
     * DECIMAL(38,6): a double prefix-sum would accumulate representation
     * error order-dependently; decimal is exact, so every prefix is

@@ -220,6 +220,28 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash+LSH candidate
+    * generation, then Levenshtein verification over a bounded prefix of
+    * each document. The prefix cap is the scale contract — Levenshtein is
+    * O(prefixLen²) per pair, so verification cost is candidates ×
+    * constant, never a function of document length; candidates are
+    * LSH-bucket-confined, so no all-pairs stage exists. (Codegen'd
+    * `levenshtein` expression — no UDF.)
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, prefixLen: Int = 80,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minHashLsh(docs, idCol, textCol, k, bands)
+    val txt = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
+    cand
+      .join(txt.as("ta"), col("da") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("db") === col("tb.doc_id"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta.prefix"), col("tb.prefix")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact verification — at scale
     * this runs AFTER minHashLsh restricts to candidates; standalone it is

@@ -55,6 +55,18 @@ object Events {
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Inter-arrival gaps per user (lead/lag window surface): microseconds
+    * since the user's previous event, NULL for the first. One shuffle
+    * (partition by user), sorted within — the same partitioning
+    * sessionize uses, so a pipeline computing both reuses the exchange.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ep"))
+      .withColumn("gap_us", col("ep") - lag(col("ep"), 1).over(w))
+  }
+
   /** X7 — approximate distinct (HLL++) next to the exact count. The
     * approximate column has no cross-engine oracle (sketch internals
     * differ); the exact column is the oracle-checked variant and the spec
