@@ -43,6 +43,62 @@ object Layout {
     StatsSkipping.fileStats(spark, outDir, columns.head, fmt)
   }
 
+  /** Z-order (interleaved) clustering over TWO columns: linear clustering
+    * serves only its leading column — a range predicate on the second
+    * column still reads every file. The Z-curve interleaves the bits of
+    * both columns' bucket numbers, so consecutive z-values stay close in
+    * BOTH dimensions and each output file covers a small rectangle of the
+    * (a, b) space — range predicates on EITHER column prune most files.
+    *
+    * Buckets are equi-depth (approxQuantile boundaries, one pass each),
+    * not min/max-linear: under real-data skew a linear scale collapses
+    * most rows into a few buckets and the curve degenerates. Bucket
+    * assignment is a 2^bits-element boundary scan per row — write-path
+    * one-time cost, amortized over every later read (the same tradeoff
+    * Delta/Iceberg OPTIMIZE ZORDER makes).
+    *
+    * Returns per-file stats of BOTH columns for StatsSkipping.
+    */
+  def clusterByZ(spark: SparkSession, df: DataFrame, outDir: String,
+                 numFiles: Int, colA: String, colB: String,
+                 bits: Int = 12): (DataFrame, DataFrame) = {
+    val z = zValue(bucketColumn(spark, df, colA, bits),
+      bucketColumn(spark, df, colB, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    (StatsSkipping.fileStats(spark, outDir, colA, numericFmt),
+      StatsSkipping.fileStats(spark, outDir, colB, numericFmt))
+  }
+
+  /** Order-preserving string encoding for non-negative numerics (zero-
+    * padded fixed width — plain `cast(string)` is not lexically ordered:
+    * "9.0" > "10.0"). Same contract as CoreOps.minMaxPerGroup's fmt. */
+  val numericFmt: Column => Column =
+    c => format_string("%018.4f", c.cast("double"))
+
+  /** Interleave the low `bits` bits of two bucket numbers (a gets the odd
+    * positions). Pure integer shifts — stays in codegen. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Equi-depth bucket number of `column` in [0, 2^bits): count of
+    * approxQuantile boundaries ≤ value, via a literal boundary array. */
+  private def bucketColumn(spark: SparkSession, df: DataFrame,
+                           column: String, bits: Int): Column = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.select(col(column).cast("double").as("v"))
+      .stat.approxQuantile("v", probs, 1.0 / (4 * n))
+    val arr = typedLit(bounds)
+    size(filter(arr, bd => col(column).cast("double") >= bd)).cast("long")
+  }
+
   /** Fraction of a table's files a [lo, hi] range scan must read under the
     * current layout (1.0 = no skipping). Metadata-only — never reads data.
     */

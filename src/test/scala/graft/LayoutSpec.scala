@@ -40,4 +40,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.agg(sum(col("l_quantity"))).collect().head.get(0)
       == full.agg(sum(col("l_quantity"))).collect().head.get(0))
   }
+
+  test("clusterByZ prunes on BOTH columns where linear clustering serves one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val fmtNum = Layout.numericFmt
+    def f(v: Double): String = "%018.4f".format(v)
+
+    // Linear clustering on l_orderkey: perfect for orderkey ranges,
+    // useless for partkey ranges.
+    Layout.clusterBy(spark, li, s"$base/linear", 16, Seq("l_orderkey"))
+    val linPart = StatsSkipping.fileStats(spark, s"$base/linear", "l_partkey", fmtNum)
+    assert(Layout.scanFraction(linPart, f(100), f(500)) > 0.9,
+      "linear layout must NOT help the non-leading column")
+
+    // Z-order on (l_orderkey, l_partkey): both dimensions prune.
+    val (zaStats, zbStats) = Layout.clusterByZ(spark, li, s"$base/z", 16,
+      "l_orderkey", "l_partkey", bits = 8)
+    val keys = li.agg(max("l_orderkey"), max("l_partkey")).collect().head
+    val (maxOk, maxPk) = (keys.getLong(0).toDouble, keys.getLong(1).toDouble)
+    val fracA = Layout.scanFraction(zaStats, f(0), f(maxOk / 20))
+    val fracB = Layout.scanFraction(zbStats, f(0), f(maxPk / 20))
+    assert(fracA < 0.7, s"z-layout must prune on column A, read $fracA")
+    assert(fracB < 0.7, s"z-layout must prune on column B, read $fracB")
+
+    // No rows lost by the rewrite.
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+  }
 }
