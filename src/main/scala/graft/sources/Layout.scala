@@ -73,6 +73,46 @@ object Layout {
       StatsSkipping.fileStats(spark, outDir, colB, numericFmt))
   }
 
+  /** Compact a directory of many small files into ≈`targetBytes` outputs —
+    * the small-files remedy (a million 1 MB files costs a listing, a
+    * footer read, and a task per file on every query; at 100 TB that
+    * overhead dwarfs the data). Output file count comes from the ACTUAL
+    * on-disk byte size (listing metadata only — no data read to plan).
+    *
+    * With `sortCol` the rewrite range-partitions + sorts, re-establishing
+    * a skipping-friendly clustered layout (a hash repartition would
+    * destroy it); without, it `coalesce`s — merging input splits with NO
+    * shuffle at all. Returns the number of output files written.
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              targetBytes: Long, sortCol: Option[String] = None): Int = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      // coalesce never exceeds the scan's split count — when input files
+      // are tiny, split packing may already produce fewer partitions than
+      // the byte target asks for; fewer, larger files is still compaction.
+      case None => df.coalesce(nFiles)
+    }
+    out.write.mode("overwrite").parquet(outDir)
+    val outIt = fs.listFiles(new org.apache.hadoop.fs.Path(outDir), true)
+    var written = 0
+    while (outIt.hasNext) {
+      if (outIt.next().getPath.getName.endsWith(".parquet")) written += 1
+    }
+    written
+  }
+
   /** Order-preserving string encoding for non-negative numerics (zero-
     * padded fixed width — plain `cast(string)` is not lexically ordered:
     * "9.0" > "10.0"). Same contract as CoreOps.minMaxPerGroup's fmt. */

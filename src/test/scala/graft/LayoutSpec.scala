@@ -67,4 +67,31 @@ class LayoutSpec extends AnyFunSuite {
     // No rows lost by the rewrite.
     assert(spark.read.parquet(s"$base/z").count() == li.count())
   }
+
+  test("compact merges many small files to the byte-sized target count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem").limit(20000)
+    li.repartition(100).write.parquet(s"$base/small")
+
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val totalBytes = files(s"$base/small").map(_.length).sum
+    assert(files(s"$base/small").length == 100)
+
+    val n = Layout.compact(spark, s"$base/small", s"$base/compacted",
+      targetBytes = totalBytes / 5)
+    assert(n >= 1 && n <= 6, s"expected at most ~5-6 outputs, wrote $n")
+    assert(files(s"$base/compacted").length == n)
+    val a = spark.read.parquet(s"$base/small")
+    val b = spark.read.parquet(s"$base/compacted")
+    assert(a.count() == b.count())
+    assert(a.agg(sum(col("l_quantity"))).collect().head.get(0)
+      == b.agg(sum(col("l_quantity"))).collect().head.get(0))
+
+    // clustered compaction: stats become selective again
+    Layout.compact(spark, s"$base/small", s"$base/clustered",
+      targetBytes = totalBytes / 5, sortCol = Some("l_shipdate"))
+    val stats = StatsSkipping.fileStats(spark, s"$base/clustered", "l_shipdate", fmt)
+    assert(Layout.scanFraction(stats, lo, hi) < 1.0)
+  }
 }
