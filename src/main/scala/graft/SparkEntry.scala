@@ -228,6 +228,17 @@ object SparkEntry {
         maxDf = 100)
         .orderBy("da", "db")),
 
+    // ── §2.9 X1g: dedup clusters — connected components over the LSH
+    //    candidate graph (iterative min-label propagation; component id =
+    //    min doc_id; singletons keep their own id) ────────────────────────
+    "q_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.connectedComponents(
+          docs.select(col("doc_id")),
+          Dedup.minHashLsh(docs, "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X1f: edit-distance-verified near-dups — LSH candidates,
     //    Levenshtein over a bounded prefix (O(pairs) verification) ────────
     "q_edit_distance" -> ((s, dir) =>
@@ -606,6 +617,29 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
          ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id
          ORDER BY da, db""",
+    // Same LSH candidate CTEs as q_dedup_minhash; the component labels are
+    // reachability minima computed by a recursive CTE (label set per node
+    // is its component's ids — finite, so UNION-distinct terminates).
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
+         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n)
+         SELECT n AS doc_id, min(l) AS component FROM reach
+         GROUP BY n ORDER BY doc_id""",
     // Same LSH candidate CTEs as q_dedup_minhash, plus bounded-prefix
     // Levenshtein verification (DuckDB's levenshtein = the classic DP).
     "q_edit_distance" ->

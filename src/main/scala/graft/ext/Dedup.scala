@@ -220,6 +220,56 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise candidates into DEDUP CLUSTERS (component id = min doc_id of
+    * the cluster; keep one representative per component, drop the rest).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Near-dup components are shallow (dup
+    * clusters, not social graphs), so a handful of rounds suffices — the
+    * same reasoning that makes this the standard MapReduce/Spark CC
+    * formulation. Each round is one join + one aggregation, shuffling on
+    * vertex id; the driver only checks a scalar convergence count.
+    *
+    * `vertices`: one column `doc_id`; `edges`: (da, db). Returns
+    * (doc_id, component) for every vertex (singletons keep their own id).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    // Lineage MUST be truncated every round (localCheckpoint): chaining
+    // each iteration's plan onto the last grows the logical plan
+    // exponentially — by iteration ~10 the planner itself OOMs before any
+    // data moves. Checkpointing makes every round O(1) plan size; on a
+    // cluster use reliable checkpoints for executor-loss recovery.
+    var labels = vertices.select(col("doc_id"),
+      col("doc_id").as("component")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"),
+          col("component").as("nbr_component")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_component")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("min_nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .where(col("component") =!= col("prev"))
+        .limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash+LSH candidate
     * generation, then Levenshtein verification over a bounded prefix of
     * each document. The prefix cap is the scale contract — Levenshtein is

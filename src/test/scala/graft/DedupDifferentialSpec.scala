@@ -136,6 +136,34 @@ class DedupDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals in-memory union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(5, 6)) {
+      val rnd = new Random(seed)
+      val n = 80
+      val edges = Seq.fill(60) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+
+      // independent union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"),
+          edges.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed")
+      assert(want.values.toSet.size < n, s"fixture must have real merges (seed=$seed)")
+    }
+  }
+
   test("brute-force cosine equals in-memory cosine on random vectors") {
     import spark.implicits._
     val rnd = new Random(11)
