@@ -261,6 +261,14 @@ object SparkEntry {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
+    // ── §2.9 X1h: the COMPLETE dedup pipeline — exact dedup → LSH-verified
+    //    near-dup pairs among survivors → connected components → canonical
+    //    doc per input document (keep rows where doc_id == canonical) ─────
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, maxDf = 100)
+        .orderBy("doc_id")),
+
     // ── §2.9 X2: brute-force cosine top-k ────────────────────────────────
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -617,6 +625,42 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
          ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id
          ORDER BY da, db""",
+    // The q_dedup_verified CTE chain over the exact-dedup survivors, then
+    // component labels via recursive CTE, then doc → keeper → canonical.
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE ex AS (SELECT md5(text) h, min(doc_id) keeper FROM documents GROUP BY 1),
+         dk AS (SELECT d.doc_id, e.keeper FROM documents d JOIN ex e ON md5(d.text) = e.h),
+         sv AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT keeper FROM ex)),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t FROM sv),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
+         trif AS (SELECT * FROM tri WHERE sh IN (
+                    SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
+         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
+         inter AS (SELECT da, db, count(*) i FROM cand
+                   JOIN trif a ON a.doc_id = da
+                   JOIN trif c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2),
+         pairs AS (SELECT da, db FROM (
+                     SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
+                     FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+                   WHERE jaccard >= 0.3),
+         e2 AS (SELECT da s, db d FROM pairs UNION ALL SELECT db, da FROM pairs),
+         reach(n, l) AS (
+           SELECT keeper, keeper FROM ex
+           UNION
+           SELECT e2.d, r.l FROM reach r JOIN e2 ON e2.s = r.n),
+         comp AS (SELECT n, min(l) c FROM reach GROUP BY 1)
+         SELECT dk.doc_id, comp.c AS canonical FROM dk
+         JOIN comp ON dk.keeper = comp.n ORDER BY doc_id""",
     // Same LSH candidate CTEs as q_dedup_minhash; the component labels are
     // reachability minima computed by a recursive CTE (label set per node
     // is its component's ids — finite, so UNION-distinct terminates).

@@ -292,6 +292,38 @@ object Dedup {
       .where(col("edit_dist") <= maxDist)
   }
 
+  /** The COMPLETE corpus-dedup pipeline — the composition an LLM
+    * training-data pipeline actually runs end to end:
+    *
+    *   1. exact dedup (content hash, deterministic keeper),
+    *   2. MinHash+LSH candidates + exact Jaccard verification among the
+    *      exact SURVIVORS only (near-dup work never sees exact dups —
+    *      at 100 TB the exact stage typically removes the bulk, and it
+    *      also guarantees no giant identical-text cluster can explode an
+    *      LSH bucket),
+    *   3. connected components over the verified pair graph,
+    *   4. every input document mapped to its canonical surviving doc:
+    *      doc → exact keeper → keeper's component minimum.
+    *
+    * Returns (doc_id, canonical); keep rows where doc_id == canonical.
+    */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, k: Int = 16, bands: Int = 4,
+                    maxDf: Int = Int.MaxValue): DataFrame = {
+    val hashed = docs.select(md5(col(textCol)).as("h"), col(idCol).as("doc_id"))
+    val keepers = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val docKeeper = hashed.join(keepers, "h").select(col("doc_id"), col("keeper"))
+    val survivors = docs.join(keepers.select(col("keeper").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = minHashVerified(survivors, idCol, textCol, threshold, k, bands, maxDf)
+      .select("da", "db")
+    val comp = connectedComponents(survivors.select(col(idCol).as("doc_id")), pairs)
+    docKeeper
+      .join(comp.select(col("doc_id").as("keeper"),
+        col("component").as("canonical")), "keeper")
+      .select(col("doc_id"), col("canonical"))
+  }
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact verification — at scale
     * this runs AFTER minHashLsh restricts to candidates; standalone it is

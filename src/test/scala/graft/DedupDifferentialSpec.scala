@@ -164,6 +164,22 @@ class DedupDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupPipeline: exact dups, near dups, and uniques get the right canonical") {
+    import spark.implicits._
+    val rnd = new Random(9)
+    val base = Seq.fill(40)(words(rnd.nextInt(6))).mkString(" ")      // vocab A
+    val other = Seq.fill(40)(words(6 + rnd.nextInt(6))).mkString(" ") // vocab B
+    val docs = Seq(
+      (1L, base), (2L, base),            // exact dups → canonical 1
+      (3L, base + " mu"),                // near dup of 1 → canonical 1
+      (4L, other),                       // unrelated → canonical 4
+      (5L, other)                        // exact dup of 4 → canonical 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupPipeline(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L), s"$got")
+  }
+
   test("brute-force cosine equals in-memory cosine on random vectors") {
     import spark.implicits._
     val rnd = new Random(11)
