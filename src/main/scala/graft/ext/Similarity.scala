@@ -175,15 +175,20 @@ object Similarity {
       .select(col("nid").as("cid"),
         transform(col("nv"), _.cast(DoubleType)).as("cv"))
 
-    val wNearest = Window.partitionBy(col("nid"))
-      .orderBy(col("csim").desc, col("cid").asc)
+    // Nearest-centroid assignment as a max_by AGGREGATION, not a ranking
+    // window: the windowed form shuffles the full |corpus| × nCentroids
+    // expansion to rank it; max_by collapses to one row per vector in the
+    // map-side partial, so the shuffle carries |corpus| rows regardless of
+    // nCentroids. Tiebreak (csim DESC, cid ASC) via lexicographic struct.
+    val nearest = (csim: Column) =>
+      max_by(col("cid"), struct(csim, (-col("cid")).as("nc")))
     for (_ <- 0 until lloydIters) {
       // assign to nearest seed (norm of nv is constant per nid — dividing
       // by it cannot change the per-vector ranking, so csim omits it)
       val assignedTo = corpus.join(broadcast(centroids), lit(true))
         .withColumn("csim", dot(col("nv"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
-        .withColumn("crank", row_number().over(wNearest))
-        .where(col("crank") === 1)
+        .groupBy(col("nid"), col("nv"))
+        .agg(nearest(col("csim")).as("cid"))
         .select(col("cid"), col("nv"))
       // Lloyd step: centroid ← mean of its cluster, per dimension.
       // DECIMAL accumulation ⇒ identical result for any partition order.
@@ -198,13 +203,12 @@ object Similarity {
     }
     val cent = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
 
-    // index: nearest centroid per vector (broadcast the tiny centroid set)
-    val wAssign = Window.partitionBy(col("nid"))
-      .orderBy(col("csim").desc, col("cid").asc)
+    // index: nearest centroid per vector (broadcast the tiny centroid set;
+    // same map-side-collapsing aggregation as the Lloyd step)
     val assigned = corpus.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
+      .groupBy(col("nid"), col("nv"), col("nn"))
+      .agg(nearest(col("csim")).as("cid"))
       .select(col("nid"), col("nv"), col("nn"), col("cid"))
 
     // search: top-nprobe centroids per probe
