@@ -95,6 +95,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
 
+  test("band self-joins plan as shuffle joins, never broadcast or cartesian") {
+    // At corpus scale the banded table IS the dataset: a broadcast side
+    // would both be unbuildable and force the signature pipeline to run
+    // twice (no exchange reuse). The merge hint pins the shuffle form.
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    for (df <- Seq(
+        graft.ext.Dedup.minHashLsh(docs, "doc_id", "text"),
+        graft.ext.Dedup.simHashPairs(docs, "doc_id", "text"))) {
+      val plan = physical(df)
+      assert(plan.contains("SortMergeJoin"), s"expected shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"no unbounded join shapes allowed:\n$plan")
+    }
+  }
+
+  test("IVF assignment aggregates (no ranking window over the expansion)") {
+    // max_by collapses corpus × centroids map-side; a Window here would
+    // shuffle the full expansion (nCentroids × corpus rows).
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val df = graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 8, nprobe = 2)
+    val windows = physical(df).linesIterator.count(_.trim.startsWith("Window"))
+    // exactly two windows remain: probe-bucket ranking (probes × centroids,
+    // tiny) and the final top-k (WindowGroupLimit-guarded)
+    assert(windows <= 3, s"assignment must not use ranking windows:\n${physical(df)}")
+  }
+
   test("text operators stay inside whole-stage codegen") {
     val df = graft.ext.TextOps.tokenCount(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
