@@ -150,6 +150,33 @@ class StreamingSpec extends AnyFunSuite {
       "the hour-later event must close the first session (start, end=+10s, n=2)")
   }
 
+  test("stateless enrichment (hash sample + quality score) composes into a stream unchanged") {
+    // The sampling/scoring operators are pure column transforms — the SAME
+    // functions run batch or streaming; this pins that no hidden action or
+    // non-streamable shape (rand(), window-over-all, collect) sneaks in.
+    import graft.ext.{Sampling, TextOps}
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmp("graft_stream_docs_")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+
+    def pipeline(df: DataFrame): DataFrame =
+      TextOps.qualityScore(Sampling.hashSample(df, "doc_id", 10), "doc_id", "text")
+
+    val q = pipeline(stream).writeStream
+      .format("memory").queryName("enrich_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_enrich_"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("enrich_stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = pipeline(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("StreamingSync: snapshot files applied in order, catalog converges") {
     import spark.implicits._
     val snapDir = tmp("graft_stream_snap_")
