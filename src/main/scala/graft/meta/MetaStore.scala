@@ -21,6 +21,7 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   *   root/v<N>/shards/…parquet, root/v<N>/placements/…parquet,
   *   root/v<N>/tables/…parquet (absent in old versions → empty)
   *   root/v<N>/_claim              ← created exclusively; writer's lease
+  *   root/v<N>/_committed          ← data complete (written pre-flip)
   *   root/_current                 ← contains "<N>"; one-file flip = commit
   *
   * Readers resolve `_current` then read that version's directories, so a
@@ -91,6 +92,58 @@ class MetaStore(spark: SparkSession, root: String) {
   def placements: DataFrame = table("placements", placementsSchema)
   def tables: DataFrame = table("tables", tablesSchema)
 
+  /** Time travel: read a table AT a specific committed version — free with
+    * the versioned-directory layout (old versions are immutable until
+    * vacuumed). Returns empty for never-written versions, like `table`.
+    */
+  def tableAt(version: Long, name: String): DataFrame = {
+    val schema = name match {
+      case "shards" => shardsSchema
+      case "placements" => placementsSchema
+      case "tables" => tablesSchema
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+    if (version < 0 || !fs.exists(new Path(rootPath, s"v$version/$name")))
+      empty(schema)
+    else spark.read.schema(schema).parquet(s"$root/v$version/$name")
+  }
+
+  def shardsAt(version: Long): DataFrame = tableAt(version, "shards")
+  def placementsAt(version: Long): DataFrame = tableAt(version, "placements")
+
+  /** Roll the catalog back to an earlier committed version — an O(1)
+    * pointer flip, exactly like commit; nothing is copied. The abandoned
+    * versions' directories stay on disk (auditable) until vacuumed; the
+    * next commit claims one PAST the highest existing version, so rolled-
+    * back history is never overwritten.
+    */
+  def rollback(version: Long): Long = {
+    require(version >= 0 && fs.exists(new Path(rootPath, s"v$version/_committed")),
+      s"version $version was never committed")
+    val out = fs.create(pointer, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    version
+  }
+
+  /** Drop version directories older than `keepLast` versions behind the
+    * head (never the head itself). Returns the versions removed. Readers
+    * of vacuumed versions fail like any deleted-file read — retention is
+    * the caller's contract, the same tradeoff as Delta VACUUM.
+    */
+  def vacuum(keepLast: Int = 2): Seq[Long] = {
+    val head = currentVersion
+    val cutoff = head - keepLast
+    val removed = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .filter(v => v < cutoff && v != head)
+      .sorted
+    removed.foreach(v => fs.delete(new Path(rootPath, s"v$v"), true))
+    removed
+  }
+
   /** Typed views — the pipeline's row types as case-class Datasets
     * (SURVEY §1.3: metadata pipeline is typed, user data stays dynamic). */
   def shardsDs: Dataset[ShardInfo] = {
@@ -133,7 +186,22 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   def commit(newShards: DataFrame, newPlacements: DataFrame,
              newTables: Option[DataFrame] = None): Long = {
-    val next = currentVersion + 1
+    // One past BOTH the head and the highest COMMITTED version on disk:
+    // after a rollback the head is behind abandoned-but-committed versions,
+    // and re-claiming one of those must not conflict spuriously. Only
+    // versions bearing the _committed marker are skipped — an in-flight
+    // rival has a claim but no marker, so racing writers still serialize
+    // through the claim conflict.
+    val maxCommitted =
+      if (!fs.exists(rootPath)) -1L
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory &&
+          fs.exists(new Path(s.getPath, "_committed")))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toLong }
+        .foldLeft(-1L)(math.max)
+    val next = math.max(currentVersion, maxCommitted) + 1
     val claim = new Path(rootPath, s"v$next/_claim")
     try fs.create(claim, false).close()
     catch {
@@ -155,6 +223,9 @@ class MetaStore(spark: SparkSession, root: String) {
         .parquet(s"$root/v$next/placements")),
       Future(carriedTables.write.mode(SaveMode.Overwrite)
         .parquet(s"$root/v$next/tables")))), Duration.Inf)
+    // marker: this version's data is complete (distinguishes abandoned
+    // committed versions from in-flight claims after a rollback)
+    fs.create(new Path(rootPath, s"v$next/_committed"), true).close()
     val out = fs.create(pointer, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     next

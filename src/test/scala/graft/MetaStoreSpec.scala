@@ -61,6 +61,48 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.shards.count() == 1, "catalog unchanged after refused commit")
   }
 
+  test("time travel, rollback, and commit-after-rollback") {
+    val (store, _) = fresh()
+    seed(store) // v0: shard 10
+    store.commit(
+      Seq(ShardInfo(1L, 11L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(11L, 100L, "b")).toDF()) // v1: shard 11
+    assert(store.currentVersion == 1L)
+
+    // time travel reads immutable history
+    assert(store.shardsAt(0L).select("shard_id").collect().map(_.getLong(0)).toSeq
+      == Seq(10L))
+    assert(store.shardsAt(1L).select("shard_id").collect().map(_.getLong(0)).toSeq
+      == Seq(11L))
+    assert(store.shardsAt(99L).isEmpty)
+
+    // rollback: O(1) pointer flip, head reads old content
+    store.rollback(0L)
+    assert(store.currentVersion == 0L)
+    assert(store.shards.select("shard_id").collect().map(_.getLong(0)).toSeq
+      == Seq(10L))
+    intercept[IllegalArgumentException](store.rollback(99L))
+
+    // commit after rollback claims PAST the abandoned version
+    val v = store.commit(
+      Seq(ShardInfo(1L, 12L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(12L, 100L, "c")).toDF())
+    assert(v == 2L, s"must not overwrite abandoned v1, claimed v$v")
+    assert(store.shardsAt(1L).count() == 1, "abandoned version still readable")
+  }
+
+  test("vacuum drops old versions, never the head or the retention window") {
+    val (store, root) = fresh()
+    (0 until 5).foreach(_ => seed(store)) // v0..v4
+    assert(store.currentVersion == 4L)
+    val removed = store.vacuum(keepLast = 2)
+    assert(removed == Seq(0L, 1L), s"expected v0,v1 removed, got $removed")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "v0")) && fs.exists(new Path(root, "v2")))
+    assert(store.shards.count() == 1, "head unaffected")
+    assert(store.shardsAt(2L).count() == 1, "retention window readable")
+  }
+
   test("old versions without a tables dir read as empty table metadata") {
     val (store, _) = fresh()
     seed(store)
