@@ -19,15 +19,27 @@ import graft.sync.SyncEngine
   */
 class StreamingSync(engine: SyncEngine, tableId: Long) {
 
+  /** `workerApply`: when given, micro-batches run the FAULT-TOLERANT sync
+    * (per-placement worker failures logged and skipped, structural guards
+    * still abort — T4); omitted, the strict all-or-nothing path. A skipped
+    * drop simply stays in the catalog and is retried by the next snapshot's
+    * diff — the streaming loop IS the reference's "re-run until converged"
+    * operational behavior.
+    */
   def start(snapshots: DataFrame, checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            workerApply: Option[DataFrame => DataFrame] = None): StreamingQuery =
     snapshots.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val pl = batch.select("shard_id", "shard_length", "hostname")
-          engine.sync(tableId, pl.select("shard_id").distinct(), pl)
+          val ids = pl.select("shard_id").distinct()
+          workerApply match {
+            case Some(apply) => engine.syncTolerant(tableId, ids, pl, apply)
+            case None => engine.sync(tableId, ids, pl)
+          }
         }
         ()
       }

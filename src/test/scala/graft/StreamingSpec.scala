@@ -214,4 +214,51 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(store.currentVersion == vAfter)
   }
+
+  test("StreamingSync tolerant mode: failed drop survives, next snapshot retries it") {
+    import spark.implicits._
+    val snapDir = tmp("graft_stream_tsnap_")
+    val store = new MetaStore(spark, tmp("graft_stream_tmeta_"))
+    val engine = new SyncEngine(spark, store)
+    val schema = Seq((1L, 100L, "a")).toDF("shard_id", "shard_length", "hostname").schema
+
+    // snapshot 1 seeds {1@a, 1@b}; snapshot 2 drops replica 1@b
+    Seq((1L, 100L, "a"), (1L, 100L, "b"))
+      .toDF("shard_id", "shard_length", "hostname")
+      .coalesce(1).write.parquet(snapDir + "/s1")
+    Thread.sleep(1100)
+    Seq((1L, 100L, "a")).toDF("shard_id", "shard_length", "hostname")
+      .coalesce(1).write.parquet(snapDir + "/s2")
+
+    // every drop on host b FAILS — the replica must survive both batches
+    val failDropsOnB = SyncEngine.failWhere(
+      col("op") === "drop" && col("hostname") === "b")
+    val q = new StreamingSync(engine, 1L).start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(snapDir),
+      tmp("graft_ckpt_tsync_"),
+      workerApply = Some(failDropsOnB))
+    q.awaitTermination()
+    val afterFail = store.placements.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(afterFail == Set((1L, "a"), (1L, "b")),
+      s"failed drop must be skipped, not fatal: $afterFail")
+
+    // worker recovers: a later identical snapshot retries and completes
+    Thread.sleep(1100)
+    Seq((1L, 100L, "a")).toDF("shard_id", "shard_length", "hostname")
+      .coalesce(1).write.parquet(snapDir + "/s3")
+    val q2 = new StreamingSync(engine, 1L).start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(snapDir),
+      tmp("graft_ckpt_tsync2_"),
+      workerApply = Some(SyncEngine.allOk))
+    q2.awaitTermination()
+    val recovered = store.placements.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(recovered == Set((1L, "a")),
+      s"retry after recovery must converge: $recovered")
+  }
 }
