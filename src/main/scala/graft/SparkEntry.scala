@@ -246,6 +246,13 @@ object SparkEntry {
         maxDist = 40, prefixLen = 80)
         .orderBy("da", "db")),
 
+    // ── §2.9 X3f: salient terms per document — tf/df keyword extraction,
+    //    integer-ranked (tf DESC, df ASC, tok), df-capped stopword cut ────
+    "q_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDfFrac = 0.8)
+        .orderBy("doc_id", "rank")),
+
     // ── §2.9: deterministic 10% sample — md5-bucket filter, reproducible
     //    across reruns/engines/layouts (no rand()) ────────────────────────
     "q_hash_sample" -> ((s, dir) =>
@@ -705,6 +712,18 @@ object SparkEntry {
                    JOIN documents tb ON tb.doc_id = db
          WHERE levenshtein(substr(ta.text,1,80), substr(tb.text,1,80)) <= 40
          ORDER BY da, db""",
+    "q_top_terms" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) tf FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                       FROM documents) GROUP BY 1, 2),
+         dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1
+                   HAVING count(*) <= 0.8 * (SELECT count(DISTINCT doc_id) FROM tf)),
+         ranked AS (SELECT doc_id, tf.tok, tf.tf, dfreq.df,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tf.tf DESC, dfreq.df ASC, tf.tok ASC) rank
+                    FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
+         SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
     // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
     "q_hash_sample" ->

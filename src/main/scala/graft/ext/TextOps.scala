@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,6 +98,35 @@ object TextOps {
     df.select(col(idCol),
       size(tokens(col(textCol))).cast(LongType).as("n_tokens"),
       ceil(octet_length(col(textCol)) / 4.0).cast(LongType).as("n_tokens_bpe"))
+
+  /** Salient-term extraction — the tf-idf-shaped keyword operator with
+    * fully INTEGER ranking, so two engines can never disagree at a
+    * floating-point ulp: per (doc, term) emit term frequency and corpus
+    * document frequency, drop terms appearing in more than `maxDfFrac` of
+    * all documents (the idf role — near-universal terms carry no salience;
+    * a FRACTION, so the cut means the same thing at any corpus size),
+    * rank by (tf DESC, df ASC, term ASC) and keep the top `k` per doc.
+    *
+    * Two shuffles (doc-term counts; term df) + a WindowGroupLimit-guarded
+    * top-k — at 100 TB the df side is |vocabulary|-sized and the rank
+    * pushes k rows per doc below the sort shuffle.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int, maxDfFrac: Double = 0.8): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("__n"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(n).where(col("df") <= col("__n") * maxDfFrac).drop("__n")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("tok"), col("tf"), col("df"))
+  }
 
   /** Document fingerprints: (a) md5 of whitespace-normalized lower-cased
     * text — exact-dedup key; (b) a positional polynomial hash
