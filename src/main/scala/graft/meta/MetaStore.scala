@@ -125,6 +125,34 @@ class MetaStore(spark: SparkSession, root: String) {
     version
   }
 
+  /** Recovery from a writer that died between claiming a version and
+    * committing it: such a claim-only directory (no `_committed` marker)
+    * blocks every later commit with ConcurrentCommitException — by design,
+    * because silently stealing a claim would let a STALLED-not-dead writer
+    * and its usurper interleave files under one version. `repair` deletes
+    * claim-only versions whose claim is older than `olderThanMs` (default
+    * 1 h — far beyond any real commit duration) and returns them; run it
+    * from the operational loop the way Delta runs FSCK. Never touches
+    * committed versions.
+    */
+  def repair(olderThanMs: Long = 60L * 60 * 1000): Seq[Long] = {
+    val now = System.currentTimeMillis()
+    val stale = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .filter { s =>
+        val committed = fs.exists(new Path(s.getPath, "_committed"))
+        val claim = new Path(s.getPath, "_claim")
+        !committed && fs.exists(claim) &&
+          now - fs.getFileStatus(claim).getModificationTime > olderThanMs
+      }
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .sorted
+    stale.foreach(v => fs.delete(new Path(rootPath, s"v$v"), true))
+    stale
+  }
+
   /** Drop version directories older than `keepLast` versions behind the
     * head (never the head itself). Returns the versions removed. Readers
     * of vacuumed versions fail like any deleted-file read — retention is
@@ -176,13 +204,17 @@ class MetaStore(spark: SparkSession, root: String) {
   }
 
   /** Atomically replace the catalog tables: claim v<N+1> exclusively,
-    * write it fully, then flip the pointer (single-file overwrite). Old
-    * state remains readable until the flip — the observable contract of
-    * the reference's master transaction. `newTables` defaults to carrying
-    * the current table-metadata forward.
+    * write it fully, mark `_committed`, then flip the pointer (single-file
+    * overwrite). Old state remains readable until the flip — the
+    * observable contract of the reference's master transaction.
+    * `newTables` defaults to carrying the current table-metadata forward.
     *
     * @throws ConcurrentCommitException if another writer claimed v<N+1>
-    *         first; re-read the catalog and retry the whole operation.
+    *         first; re-read the catalog and retry the whole operation. A
+    *         claim whose writer CRASHED (claim-only dir, never committed)
+    *         keeps conflicting until `repair()` clears it — intentionally,
+    *         since only an age threshold can distinguish a dead writer
+    *         from a stalled one.
     */
   def commit(newShards: DataFrame, newPlacements: DataFrame,
              newTables: Option[DataFrame] = None): Long = {

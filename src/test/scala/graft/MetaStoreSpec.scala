@@ -103,6 +103,25 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.shardsAt(2L).count() == 1, "retention window readable")
   }
 
+  test("repair clears a dead writer's stale claim; fresh claims stay protected") {
+    val (store, root) = fresh()
+    seed(store) // v0
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dead writer: claimed v1, never committed
+    fs.create(new Path(root, "v1/_claim"), false).close()
+    intercept[ConcurrentCommitException] { seed(store) }
+
+    // a FRESH claim (possibly a live writer) must not be repaired away
+    assert(store.repair(olderThanMs = 60000).isEmpty)
+    intercept[ConcurrentCommitException] { seed(store) }
+
+    // age the claim past the threshold → repair unblocks commit
+    fs.setTimes(new Path(root, "v1/_claim"), 1000L, -1)
+    assert(store.repair(olderThanMs = 60000) == Seq(1L))
+    seed(store)
+    assert(store.currentVersion == 1L, "commit must proceed after repair")
+  }
+
   test("old versions without a tables dir read as empty table metadata") {
     val (store, _) = fresh()
     seed(store)
