@@ -299,16 +299,11 @@ object SparkEntry {
     //    and nprobe stays a small constant fraction. ──────────────────────
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
-        nprobe = 16)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5)
-      val hits = ann.select("pid", "nid")
-        .join(exact.select("pid", "nid"), Seq("pid", "nid"), "left_semi")
-        .groupBy("pid").agg(count(lit(1)).as("hits"))
-      exact.select("pid").distinct()
-        .join(hits, Seq("pid"), "left")
-        .select(col("pid"), lit(5L).as("k"),
-          (coalesce(col("hits"), lit(0L)) >= 1L).as("found_true_neighbor"))
+      Similarity.recallArtifact(
+          Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
+            nprobe = 16),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
         .orderBy("pid")
     }),
 
@@ -316,16 +311,11 @@ object SparkEntry {
     //    artifact as q_ann_ivf (OR-amplified 8×4-bit signatures) ──────────
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val ann = Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10,
-        k = 5, nBits = 4, nTables = 8)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5)
-      val hits = ann.select("pid", "nid")
-        .join(exact.select("pid", "nid"), Seq("pid", "nid"), "left_semi")
-        .groupBy("pid").agg(count(lit(1)).as("hits"))
-      exact.select("pid").distinct()
-        .join(hits, Seq("pid"), "left")
-        .select(col("pid"), lit(5L).as("k"),
-          (coalesce(col("hits"), lit(0L)) >= 1L).as("found_true_neighbor"))
+      Similarity.recallArtifact(
+          Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10,
+            k = 5, nBits = 4, nTables = 8),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
         .orderBy("pid")
     }),
 

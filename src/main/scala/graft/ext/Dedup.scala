@@ -267,6 +267,13 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // Partial labels are WRONG labels (a >maxIter-diameter chain would
+    // split one true cluster into several "canonical" docs — silent
+    // under-deduplication); refuse to return them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it")
     labels
   }
 

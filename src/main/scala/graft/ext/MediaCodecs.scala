@@ -98,6 +98,7 @@ object MediaCodecs {
           channels = le16(bytes, off + 10)
           sampleRate = le32(bytes, off + 12)
           blockAlign = le16(bytes, off + 20)
+          require(blockAlign > 0, s"invalid block align $blockAlign")
           bits = le16(bytes, off + 22)
           require(bits == 16, s"unsupported bits-per-sample $bits (PCM16 only)")
         case "data" => dataOff = off + 8; dataLen = size
@@ -164,12 +165,20 @@ object MediaCodecs {
     val bpp = le16(bytes, 28)
     require(bpp == 24, s"unsupported bpp $bpp (24-bit only)")
     require(le32(bytes, 30) == 0, "compressed BMP unsupported")
-    val rowSize = (width * 3 + 3) / 4 * 4
-    require(dataOffset + rowSize.toLong * height <= bytes.length, "truncated pixel data")
+    // dataOffset comes from the file: a negative or header-overlapping
+    // value must be a clean rejection, not an out-of-bounds read or a
+    // silent sum over header bytes. Row size in Long — width near
+    // Int.MaxValue would overflow `width * 3`.
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"invalid pixel data offset $dataOffset")
+    val rowSize = (width.toLong * 3 + 3) / 4 * 4
+    require(rowSize <= Int.MaxValue &&
+      dataOffset + rowSize * height <= bytes.length, "truncated pixel data")
+    val rs = rowSize.toInt
     var sum = 0L
     var row = 0
     while (row < height) {
-      val base = dataOffset + row * rowSize
+      val base = dataOffset + row * rs
       var x = 0
       while (x < width * 3) { sum += bytes(base + x) & 0xff; x += 1 }
       row += 1

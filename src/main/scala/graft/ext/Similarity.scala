@@ -76,6 +76,29 @@ object Similarity {
       .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
   }
 
+  /** Deterministic recall artifact for an ANN result vs the exact top-k —
+    * one row per probe: did the index recover ≥1 true neighbor? The shared
+    * accounting behind q_ann_ivf / q_ann_lsh and the AnnRecall calibration
+    * tool (one definition, so the declared oracle artifact and the tool
+    * can't diverge).
+    */
+  def recallArtifact(ann: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    annHits(ann, exact)
+      .select(col("pid"), lit(k.toLong).as("k"),
+        (col("hits") >= 1L).as("found_true_neighbor"))
+
+  /** Per-probe count of ANN results that are true top-k neighbors (zero
+    * rows included) — the raw accounting under recallArtifact, used
+    * directly by the AnnRecall calibration tool. */
+  def annHits(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = ann.select("pid", "nid")
+      .join(exact.select("pid", "nid"), Seq("pid", "nid"), "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as("hits"))
+    exact.select("pid").distinct()
+      .join(hits, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** splitmix64 finalizer — the deterministic PRNG behind the LSH
     * hyperplanes (public-domain constant mix, same family as
     * java.util.SplittableRandom). */

@@ -70,6 +70,21 @@ class MetaStore(spark: SparkSession, root: String) {
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val pointer = new Path(rootPath, "_current")
 
+  /** All `v<N>` version directories under the root, as (version, path) —
+    * the single parser for the three scans (commit / repair / vacuum). */
+  private def versionDirs(): Seq[(Long, Path)] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+          Some((n.drop(1).toLong, s.getPath))
+        else None
+      }
+
+  private def isCommitted(p: Path): Boolean = fs.exists(new Path(p, "_committed"))
+
   def currentVersion: Long = {
     if (!fs.exists(pointer)) -1L
     else {
@@ -137,18 +152,13 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   def repair(olderThanMs: Long = 60L * 60 * 1000): Seq[Long] = {
     val now = System.currentTimeMillis()
-    val stale = fs.listStatus(rootPath).toSeq
-      .filter(_.isDirectory)
-      .filter { s =>
-        val committed = fs.exists(new Path(s.getPath, "_committed"))
-        val claim = new Path(s.getPath, "_claim")
-        !committed && fs.exists(claim) &&
+    val stale = versionDirs()
+      .filter { case (_, p) =>
+        val claim = new Path(p, "_claim")
+        !isCommitted(p) && fs.exists(claim) &&
           now - fs.getFileStatus(claim).getModificationTime > olderThanMs
       }
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong }
-      .sorted
+      .map(_._1).sorted
     stale.foreach(v => fs.delete(new Path(rootPath, s"v$v"), true))
     stale
   }
@@ -161,11 +171,7 @@ class MetaStore(spark: SparkSession, root: String) {
   def vacuum(keepLast: Int = 2): Seq[Long] = {
     val head = currentVersion
     val cutoff = head - keepLast
-    val removed = fs.listStatus(rootPath).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong }
+    val removed = versionDirs().map(_._1)
       .filter(v => v < cutoff && v != head)
       .sorted
     removed.foreach(v => fs.delete(new Path(rootPath, s"v$v"), true))
@@ -224,22 +230,21 @@ class MetaStore(spark: SparkSession, root: String) {
     // versions bearing the _committed marker are skipped — an in-flight
     // rival has a claim but no marker, so racing writers still serialize
     // through the claim conflict.
-    val maxCommitted =
-      if (!fs.exists(rootPath)) -1L
-      else fs.listStatus(rootPath).toSeq
-        .filter(s => s.isDirectory &&
-          fs.exists(new Path(s.getPath, "_committed")))
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
-          n.drop(1).toLong }
-        .foldLeft(-1L)(math.max)
+    val maxCommitted = versionDirs()
+      .collect { case (v, p) if isCommitted(p) => v }
+      .foldLeft(-1L)(math.max)
     val next = math.max(currentVersion, maxCommitted) + 1
     val claim = new Path(rootPath, s"v$next/_claim")
     try fs.create(claim, false).close()
     catch {
-      case _: java.io.IOException =>
-        throw new ConcurrentCommitException(
-          s"version $next already claimed by another writer (root=$root)")
+      // only an actual claim collision is the documented retry condition —
+      // a disk-full/permission IOException must surface as itself, or a
+      // retry loop spins forever on a persistent fault
+      case e: java.io.IOException =>
+        if (fs.exists(claim))
+          throw new ConcurrentCommitException(
+            s"version $next already claimed by another writer (root=$root)")
+        else throw e
     }
     // The three table writes are independent jobs — run them concurrently
     // (cluster schedulers interleave their stages; the commit is gated on

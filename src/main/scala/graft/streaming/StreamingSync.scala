@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sync.SyncEngine
+import graft.sync.{SyncEngine, SyncResult}
 
 /** Streaming driver for the sync engine: the reference's "re-run the tool
   * when HDFS changes" operational loop (README.md:10-13) as a checkpointed
@@ -25,10 +25,16 @@ class StreamingSync(engine: SyncEngine, tableId: Long) {
     * drop simply stays in the catalog and is retried by the next snapshot's
     * diff — the streaming loop IS the reference's "re-run until converged"
     * operational behavior.
+    *
+    * `onResult` receives each tolerant batch's SyncResult — the skipped-
+    * operation accounting (the reference's log-and-skip log lines). The
+    * default logs to stderr so persistent divergence (a host failing every
+    * batch) is visible; wire it to metrics in a real deployment.
     */
   def start(snapshots: DataFrame, checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            workerApply: Option[DataFrame => DataFrame] = None): StreamingQuery =
+            workerApply: Option[DataFrame => DataFrame] = None,
+            onResult: SyncResult => Unit = StreamingSync.logSkipped): StreamingQuery =
     snapshots.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -37,11 +43,22 @@ class StreamingSync(engine: SyncEngine, tableId: Long) {
           val pl = batch.select("shard_id", "shard_length", "hostname")
           val ids = pl.select("shard_id").distinct()
           workerApply match {
-            case Some(apply) => engine.syncTolerant(tableId, ids, pl, apply)
+            case Some(apply) => onResult(engine.syncTolerant(tableId, ids, pl, apply))
             case None => engine.sync(tableId, ids, pl)
           }
         }
         ()
       }
       .start()
+}
+
+object StreamingSync {
+  /** Default skipped-operation sink: one stderr line per failed worker op
+    * (mirrors HdfsSynchronizer's per-placement warnings). */
+  val logSkipped: SyncResult => Unit = r =>
+    r.skipped.foreach { case (op, shard, len, host) =>
+      System.err.println(
+        s"[sync] skipped failed $op: shard=$shard length=$len host=$host " +
+          s"(committed v${r.version})")
+    }
 }

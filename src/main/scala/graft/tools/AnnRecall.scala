@@ -26,12 +26,7 @@ object AnnRecall {
         "ivf(np=16)" -> Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k, nprobe = 16),
         "lsh(4,8)" -> Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10, k,
           nBits = 4, nTables = 8))) {
-      val hits = ann.select("pid", "nid")
-        .join(exact, Seq("pid", "nid"), "left_semi")
-        .groupBy("pid").agg(count(lit(1)).as("hits"))
-      val perProbe = exact.select("pid").distinct()
-        .join(hits, Seq("pid"), "left")
-        .select(col("pid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      val perProbe = Similarity.annHits(ann, exact)
         .orderBy("pid").collect()
       println(s"== $name (k=$k, dir=$dir)")
       perProbe.foreach(r => println(s"  pid=${r.getLong(0)} recall=${r.getLong(1)}/$k"))
