@@ -246,6 +246,25 @@ object SparkEntry {
         maxDist = 40, prefixLen = 80)
         .orderBy("da", "db")),
 
+    // ── §2.9: quality-threshold corpus cut — keep docs at/above the
+    //    corpus median quality (exact percentile threshold, one scalar) ───
+    "q_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(t(s, dir, "documents"), "doc_id", "text",
+        quantile = 0.5)
+        .orderBy("doc_id")),
+
+    // ── §2.9: embedding near-dup CLUSTERS — connected components over the
+    //    thresholded cosine pair graph (same CC as the text dedup path) ───
+    "q_embed_components" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.connectedComponents(
+          emb.select(col("vec_id").as("doc_id")),
+          Similarity.nearDupPairs(emb, "vec_id", "embedding", _ < 100,
+            threshold = 0.35).select("da", "db"))
+        .select(col("doc_id").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    }),
+
     // ── §2.9 X3f: salient terms per document — tf/df keyword extraction,
     //    integer-ranked (tf DESC, df ASC, tok), df-capped stopword cut ────
     "q_top_terms" -> ((s, dir) =>
@@ -872,6 +891,42 @@ object SparkEntry {
                 round(stop, 6) AS stop_ratio,
                 round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
          FROM c ORDER BY doc_id""",
+    // Same score pipeline as q_quality_score; quantile_cont == Spark's
+    // exact `percentile` (both rounded-6dp inputs, so the threshold and
+    // the >= comparison are bit-identical across engines).
+    "q_quality_filter" ->
+      """WITH q AS (SELECT doc_id, lower(text) t,
+                           CAST(length(text) AS DOUBLE) len,
+                           ' ' || lower(text) || ' ' p,
+                           CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS DOUBLE) ntok
+                    FROM documents),
+         c AS (SELECT doc_id,
+                 length(regexp_replace(t, '[^a-z]', '', 'g')) / len AS alpha,
+                 (len - length(replace(t, ' ', ''))) / len AS space,
+                 ((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3
+                  + (length(p)-length(replace(p,' of ','')))/4 + (length(p)-length(replace(p,' and ','')))/5) / ntok AS stop
+               FROM q),
+         s AS (SELECT doc_id,
+                      round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
+               FROM c)
+         SELECT doc_id, quality FROM s
+         WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM s)
+         ORDER BY doc_id""",
+    "q_embed_components" ->
+      """WITH RECURSIVE n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         pairs AS (SELECT p.vec_id da, c.vec_id db
+                   FROM n p, n c WHERE p.vec_id < 100 AND c.vec_id > p.vec_id
+                     AND round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) >= 0.35),
+         e AS (SELECT da s, db d FROM pairs UNION ALL SELECT db, da FROM pairs),
+         reach(nd, l) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.nd)
+         SELECT nd AS vec_id, min(l) AS component FROM reach
+         GROUP BY nd ORDER BY vec_id""",
     "q_token_count" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS BIGINT) AS n_tokens,

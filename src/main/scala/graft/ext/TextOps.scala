@@ -92,6 +92,23 @@ object TextOps {
       score.as("quality"))
   }
 
+  /** Quality-threshold corpus filter — keep documents at or above the
+    * corpus `quantile` of the composite quality score (the canonical
+    * "drop the bottom X%" LLM-corpus cut, next to dedup). The threshold
+    * is ONE scalar aggregation (exact percentile; swap in
+    * approx_percentile at 100 TB) cross-joined back over the scores;
+    * everything else stays the map-side scoring pass.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    quantile: Double = 0.5): DataFrame = {
+    val scored = qualityScore(df, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    val thr = scored.agg(expr(s"percentile(quality, $quantile)").as("__thr"))
+    scored.crossJoin(thr)
+      .where(col("quality") >= col("__thr"))
+      .select(col(idCol), col("quality"))
+  }
+
   /** Token count: whitespace tokenization plus a BPE-ish proxy
     * (ceil(bytes/4) — the classic "~4 bytes per token" rule). */
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -55,6 +55,39 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodecs.decodeBmp(good.take(60)))
   }
 
+  test("decoders fail CLEANLY on fuzzed input — reject or parse, never crash") {
+    // Random garbage and bit-flipped valid containers must produce either
+    // a successful parse or IllegalArgumentException — any other throw
+    // (index out of bounds, divide by zero, negative allocation) is a
+    // parser bug that would surface as an opaque executor failure.
+    val rnd = new scala.util.Random(17)
+    def check(bytes: Array[Byte], what: String): Unit =
+      try { MediaCodecs.decodeWav(bytes); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"decodeWav crashed on $what: $e")
+      }
+    def checkBmp(bytes: Array[Byte], what: String): Unit =
+      try { MediaCodecs.decodeBmp(bytes); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"decodeBmp crashed on $what: $e")
+      }
+    for (i <- 0 until 300) {
+      val garbage = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      check(garbage, s"garbage#$i"); checkBmp(garbage, s"garbage#$i")
+    }
+    val wav = MediaCodecs.encodeWavPcm16(Array[Short](1, -2, 3, -4), 8000)
+    val bmp = MediaCodecs.encodeBmp24(3, 2, new Array[Byte](18))
+    for (i <- 0 until 500) {
+      val w = wav.clone(); w(rnd.nextInt(w.length)) = rnd.nextInt().toByte
+      check(w, s"flipped-wav#$i")
+      val b = bmp.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+      checkBmp(b, s"flipped-bmp#$i")
+      // truncations at every boundary class
+      check(wav.take(rnd.nextInt(wav.length)), s"truncated-wav#$i")
+      checkBmp(bmp.take(rnd.nextInt(bmp.length)), s"truncated-bmp#$i")
+    }
+  }
+
   test("distributed WAV/BMP round trips agree with direct computation") {
     import spark.implicits._
     implicit val sp = spark
