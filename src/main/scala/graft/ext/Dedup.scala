@@ -237,16 +237,23 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    val spark = vertices.sparkSession
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
       .persist()
-    // Lineage MUST be truncated every round (localCheckpoint): chaining
-    // each iteration's plan onto the last grows the logical plan
-    // exponentially — by iteration ~10 the planner itself OOMs before any
-    // data moves. Checkpointing makes every round O(1) plan size; on a
-    // cluster use reliable checkpoints for executor-loss recovery.
-    var labels = vertices.select(col("doc_id"),
-      col("doc_id").as("component")).localCheckpoint(true)
+    // Lineage MUST be truncated every round: chaining each iteration's
+    // plan onto the last grows the logical plan exponentially — by
+    // iteration ~10 the planner itself OOMs before any data moves. The
+    // cut is a persisted row RDD wrapped back into a DataFrame (rather
+    // than localCheckpoint, whose cached blocks can't be freed and pile
+    // up across rounds/queries until GC stalls the executor); holding the
+    // RDD handle lets each round explicitly unpersist its predecessor.
+    def cut(df: DataFrame) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = cut(vertices.select(col("doc_id"),
+      col("doc_id").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -255,15 +262,18 @@ object Dedup {
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val (next, nextRdd) = cut(labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("min_nbr"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component")))
+      // materializes `next` and still reads the previous labels — the
+      // predecessor may only be dropped after this action
       converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .where(col("component") =!= col("prev"))
         .limit(1).isEmpty
+      labelsRdd.unpersist(false)
       labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     sym.unpersist()
