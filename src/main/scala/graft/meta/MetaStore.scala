@@ -140,6 +140,19 @@ class MetaStore(spark: SparkSession, root: String) {
     version
   }
 
+  /** Audit diff between two committed versions — the complement of time
+    * travel: which shard rows were added and which removed, per table.
+    * Plain EXCEPTs over the two immutable snapshots (the same diff algebra
+    * the sync engine runs against live sources).
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = shardsAt(fromVersion).select("table_id", "shard_id")
+    val b = shardsAt(toVersion).select("table_id", "shard_id")
+    b.except(a).withColumn("change", lit("added"))
+      .unionByName(a.except(b).withColumn("change", lit("removed")))
+  }
+
   /** Recovery from a writer that died between claiming a version and
     * committing it: such a claim-only directory (no `_committed` marker)
     * blocks every later commit with ConcurrentCommitException — by design,

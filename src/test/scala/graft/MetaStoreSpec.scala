@@ -89,6 +89,12 @@ class MetaStoreSpec extends AnyFunSuite {
       Seq(ShardPlacement(12L, 100L, "c")).toDF())
     assert(v == 2L, s"must not overwrite abandoned v1, claimed v$v")
     assert(store.shardsAt(1L).count() == 1, "abandoned version still readable")
+
+    // audit diff between versions: v0 {10} → v1 {11}
+    val diff = store.changes(0L, 1L).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(diff == Set((11L, "added"), (10L, "removed")), s"$diff")
+    assert(store.changes(0L, 0L).isEmpty)
   }
 
   test("vacuum drops old versions, never the head or the retention window") {
