@@ -250,6 +250,11 @@ object Dedup {
     // RDD handle lets each round explicitly unpersist its predecessor.
     def cut(df: DataFrame) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: EVERY partition must be cached before the predecessor is
+      // dropped — a lazy cut probed by a take(1)-style action could leave
+      // partitions uncomputed, and their later recompute would chain
+      // through the dropped predecessor's lineage all the way to round 0
+      rdd.count()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
     var (labels, labelsRdd) = cut(vertices.select(col("doc_id"),
