@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional trailing args select a query subset — the single-query dev
+    // loop (the driver passes none and measures the full suite).
+    val suite =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     // Evaluate through the noop sink: every output column is materialized,
     // so map-only queries pay their full projection cost. A bare .count()
     // would let Catalyst prune unevaluated projections and benchmark a
@@ -21,16 +26,20 @@ object Bench {
     // Warm-up pass: run the whole suite once so JVM/codegen/scheduler
     // absorption and parquet footer caching don't land on whichever query
     // happens to run first; the measured pass then reflects plan cost.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    suite.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => } }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // A query that throws in the measured pass records a NEGATIVE elapsed
+    // time — the failure sentinel. Without it a broken query (which often
+    // fails fast) would masquerade as a speedup in the BENCH json.
+    val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

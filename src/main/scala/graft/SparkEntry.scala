@@ -332,7 +332,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.recallArtifact(
           Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10,
-            k = 5, nBits = 4, nTables = 8),
+            k = 5, nBits = 4, nTables = 8, dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
           k = 5)
         .orderBy("pid")

@@ -241,6 +241,13 @@ object Dedup {
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
       .persist()
+    // Propagation runs ONLY over edge endpoints: a singleton's label never
+    // changes, so joining the full vertex set through every round is pure
+    // waste — at corpus scale the near-dup graph touches a few percent of
+    // documents, so this shrinks every per-round shuffle by 10-100×.
+    // Singletons are backfilled with their own id at the end (one lazy
+    // left join, no extra action).
+    //
     // Lineage MUST be truncated every round: chaining each iteration's
     // plan onto the last grows the logical plan exponentially — by
     // iteration ~10 the planner itself OOMs before any data moves. The
@@ -248,34 +255,36 @@ object Dedup {
     // than localCheckpoint, whose cached blocks can't be freed and pile
     // up across rounds/queries until GC stalls the executor); holding the
     // RDD handle lets each round explicitly unpersist its predecessor.
+    // Each round runs as ONE action: materializing the next labels and
+    // counting the changed rows share a single job (the count's filter
+    // computes — and caches — every partition of the persisted RDD, so no
+    // partition can later recompute through the dropped predecessor).
     def cut(df: DataFrame) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // eager: EVERY partition must be cached before the predecessor is
-      // dropped — a lazy cut probed by a take(1)-style action could leave
-      // partitions uncomputed, and their later recompute would chain
-      // through the dropped predecessor's lineage all the way to round 0
-      rdd.count()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var (labels, labelsRdd) = cut(vertices.select(col("doc_id"),
-      col("doc_id").as("component")))
+    var (labels, labelsRdd) = cut(sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"),
+        lit(false).as("__changed")))
+    labelsRdd.count() // round 0 must be fully cached before round 1 drops it
     var converged = false
     var iter = 0
+    val changedIdx = 2
     while (!converged && iter < maxIter) {
+      // every endpoint occurs as src (sym is symmetric) ⇒ inner join
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("dst"),
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      val (next, nextRdd) = cut(labels.join(nbrMin, Seq("doc_id"), "left")
+      val (next, nextRdd) = cut(labels.drop("__changed")
+        .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("min_nbr"), col("component")))
-            .as("component")))
-      // materializes `next` and still reads the previous labels — the
-      // predecessor may only be dropped after this action
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .where(col("component") =!= col("prev"))
-        .limit(1).isEmpty
+          least(col("component"), col("min_nbr")).as("component"),
+          (col("min_nbr") < col("component")).as("__changed")))
+      // the one action of the round: caches every partition of `next`
+      // (reading the previous labels) and yields the convergence count
+      converged = nextRdd.filter(_.getBoolean(changedIdx)).count() == 0L
       labelsRdd.unpersist(false)
       labels = next
       labelsRdd = nextRdd
@@ -289,7 +298,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
-    labels
+    vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** Edit-distance-verified near-dup pairs: MinHash+LSH candidate

@@ -131,13 +131,22 @@ object Similarity {
     * hyperplanes are literal array columns baked into the plan (no stored
     * model, no per-row recomputation). Recall tunes via (nBits ↓, L ↑);
     * cost via (nBits ↑, L ↓).
+    *
+    * ALL vectors must share one dimensionality (the fixed-dim contract of
+    * any hyperplane LSH). Pass it as `dim`; when ≤ 0 it is derived with a
+    * deterministic min(size) aggregate — one extra eager job, so callers on
+    * a hot path should pass it (a limit(1) probe would be cheaper but
+    * non-deterministic: a ragged corpus would get hyperplanes sized to
+    * whichever row the probe returned, changing bucketing run-to-run).
     */
   def signLshTopK(emb: DataFrame, idCol: String, vecCol: String,
                   probePred: Column => Column, k: Int,
-                  nBits: Int = 8, nTables: Int = 4): DataFrame = {
+                  nBits: Int = 8, nTables: Int = 4, dim: Int = -1): DataFrame = {
     graft.GraftExtensions.ensure(emb.sparkSession)
-    val dim = emb.limit(1).select(size(col(vecCol))).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val d =
+      if (dim > 0) dim
+      else emb.agg(min(size(col(vecCol)))).collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0))).getOrElse(0)
     // one row per (vector, table) with that table's signature — the L×
     // index; hyperplane (t, p) is globally indexed t*nBits + p
     val withSig = (df: DataFrame, v: String) => {
@@ -145,7 +154,7 @@ object Similarity {
         struct(lit(tbl).as("t"),
           concat((0 until nBits).map(p =>
             when(call_function("graft_dot", col(v),
-              typedLit(hyperplane(tbl * nBits + p, dim))) >= 0,
+              typedLit(hyperplane(tbl * nBits + p, d))) >= 0,
               lit("1")).otherwise(lit("0"))): _*).as("sig"))
       }
       df.withColumn("__ts", explode(array(sigs: _*)))

@@ -177,11 +177,14 @@ class MetaStore(spark: SparkSession, root: String) {
   }
 
   /** Drop version directories older than `keepLast` versions behind the
-    * head (never the head itself). Returns the versions removed. Readers
-    * of vacuumed versions fail like any deleted-file read — retention is
-    * the caller's contract, the same tradeoff as Delta VACUUM.
+    * head (never the head itself, never versions ABOVE the head — those are
+    * rolled-back-but-preserved history that commit() deliberately skips
+    * past). Returns the versions removed. Readers of vacuumed versions fail
+    * like any deleted-file read — retention is the caller's contract, the
+    * same tradeoff as Delta VACUUM.
     */
   def vacuum(keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val head = currentVersion
     val cutoff = head - keepLast
     val removed = versionDirs().map(_._1)
@@ -216,10 +219,11 @@ class MetaStore(spark: SparkSession, root: String) {
   def registerTable(tableId: Long, name: String,
                     partitionColumn: Option[String]): Long = {
     import spark.implicits._
+    val base = currentVersion
     val updated = tables.where(col("table_id") =!= tableId)
       .unionByName(Seq((tableId, name, partitionColumn))
         .toDF("table_id", "table_name", "partition_column"))
-    commit(shards, placements, Some(updated))
+    commit(shards, placements, Some(updated), expectedVersion = Some(base))
   }
 
   /** Atomically replace the catalog tables: claim v<N+1> exclusively,
@@ -228,15 +232,29 @@ class MetaStore(spark: SparkSession, root: String) {
     * observable contract of the reference's master transaction.
     * `newTables` defaults to carrying the current table-metadata forward.
     *
+    * `expectedVersion` is the optimistic-concurrency check: pass the version
+    * the new state was DERIVED from (the snapshot read at the start of the
+    * diff), and the commit aborts if any other writer committed in between —
+    * even one that finished long before this commit started. Claiming alone
+    * only detects writers racing for the SAME version number; a writer that
+    * read v<N>, slept, and committed after a rival's v<N+1> would otherwise
+    * silently drop the rival's changes (lost update). With every writer
+    * passing its base version, commits are serializable: the claim orders
+    * writers, the version check rejects stale derivations. The reference
+    * gets the same guarantee from its PostgreSQL transaction block. `None`
+    * skips the check — single-writer deployments only.
+    *
     * @throws ConcurrentCommitException if another writer claimed v<N+1>
-    *         first; re-read the catalog and retry the whole operation. A
-    *         claim whose writer CRASHED (claim-only dir, never committed)
-    *         keeps conflicting until `repair()` clears it — intentionally,
-    *         since only an age threshold can distinguish a dead writer
-    *         from a stalled one.
+    *         first, or if the catalog advanced past `expectedVersion`;
+    *         re-read the catalog and retry the whole operation. A claim
+    *         whose writer CRASHED (claim-only dir, never committed) keeps
+    *         conflicting until `repair()` clears it — intentionally, since
+    *         only an age threshold can distinguish a dead writer from a
+    *         stalled one.
     */
   def commit(newShards: DataFrame, newPlacements: DataFrame,
-             newTables: Option[DataFrame] = None): Long = {
+             newTables: Option[DataFrame] = None,
+             expectedVersion: Option[Long] = None): Long = {
     // One past BOTH the head and the highest COMMITTED version on disk:
     // after a rollback the head is behind abandoned-but-committed versions,
     // and re-claiming one of those must not conflict spuriously. Only
@@ -258,6 +276,20 @@ class MetaStore(spark: SparkSession, root: String) {
           throw new ConcurrentCommitException(
             s"version $next already claimed by another writer (root=$root)")
         else throw e
+    }
+    // Stale-derivation check, AFTER the claim so it races with nobody: the
+    // claim serializes writers, so if the head still equals the base version
+    // here, no rival can commit before this writer's flip (any rival targets
+    // a later version and will fail ITS check). Abandon the claim on
+    // failure — this writer wrote nothing under it.
+    expectedVersion.foreach { expected =>
+      val head = currentVersion
+      if (head != expected) {
+        fs.delete(new Path(rootPath, s"v$next"), true)
+        throw new ConcurrentCommitException(
+          s"catalog advanced to v$head while this writer derived its state " +
+            s"from v$expected (root=$root) — re-read and retry")
+      }
     }
     // The three table writes are independent jobs — run them concurrently
     // (cluster schedulers interleave their stages; the commit is gated on

@@ -53,12 +53,18 @@ class StreamingSync(engine: SyncEngine, tableId: Long) {
 }
 
 object StreamingSync {
-  /** Default skipped-operation sink: one stderr line per failed worker op
-    * (mirrors HdfsSynchronizer's per-placement warnings). */
-  val logSkipped: SyncResult => Unit = r =>
+  /** Default skipped-operation sink: one stderr line per sampled failed
+    * worker op (mirrors HdfsSynchronizer's per-placement warnings), plus a
+    * summary when the exact count exceeds the sample. */
+  val logSkipped: SyncResult => Unit = r => {
     r.skipped.foreach { case (op, shard, len, host) =>
       System.err.println(
         s"[sync] skipped failed $op: shard=$shard length=$len host=$host " +
           s"(committed v${r.version})")
     }
+    if (r.skippedCount > r.skipped.length)
+      System.err.println(
+        s"[sync] …and ${r.skippedCount - r.skipped.length} more skipped ops " +
+          s"(committed v${r.version})")
+  }
 }

@@ -16,9 +16,16 @@ class SyncAbortException(msg: String) extends RuntimeException(msg)
   * (HdfsSynchronizer.java:228-251: `deletedShardPlacementSet` /
   * `insertedShardPlacementSet` track only the successes).
   *
-  * `skipped` columns: (op: "drop"|"create", shard_id, shard_length, hostname).
+  * `skippedCount` is exact; `skipped` is a driver-side SAMPLE of at most
+  * `SyncEngine.maxSkippedSample` rows (op: "drop"|"create", shard_id,
+  * shard_length, hostname). Under a systematic failure — one dead host
+  * across a huge table — the skipped set is O(table placements); an
+  * unbounded collect would OOM the driver where the reference streams one
+  * log line per failure. Callers needing the full set re-derive it
+  * distributed: diff the committed catalog against the source snapshot.
   */
-case class SyncResult(version: Long, skipped: Array[(String, Long, Long, String)])
+case class SyncResult(version: Long, skippedCount: Long,
+                      skipped: Array[(String, Long, Long, String)])
 
 /** The reference's whole program as one function (SURVEY §3.1):
   * source snapshot → five-way diff → validate → atomically apply.
@@ -95,6 +102,10 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     */
   def sync(tableId: Long, sourceIds: DataFrame, sourcePlacements: DataFrame,
            stats: Option[DataFrame] = None): Long = {
+    // the version every diff below is derived from — the commit's
+    // optimistic-concurrency token (a rival committing mid-sync makes the
+    // commit throw ConcurrentCommitException instead of losing its update)
+    val baseVersion = store.currentVersion
     val catalogIds = store.shards.where(col("table_id") === tableId)
       .select("shard_id")
     val catalogPlacements = scopedPlacements(catalogIds)
@@ -118,7 +129,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         !one(srcPl.except(catalogPlacements))
           .union(one(catalogPlacements.except(srcPl)))
           .limit(1).isEmpty
-      if (!changed) return store.currentVersion
+      if (!changed) return baseVersion
 
       // Guards J5 + J6 as ONE job (both read the same persisted inputs;
       // a second action would only pay scheduler overhead again):
@@ -130,7 +141,8 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         orphanMsg = id => s"shard $id was removed but still has placements",
         unplacedMsg = id => s"shard $id is new but has no placements")
 
-      commitState(tableId, catalogIds, newShardIds, oldShardIds, srcPl, stats)
+      commitState(tableId, catalogIds, newShardIds, oldShardIds, srcPl, stats,
+        baseVersion)
     } finally
       Seq(srcIds, srcPl, newShardIds, oldShardIds).foreach(_.unpersist())
   }
@@ -162,6 +174,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
                    sourcePlacements: DataFrame,
                    workerApply: DataFrame => DataFrame = SyncEngine.allOk,
                    stats: Option[DataFrame] = None): SyncResult = {
+    val baseVersion = store.currentVersion
     val catalogIds = store.shards.where(col("table_id") === tableId)
       .select("shard_id")
     val catalogPlacements = scopedPlacements(catalogIds).persist()
@@ -177,9 +190,16 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         .select(lit("create").as("op") +: plCols: _*))
     val applied = workerApply(attempted).persist()
     try {
-      val skipped = applied.where(!col("ok"))
-        .select(col("op") +: plCols: _*)
+      // Bounded skipped accounting: exact count + a capped sample. Both
+      // actions scan the persisted `applied`; only the sample is collected,
+      // so a systematic failure (every op on one host) cannot OOM the
+      // driver the way an unbounded collect would.
+      val notOk = applied.where(!col("ok")).select(col("op") +: plCols: _*)
+      val skipped = notOk.limit(SyncEngine.maxSkippedSample)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val skippedCount =
+        if (skipped.length < SyncEngine.maxSkippedSample) skipped.length.toLong
+        else notOk.count()
 
       // current = (catalog − successfulDrops) ∪ successfulCreates
       // (HdfsSynchronizer.java:253-257) — the guards and the commit all read
@@ -193,15 +213,15 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
           .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
         val anyApplied = !applied.where(col("ok")).limit(1).isEmpty
         if (!idsChanged && !anyApplied)
-          return SyncResult(store.currentVersion, skipped)
+          return SyncResult(baseVersion, skippedCount, skipped)
 
         checkGuards(oldShardIds, newShardIds, current,
           orphanMsg = id => s"could not remove shard placements for shard $id",
           unplacedMsg = id => s"could not find shard placement for shard $id")
 
         val v = commitState(tableId, catalogIds, newShardIds, oldShardIds,
-          current, stats)
-        SyncResult(v, skipped)
+          current, stats, baseVersion)
+        SyncResult(v, skippedCount, skipped)
       } finally current.unpersist()
     } finally
       Seq(catalogPlacements, srcIds, srcPl, newShardIds, oldShardIds, applied)
@@ -234,7 +254,8 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
   private def commitState(tableId: Long, catalogIds: DataFrame,
                           newShardIds: DataFrame, oldShardIds: DataFrame,
                           tablePlacements: DataFrame,
-                          stats: Option[DataFrame]): Long = {
+                          stats: Option[DataFrame],
+                          baseVersion: Long): Long = {
     val newShardRows = {
       val base = newShardIds
         .select(lit(tableId).as("table_id"), col("shard_id"),
@@ -258,7 +279,8 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     // only the slice reachable from THIS table's (pre-sync) catalog ids.
     val otherPlacements = store.placements
       .join(catalogIds.select("shard_id"), Seq("shard_id"), "left_anti")
-    store.commit(newShards, otherPlacements.union(tablePlacements))
+    store.commit(newShards, otherPlacements.union(tablePlacements),
+      expectedVersion = Some(baseVersion))
   }
 
   /** Per-shard min/max of a partition column, as one distributed job —
@@ -283,6 +305,9 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
 }
 
 object SyncEngine {
+  /** Cap on the driver-side skipped-operation sample in SyncResult. */
+  val maxSkippedSample = 1000
+
   /** Default worker stage: every DDL op succeeds (the strict-path limit of
     * the tolerant sync). */
   val allOk: DataFrame => DataFrame =

@@ -61,6 +61,37 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.shards.count() == 1, "catalog unchanged after refused commit")
   }
 
+  test("stale-derivation commit is rejected (lost-update guard)") {
+    val (store, _) = fresh()
+    seed(store) // v0
+    // writer A reads the catalog at v0, diffs, and commits → v1
+    val baseA = store.currentVersion
+    store.commit(
+      Seq(ShardInfo(1L, 11L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(11L, 100L, "b")).toDF(),
+      expectedVersion = Some(baseA))
+    assert(store.currentVersion == 1L)
+    // writer B ALSO derived its state from v0 (before A committed) but
+    // commits after A: targeting v2, its claim succeeds — only the
+    // expectedVersion check can catch that committing would silently drop
+    // A's changes
+    intercept[ConcurrentCommitException] {
+      store.commit(
+        Seq(ShardInfo(1L, 12L, "f", None, None)).toDF(),
+        Seq(ShardPlacement(12L, 100L, "c")).toDF(),
+        expectedVersion = Some(baseA))
+    }
+    assert(store.currentVersion == 1L, "loser must not flip the pointer")
+    assert(store.shards.select("shard_id").collect().map(_.getLong(0)).toSet
+      == Set(11L), "winner's state intact")
+    // the loser's abandoned claim must not block a correct retry
+    store.commit(
+      Seq(ShardInfo(1L, 13L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(13L, 100L, "d")).toDF(),
+      expectedVersion = Some(store.currentVersion))
+    assert(store.currentVersion == 2L)
+  }
+
   test("time travel, rollback, and commit-after-rollback") {
     val (store, _) = fresh()
     seed(store) // v0: shard 10
@@ -107,6 +138,9 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(root, "v0")) && fs.exists(new Path(root, "v2")))
     assert(store.shards.count() == 1, "head unaffected")
     assert(store.shardsAt(2L).count() == 1, "retention window readable")
+    // a negative keepLast would make the cutoff EXCEED the head and delete
+    // everything but the head itself — reject it outright
+    intercept[IllegalArgumentException] { store.vacuum(keepLast = -1) }
   }
 
   test("repair clears a dead writer's stale claim; fresh claims stay protected") {
