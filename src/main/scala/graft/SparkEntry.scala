@@ -518,6 +518,56 @@ object SparkEntry {
       new SyncEngine(s, store).sync(1L, src.select("shard_id").distinct(), src)
       src.unpersist() // sync's actions all ran inside; result reads parquet
       store.placements.orderBy("shard_id", "shard_length", "hostname")
+    }),
+
+    // ── §2.9: training-mixture stratified sample — per-language rates,
+    //    md5-bucket selection (nested, reproducible, engine-replayable) ────
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Seq("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // ── §2.9: concat-and-chunk sequence packing — documents laid out per
+    //    source in doc_id order, cut into 2048-token context windows ───────
+    "q_pack_chunks" -> ((s, dir) =>
+      Sampling.packChunks(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 2048)
+        .orderBy("source", "doc_id")),
+
+    // ── §2.9: intra-document repetition ratio (boilerplate signal) ────────
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionRatio(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9: PII scrub — emails counted and redacted; 10% of docs get a
+    //    deterministic synthesized email so the redaction path actually
+    //    fires (the fixture corpus contains none); the audit artifact
+    //    carries md5(redacted) instead of the full rewritten text ──────────
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast(StringType), lit("@example.com now")))
+          .otherwise(col("text")).as("text"))
+      TextOps.redactPii(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9: benchmark-contamination check — the held-out 10% md5 bucket
+    //    stands in for an eval benchmark; every remaining (training) doc is
+    //    scored by distinct-trigram overlap against it ─────────────────────
+    "q_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(
+        d.where(Sampling.hashBucket(col("doc_id"), 100) >= 10),
+        d.where(Sampling.hashBucket(col("doc_id"), 100) < 10),
+        "doc_id", "text", minOverlap = 20)
+        .orderBy("doc_id")
     })
   )
 
@@ -1080,6 +1130,82 @@ object SparkEntry {
       """SELECT DISTINCT l_orderkey AS shard_id,
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
-         FROM lineitem ORDER BY shard_id, shard_length, hostname"""
+         FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${bucketSql("CAST(doc_id AS VARCHAR)")} <
+                CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                          WHEN 'fr' THEN 10 ELSE 5 END
+          ORDER BY doc_id""",
+    "q_pack_chunks" ->
+      """WITH tk AS (SELECT source, doc_id,
+                       len(regexp_split_to_array(trim(lower(text)), ' +')) AS n_tokens
+                     FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s
+               FROM tk)
+         SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(floor(s / 2048.0) AS BIGINT) AS chunk,
+                s % 2048 AS chunk_offset,
+                (s % 2048 + n_tokens > 2048) AS straddles
+         FROM c ORDER BY source, doc_id""",
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         agg AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT sh) AS n_uniq
+                 FROM tri GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_tri, 0) AS n_trigrams,
+                coalesce(n_uniq, 0) AS n_distinct,
+                coalesce(round(1 - n_uniq / n_tri, 6), 0.0) AS rep_ratio
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id""",
+    "q_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 = 0
+                           THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com now'
+                           ELSE text END AS text
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                md5(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+                  AS redacted_md5
+         FROM d ORDER BY doc_id""",
+    "q_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+                     FROM documents),
+         ttoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM b WHERE bucket >= 10),
+         ttri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM ttoks, unnest(range(1, len(t)-1)) r(i)),
+         btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM b WHERE bucket < 10),
+         btri AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM btoks, unnest(range(1, len(t)-1)) r(i)),
+         ov AS (SELECT doc_id, count(*) AS n_overlap FROM ttri
+                WHERE sh IN (SELECT sh FROM btri) GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
+         SELECT sz.doc_id, n_shingles,
+                coalesce(n_overlap, 0) AS n_overlap,
+                coalesce(n_overlap, 0) >= 20 AS contaminated
+         FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+         ORDER BY sz.doc_id"""
   )
+
+  /** DuckDB-dialect SQL for Sampling.hashBucket(key, 100) — the 32-bit
+    * value of the first 8 md5 hex digits mod 100, spelled as digit
+    * arithmetic because DuckDB v1.0 has no conv(). */
+  private def bucketSql(key: String): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
+        (if (i < 7) s" * ${1L << (4 * (7 - i))}" else ""))
+      .mkString("((", " + ", ") % 100)")
 }

@@ -357,6 +357,33 @@ object Dedup {
       .select(col("doc_id"), col("canonical"))
   }
 
+  /** Benchmark-contamination check — the eval-hygiene operator every LLM
+    * training pipeline runs before shipping a corpus: for each training
+    * document, how many of its distinct word-trigrams also occur in the
+    * benchmark set, and is the overlap high enough to flag the document
+    * as contaminated (n-gram–overlap decontamination, as described for
+    * GPT-3/PaLM-style training-set filtering).
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus —
+    * it is DEDUPLICATED and BROADCAST, so the corpus-side scan is one
+    * map-side semi-join probe per shingle with NO shuffle of the training
+    * corpus; the only shuffle is the per-doc overlap count on doc_id.
+    * Returns (doc_id, n_shingles, n_overlap, contaminated).
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, minOverlap: Int = 1): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol).distinct()
+    val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()
+    val overlap = trainSh
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact verification — at scale
     * this runs AFTER minHashLsh restricts to candidates; standalone it is

@@ -32,6 +32,63 @@ object Sampling {
     df.where(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Per-stratum deterministic sampling — the TRAINING-MIXTURE operator:
+    * each stratum (language, source domain, quality tier) keeps its own
+    * percentage of rows, so the sampled corpus matches a target mixture
+    * (e.g. upweight books, downweight boilerplate web). `rates` maps
+    * stratum value → integer percentage; strata not listed get
+    * `defaultPct`. Selection reuses the md5 bucket of `keyCol`, so the
+    * per-stratum samples inherit hashSample's reproducibility AND nest:
+    * raising a rate from 10 to 20 keeps the original 10% inside the 20%.
+    *
+    * The rates ship as a broadcast-joined literal table rather than a
+    * CASE chain — the form that still works when the rates are themselves
+    * computed (e.g. proportional-allocation output), and the optimizer
+    * folds the tiny side into a broadcast hash join with zero shuffle on
+    * the corpus.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       rates: Seq[(String, Int)],
+                       defaultPct: Int = 0): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTbl = rates.toDF("__stratum", "__pct")
+    df.join(broadcast(rateTbl), col(strataCol) === col("__stratum"), "left")
+      .where(hashBucket(col(keyCol), 100) <
+        coalesce(col("__pct"), lit(defaultPct)))
+      .drop("__stratum", "__pct")
+  }
+
+  /** Concat-and-chunk sequence packing — how LLM pretraining actually
+    * consumes documents: within each group (shard, source, …) documents
+    * are laid out in `orderCol` order as one virtual token stream and cut
+    * into fixed `budget`-token context windows. Each document is assigned
+    * the chunk where its first token lands, plus its offset in that chunk
+    * and whether it straddles a chunk boundary (the rows a loader must
+    * split). One running-sum window per group — no shuffle beyond the
+    * group partitioning, no driver loop; at 100 TB the group key is the
+    * shard, so every window fits an executor.
+    *
+    * Returns (group, order key, n_tokens, chunk, chunk_offset, straddles).
+    */
+  def packChunks(df: DataFrame, groupCol: String, orderCol: String,
+                 tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val start = sum(col(tokensCol)).over(w) - col(tokensCol)
+    df.select(col(groupCol), col(orderCol), col(tokensCol))
+      .withColumn("__start", start)
+      .select(col(groupCol), col(orderCol),
+        col(tokensCol).cast("long").as("n_tokens"),
+        floor(col("__start") / budget).as("chunk"),
+        (col("__start") % budget).as("chunk_offset"),
+        (col("__start") % budget + col(tokensCol) > budget).as("straddles"))
+  }
+
   /** Leakage-free train/validation/test assignment: the split is decided
     * by the hash of `groupCol` (e.g. source domain, near-dup cluster id),
     * so all documents of a group land in the SAME split — the property

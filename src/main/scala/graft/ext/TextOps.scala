@@ -168,6 +168,49 @@ object TextOps {
       .select(col(idCol), md5(nt).as("fp_md5"), rolling.as("fp_roll"))
   }
 
+  /** Intra-document repetition ratio — the boilerplate/spam signal used by
+    * corpus quality filters (a page of repeated navigation text has high
+    * trigram repetition; prose has almost none): per document,
+    * 1 − distinct_trigrams / total_trigrams, with totals carried so the
+    * threshold can be re-derived. Documents with fewer than 3 tokens have
+    * no trigrams and score 0. One explode + one per-doc aggregation —
+    * shuffles on doc_id only, no cross-document work at any scale.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tri = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(trigramsOfTokens(col("__t"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("sh")).as("n_distinct"))
+    df.select(col(idCol).as("doc_id"))
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(when(col("n_trigrams").isNull, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct") / col("n_trigrams")), 6)
+          .as("rep_ratio"))
+  }
+
+  /** Email pattern shared by detection and redaction — deliberately in the
+    * regex subset where Java's engine (Spark) and RE2 (DuckDB, the oracle)
+    * agree, so both engines find identical spans. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrub — the redaction pass every shipped training corpus runs:
+    * detect email addresses, count them, and rewrite the text with each
+    * replaced by a fixed placeholder token. Pure map-side column
+    * expressions (codegen regex, no UDF), embarrassingly parallel at any
+    * scale. Returns (doc_id, n_emails, redacted) — callers wanting a
+    * narrow audit artifact hash `redacted` instead of carrying it.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+                placeholder: String = "<EMAIL>"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(emailPattern)).cast(LongType).as("n_emails"),
+      regexp_replace(col(textCol), emailPattern, placeholder).as("redacted"))
+
   /** Per-language corpus statistics. */
   def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =
     df.groupBy(col(langCol)).agg(

@@ -23,6 +23,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
   }
 
+  test("stratifiedSample: per-stratum rates, nesting, default rate") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val s10 = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Seq("en" -> 10), defaultPct = 0)
+    val s30 = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Seq("en" -> 30), defaultPct = 0)
+    val ids10 = s10.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids30 = s30.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids30),
+      "raising a stratum's rate must keep the smaller sample nested inside")
+    assert(s10.where(col("lang") =!= "en").count() == 0,
+      "defaultPct=0 must drop unlisted strata entirely")
+    // a listed stratum at 100 keeps every row of that stratum
+    val all = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Seq("en" -> 100), defaultPct = 0)
+    assert(all.count() == docs.where(col("lang") === "en").count())
+  }
+
+  test("packChunks: chunks fill in order, offsets advance, straddles flagged") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 600), ("a", 2L, 300), ("a", 3L, 200), ("a", 4L, 500),
+      ("b", 1L, 1100))
+      .toDF("src", "id", "n")
+    val out = Sampling.packChunks(df, "src", "id", "n", budget = 1000)
+      .orderBy("src", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      // a: starts 0, 600, 900, 1100 → chunks 0,0,0,1; 900+200>1000 straddles
+      ("a", 1L, 0L, 0L, false),
+      ("a", 2L, 0L, 600L, false),
+      ("a", 3L, 0L, 900L, true),
+      ("a", 4L, 1L, 100L, false),
+      // b: independent stream; 1100 > budget straddles its own chunk
+      ("b", 1L, 0L, 0L, true)))
+  }
+
   test("splitAssign never splits a group across splits; weights are honored") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val assigned = Sampling.splitAssign(docs, "source",

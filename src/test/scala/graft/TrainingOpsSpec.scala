@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, TextOps}
+
+/** The round-3 training-data hygiene operators: PII redaction, repetition
+  * scoring, and benchmark-contamination checking. */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii counts and replaces every email, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+x@corp-mail.example.com or bob@ex.org"),
+      (2L, "no pii here, just an @ sign and a.dot"),
+      (3L, "x@y.io x@y.io")) // duplicates both redacted
+      .toDF("doc_id", "text")
+    val red = TextOps.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(red(0) == ((1L, 2L, "mail me at <EMAIL> or <EMAIL>")))
+    assert(red(1) == ((2L, 0L, "no pii here, just an @ sign and a.dot")))
+    assert(red(2) == ((3L, 2L, "<EMAIL> <EMAIL>")))
+  }
+
+  test("repetitionRatio: repeated boilerplate scores high, prose scores 0") {
+    val docs = Seq(
+      (1L, "home about contact home about contact home about contact"),
+      (2L, "one two three four five six seven"),
+      (3L, "hi")) // < 3 tokens → no trigrams → 0
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 7 trigrams, 3 distinct ("home about contact", "about contact
+    // home", "contact home about") → 1 - 3/7
+    assert(out(0) == ((1L, 7L, 3L, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6)))
+    assert(out(1) == ((2L, 5L, 5L, 0.0)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("contamination flags docs sharing trigrams with the benchmark set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "quick brown fox appears here too")) // shares "quick brown fox"
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, "doc_id", "text", minOverlap = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // doc 1 shares 3 trigrams with the benchmark, doc 3 shares 1
+    assert(out.toSeq == Seq((1L, 3L, true), (2L, 0L, false), (3L, 1L, true)))
+    // the benchmark probe must be a broadcast (no corpus shuffle for it)
+    val plan = Dedup.contamination(train, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+}
