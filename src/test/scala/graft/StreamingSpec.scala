@@ -150,10 +150,11 @@ class StreamingSpec extends AnyFunSuite {
       "the hour-later event must close the first session (start, end=+10s, n=2)")
   }
 
-  test("stateless enrichment (hash sample + quality score) composes into a stream unchanged") {
-    // The sampling/scoring operators are pure column transforms — the SAME
-    // functions run batch or streaming; this pins that no hidden action or
-    // non-streamable shape (rand(), window-over-all, collect) sneaks in.
+  test("stateless enrichment (hash sample + PII scrub + quality score) composes into a stream unchanged") {
+    // The sampling/scrubbing/scoring operators are pure column transforms —
+    // the SAME functions run batch or streaming; this pins that no hidden
+    // action or non-streamable shape (rand(), window-over-all, collect)
+    // sneaks in.
     import graft.ext.{Sampling, TextOps}
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val dir = tmp("graft_stream_docs_")
@@ -161,7 +162,10 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(docs.schema).parquet(dir)
 
     def pipeline(df: DataFrame): DataFrame =
-      TextOps.qualityScore(Sampling.hashSample(df, "doc_id", 10), "doc_id", "text")
+      TextOps.qualityScore(
+        TextOps.redactPii(Sampling.hashSample(df, "doc_id", 10),
+          "doc_id", "text").withColumnRenamed("redacted", "text"),
+        "doc_id", "text")
 
     val q = pipeline(stream).writeStream
       .format("memory").queryName("enrich_stream")
