@@ -196,7 +196,8 @@ object Similarity {
               probePred: Column => Column, k: Int,
               nCentroids: Int = 64, nprobe: Int = 3,
               lloydIters: Int = 1): DataFrame = {
-    graft.GraftExtensions.ensure(emb.sparkSession)
+    val spark = emb.sparkSession
+    graft.GraftExtensions.ensure(spark)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
 
     // seed sample: top-nCentroids by splitmix-style hash order — stable,
@@ -233,7 +234,16 @@ object Similarity {
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast(DoubleType)).as("cv"))
     }
-    val cent = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    // Fit/transform split: the fitted model is nCentroids × dim doubles —
+    // bounded by construction, independent of corpus size — so it is
+    // collected to the driver and re-emitted as a literal local relation
+    // (exactly how MLlib's KMeansModel holds its centers). Without the
+    // collect, every transform-side consumer (index assignment, probe
+    // ranking) re-runs the whole seed + Lloyd fit pipeline; with it, the
+    // fit happens once and the consumers broadcast a tiny literal.
+    val fitted = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
 
     // index: nearest centroid per vector (broadcast the tiny centroid set;
     // same map-side-collapsing aggregation as the Lloyd step)
