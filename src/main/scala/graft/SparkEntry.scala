@@ -558,6 +558,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9: semi-structured payload extraction — typed from_json parse
+    //    of the events.props JSON column, aggregated per event type ────────
+    "q_json_extract" -> ((s, dir) =>
+      Events.jsonFieldStats(t(s, dir, "events"), "props", "k BIGINT", "k",
+        "event_type")
+        .orderBy("event_type")),
+
     // ── §2.9: benchmark-contamination check — the held-out 10% md5 bucket
     //    stands in for an eval benchmark; every remaining (training) doc is
     //    scored by distinct-trigram overlap against it ─────────────────────
@@ -1131,6 +1138,14 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_json_extract" ->
+      """WITH v AS (SELECT event_type,
+                      CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                    FROM events)
+         SELECT event_type, count(k) AS n_parsed,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k
+         FROM v GROUP BY event_type ORDER BY event_type""",
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${bucketSql("CAST(doc_id AS VARCHAR)")} <

@@ -26,6 +26,26 @@ object Events {
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Semi-structured payload extraction — the event-property surface every
+    * product-analytics pipeline needs: parse a JSON string column with an
+    * explicit schema through `from_json` (schema-typed, codegen — never a
+    * per-row UDF parser) and aggregate a typed field per group. Malformed
+    * JSON yields NULL (from_json's PERMISSIVE default), which the
+    * aggregates skip — the tolerant-ingest behavior. At scale the parse is
+    * one map-side pass; the only shuffle is the final aggregation.
+    */
+  def jsonFieldStats(events: DataFrame, jsonCol: String, fieldSchema: String,
+                     field: String, groupCol: String): DataFrame =
+    events
+      .withColumn("__v",
+        from_json(col(jsonCol), fieldSchema, Map.empty[String, String])
+          .getField(field))
+      .groupBy(col(groupCol))
+      .agg(count(col("__v")).as("n_parsed"),
+        sum(col("__v")).as(s"sum_$field"),
+        min(col("__v")).as(s"min_$field"),
+        max(col("__v")).as(s"max_$field"))
+
   /** X5 — gap-based sessionization (gaps-and-islands): a new session
     * starts after `gapSec` of inactivity. Timestamps are truncated to
     * seconds first so ns/µs precision differences between engines cannot
