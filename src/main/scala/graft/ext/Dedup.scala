@@ -200,11 +200,17 @@ object Dedup {
   def minHashVerified(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 16, bands: Int = 4,
                       maxDf: Int = Int.MaxValue): DataFrame = {
-    val rawSh = shingles(docs, idCol, textCol)
-    val cand = minHashLshFromShingles(rawSh, k, bands)
-    val sh = capDf(rawSh
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .distinct(), maxDf)
+    // ONE distinct shingle frame feeds both the LSH candidate generation
+    // and the Jaccard verification: min over the distinct set equals min
+    // over the multiset, so the signatures are unchanged, and the shared
+    // subtree means ReuseExchange computes the scan+explode+distinct once
+    // for all consumers instead of paying a second full explode pass for
+    // the candidate side. (Standalone minHashLsh keeps the multiset path —
+    // a lone groupBy needs no distinct shuffle in front of it.)
+    val sh0 = shingles(docs, idCol, textCol).distinct()
+    val cand = minHashLshFromShingles(sh0, k, bands)
+    val sh = capDf(sh0
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("da") === col("a.doc_id"))

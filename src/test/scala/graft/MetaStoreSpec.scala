@@ -92,6 +92,38 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.currentVersion == 2L)
   }
 
+  test("racing writers with one base version serialize: exactly one wins") {
+    val (store, _) = fresh()
+    seed(store) // v0
+    // both writers derive from the SAME snapshot, then race the commit on
+    // real threads — the claim + stale-derivation check must let exactly
+    // one through, whichever thread wins the filesystem race
+    val base = store.currentVersion
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def attempt(id: Long): Future[Either[String, Long]] = Future {
+      try Right(store.commit(
+        Seq(ShardInfo(1L, id, "f", None, None)).toDF(),
+        Seq(ShardPlacement(id, 100L, "h")).toDF(),
+        expectedVersion = Some(base)))
+      catch { case e: ConcurrentCommitException => Left(e.getMessage) }
+    }
+    val results = Await.result(
+      Future.sequence(Seq(attempt(21L), attempt(22L))), Duration.Inf)
+    val (wins, losses) = results.partition(_.isRight)
+    assert(wins.size == 1 && losses.size == 1,
+      s"exactly one racer must commit, got $results")
+    // the loser re-reads and retries — now it succeeds
+    val retryId = if (results.head.isLeft) 21L else 22L
+    store.commit(
+      Seq(ShardInfo(1L, retryId, "f", None, None)).toDF(),
+      Seq(ShardPlacement(retryId, 100L, "h")).toDF(),
+      expectedVersion = Some(store.currentVersion))
+    assert(store.shards.select("shard_id").collect().map(_.getLong(0)).toSet
+      == Set(retryId), "retry against the fresh state lands")
+  }
+
   test("time travel, rollback, and commit-after-rollback") {
     val (store, _) = fresh()
     seed(store) // v0: shard 10
