@@ -426,6 +426,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X8: REAL image resize — BMP synthesized, nearest-neighbor
+    //    downsampled ×2 (true pixel selection + re-encode), and the
+    //    RESIZED container parsed back for geometry + channel sum ──────────
+    "q_media_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.bmpResize(t(s, dir, "documents"), "doc_id", "text",
+        width = 16, factor = 2)
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9: backward as-of join — latest view at-or-before each
     //    purchase per user; union-scan formulation, ONE shuffle ──────────
     "q_asof_join" -> ((s, dir) => {
@@ -1138,6 +1148,27 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_media_resize" ->
+      """WITH geo AS (SELECT doc_id, text, strlen(text) AS n,
+                        greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) AS h
+                      FROM documents),
+         px AS (SELECT doc_id, n, text,
+                  ((y*2)*16 + (x*2))*3 + c AS idx
+                FROM geo,
+                  unnest(range(0, greatest(1, h // 2))) ry(y),
+                  unnest(range(0, 8)) rx(x),
+                  unnest(range(0, 3)) rc(c)),
+         s AS (SELECT doc_id,
+                 sum(CASE WHEN idx < n
+                          THEN ascii(substr(text, CAST(idx+1 AS INT), 1))
+                          ELSE 0 END) AS sc
+               FROM px GROUP BY 1)
+         SELECT g.doc_id, CAST(8 AS BIGINT) AS width,
+                CAST(greatest(1, h // 2) AS BIGINT) AS height,
+                CAST(24 AS BIGINT) AS bpp,
+                CAST(coalesce(sc, 0) AS BIGINT) AS sum_channels
+         FROM geo g LEFT JOIN s ON g.doc_id = s.doc_id
+         ORDER BY g.doc_id""",
     "q_json_extract" ->
       """WITH v AS (SELECT event_type,
                       CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k

@@ -122,6 +122,35 @@ object Media {
       .toDF("doc_id", "width", "height", "bpp", "sum_channels")
   }
 
+  /** REAL image resize for the codec-free tier: synthesize a genuine
+    * 24-bit BMP per document (as bmpRoundTrip), nearest-neighbor
+    * downsample it by `factor` with MediaCodecs.resizeBmp24 (a real
+    * decode → pixel-select → re-encode), then parse the RESIZED container
+    * back. Every emitted column travels through BOTH encoded containers —
+    * geometry and channel sum come from the resized file's own bytes.
+    */
+  def bmpResize(docs: DataFrame, idCol: String, textCol: String,
+                width: Int = 16, factor: Int = 2)
+               (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val rowBytes = width * 3
+          val height = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+          val channels = java.util.Arrays.copyOf(bytes, rowBytes * height)
+          val bmp = MediaCodecs.encodeBmp24(width, height, channels)
+          val resized = MediaCodecs.resizeBmp24(bmp, factor)
+          val info = MediaCodecs.decodeBmp(resized)
+          (id, info.width.toLong, info.height.toLong,
+            info.bitsPerPixel.toLong, info.sumChannels)
+        }
+      }
+      .toDF("doc_id", "width", "height", "bpp", "sum_channels")
+  }
+
   /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,
     * scales, re-encodes per partition; the stub keeps a deterministic
     * byte-budget prefix so schema/plumbing (binary in, binary out, metadata

@@ -185,4 +185,48 @@ object MediaCodecs {
     }
     BmpInfo(width, height, bpp, sum)
   }
+
+  /** Recover the top-down BGR channel stream of a validated 24-bit BMP —
+    * the exact inverse of encodeBmp24's layout (bottom-up storage, padded
+    * rows stripped). Returns (width, height, channelBytes). */
+  def bmpChannels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val info = decodeBmp(bytes) // full validation; throws on malformed input
+    val dataOffset = le32(bytes, 10)
+    val rs = ((info.width * 3 + 3) / 4 * 4)
+    val out = new Array[Byte](info.width * info.height * 3)
+    var y = 0
+    while (y < info.height) {
+      System.arraycopy(bytes, dataOffset + (info.height - 1 - y) * rs,
+        out, y * info.width * 3, info.width * 3)
+      y += 1
+    }
+    (info.width, info.height, out)
+  }
+
+  /** REAL nearest-neighbor integer-factor downsample of a 24-bit BMP:
+    * output pixel (x, y) = input pixel (x·factor, y·factor); the result is
+    * re-encoded as a genuine BMP. Dimensions floor-divide by `factor` with
+    * a 1-pixel minimum (so any image survives any factor). This is the
+    * decode → transform → re-encode slot a codec-backed pipeline fills;
+    * for the codec-free BMP tier it is the whole real thing.
+    */
+  def resizeBmp24(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val (w, h, ch) = bmpChannels(bytes)
+    val wr = math.max(1, w / factor)
+    val hr = math.max(1, h / factor)
+    val out = new Array[Byte](wr * hr * 3)
+    var y = 0
+    while (y < hr) {
+      var x = 0
+      while (x < wr) {
+        val src = ((y * factor) * w + x * factor) * 3
+        val dst = (y * wr + x) * 3
+        out(dst) = ch(src); out(dst + 1) = ch(src + 1); out(dst + 2) = ch(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp24(wr, hr, out)
+  }
 }

@@ -49,6 +49,28 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(bmp.length == 54 + 12 * 2)
   }
 
+  test("BMP resize: nearest-neighbor picks exact stride pixels, re-encodes validly") {
+    // 4×4 image whose channel bytes encode their own (x, y, c) position:
+    // byte = (y*4 + x)*3 + c — so the resized pixels are checkable exactly
+    val w = 4; val h = 4
+    val ch = Array.tabulate(w * h * 3)(i => i.toByte)
+    val bmp = MediaCodecs.encodeBmp24(w, h, ch)
+    val resized = MediaCodecs.resizeBmp24(bmp, 2)
+    val (wr, hr, rch) = MediaCodecs.bmpChannels(resized)
+    assert(wr == 2 && hr == 2)
+    // output (x, y) = input (2x, 2y): pixels (0,0) (2,0) (0,2) (2,2)
+    val want = for (y <- Seq(0, 2); x <- Seq(0, 2); c <- 0 to 2)
+      yield ((y * w + x) * 3 + c).toByte
+    assert(rch.toSeq == want)
+    // the resized container is itself a valid BMP with consistent sums
+    val info = MediaCodecs.decodeBmp(resized)
+    assert(info.width == 2 && info.height == 2 && info.bitsPerPixel == 24)
+    assert(info.sumChannels == want.map(_.toInt & 0xff).sum.toLong)
+    // factor larger than the image floors at 1×1 (top-left pixel survives)
+    val tiny = MediaCodecs.bmpChannels(MediaCodecs.resizeBmp24(bmp, 10))
+    assert(tiny._1 == 1 && tiny._2 == 1 && tiny._3.toSeq == ch.take(3).toSeq)
+  }
+
   test("BMP decoder rejects non-BMP and truncated pixel data") {
     intercept[IllegalArgumentException](MediaCodecs.decodeBmp(Array.fill[Byte](54)(0)))
     val good = MediaCodecs.encodeBmp24(3, 2, new Array[Byte](18))
