@@ -568,6 +568,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9: ordered conversion funnel — per-user earliest step times,
+    //    each step strictly after the previous step's first completion ─────
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // ── §2.9: cohort retention — integer epoch-week cohorts (calendar-free)
+    //    by first event, distinct active users per week offset ─────────────
+    "q_cohort" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // ── §2.9: fixed-bin histogram — integer bin arithmetic, map-side
+    //    collapse to ≤ nBins rows before one tiny shuffle ──────────────────
+    "q_histogram" -> ((s, dir) =>
+      Analytics.histogram(t(s, dir, "events"), "value", 0.0, 50.0, 10)
+        .orderBy("bin")),
+
     // ── §2.9: semi-structured payload extraction — typed from_json parse
     //    of the events.props JSON column, aggregated per event type ────────
     "q_json_extract" -> ((s, dir) =>
@@ -1148,6 +1167,41 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_1
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_2
+                GROUP BY 1)
+         SELECT u.user_id, t_1, t_2, t_3,
+                CAST(CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
+         FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+                LEFT JOIN s3 USING(user_id)
+         ORDER BY u.user_id""",
+    "q_cohort" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         du AS (SELECT DISTINCT user_id, wk FROM w),
+         f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+         SELECT cohort_week, wk - cohort_week AS week_offset,
+                count(*) AS n_users
+         FROM du JOIN f USING(user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_histogram" ->
+      """WITH h AS (SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+                      AS bin, value
+                    FROM events)
+         SELECT bin, round(CAST(bin * 50.0 AS DOUBLE), 6) AS lo_edge, count(*) AS n,
+                round(min(value), 6) AS min_value,
+                round(max(value), 6) AS max_value
+         FROM h GROUP BY bin ORDER BY bin""",
     "q_media_resize" ->
       """WITH geo AS (SELECT doc_id, text, strlen(text) AS n,
                         greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) AS h

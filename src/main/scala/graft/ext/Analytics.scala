@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -150,4 +150,75 @@ object Analytics {
     * aggregate + semi join; both sides dedup map-side first.
     */
   def intersectKeys(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** Ordered conversion funnel: for each user, the earliest time each step
+    * was reached, where step i counts only STRICTLY AFTER step i−1's first
+    * completion (the product-analytics funnel, not mere set membership).
+    * One per-step (filter → per-user min → join) stage — k−1 small
+    * aggregations joined on the user key, never a per-user event sort on
+    * the driver; every stage shuffles on user_id only. Timestamps emit as
+    * epoch µs (integer — portable across engines).
+    * Returns (user_id, t_1…t_k nullable, n_steps).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val ep = (c: Column) => unix_micros(c)
+    val ofType = (t: String) => events.where(col(typeCol) === t)
+      .select(col(userCol).as("user_id"), ep(col(tsCol)).as("__ep"))
+    var acc = events.select(col(userCol).as("user_id")).distinct()
+      .join(ofType(steps.head).groupBy("user_id").agg(min(col("__ep")).as("t_1")),
+        Seq("user_id"), "left")
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val prev = s"t_${i + 1}"
+      val cur = s"t_${i + 2}"
+      acc = acc.join(
+        acc.select(col("user_id"), col(prev))
+          .join(ofType(st), Seq("user_id"))
+          .where(col("__ep") > col(prev))
+          .groupBy("user_id").agg(min(col("__ep")).as(cur)),
+        Seq("user_id"), "left")
+    }
+    acc.withColumn("n_steps",
+      steps.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  /** Cohort retention: users grouped by the integer epoch-week of their
+    * FIRST event (calendar-free — floor(epoch_µs / week_µs), so no
+    * engine-specific week-start semantics can diverge), counted as active
+    * in each later week they appear. Two shuffles: per-user first-event,
+    * then the (cohort, offset) count-distinct. Returns
+    * (cohort_week, week_offset, n_users).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val wk = (c: Column) => floor(unix_micros(c) / weekUs)
+    val first = events.groupBy(col(userCol).as("user_id"))
+      .agg(min(wk(col(tsCol))).as("cohort_week"))
+    events.select(col(userCol).as("user_id"), wk(col(tsCol)).as("__w"))
+      .distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Fixed-bin histogram of a numeric column: bin i covers
+    * [lo + i·width, lo + (i+1)·width), values clamped into [0, nBins).
+    * Pure integer bin arithmetic (floor of a literal division) — the
+    * map-side collapses to ≤ nBins rows per partition before the one
+    * tiny shuffle. Returns (bin, lo_edge, n, min_value, max_value).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+                nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0)
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0L)),
+      lit(nBins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 6).as("min_value"),
+        round(max(col(valueCol)), 6).as("max_value"))
+      .select(col("bin"), round(lit(lo) + col("bin") * width, 6).as("lo_edge"),
+        col("n"), col("min_value"), col("max_value"))
+  }
 }
