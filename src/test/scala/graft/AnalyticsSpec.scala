@@ -66,4 +66,34 @@ class AnalyticsSpec extends AnyFunSuite {
       ("ALL", "ALL", 2L, 3.0), ("x", "ALL", 2L, 3.0),
       ("x", "p", 1L, 1.0), ("x", "q", 1L, 2.0)))
   }
+
+  test("funnel: steps count only strictly after the previous step") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: proper view(10) → click(20) → purchase(30)
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: click BEFORE the first view — click must not count; the
+      // later click(40) does
+      (2L, "click", ts(5)), (2L, "view", ts(10)), (2L, "click", ts(40)),
+      // user 3: purchase before click → stops at click
+      (3L, "view", ts(10)), (3L, "purchase", ts(15)), (3L, "click", ts(20)),
+      // user 4: never views → 0 steps despite later events
+      (4L, "click", ts(10)), (4L, "purchase", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 0L)))
+  }
+
+  test("histogram clamps outliers into the edge bins") {
+    val df = Seq(-5.0, 0.0, 49.9, 50.0, 120.0, 9999.0).toDF("v")
+    val out = Analytics.histogram(df, "v", 0.0, 50.0, 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // bin 0 gets the negative outlier, bin 2 gets everything >= 100
+    assert(out.toSeq === Seq(
+      (0L, 3L, -5.0, 49.9), (1L, 1L, 50.0, 50.0), (2L, 2L, 120.0, 9999.0)))
+  }
 }
