@@ -568,6 +568,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 / §2.1: partitioned layout + partition pruning — documents
+    //    rewritten as lang=…/ directories, then a lang-filtered aggregate
+    //    whose scan prunes whole partitions at planning time ───────────────
+    "q_partition_prune" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      graft.sources.Layout
+        .writePartitioned(s, t(s, dir, "documents"), out, Seq("lang"))
+        .where(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // ── §2.9: ordered conversion funnel — per-user earliest step times,
     //    each step strictly after the previous step's first completion ─────
     "q_funnel" -> ((s, dir) =>
@@ -1167,6 +1181,11 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_partition_prune" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1 FROM events

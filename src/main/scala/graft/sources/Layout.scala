@@ -43,6 +43,22 @@ object Layout {
     StatsSkipping.fileStats(spark, outDir, columns.head, fmt)
   }
 
+  /** Hive-style partitioned layout: one directory per value of
+    * `partitionCols` (`lang=en/…`), the layout that turns equality or IN
+    * predicates on the partition columns into PARTITION PRUNING — Catalyst
+    * drops whole directories at planning time, before any file or footer
+    * is touched (`PartitionFilters` in the scan node). The complement of
+    * `clusterBy`: partitioning prunes on low-cardinality categorical
+    * columns, clustering/z-order prunes on high-cardinality range
+    * predicates; real tables use both (partition by day, cluster by key).
+    * Returns the reader DataFrame rooted at `outDir`.
+    */
+  def writePartitioned(spark: SparkSession, df: DataFrame, outDir: String,
+                       partitionCols: Seq[String]): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Z-order (interleaved) clustering over TWO columns: linear clustering
     * serves only its leading column — a range predicate on the second
     * column still reads every file. The Z-curve interleaves the bits of

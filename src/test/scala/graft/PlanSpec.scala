@@ -28,6 +28,19 @@ class PlanSpec extends AnyFunSuite {
       s"filter must reach the scan, got:\n$plan")
   }
 
+  test("partitioned layout prunes whole partitions at planning time") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_partpin_").toString
+    val reader = graft.sources.Layout
+      .writePartitioned(spark, docs, out, Seq("lang"))
+    val plan = physical(reader.where(col("lang") === "en").select("doc_id"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang#"),
+      s"equality on the partition column must become a PartitionFilter:\n$plan")
+    // the pruned read returns exactly the filtered slice
+    assert(reader.where(col("lang") === "en").count() ==
+      docs.where(col("lang") === "en").count())
+  }
+
   test("narrow projection prunes the scan schema") {
     val df = Tables.load(spark, TestSpark.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
