@@ -568,6 +568,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.1 S5-S8 complement: keyed MERGE/upsert — 'O'-status orders get
+    //    a repriced source row (replace), key 1 is a fresh insert, the
+    //    rest of the target survives untouched ──────────────────────────────
+    "q_upsert" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+      val src = ord.where(col("key") % 100 === 0)
+        .select(col("key"), round(col("price") * 2, 2).as("price"))
+        .unionByName(s.range(1, 2).select(col("id").as("key"),
+          lit(0.0).as("price")))
+      CoreOps.upsert(ord, src, Seq("key"))
+        .orderBy("key")
+    }),
+
     // ── §2.9 / §2.1: partitioned layout + partition pruning — documents
     //    rewritten as lang=…/ directories, then a lang-filtered aggregate
     //    whose scan prunes whole partitions at planning time ───────────────
@@ -1181,6 +1195,16 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_upsert" ->
+      """WITH ord AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+         src AS (SELECT key, round(price * 2, 2) AS price FROM ord
+                 WHERE key % 100 = 0
+                 UNION ALL SELECT CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE))
+         SELECT key, price FROM (
+           SELECT key, price FROM ord
+           WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.key = ord.key)
+           UNION ALL SELECT key, price FROM src)
+         ORDER BY key""",
     "q_partition_prune" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -194,6 +194,21 @@ class MetaStore(spark: SparkSession, root: String) {
     removed
   }
 
+  /** Commit statistics of a committed version — the row counts observed
+    * during that commit's own write jobs (no scan). Empty for versions
+    * written before manifests existed. */
+  def manifest(version: Long): Map[String, Long] = {
+    val p = new Path(rootPath, s"v$version/_manifest.json")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      // {"name":count,...} — flat single-level JSON written by commit()
+      "\"([a-z]+)\":(\\d+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
   /** Typed views — the pipeline's row types as case-class Datasets
     * (SURVEY §1.3: metadata pipeline is typed, user data stays dynamic). */
   def shardsDs: Dataset[ShardInfo] = {
@@ -293,18 +308,33 @@ class MetaStore(spark: SparkSession, root: String) {
     }
     // The three table writes are independent jobs — run them concurrently
     // (cluster schedulers interleave their stages; the commit is gated on
-    // all three completing before the pointer flip either way).
+    // all three completing before the pointer flip either way). Each write
+    // carries an `observe` so the committed row counts are captured from
+    // the write jobs THEMSELVES — commit statistics with zero extra
+    // actions (a separate count() would re-run each plan).
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.Observation
     implicit val ec: ExecutionContext = ExecutionContext.global
     val carriedTables = newTables.getOrElse(tables)
+    val obs = Seq("shards", "placements", "tables").map(n => n -> Observation()).toMap
+    def write(df: DataFrame, name: String): Unit =
+      df.observe(obs(name), org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     Await.result(Future.sequence(Seq(
-      Future(newShards.write.mode(SaveMode.Overwrite)
-        .parquet(s"$root/v$next/shards")),
-      Future(newPlacements.write.mode(SaveMode.Overwrite)
-        .parquet(s"$root/v$next/placements")),
-      Future(carriedTables.write.mode(SaveMode.Overwrite)
-        .parquet(s"$root/v$next/tables")))), Duration.Inf)
+      Future(write(newShards, "shards")),
+      Future(write(newPlacements, "placements")),
+      Future(write(carriedTables, "tables")))), Duration.Inf)
+    // manifest: the observed row counts, written BEFORE the marker so any
+    // version bearing _committed also has its stats
+    val counts = obs.map { case (n, o) => n -> o.get("n").asInstanceOf[Long] }
+    val mOut = fs.create(new Path(rootPath, s"v$next/_manifest.json"), true)
+    try mOut.write(
+      counts.toSeq.sortBy(_._1)
+        .map { case (n, c) => s""""$n":$c""" }
+        .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally mOut.close()
     // marker: this version's data is complete (distinguishes abandoned
     // committed versions from in-flight claims after a rollback)
     fs.create(new Path(rootPath, s"v$next/_committed"), true).close()

@@ -109,6 +109,19 @@ object CoreOps {
   def currentSet(existing: DataFrame, deleted: DataFrame, inserted: DataFrame): DataFrame =
     existing.except(deleted).union(inserted).distinct()
 
+  /** Keyed MERGE/upsert: source rows REPLACE target rows sharing their
+    * key; unmatched target rows survive; unmatched source rows insert —
+    * the update half the reference's insert/delete sinks (S5-S8) lack,
+    * and the same plan Delta's MERGE lowers to when every match is an
+    * UPDATE *: one left-anti join on the key plus a union. Shuffles on
+    * the key only; at scale the anti join broadcasts whenever the source
+    * delta is small, which is the common case. `source` must be unique
+    * per key (pre-aggregate otherwise — a duplicated key would insert
+    * both rows, which is MERGE's own cardinality error). */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(source)
+
   // ── §2.4 A1: min/max per group, stored as strings (MinMaxValue) ───────
   /** Per-shard min/max of the partition column, coerced to strings like
     * MinMaxValue.java:4-30 / CitusMasterNode.java:233-235. One distributed

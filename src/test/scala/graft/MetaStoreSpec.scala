@@ -61,6 +61,21 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.shards.count() == 1, "catalog unchanged after refused commit")
   }
 
+  test("commit manifest records the written row counts, observed in-flight") {
+    val (store, _) = fresh()
+    store.commit(
+      Seq(ShardInfo(1L, 10L, "f", None, None),
+        ShardInfo(1L, 11L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(10L, 100L, "a"), ShardPlacement(10L, 100L, "b"),
+        ShardPlacement(11L, 200L, "a")).toDF())
+    assert(store.manifest(0L) ==
+      Map("shards" -> 2L, "placements" -> 3L, "tables" -> 0L))
+    // manifest counts equal what readers see
+    assert(store.shards.count() == 2 && store.placements.count() == 3)
+    // unknown / pre-manifest versions read as empty
+    assert(store.manifest(99L).isEmpty)
+  }
+
   test("stale-derivation commit is rejected (lost-update guard)") {
     val (store, _) = fresh()
     seed(store) // v0
