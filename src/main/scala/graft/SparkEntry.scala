@@ -596,6 +596,13 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── §2.9: event correlation (interval self-join) — view→click pairs
+    //    within 1 hour per user; equi-join on user_id, window residual ─────
+    "q_event_correlate" -> ((s, dir) =>
+      Events.correlate(t(s, dir, "events"), "user_id", "event_type",
+        "event_id", "ts", "view", "click", withinSec = 3600L)
+        .orderBy("a_id", "b_id")),
+
     // ── §2.9: ordered conversion funnel — per-user earliest step times,
     //    each step strictly after the previous step's first completion ─────
     "q_funnel" -> ((s, dir) =>
@@ -1210,6 +1217,15 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    "q_event_correlate" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ep
+                    FROM events)
+         SELECT v.user_id, v.event_id AS a_id, c.event_id AS b_id,
+                c.ep - v.ep AS gap_us
+         FROM e v JOIN e c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.ep > v.ep AND c.ep <= v.ep + 3600000000
+         ORDER BY a_id, b_id""",
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1 FROM events

@@ -26,6 +26,32 @@ object Events {
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Event correlation (interval self-join): every (A, B) event pair of
+    * the same user where B follows A within `withinSec` — the
+    * view→click / impression→conversion attribution join. Equi-join on
+    * the user key with the time window as a residual range predicate:
+    * ONE shuffle on user_id, never a time-expansion or cross product; at
+    * 100 TB this is the shape whose streaming twin
+    * (EventStreams.correlate) bounds state by the same window via
+    * watermarks. Returns (user_id, a_id, b_id, gap_us), deterministic
+    * under the (a_id, b_id) order.
+    */
+  def correlate(events: DataFrame, userCol: String, typeCol: String,
+                idCol: String, tsCol: String, typeA: String, typeB: String,
+                withinSec: Long): DataFrame = {
+    val a = events.where(col(typeCol) === typeA)
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("a_ep"), col(idCol).as("a_id"))
+    val b = events.where(col(typeCol) === typeB)
+      .select(col(userCol).as("__bu"),
+        unix_micros(col(tsCol)).as("b_ep"), col(idCol).as("b_id"))
+    a.join(b, col("user_id") === col("__bu")
+        && col("b_ep") > col("a_ep")
+        && col("b_ep") <= col("a_ep") + withinSec * 1000000L)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (col("b_ep") - col("a_ep")).as("gap_us"))
+  }
+
   /** Semi-structured payload extraction — the event-property surface every
     * product-analytics pipeline needs: parse a JSON string column with an
     * explicit schema through `from_json` (schema-typed, codegen — never a

@@ -44,6 +44,27 @@ object EventStreams {
         unix_timestamp(col("session_window.end")).cast(LongType).as("end_ep"),
         col("n_events"))
 
+  /** Stream-stream interval join — the streaming twin of Events.correlate:
+    * (A, B) pairs of the same user with B inside (A.ts, A.ts + within].
+    * Both sides are watermarked and the join condition bounds event time
+    * in BOTH directions, so each side's state store holds only `within` +
+    * watermark worth of rows per user — the requirement for an unbounded
+    * stream-stream inner join to run forever. Output schema matches the
+    * batch form (user_id, a_id, b_id, gap_us).
+    */
+  def correlate(a: DataFrame, b: DataFrame, withinSec: Long,
+                watermark: String = "2 hours"): DataFrame = {
+    val av = a.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_id").as("a_id")).withWatermark("a_ts", watermark)
+    val bv = b.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id")).withWatermark("b_ts", watermark)
+    av.join(bv, col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr(s"interval $withinSec seconds"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup — the continuous form of Dedup.exact (X1):
     * documents whose content hash was already seen within the watermark
     * horizon are dropped. State = one row per distinct hash, evicted once

@@ -76,6 +76,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch correlate") {
+    val dir = tmp("graft_stream_corr_")
+    events.write.mode("overwrite").parquet(dir)
+    def side(t: String) = spark.readStream.schema(events.schema).parquet(dir)
+      .where(col("event_type") === t)
+
+    val q = EventStreams.correlate(side("view"), side("click"), withinSec = 3600L)
+      .writeStream
+      .format("memory").queryName("corr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_corr_"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("corr_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.ext.Events.correlate(events, "user_id", "event_type",
+        "event_id", "ts", "view", "click", withinSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty,
+      s"stream pairs (${got.size}) must equal batch pairs (${want.size})")
+  }
+
   test("streaming dedup keeps one row per content hash") {
     import spark.implicits._
     val dir = tmp("graft_stream_dedup_")
