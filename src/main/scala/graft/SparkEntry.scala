@@ -547,6 +547,16 @@ object SparkEntry {
         "source", "doc_id", "n_tokens", budget = 2048)
         .orderBy("source", "doc_id")),
 
+    // ── §2.9: RAG-style overlapping text chunking — 500-char windows
+    //    advancing by 400 (100 overlap); map-side explode, no shuffle ──────
+    "q_chunk_text" -> ((s, dir) =>
+      TextOps.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        size = 500, overlap = 100)
+        .select(col("doc_id"), col("chunk_no"), col("chunk_start"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id", "chunk_no")),
+
     // ── §2.9: intra-document repetition ratio (boilerplate signal) ────────
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionRatio(t(s, dir, "documents"), "doc_id", "text")
@@ -1309,6 +1319,15 @@ object SparkEntry {
                 s % 2048 AS chunk_offset,
                 (s % 2048 + n_tokens > 2048) AS straddles
          FROM c ORDER BY source, doc_id""",
+    "q_chunk_text" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+         c AS (SELECT doc_id, i AS chunk_no, i * 400 AS chunk_start,
+                 substr(text, CAST(i * 400 + 1 AS INT), 500) AS chunk
+               FROM d, unnest(range(0,
+                 greatest(1, CAST(ceil(L / 400.0) AS BIGINT)))) r(i))
+         SELECT doc_id, chunk_no, chunk_start, md5(chunk) AS chunk_md5,
+                strlen(chunk) AS n_chars
+         FROM c ORDER BY doc_id, chunk_no""",
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),

@@ -52,6 +52,8 @@ object Sampling {
                        defaultPct: Int = 0): DataFrame = {
     require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
       "rates must be percentages in [0, 100]")
+    require(rates.map(_._1).distinct.size == rates.size,
+      "duplicate stratum in rates — the join would duplicate its rows")
     val spark = df.sparkSession
     import spark.implicits._
     val rateTbl = rates.toDF("__stratum", "__pct")

@@ -193,6 +193,33 @@ object TextOps {
           .as("rep_ratio"))
   }
 
+  /** Overlapping text chunking — RAG/embedding ingestion: each document
+    * splits into fixed-size character windows advancing by
+    * (size − overlap), the layout retrieval pipelines index. Chunk count
+    * and offsets are pure arithmetic on the document length; the explode
+    * emits rows proportional to text size with NO shuffle (chunking is
+    * map-side; downstream embedding/indexing shuffles as it must).
+    * Emits (doc_id, chunk_no, chunk_start, chunk) — callers hash or embed
+    * `chunk` as the next stage.
+    */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    // chunks cover [0, len): last chunk starts at the largest multiple of
+    // step below len (shorter than `size` at the tail, never empty)
+    val nChunks = greatest(lit(1L),
+      ceil(length(col(textCol)).cast(LongType) / step.toDouble).cast(LongType))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"), nChunks.as("__n"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("__n") - 1),
+          i => col("__t").substr((i * step + 1).cast(IntegerType), lit(size)))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_no"),
+        (col("pos").cast(LongType) * step).as("chunk_start"),
+        col("col").as("chunk"))
+  }
+
   /** Email pattern shared by detection and redaction — deliberately in the
     * regex subset where Java's engine (Spark) and RE2 (DuckDB, the oracle)
     * agree, so both engines find identical spans. */

@@ -41,6 +41,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("chunkText: windows cover the text, overlap exactly, tail shortens") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkText(docs, "doc_id", "text", size = 5, overlap = 1)
+      .orderBy("doc_id", "chunk_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      // step 4: [0,5) [4,9) [8,10) — neighbors share exactly 1 char
+      (1L, 0L, 0L, "abcde"), (1L, 1L, 4L, "efghi"), (1L, 2L, 8L, "ij"),
+      (2L, 0L, 0L, "xy"),
+      (3L, 0L, 0L, "")))
+    // reassembling chunk steps reproduces the document (coverage, no gaps)
+    val re = out.filter(_._1 == 1L).map { case (_, no, st, ch) =>
+      if (no == 0) ch else ch.drop(1) }.mkString
+    assert(re == "abcdefghij")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkText(docs, "doc_id", "text", size = 5, overlap = 5)
+    }
+  }
+
   test("contamination flags docs sharing trigrams with the benchmark set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
