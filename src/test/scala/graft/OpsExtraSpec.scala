@@ -11,6 +11,23 @@ import graft.sources.ShardTables
 class OpsExtraSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("jsonFieldStats tolerates malformed JSON (PERMISSIVE nulls skipped)") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", """{"k": 3}"""), ("a", """{"k": 7}"""),
+      ("a", "not json at all"), ("a", """{"k": "notanint"}"""),
+      ("b", null.asInstanceOf[String]))
+      .toDF("event_type", "props")
+    val out = graft.ext.Events
+      .jsonFieldStats(ev, "props", "k BIGINT", "k", "event_type")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // malformed rows parse to null and drop out of every aggregate; a
+    // group with no parsable rows still appears with n_parsed = 0
+    assert(out.toSeq == Seq(("a", 2L, 10L), ("b", 0L, -1L)))
+  }
+
   test("shard tables: unsigned naming, idempotent register/drop, per-shard minMax") {
     assert(ShardTables.shardTableName("t", 5L) == "t_5")
     assert(ShardTables.shardTableName("t", -1L) == "t_18446744073709551615",
