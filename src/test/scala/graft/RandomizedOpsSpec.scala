@@ -1,0 +1,85 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Analytics, Sampling}
+import graft.ops.CoreOps
+
+/** Randomized differential tests: each new operator against an
+  * independent in-memory reimplementation of its contract, across many
+  * seeds — the same style as DedupDifferentialSpec. */
+class RandomizedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert equals in-memory map semantics on random target/source pairs") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val target = (0 until 40).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(1000))).distinctBy(_._1)
+      val source = (0 until 15).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(1000))).distinctBy(_._1)
+      val got = CoreOps.upsert(
+        target.toDF("key", "v"), source.toDF("key", "v"), Seq("key"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = (target.toMap ++ source.toMap).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("funnel equals an in-memory event-sequence scan on random streams") {
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val types = Vector("a", "b", "c", "x")
+      val events = (0 until 120).map { i =>
+        (rnd.nextInt(8).toLong, types(rnd.nextInt(types.size)),
+          new java.sql.Timestamp(rnd.nextInt(100000) * 1000L + i))
+      }
+      val got = Analytics.funnel(
+        events.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      // independent reimplementation: for each user, walk steps taking the
+      // earliest event of the step strictly after the previous step's time
+      val want = events.groupBy(_._1).map { case (u, evs) =>
+        var t = Long.MinValue
+        var n = 0L
+        var stop = false
+        for (st <- steps if !stop) {
+          val cand = evs.filter(e => e._2 == st && e._3.getTime * 1000L > t)
+          if (cand.isEmpty) stop = true
+          else { t = cand.map(_._3.getTime * 1000L).min; n += 1 }
+        }
+        u -> n
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("packChunks equals an in-memory running layout on random groups") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = (0 until 50).map { i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, 1 + rnd.nextInt(900))
+      }
+      val budget = 1000
+      val got = Sampling.packChunks(rows.toDF("g", "id", "n"), "g", "id", "n", budget)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var cum = 0L
+        rs.sortBy(_._2).map { case (_, id, n) =>
+          val start = cum
+          cum += n
+          (g, id) -> ((start / budget, start % budget,
+            start % budget + n > budget))
+        }
+      }
+      assert(got == want.toMap, s"seed=$seed")
+    }
+  }
+}
