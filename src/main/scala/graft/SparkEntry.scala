@@ -547,6 +547,30 @@ object SparkEntry {
         "source", "doc_id", "n_tokens", budget = 2048)
         .orderBy("source", "doc_id")),
 
+    // ── §2.9: the corpus pipeline END TO END — the composition a training
+    //    corpus actually ships through: median quality cut → exact dedup
+    //    (deterministic keeper) → leakage-free split by source → per-split
+    //    document/token accounting. Every stage is one of the declared
+    //    operators; this query proves they COMPOSE ─────────────────────────
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        TextOps.qualityFilter(docs, "doc_id", "text", quantile = 0.5)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val surv = kept.join(
+        Dedup.exact(kept, "doc_id", "text")
+          .select(col("keeper").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Sampling.splitAssign(surv, "source",
+          Seq(("train", 80), ("valid", 10), ("test", 10)))
+        .select(col("split"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("nt"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     // ── §2.9: RAG-style overlapping text chunking — 500-char windows
     //    advancing by 400 (100 overlap); map-side explode, no shuffle ──────
     "q_chunk_text" -> ((s, dir) =>
@@ -1319,6 +1343,35 @@ object SparkEntry {
                 s % 2048 AS chunk_offset,
                 (s % 2048 + n_tokens > 2048) AS straddles
          FROM c ORDER BY source, doc_id""",
+    "q_corpus_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, lower(text) t,
+                           CAST(length(text) AS DOUBLE) len,
+                           ' ' || lower(text) || ' ' p,
+                           CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS DOUBLE) ntok
+                    FROM documents),
+         c AS (SELECT doc_id,
+                 length(regexp_replace(t, '[^a-z]', '', 'g')) / len AS alpha,
+                 (len - length(replace(t, ' ', ''))) / len AS space,
+                 ((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3
+                  + (length(p)-length(replace(p,' of ','')))/4 + (length(p)-length(replace(p,' and ','')))/5) / ntok AS stop
+               FROM q),
+         sc AS (SELECT doc_id,
+                      round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
+               FROM c),
+         kept AS (SELECT d.* FROM documents d
+                  JOIN sc ON d.doc_id = sc.doc_id
+                  WHERE sc.quality >= (SELECT quantile_cont(quality, 0.5) FROM sc)),
+         k AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         surv AS (SELECT kept.* FROM kept JOIN k ON kept.doc_id = k.doc_id),
+         sp AS (SELECT text,
+                  CASE WHEN ${bucketSql("source")} < 80 THEN 'train'
+                       WHEN ${bucketSql("source")} < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM surv)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(trim(lower(text)), ' +'))) AS BIGINT)
+                  AS sum_tokens
+         FROM sp GROUP BY split ORDER BY split""",
     "q_chunk_text" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
          c AS (SELECT doc_id, i AS chunk_no, i * 400 AS chunk_start,
