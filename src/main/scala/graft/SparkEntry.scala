@@ -602,6 +602,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.3: six-way star join (TPC-H Q5 shape) — local-supplier revenue
+    //    per nation in one region; the fact table joins once per dimension
+    //    and every dimension side broadcasts (Catalyst/AQE pick the order;
+    //    the c_nationkey = s_nationkey residual makes it a genuine
+    //    multi-predicate reorder problem, not a chain) ──────────────────────
+    "q_local_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey")
+          && c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(n("n_name").as("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(38, 6))).cast(DoubleType).as("revenue"))
+        .orderBy("n_name")
+    }),
+
     // ── §2.1 S5-S8 complement: keyed MERGE/upsert — 'O'-status orders get
     //    a repriced source row (replace), key 1 is a fresh insert, the
     //    rest of the target survives untouched ──────────────────────────────
@@ -1236,6 +1262,18 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_local_volume" ->
+      """SELECT n_name, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
     "q_upsert" ->
       """WITH ord AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
          src AS (SELECT key, round(price * 2, 2) AS price FROM ord
