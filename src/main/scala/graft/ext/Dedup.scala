@@ -371,17 +371,23 @@ object Dedup {
     * GPT-3/PaLM-style training-set filtering).
     *
     * Scale shape: the benchmark shingle set is tiny next to the corpus —
-    * it is DEDUPLICATED and BROADCAST, so the corpus-side scan is one
-    * map-side semi-join probe per shingle with NO shuffle of the training
-    * corpus; the only shuffle is the per-doc overlap count on doc_id.
-    * Returns (doc_id, n_shingles, n_overlap, contaminated).
+    * it is DEDUPLICATED and (by default) BROADCAST, so the corpus-side
+    * scan is one map-side semi-join probe per shingle with NO shuffle of
+    * the training corpus; the only shuffle is the per-doc overlap count
+    * on doc_id. The broadcast is an explicit knob, not a hard-coded
+    * assumption: a benchmark too big for the driver/broadcast limit sets
+    * `broadcastBench = false` and the same plan degrades to a shuffle
+    * semi-join on the shingle key. Returns
+    * (doc_id, n_shingles, n_overlap, contaminated).
     */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, minOverlap: Int = 1): DataFrame = {
+                    textCol: String, minOverlap: Int = 1,
+                    broadcastBench: Boolean = true): DataFrame = {
     val trainSh = shingles(train, idCol, textCol).distinct()
-    val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()
+    val benchSh0 = shingles(bench, idCol, textCol).select("sh").distinct()
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
     val overlap = trainSh
-      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .join(benchSh, Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(overlap, Seq("doc_id"), "left")
