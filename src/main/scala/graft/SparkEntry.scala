@@ -530,6 +530,42 @@ object SparkEntry {
       store.placements.orderBy("shard_id", "shard_length", "hostname")
     }),
 
+    // ── §3.3: the --fetch-min-max sync mode END TO END through the catalog
+    // (HdfsSynchronizer.java:291-315 + CitusMasterNode.java:312-331): the
+    // partition column is REGISTERED table metadata (master_get_table_
+    // metadata analog), stats are ONE distributed min/max aggregation, and
+    // the sync commit writes them into the new shard rows. Kept shards keep
+    // their old (null) stats — the reference only attaches stats to shards
+    // it inserts. Catalog seeded from F-status orders so the lineitem
+    // snapshot yields both kept and new shards. ──────────────────────────
+    "q_sync_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val src = li.select(
+        col("l_orderkey").as("shard_id"),
+        col("l_linenumber").cast(LongType).as("shard_length"),
+        concat(lit("host"), (col("l_suppkey") % 7).cast(StringType)).as("hostname"))
+        .distinct()
+        .persist()
+      val ord = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val catShards = ord.select(lit(1L).as("table_id"),
+        col("o_orderkey").as("shard_id"), lit("f").as("storage"),
+        lit(null).cast(StringType).as("min_value"),
+        lit(null).cast(StringType).as("max_value"))
+      val catPlacements = ord.select(col("o_orderkey").as("shard_id"),
+        lit(1L).as("shard_length"),
+        concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
+        .distinct()
+      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val store = new MetaStore(s, root)
+      store.commit(catShards, catPlacements)
+      store.registerTable(1L, "lineitem", Some("l_partkey"))
+      val eng = new SyncEngine(s, store)
+      val stats = eng.computeStats(1L, li, "l_orderkey")
+      eng.sync(1L, src.select("shard_id").distinct(), src, Some(stats))
+      src.unpersist()
+      store.shards.orderBy("shard_id")
+    }),
+
     // ── §2.9: training-mixture stratified sample — per-language rates,
     //    md5-bucket selection (nested, reproducible, engine-replayable) ────
     "q_stratified_sample" -> ((s, dir) =>
@@ -1262,6 +1298,23 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    "q_sync_stats" ->
+      """WITH src AS (SELECT DISTINCT l_orderkey AS shard_id FROM lineitem),
+         cat AS (SELECT o_orderkey AS shard_id FROM orders
+                 WHERE o_orderstatus = 'F'),
+         stats AS (SELECT l_orderkey AS shard_id,
+                          CAST(min(l_partkey) AS VARCHAR) AS mn,
+                          CAST(max(l_partkey) AS VARCHAR) AS mx
+                   FROM lineitem GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS table_id, c.shard_id, 'f' AS storage,
+                CAST(NULL AS VARCHAR) AS min_value,
+                CAST(NULL AS VARCHAR) AS max_value
+         FROM cat c WHERE c.shard_id IN (SELECT shard_id FROM src)
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), s.shard_id, 'f', st.mn, st.mx
+         FROM src s JOIN stats st USING (shard_id)
+         WHERE s.shard_id NOT IN (SELECT shard_id FROM cat)
+         ORDER BY shard_id""",
     "q_local_volume" ->
       """SELECT n_name, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
