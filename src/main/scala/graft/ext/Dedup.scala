@@ -128,12 +128,20 @@ object Dedup {
     * — bucket-join on (band index, band value), then verify candidates
     * with popcount(xor) over the full fingerprint.
     *
-    * Scale: the band join IS the shuffle partitioning (key = band value);
-    * no all-pairs stage. Per-band bucket fan-out is |corpus| / 2^w for
-    * w-bit bands — lower maxHamming ⇒ wider bands ⇒ smaller buckets. At
-    * 100 TB pair with a 128-bit fingerprint or pre-group identical
-    * fingerprints (exact dups) before banding so a giant duplicate cluster
-    * can't explode one bucket.
+    * Scale: identical fingerprints are PRE-GROUPED before banding. Exact
+    * duplicates are near-universal at corpus scale, and every member of an
+    * identical-fingerprint cluster lands in the same (band, value) bucket
+    * of EVERY band — without the pre-group an n-member cluster is
+    * bands·n²/2 joined rows before dedup (10¹² for one 1M cluster). With
+    * it, the band join sees ONE representative per DISTINCT fingerprint,
+    * so candidate volume is driven by near-dup structure, not duplicate
+    * multiplicity; member pairs are expanded from the group table
+    * afterwards — emitting exactly the output rows, once, with hamming
+    * known (0 within a group, the verified rep distance across groups)
+    * without re-banding. Per-band bucket fan-out over the distinct
+    * fingerprints is |distinct| / 2^w for w-bit bands — lower maxHamming ⇒
+    * wider bands ⇒ smaller buckets; at 100 TB pair with a 128-bit
+    * fingerprint for more headroom.
     *
     * Returns (da, db, hamming) with da < db, hamming ≤ maxHamming.
     */
@@ -141,6 +149,35 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"bands=$bands must divide 64")
+    val (groups, members) = simHashGroups(docs, idCol, textCol, bands)
+    // Across groups: band-join the representatives, then expand each
+    // verified rep pair to its member pairs (doc→group is unique, so no
+    // member pair can arise twice). Docs in different groups may order
+    // either way relative to their reps — least/greatest restores da < db.
+    val cross = simHashRepPairs(groups, bands, maxHamming)
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("ida")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("idb")), Seq("rb"))
+      .select(least(col("ida"), col("idb")).as("da"),
+        greatest(col("ida"), col("idb")).as("db"), col("hamming"))
+    // Within a group every pair is a result row at hamming 0 — a straight
+    // group-key self-join emitting the answer itself (output-sized, not
+    // bands×-duplicated, no distinct needed).
+    val within = members.as("a")
+      .join(members.as("b").hint("merge"),
+        col("a.rep") === col("b.rep") && col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(0).as("hamming"))
+    within.unionByName(cross)
+  }
+
+  /** Fingerprint pre-group for simHashPairs: (groups, members) where
+    * `groups` has one row per DISTINCT fingerprint — (cs: chunked
+    * fingerprint, rep: min member doc_id) — and `members` maps every
+    * doc_id to its group's rep. Package-private so tests can pin that
+    * candidate volume is per-distinct-fingerprint, not per-document. */
+  private[graft] def simHashGroups(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   bands: Int): (DataFrame, DataFrame) = {
     val w = 64 / bands
     // Band b = bits [b*w, (b+1)*w) of the fingerprint, packed into a long.
     val chunkCols = (0 until bands).map { b =>
@@ -152,7 +189,21 @@ object Dedup {
       .select(col("doc_id") +: chunkCols: _*)
       .select(col("doc_id"),
         array((0 until bands).map(b => col(s"c$b")): _*).as("cs"))
-    val banded = sig.select(col("doc_id"), col("cs"),
+    val groups = sig.groupBy("cs").agg(min(col("doc_id")).as("rep"))
+    // Merge-hinted so the sig subtree's cs-exchange is shared between the
+    // groupBy above and this join's probe side (ReuseExchange) — an AQE
+    // broadcast of `groups` would recompute the signature pipeline twice.
+    val members = sig.join(groups.hint("merge"), Seq("cs"))
+      .select(col("doc_id"), col("rep"))
+    (groups, members)
+  }
+
+  /** Band join over ONE representative per distinct fingerprint: verified
+    * (ra, rb, hamming) rep pairs with ra < rb, 1 ≤ hamming ≤ maxHamming
+    * (hamming 0 is impossible across distinct fingerprints). */
+  private[graft] def simHashRepPairs(groups: DataFrame, bands: Int,
+                                     maxHamming: Int): DataFrame = {
+    val banded = groups.select(col("rep"), col("cs"),
       posexplode(col("cs")).as(Seq("b", "bv")))
     val hamming = (0 until bands).map(b =>
       bit_count(element_at(col("a.cs"), b + 1)
@@ -163,8 +214,8 @@ object Dedup {
     banded.as("a")
       .join(banded.as("c").hint("merge"),
         col("a.b") === col("c.b") && col("a.bv") === col("c.bv")
-          && col("c.doc_id") > col("a.doc_id"))
-      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),
+          && col("c.rep") > col("a.rep"))
+      .select(col("a.rep").as("ra"), col("c.rep").as("rb"),
         hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

@@ -136,6 +136,41 @@ class DedupDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashPairs: identical-fingerprint cluster cannot explode the band join") {
+    import spark.implicits._
+    // n identical docs + three distinct ones. The fingerprint pre-group
+    // means the band join sees ONE representative per DISTINCT fingerprint,
+    // so its candidate volume must be IDENTICAL whether the duplicate
+    // cluster has 30 or 300 members — while the emitted pairs still cover
+    // the whole cluster (C(n,2) rows at hamming 0).
+    def corpus(n: Int): Seq[(Long, String)] =
+      (0L until n.toLong).map(id =>
+        id -> "alpha beta gamma delta epsilon zeta") ++
+        Seq((1000L, "theta iota kappa theta iota"),
+            (1001L, "mu lambda eta mu lambda"),
+            (1002L, "kappa eta mu beta kappa"))
+    val bands = 8 // maxHamming = 7
+    def shapes(n: Int): (Long, Long) = {
+      val (groups, members) = Dedup.simHashGroups(
+        corpus(n).toDF("doc_id", "text"), "doc_id", "text", bands)
+      assert(members.count() == n + 3)
+      (groups.count(), Dedup.simHashRepPairs(groups, bands, 7).count())
+    }
+    val (g30, cand30) = shapes(30)
+    val (g300, cand300) = shapes(300)
+    assert(g30 == g300, "distinct-fingerprint count must not depend on cluster size")
+    assert(cand30 == cand300,
+      s"band-join candidates must be per-distinct-fingerprint: $cand30 vs $cand300")
+    val out = Dedup.simHashPairs(corpus(30).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue))
+    val withinCluster = out.filter { case (da, db, _) => da < 30 && db < 30 }
+    assert(withinCluster.length == 30 * 29 / 2,
+      "every within-cluster pair must still be emitted exactly once")
+    assert(withinCluster.forall(_._3 == 0L))
+  }
+
   test("connectedComponents equals in-memory union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(5, 6)) {
