@@ -426,6 +426,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X8: REAL compressed-image decode — PNG synthesized per
+    //    document (zlib DEFLATE), then parsed back through CRC-verified
+    //    chunks, Inflater, and scanline unfiltering; the channel sum is
+    //    computed over the DECODED pixels ──────────────────────────────────
+    "q_media_png" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.pngRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X8: REAL image resize — BMP synthesized, nearest-neighbor
     //    downsampled ×2 (true pixel selection + re-encode), and the
     //    RESIZED container parsed back for geometry + channel sum ──────────
@@ -1233,6 +1243,18 @@ object SparkEntry {
          SELECT doc_id, CAST(16 AS BIGINT) width,
                 CAST(greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) AS BIGINT) height,
                 CAST(24 AS BIGINT) bpp, CAST(s AS BIGINT) sum_channels
+         FROM agg ORDER BY doc_id""",
+    // documents.text is ASCII-safe (TESTDATA.md): byte i == ascii(char i),
+    // so the decoded-pixel sum equals the character-code sum (zero padding
+    // contributes nothing) — same contract as q_media_bmp.
+    "q_media_png" ->
+      """WITH agg AS (SELECT doc_id, strlen(text) n,
+                             sum(ascii(substr(text, CAST(j AS INT), 1))) s
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1, 2)
+         SELECT doc_id, CAST(16 AS BIGINT) width,
+                CAST(greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) AS BIGINT) height,
+                CAST(3 AS BIGINT) channels, CAST(s AS BIGINT) sum_channels
          FROM agg ORDER BY doc_id""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ep, event_id

@@ -16,14 +16,16 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, head_byte: Int, checksum: 
   * run per-partition in batches (the JVM analog of `mapInPandas` — one
   * decoder init per partition, amortized over its rows).
   *
-  * Two decode tiers: formats needing no codec library — RIFF/WAVE PCM16
-  * and 24-bit BMP — are decoded FOR REAL via MediaCodecs (wavRoundTrip /
-  * bmpRoundTrip, oracle-verified end-to-end). For compressed formats
-  * (JPEG/PNG/MP4) this container has no codecs, so `decodeStub` computes
-  * deterministic byte-level features where a real pipeline would plug a
-  * decoder + vision encoder into the same per-partition slot. The
-  * Spark-side plumbing — binary schema, partition-batched execution,
-  * feature schema — is identical for both tiers and oracle-tested.
+  * Two decode tiers: formats the JVM can decode without codec libraries —
+  * RIFF/WAVE PCM16, 24-bit BMP, and 8-bit PNG (zlib inflate + scanline
+  * unfiltering) — are decoded FOR REAL via MediaCodecs (wavRoundTrip /
+  * bmpRoundTrip / pngRoundTrip, oracle-verified end-to-end). For formats
+  * needing an external codec (JPEG/MP4) this container has none, so
+  * `decodeStub` computes deterministic byte-level features where a real
+  * pipeline would plug a decoder + vision encoder into the same
+  * per-partition slot. The Spark-side plumbing — binary schema,
+  * partition-batched execution, feature schema — is identical for both
+  * tiers and oracle-tested.
   */
 object Media {
 
@@ -120,6 +122,33 @@ object Media {
         }
       }
       .toDF("doc_id", "width", "height", "bpp", "sum_channels")
+  }
+
+  /** Synthesize a genuine 8-bit RGB PNG per document (fixed width; channel
+    * bytes = text bytes zero-padded to full rows), then REALLY parse it
+    * back with MediaCodecs.decodePng — CRC-verified chunk walk, zlib
+    * inflate, scanline unfiltering, channel sum over the DECODED pixels.
+    * The compressed tier's analog of bmpRoundTrip: every emitted column
+    * travels through the DEFLATE stream inside the container. */
+  def pngRoundTrip(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 16)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val rowBytes = width * 3
+          val height = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+          val channels = java.util.Arrays.copyOf(bytes, rowBytes * height)
+          val png = MediaCodecs.encodePng(width, height, 3, channels)
+          val info = MediaCodecs.decodePng(png)
+          (id, info.width.toLong, info.height.toLong,
+            info.channels.toLong, info.sumChannels)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "sum_channels")
   }
 
   /** REAL image resize for the codec-free tier: synthesize a genuine

@@ -2,17 +2,18 @@ package graft.ext
 
 /** Pure-JVM media container codecs — the REAL decode half of the
   * multimodal pipeline (SURVEY §2.9 X8). This container ships no external
-  * codec libraries, so the formats implemented are the two classic
-  * header+raw-payload containers that need none: RIFF/WAVE PCM16 audio and
-  * 24-bit uncompressed BMP images. Both decoders are genuine parsers —
-  * chunk walking, little-endian field decoding, bottom-up padded pixel
-  * rows — not format-shaped stubs; the encoders exist so pipelines (and
-  * tests) can synthesize valid containers deterministically.
+  * codec libraries, so the formats implemented are the ones the JDK alone
+  * can decode honestly: RIFF/WAVE PCM16 audio, 24-bit uncompressed BMP,
+  * and 8-bit non-interlaced PNG (zlib/DEFLATE via `java.util.zip.Inflater`
+  * plus the five scanline filters). All decoders are genuine parsers —
+  * chunk walking, endian field decoding, CRC verification, padded/filtered
+  * pixel rows — not format-shaped stubs; the encoders exist so pipelines
+  * (and tests) can synthesize valid containers deterministically.
   *
   * Everything here is plain byte arithmetic on a local array — the
-  * distributed story is Media.decodeWav/decodeBmp, which run these per
-  * partition over the binary column (decoder state initialized once per
-  * partition, amortized across its rows).
+  * distributed story is Media.decodeWav/decodeBmp/decodePng, which run
+  * these per partition over the binary column (decoder state initialized
+  * once per partition, amortized across its rows).
   */
 object MediaCodecs {
 
@@ -201,6 +202,213 @@ object MediaCodecs {
       y += 1
     }
     (info.width, info.height, out)
+  }
+
+  // ── PNG (8-bit grayscale/RGB/RGBA, non-interlaced) ────────────────────
+
+  /** Decoded PNG facts: IHDR geometry plus the integer sum of all decoded
+    * channel bytes (after unfiltering — values of the actual image, not of
+    * the compressed stream). */
+  case class PngInfo(width: Int, height: Int, bitDepth: Int, channels: Int,
+                     sumChannels: Long)
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+
+  /** One PNG chunk: length, type, data, CRC32 over type+data. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    putBe32(out, 0, data.length)
+    typ.getBytes("US-ASCII").copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    putBe32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** Paeth predictor (PNG filter 4): the neighbor — left a, above b,
+    * upper-left c — closest to a + b − c, ties resolved a, b, c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 6 => 4 // RGBA
+    case t => throw new IllegalArgumentException(
+      s"unsupported PNG color type $t (grayscale/RGB/RGBA only)")
+  }
+
+  /** Serialize 8-bit top-down row-major channel bytes (1 = grayscale,
+    * 3 = RGB, 4 = RGBA) into a genuine PNG: signature, IHDR, one IDAT
+    * holding the zlib-deflated filtered scanlines, IEND — CRCs included.
+    * `filterType` picks the per-scanline filter (0–4); 0 (None) is the
+    * deterministic default, the others exist so the decoder's filter
+    * reconstruction is testable against real filtered streams. */
+  def encodePng(width: Int, height: Int, channels: Int,
+                channelBytes: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"unsupported channel count $channels")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    require(channelBytes.length == width * height * channels,
+      "channelBytes must be width * height * channels")
+    val stride = width * channels
+    // Filtered scanlines: each row is a filter-type byte + stride bytes of
+    // raw(x) − predictor(x) mod 256.
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = filterType.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = channelBytes(y * stride + x) & 0xff
+        val left = if (x >= channels) channelBytes(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) channelBytes((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= channels && y > 0)
+          channelBytes((y - 1) * stride + x - channels) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val idat = try {
+      deflater.setInput(raw)
+      deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+      buf.toByteArray
+    } finally deflater.end()
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width)
+    putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (channels match { case 1 => 0; case 3 => 2; case 4 => 6 }).toByte
+    // ihdr(10..12): compression 0, filter method 0, non-interlaced
+    pngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse a PNG and recover the top-down channel-byte stream: validates
+    * the signature, walks chunks verifying every CRC, reads geometry from
+    * IHDR (8-bit grayscale/RGB/RGBA, non-interlaced only), concatenates
+    * the IDAT payloads, inflates the zlib stream, and reconstructs pixels
+    * through the five scanline filters (None/Sub/Up/Average/Paeth).
+    * Returns (width, height, channels, channelBytes). */
+  def pngChannels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 + 25 && // signature + IHDR chunk + room for IEND
+      java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 8), pngSignature),
+      "not a PNG")
+    var off = 8
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    val crc = new java.util.zip.CRC32()
+    while (!sawEnd) {
+      require(off + 8 <= bytes.length, "truncated chunk header")
+      val len = be32(bytes, off)
+      require(len >= 0 && off + 12 + len <= bytes.length, "truncated chunk")
+      val typ = tag(bytes, off + 4)
+      crc.reset()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, off + 8 + len),
+        s"CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          width = be32(bytes, off + 8)
+          height = be32(bytes, off + 12)
+          require(width > 0 && height > 0, "empty PNG")
+          require(bytes(off + 16) == 8,
+            s"unsupported bit depth ${bytes(off + 16)} (8 only)")
+          channels = channelsOf(bytes(off + 17) & 0xff)
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+            "unsupported compression/filter method")
+          require(bytes(off + 20) == 0, "interlaced PNG unsupported")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunks (tEXt, pHYs, …) — skip, CRC-checked
+      }
+      off += 12 + len
+    }
+    require(width > 0 && idat.size > 0, "missing IHDR or IDAT")
+    val stride = width * channels
+    val rawLen = (stride + 1) * height
+    val raw = new Array[Byte](rawLen)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < rawLen && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, rawLen - got)
+        require(n > 0 || inflater.finished(),
+          "truncated or dictionary-bearing zlib stream")
+        got += n
+      }
+      require(got == rawLen, s"inflated $got bytes, expected $rawLen")
+    } finally inflater.end()
+    // Unfilter: each scanline declares its own filter; reconstruction uses
+    // the already-reconstructed left/up/upper-left neighbors.
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      require(f <= 4, s"bad scanline filter $f")
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= channels) out(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= channels && y > 0)
+          out((y - 1) * stride + x - channels) & 0xff else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        out(y * stride + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, channels, out)
+  }
+
+  /** Parse a PNG into header facts + the channel-byte sum of the DECODED
+    * image (full inflate + unfilter — the sum proves the pixels, not the
+    * container, survived the round trip). */
+  def decodePng(bytes: Array[Byte]): PngInfo = {
+    val (w, h, ch, px) = pngChannels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    PngInfo(w, h, 8, ch, sum)
   }
 
   /** REAL nearest-neighbor integer-factor downsample of a 24-bit BMP:
