@@ -25,17 +25,28 @@ object Bench {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     // Warm-up pass: run the whole suite once so JVM/codegen/scheduler
     // absorption and parquet footer caching don't land on whichever query
-    // happens to run first; the measured pass then reflects plan cost.
+    // happens to run first; the measured passes then reflect plan cost.
     suite.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => } }
-    // A query that throws in the measured pass records a NEGATIVE elapsed
-    // time — the failure sentinel. Without it a broken query (which often
-    // fails fast) would masquerade as a speedup in the BENCH json.
-    val results = suite.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+    // THREE measured whole-suite passes, per-query MEDIAN: single-pass
+    // numbers in a contended environment swing ±30% with occasional 10×
+    // one-off stalls (GC/scheduling) — a median kills any single outlier
+    // while full-suite interleaving keeps one machine-wide stall from
+    // hitting all of a query's samples. A query that throws in any
+    // measured pass records a NEGATIVE time — the failure sentinel;
+    // without it a broken query (which often fails fast) would masquerade
+    // as a speedup in the BENCH json.
+    val passes = (1 to 3).map { _ =>
+      suite.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case _: Throwable => false }
+        name -> (ok, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    val results = suite.map { case (name, _) =>
+      val samples = passes.map(_(name))
+      val median = samples.map(_._2).sorted.apply(samples.size / 2)
+      name -> (if (samples.forall(_._1)) median else -median)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
