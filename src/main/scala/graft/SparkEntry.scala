@@ -702,6 +702,39 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── §2.9 X9: small-files compaction — documents scattered over 32
+    //    files, rewritten to the byte-target file count; the result reads
+    //    THROUGH the compacted output (rows + id sum survive the rewrite,
+    //    file count is the compaction contract) ─────────────────────────────
+    "q_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+      val src = tmp + "/src"; val dst = tmp + "/dst"
+      t(s, dir, "documents").select("doc_id", "text")
+        .repartition(32).write.mode("overwrite").parquet(src)
+      val written = graft.sources.Layout.compact(s, src, dst,
+        targetBytes = 512L * 1024 * 1024) // fixture bytes ≪ target → 1 file
+      s.read.parquet(dst)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast(LongType).as("sum_ids"))
+        .select(col("n_rows"), col("sum_ids"),
+          lit(written.toLong).as("n_files"))
+    }),
+
+    // ── skew handling: salted equi-join must EQUAL the plain join — the
+    //    oracle is the unsalted SQL join, so any salt/replication slip
+    //    (dropped row, double count) hash-mismatches ────────────────────────
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      CoreOps.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(38, 6)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ── §2.9: event correlation (interval self-join) — view→click pairs
     //    within 1 hour per user; equi-join on user_id, window residual ─────
     "q_event_correlate" -> ((s, dir) =>
@@ -1364,6 +1397,18 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    // rows + id sum must survive the rewrite; the fixture is far below the
+    // byte target, so exactly one output file is the deterministic contract
+    "q_compact" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(1 AS BIGINT) AS n_files
+         FROM documents""",
+    // the oracle is the PLAIN join — salting must be invisible in results
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_event_correlate" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ep
                     FROM events)
