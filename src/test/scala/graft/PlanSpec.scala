@@ -123,6 +123,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join splits an oversized LSH band bucket") {
+    // SCALING.md's claim that AQE handles residual band-bucket skew is a
+    // CONFIG property — pin it so a session-config regression can't
+    // silently revert it. Fixture: one 200-member identical-text cluster
+    // (every member lands in the same (band, value) bucket of every band)
+    // next to distinct docs; with test-scale skew thresholds AQE must
+    // re-plan the merge join with skew-split partitions.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // the band join feeds a distinct, so the skew split adds a shuffle
+      // AQE must be told is acceptable (it is: the distinct reshuffles
+      // anyway)
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // enough partitions that the cluster's 4 hot (band, value) keys
+      // can't fill them all — skew is relative to the median partition
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val docs = ((0L until 200L).map(id =>
+        id -> "alpha beta gamma delta epsilon zeta eta theta") ++
+        Seq((900L, "iota kappa lambda mu iota kappa"),
+            (901L, "mu lambda kappa iota mu lambda"))).toDF("doc_id", "text")
+      val pairs = graft.ext.Dedup.minHashLsh(docs, "doc_id", "text")
+      // collect() drives pairs' OWN QueryExecution (count() would build a
+      // separate one and leave this plan unexecuted/unadapted)
+      assert(pairs.collect().length == 200 * 199 / 2,
+        "skew split must not change join results")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the band self-join skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("IVF assignment aggregates (no ranking window over the expansion)") {
     // max_by collapses corpus × centroids map-side; a Window here would
     // shuffle the full expansion (nCentroids × corpus rows).
