@@ -238,7 +238,9 @@ class MetaStore(spark: SparkSession, root: String) {
     val updated = tables.where(col("table_id") =!= tableId)
       .unionByName(Seq((tableId, name, partitionColumn))
         .toDF("table_id", "table_name", "partition_column"))
-    commit(shards, placements, Some(updated), expectedVersion = Some(base))
+    // only the tiny tables table changes — shards/placements carry forward
+    // as filesystem copies, not Spark rewrites
+    commitVersion(None, None, Some(updated), expectedVersion = Some(base))
   }
 
   /** Atomically replace the catalog tables: claim v<N+1> exclusively,
@@ -269,7 +271,31 @@ class MetaStore(spark: SparkSession, root: String) {
     */
   def commit(newShards: DataFrame, newPlacements: DataFrame,
              newTables: Option[DataFrame] = None,
-             expectedVersion: Option[Long] = None): Long = {
+             expectedVersion: Option[Long] = None): Long =
+    commitVersion(Some(newShards), Some(newPlacements), newTables,
+      expectedVersion)
+
+  /** The general commit: `None` for a table means its content is UNCHANGED
+    * from the current version — it is carried into the new version as a
+    * filesystem copy (a server-side copy on object stores) instead of a
+    * Spark scan+rewrite. An unchanged multi-GB catalog table then costs no
+    * job at all — the same design that lets log-structured table formats
+    * advance versions without touching unchanged data files. Callers are
+    * responsible for the "unchanged" claim (the sync engine derives it
+    * from its own diffs).
+    *
+    * `gate` is a validation action (e.g. the sync guards) evaluated
+    * CONCURRENTLY with the write jobs: its failure aborts the commit with
+    * the catalog untouched — the pointer never flips and the claimed
+    * version directory is deleted, exactly like a failed
+    * `expectedVersion` check. Overlapping validation with the writes
+    * removes a sequential job from every guarded commit while preserving
+    * the observable contract (old state or new state, never partial). */
+  private[graft] def commitVersion(newShards: Option[DataFrame],
+                                   newPlacements: Option[DataFrame],
+                                   newTables: Option[DataFrame],
+                                   expectedVersion: Option[Long],
+                                   gate: Option[() => Unit] = None): Long = {
     // One past BOTH the head and the highest COMMITTED version on disk:
     // after a rollback the head is behind abandoned-but-committed versions,
     // and re-claiming one of those must not conflict spuriously. Only
@@ -306,9 +332,9 @@ class MetaStore(spark: SparkSession, root: String) {
             s"from v$expected (root=$root) — re-read and retry")
       }
     }
-    // The three table writes are independent jobs — run them concurrently
+    // The table writes are independent jobs — run them concurrently
     // (cluster schedulers interleave their stages; the commit is gated on
-    // all three completing before the pointer flip either way). Each write
+    // all completing before the pointer flip either way). Each write
     // carries an `observe` so the committed row counts are captured from
     // the write jobs THEMSELVES — commit statistics with zero extra
     // actions (a separate count() would re-run each plan).
@@ -316,19 +342,49 @@ class MetaStore(spark: SparkSession, root: String) {
     import scala.concurrent.duration.Duration
     import org.apache.spark.sql.Observation
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val carriedTables = newTables.getOrElse(tables)
-    val obs = Seq("shards", "placements", "tables").map(n => n -> Observation()).toMap
-    def write(df: DataFrame, name: String): Unit =
-      df.observe(obs(name), org.apache.spark.sql.functions.count(
+    val head = currentVersion // stable: the claim serializes writers
+    def write(df: DataFrame, name: String): Long = {
+      val o = Observation()
+      df.observe(o, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
-    Await.result(Future.sequence(Seq(
-      Future(write(newShards, "shards")),
-      Future(write(newPlacements, "placements")),
-      Future(write(carriedTables, "tables")))), Duration.Inf)
+      o.get("n").asInstanceOf[Long]
+    }
+    // Unchanged table: filesystem copy of the current version's directory,
+    // row count taken from the manifest of the version that actually wrote
+    // the data (a read-back count job only for pre-manifest versions). An
+    // absent directory (empty catalog) stays absent — readers treat a
+    // missing table directory as empty.
+    def carry(name: String): Long = {
+      val srcDir = new Path(rootPath, s"v$head/$name")
+      if (head < 0 || !fs.exists(srcDir)) 0L
+      else {
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcDir, fs,
+          new Path(rootPath, s"v$next/$name"), false,
+          spark.sparkContext.hadoopConfiguration)
+        manifest(head).getOrElse(name,
+          spark.read.parquet(s"$root/v$next/$name").count())
+      }
+    }
+    def put(df: Option[DataFrame], name: String): Future[(String, Long)] =
+      Future(name -> df.fold(carry(name))(write(_, name)))
+    val gateF = Future(gate.foreach(_.apply()))
+    val writesF = Future.sequence(Seq(
+      put(newShards, "shards"),
+      put(newPlacements, "placements"),
+      put(newTables, "tables")))
+    // the gate races the writes; its failure aborts BEFORE any visible
+    // state change (writes settle first so the delete is clean)
+    val writesTry = scala.util.Try(Await.result(writesF, Duration.Inf))
+    try Await.result(gateF, Duration.Inf)
+    catch {
+      case e: Throwable =>
+        fs.delete(new Path(rootPath, s"v$next"), true)
+        throw e
+    }
     // manifest: the observed row counts, written BEFORE the marker so any
     // version bearing _committed also has its stats
-    val counts = obs.map { case (n, o) => n -> o.get("n").asInstanceOf[Long] }
+    val counts = writesTry.get.toMap
     val mOut = fs.create(new Path(rootPath, s"v$next/_manifest.json"), true)
     try mOut.write(
       counts.toSeq.sortBy(_._1)

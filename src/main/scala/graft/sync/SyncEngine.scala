@@ -96,9 +96,13 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     *      (the dominant shuffles: full-width rows both directions)
     *      disappear from the apply path entirely.
     *   2. Placement row-diffs are then needed only for NO-OP DETECTION,
-    *      and only when the id sets are identical — one count plus one
+    *      and only when the id sets are identical — counts first (unequal
+    *      sizes prove a change with no except shuffle at all), then one
     *      one-directional except (equal counts + empty src−cat ⇒ sets
     *      equal), skipped whenever the id diff already proves a change.
+    *   3. When the id sets are identical, BOTH guards are vacuous (their
+    *      inputs — the id diffs — are empty), so the guard job itself is
+    *      skipped; it runs only on the id-changing path it can fail on.
     */
   def sync(tableId: Long, sourceIds: DataFrame, sourcePlacements: DataFrame,
            stats: Option[DataFrame] = None): Long = {
@@ -116,33 +120,50 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
     val oldShardIds = CoreOps.diffOld(srcIds, catalogIds).persist()
     try {
       // No-op fast path (README.md:10-13): id diffs first — a union of two
-      // persisted narrow sets, whose shuffles the guards need anyway. Only
-      // if the id sets are identical does the placement comparison run, as
-      // ONE action over the symmetric difference (both excepts in one job;
-      // putting the excepts in the id-check union would drag their shuffle
+      // persisted narrow sets, whose shuffles the apply path needs anyway
+      // (putting more legs in the id-check union would drag their shuffle
       // stages into every apply-path job — parent stages run regardless of
-      // which union partitions a take() probes). Both sides are scoped to
-      // this table — another table's rows must not defeat the fast path.
+      // which union partitions a take() probes). Only if the id sets are
+      // identical does the placement comparison run: counts first (unequal
+      // sizes prove a change with no except shuffle — srcPl is deduped, so
+      // a dup-bearing catalog slice just reads as changed and gets
+      // rewritten deduped), then ONE one-directional except — equal counts
+      // plus empty src−cat proves set equality without the reverse except.
+      // Both sides are scoped to this table — another table's rows must
+      // not defeat the fast path.
       val one = (d: DataFrame) => d.select(lit(1).as("one"))
       val idsChanged = !one(newShardIds).union(one(oldShardIds)).limit(1).isEmpty
-      val changed = idsChanged ||
-        !one(srcPl.except(catalogPlacements))
-          .union(one(catalogPlacements.except(srcPl)))
-          .limit(1).isEmpty
+      def placementsChanged: Boolean = {
+        // both counts in ONE tagged-union job (no short-circuit exists
+        // between them — they are only ever compared to each other)
+        val counts = srcPl.select(lit("s").as("side"))
+          .unionByName(catalogPlacements.select(lit("c").as("side")))
+          .groupBy("side").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        counts.getOrElse("s", 0L) != counts.getOrElse("c", 0L) ||
+          !srcPl.except(catalogPlacements).limit(1).isEmpty
+      }
+      val changed = idsChanged || placementsChanged
       if (!changed) return baseVersion
 
-      // Guards J5 + J6 as ONE job (both read the same persisted inputs;
-      // a second action would only pay scheduler overhead again):
+      // Guards J5 + J6 — skipped entirely when the id sets are unchanged
+      // (both read the id diffs as their subject: no removed shard can be
+      // orphaned and no new shard unplaced if neither exists). When they
+      // can fail, both run as ONE job (they read the same persisted
+      // inputs; a second action would only pay scheduler overhead again),
+      // CONCURRENT with the commit's writes as its gate — a violation
+      // still aborts with the catalog untouched (the pointer never flips):
       // J5 — a removed shard must have NO remaining placements in the
       // post-apply set, i.e. in the source snapshot
       // (HdfsSynchronizer.java:263-273); J6 — a new shard must have at
       // least one placement (HdfsSynchronizer.java:282-289).
-      checkGuards(oldShardIds, newShardIds, srcPl,
-        orphanMsg = id => s"shard $id was removed but still has placements",
-        unplacedMsg = id => s"shard $id is new but has no placements")
+      val guards = if (!idsChanged) None else Some(() =>
+        checkGuards(oldShardIds, newShardIds, srcPl,
+          orphanMsg = id => s"shard $id was removed but still has placements",
+          unplacedMsg = id => s"shard $id is new but has no placements"))
 
       commitState(tableId, catalogIds, newShardIds, oldShardIds, srcPl, stats,
-        baseVersion)
+        baseVersion, shardsUnchanged = !idsChanged, gate = guards)
     } finally
       Seq(srcIds, srcPl, newShardIds, oldShardIds).foreach(_.unpersist())
   }
@@ -215,12 +236,17 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
         if (!idsChanged && !anyApplied)
           return SyncResult(baseVersion, skippedCount, skipped)
 
-        checkGuards(oldShardIds, newShardIds, current,
-          orphanMsg = id => s"could not remove shard placements for shard $id",
-          unplacedMsg = id => s"could not find shard placement for shard $id")
+        // same vacuity argument as the strict path: a failed drop can only
+        // orphan a REMOVED shard, a failed create only unplace a NEW one —
+        // no id change, no failable guard
+        val guards = if (!idsChanged) None else Some(() =>
+          checkGuards(oldShardIds, newShardIds, current,
+            orphanMsg = id => s"could not remove shard placements for shard $id",
+            unplacedMsg = id => s"could not find shard placement for shard $id"))
 
         val v = commitState(tableId, catalogIds, newShardIds, oldShardIds,
-          current, stats, baseVersion)
+          current, stats, baseVersion, shardsUnchanged = !idsChanged,
+          gate = guards)
         SyncResult(v, skippedCount, skipped)
       } finally current.unpersist()
     } finally
@@ -250,37 +276,46 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
   /** Shared commit tail: build the new shards table (kept + new, stats
     * attached — CitusMasterNode.java:221-242) and rewrite ONLY this table's
     * placement slice, preserving every other table's rows.
+    *
+    * `shardsUnchanged` (both id diffs proven empty — stats attach only to
+    * NEW shards, so no row can differ) carries the shards table into the
+    * new version as a filesystem copy instead of a scan+anti-join+union
+    * rewrite: a placements-only sync writes placements and nothing else.
     */
   private def commitState(tableId: Long, catalogIds: DataFrame,
                           newShardIds: DataFrame, oldShardIds: DataFrame,
                           tablePlacements: DataFrame,
                           stats: Option[DataFrame],
-                          baseVersion: Long): Long = {
-    val newShardRows = {
-      val base = newShardIds
-        .select(lit(tableId).as("table_id"), col("shard_id"),
-          lit("f").as("storage"))
-      stats match {
-        case Some(st) => base.join(st, Seq("shard_id"), "left")
-          .select(col("table_id"), col("shard_id"), col("storage"),
-            col("min_value").cast("string"), col("max_value").cast("string"))
-        case None => base
-          .withColumn("min_value", lit(null).cast("string"))
-          .withColumn("max_value", lit(null).cast("string"))
+                          baseVersion: Long,
+                          shardsUnchanged: Boolean = false,
+                          gate: Option[() => Unit] = None): Long = {
+    val newShards = if (shardsUnchanged) None else Some {
+      val newShardRows = {
+        val base = newShardIds
+          .select(lit(tableId).as("table_id"), col("shard_id"),
+            lit("f").as("storage"))
+        stats match {
+          case Some(st) => base.join(st, Seq("shard_id"), "left")
+            .select(col("table_id"), col("shard_id"), col("storage"),
+              col("min_value").cast("string"), col("max_value").cast("string"))
+          case None => base
+            .withColumn("min_value", lit(null).cast("string"))
+            .withColumn("max_value", lit(null).cast("string"))
+        }
       }
+      store.shards
+        .join(oldShardIds, Seq("shard_id"), "left_anti")
+        .select(col("table_id"), col("shard_id"), col("storage"),
+          col("min_value"), col("max_value"))
+        .union(newShardRows)
     }
-    val keptShards = store.shards
-      .join(oldShardIds, Seq("shard_id"), "left_anti")
-    val newShards = keptShards.select(
-        col("table_id"), col("shard_id"), col("storage"),
-        col("min_value"), col("max_value"))
-      .union(newShardRows)
     // Other tables' placements pass through untouched: the commit replaces
     // only the slice reachable from THIS table's (pre-sync) catalog ids.
     val otherPlacements = store.placements
       .join(catalogIds.select("shard_id"), Seq("shard_id"), "left_anti")
-    store.commit(newShards, otherPlacements.union(tablePlacements),
-      expectedVersion = Some(baseVersion))
+    store.commitVersion(newShards,
+      Some(otherPlacements.union(tablePlacements)), None,
+      expectedVersion = Some(baseVersion), gate = gate)
   }
 
   /** Per-shard min/max of a partition column, as one distributed job —
