@@ -720,6 +720,29 @@ object SparkEntry {
           lit(written.toLong).as("n_files"))
     }),
 
+    // ── catalog time travel + audit diff: two committed versions, then
+    //    MetaStore.changes reads BOTH immutable snapshots (shardsAt) and
+    //    reports added/removed shard rows — the versioned-layout feature
+    //    the O(1) pointer flip buys ─────────────────────────────────────────
+    "q_catalog_changes" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      val store = new MetaStore(s, root)
+      val ord = t(s, dir, "orders")
+      def shardsOf(pred: Column) = ord.where(pred)
+        .select(lit(1L).as("table_id"), col("o_orderkey").as("shard_id"),
+          lit("f").as("storage"),
+          lit(null).cast(StringType).as("min_value"),
+          lit(null).cast(StringType).as("max_value"))
+      def placementsOf(pred: Column) = ord.where(pred)
+        .select(col("o_orderkey").as("shard_id"), lit(1L).as("shard_length"),
+          lit("host0").as("hostname"))
+      store.commit(shardsOf(col("o_orderstatus") === "F"),
+        placementsOf(col("o_orderstatus") === "F"))          // v0
+      store.commit(shardsOf(col("o_orderpriority") === "1-URGENT"),
+        placementsOf(col("o_orderpriority") === "1-URGENT")) // v1
+      store.changes(0L, 1L).orderBy("change", "shard_id")
+    }),
+
     // ── skew handling: salted equi-join must EQUAL the plain join — the
     //    oracle is the unsalted SQL join, so any salt/replication slip
     //    (dropped row, double count) hash-mismatches ────────────────────────
@@ -1403,6 +1426,19 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                 CAST(1 AS BIGINT) AS n_files
          FROM documents""",
+    // the audit diff over two immutable catalog versions reduces to the
+    // excepts of the two seeding predicates
+    "q_catalog_changes" ->
+      """WITH a AS (SELECT o_orderkey AS shard_id FROM orders
+                    WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_orderkey AS shard_id FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+         SELECT CAST(1 AS BIGINT) AS table_id, shard_id, 'added' AS change
+         FROM b WHERE shard_id NOT IN (SELECT shard_id FROM a)
+         UNION ALL
+         SELECT CAST(1 AS BIGINT) AS table_id, shard_id, 'removed' AS change
+         FROM a WHERE shard_id NOT IN (SELECT shard_id FROM b)
+         ORDER BY change, shard_id""",
     // the oracle is the PLAIN join — salting must be invisible in results
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
