@@ -76,6 +76,53 @@ class MetaStoreSpec extends AnyFunSuite {
     assert(store.manifest(99L).isEmpty)
   }
 
+  test("carry-forward commit: unchanged tables copy at the FS level") {
+    val (store, root) = fresh()
+    store.commit(
+      Seq(ShardInfo(1L, 10L, "f", None, None),
+        ShardInfo(1L, 11L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(10L, 100L, "a")).toDF()) // v0
+    // placements-only change: shards + tables carried forward as copies
+    store.commitVersion(None,
+      Some(Seq(ShardPlacement(10L, 100L, "a"),
+        ShardPlacement(11L, 200L, "b")).toDF()), None,
+      expectedVersion = Some(0L)) // v1
+    assert(store.currentVersion == 1L)
+    // carried content identical, written content replaced
+    assert(store.shardsAt(1L).collect().toSet == store.shardsAt(0L).collect().toSet)
+    assert(store.placements.count() == 2)
+    // carried manifest counts come from the origin version's manifest
+    assert(store.manifest(1L) ==
+      Map("shards" -> 2L, "placements" -> 2L, "tables" -> 0L))
+    // the copy is physical: v1 owns its own files (vacuuming v0 must not
+    // break v1 readers — versions stay independently readable)
+    store.vacuum(keepLast = 0)
+    assert(store.shards.count() == 2 && store.placements.count() == 2)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(root, "v0")))
+  }
+
+  test("a failing commit gate aborts with the catalog untouched") {
+    val (store, _) = fresh()
+    seed(store) // v0
+    intercept[SyncAbortException] {
+      store.commitVersion(
+        Some(Seq(ShardInfo(1L, 11L, "f", None, None)).toDF()),
+        Some(Seq(ShardPlacement(11L, 100L, "b")).toDF()), None,
+        expectedVersion = Some(0L),
+        gate = Some(() => throw new SyncAbortException("guard violated")))
+    }
+    assert(store.currentVersion == 0L, "gate failure must not flip the pointer")
+    assert(store.shards.select("shard_id").collect().map(_.getLong(0)).toSet
+      == Set(10L), "catalog unchanged after aborted commit")
+    // the aborted claim is deleted — a retry targets the same version
+    store.commit(
+      Seq(ShardInfo(1L, 12L, "f", None, None)).toDF(),
+      Seq(ShardPlacement(12L, 100L, "c")).toDF(),
+      expectedVersion = Some(0L))
+    assert(store.currentVersion == 1L)
+  }
+
   test("stale-derivation commit is rejected (lost-update guard)") {
     val (store, _) = fresh()
     seed(store) // v0
