@@ -356,8 +356,16 @@ object MediaCodecs {
       off += 12 + len
     }
     require(width > 0 && idat.size > 0, "missing IHDR or IDAT")
-    val stride = width * channels
-    val rawLen = (stride + 1) * height
+    // dimensions come from the file (CRC only guards corruption, not a
+    // crafted header): a width*height*channels that overflows Int must be
+    // a clean rejection, not a negative-size allocation or a silent
+    // wraparound decode
+    val strideL = width.toLong * channels
+    val rawLenL = (strideL + 1) * height
+    require(rawLenL <= Int.MaxValue - 16,
+      s"PNG dimensions ${width}x$height too large to decode")
+    val stride = strideL.toInt
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     try {
