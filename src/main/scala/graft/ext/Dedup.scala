@@ -189,12 +189,16 @@ object Dedup {
       .select(col("doc_id") +: chunkCols: _*)
       .select(col("doc_id"),
         array((0 until bands).map(b => col(s"c$b")): _*).as("cs"))
-    val groups = sig.groupBy("cs").agg(min(col("doc_id")).as("rep"))
-    // Merge-hinted so the sig subtree's cs-exchange is shared between the
-    // groupBy above and this join's probe side (ReuseExchange) — an AQE
-    // broadcast of `groups` would recompute the signature pipeline twice.
-    val members = sig.join(groups.hint("merge"), Seq("cs"))
-      .select(col("doc_id"), col("rep"))
+    // ONE shuffle (window over the fingerprint) yields both views: the
+    // group representative as min(doc_id) over identical fingerprints,
+    // and the group table as the rows that ARE their own representative.
+    // A groupBy+join formulation costs two extra corpus-sized exchanges —
+    // pure overhead on corpora where exact dups are rare.
+    val members0 = sig.withColumn("rep", min(col("doc_id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("cs")))
+    val members = members0.select(col("doc_id"), col("rep"))
+    val groups = members0.where(col("doc_id") === col("rep"))
+      .select(col("cs"), col("rep"))
     (groups, members)
   }
 
