@@ -436,6 +436,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X8: REAL lossy-image decode — grayscale JPEG via the JDK's
+    //    own codec (javax.imageio, headless); geometry from the DECODED
+    //    header, reconstruction verified within a bounded mean pixel
+    //    error (the lossy tier's analog of the exact channel sums) ──────
+    "q_media_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.jpegRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9 X8: REAL video-container demux — frames muxed into genuine
+    //    ISO-BMFF, then keyframes extracted by walking the
+    //    stsz/stsc/stco/stss sample tables; only stss-marked samples'
+    //    mdat byte ranges are read back (the 100 TB keyframe-sampling
+    //    shape: container demux before any codec runs) ───────────────────
+    "q_media_mp4" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.mp4FrameSample(t(s, dir, "documents"), "doc_id", "text",
+        frameBytes = 48, stride = 2)
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // ── §2.9 X8: REAL image resize — BMP synthesized, nearest-neighbor
     //    downsampled ×2 (true pixel selection + re-encode), and the
     //    RESIZED container parsed back for geometry + channel sum ──────────
@@ -1312,6 +1334,30 @@ object SparkEntry {
                 CAST(greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) AS BIGINT) height,
                 CAST(3 AS BIGINT) channels, CAST(s AS BIGINT) sum_channels
          FROM agg ORDER BY doc_id""",
+    // JPEG is LOSSY: the oracle checks exact decoded geometry (grayscale,
+    // width 16 → height = ceil(bytes/16), min 1) plus the always-true
+    // bounded-error verdict the Spark side computes from the DECODED
+    // pixels — a broken decoder flips lossy_ok and fails the hash.
+    "q_media_jpeg" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) width,
+                CAST(greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS BIGINT) height,
+                TRUE AS lossy_ok
+         FROM documents ORDER BY doc_id""",
+    // MP4 keyframe demux: frames of 48 text bytes (last one short), every
+    // 2nd frame marked sync in stss; the engine reads keyframe payloads
+    // back OUT of mdat via the sample tables, so frame_len/frame_sum are
+    // recomputable from the text by frame-range byte arithmetic.
+    "q_media_mp4" ->
+      """WITH pos AS (SELECT doc_id, CAST(k AS BIGINT) k,
+                             ascii(substr(text, CAST(k AS INT), 1)) b
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(k)
+                      WHERE strlen(text) > 0),
+         fr AS (SELECT doc_id, (k-1)//48 AS frame_no,
+                       count(*) flen, sum(b) fsum
+                FROM pos GROUP BY 1, 2)
+         SELECT doc_id, CAST(frame_no AS BIGINT) frame_no,
+                CAST(flen AS BIGINT) frame_len, CAST(fsum AS BIGINT) frame_sum
+         FROM fr WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ep, event_id
                     FROM events WHERE event_type = 'purchase'),

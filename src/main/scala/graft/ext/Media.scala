@@ -16,16 +16,24 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, head_byte: Int, checksum: 
   * run per-partition in batches (the JVM analog of `mapInPandas` — one
   * decoder init per partition, amortized over its rows).
   *
-  * Two decode tiers: formats the JVM can decode without codec libraries —
-  * RIFF/WAVE PCM16, 24-bit BMP, and 8-bit PNG (zlib inflate + scanline
-  * unfiltering) — are decoded FOR REAL via MediaCodecs (wavRoundTrip /
-  * bmpRoundTrip / pngRoundTrip, oracle-verified end-to-end). For formats
-  * needing an external codec (JPEG/MP4) this container has none, so
-  * `decodeStub` computes deterministic byte-level features where a real
-  * pipeline would plug a decoder + vision encoder into the same
-  * per-partition slot. The Spark-side plumbing — binary schema,
-  * partition-batched execution, feature schema — is identical for both
-  * tiers and oracle-tested.
+  * Decode tiers, all zero-external-dependency:
+  *  - Lossless containers the JVM parses byte-for-byte — RIFF/WAVE PCM16,
+  *    24-bit BMP, 8-bit PNG (zlib inflate + scanline unfiltering) — are
+  *    decoded FOR REAL via MediaCodecs (wavRoundTrip / bmpRoundTrip /
+  *    pngRoundTrip, oracle-verified by exact channel sums).
+  *  - Lossy JPEG is decoded FOR REAL via the JDK's own `javax.imageio`
+  *    codec (`JpegCodec`, headless + memory-only), verified by decoded
+  *    geometry plus a bounded reconstruction error (`jpegRoundTrip`).
+  *  - Video is demuxed FOR REAL at the container level: `mp4FrameSample`
+  *    muxes/demuxes genuine ISO-BMFF, resolving keyframe byte ranges from
+  *    the stsz/stsc/stco/stss sample tables (`MediaCodecs.encodeMp4` /
+  *    `mp4SyncSamples`) — the 100 TB keyframe-sampling shape.
+  *  - Only compressed-video PIXEL decode (H.264 and friends) has no JVM
+  *    codec; `decodeStub` keeps that slot honest with deterministic
+  *    byte-level features in the same per-partition batch shape a real
+  *    decoder + vision encoder would fill.
+  * The Spark-side plumbing — binary schema, partition-batched execution,
+  * feature schema — is identical across tiers and oracle-tested.
   */
 object Media {
 
@@ -178,6 +186,81 @@ object Media {
         }
       }
       .toDF("doc_id", "width", "height", "bpp", "sum_channels")
+  }
+
+  /** REAL lossy-image round trip: synthesize an 8-bit grayscale image per
+    * document (pixels = text bytes zero-padded to full rows), encode it as
+    * baseline JPEG with the JDK's own codec, decode it back, and verify
+    * the reconstruction within a bounded mean absolute pixel error.
+    * Geometry columns come from the DECODED header; `lossy_ok` is the
+    * lossy tier's analog of the lossless tiers' exact channel sum — a
+    * decoder that returns wrong geometry, zeroed, or shuffled pixels
+    * blows the bound (ASCII text averages ~90/pixel, so a zeroed decode
+    * scores a mean error near 90 against the bound of 32), while genuine
+    * DCT quantization error at quality 0.9 stays in single digits.
+    */
+  def jpegRoundTrip(docs: DataFrame, idCol: String, textCol: String,
+                    width: Int = 16, errBound: Double = 32.0)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val height = math.max(1, (bytes.length + width - 1) / width)
+          val gray = java.util.Arrays.copyOf(bytes, width * height)
+          val jpeg = JpegCodec.encodeGray(width, height, gray)
+          val (w, h, decoded) = JpegCodec.decodeGray(jpeg)
+          val ok = w == width && h == height &&
+            JpegCodec.meanAbsError(gray, decoded) <= errBound
+          (id, w.toLong, h.toLong, ok)
+        }
+      }
+      .toDF("doc_id", "width", "height", "lossy_ok")
+  }
+
+  /** REAL video-container frame sampling: split the text bytes into
+    * fixed-size frames, mux them into a genuine single-track ISO-BMFF
+    * (MP4) container with every `stride`-th frame marked as a sync sample
+    * (keyframe), then DEMUX the container — box walk, stsz/stsc/stco
+    * sample-offset resolution, stss sync selection — and emit only the
+    * keyframes' payloads, read back out of `mdat`. This is exactly what a
+    * 100 TB video pipeline does before any codec runs: keyframe byte
+    * ranges come from the container's sample tables, so the expensive
+    * pixel decode (the remaining JPEG/H.264-shaped stub slot) touches
+    * only the sampled frames.
+    */
+  def mp4FrameSample(docs: DataFrame, idCol: String, textCol: String,
+                     frameBytes: Int = 48, stride: Int = 2)
+                    (implicit spark: SparkSession): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val n = bytes.length
+            val nFrames = (n + frameBytes - 1) / frameBytes
+            val frames = Array.tabulate(nFrames) { j =>
+              java.util.Arrays.copyOfRange(bytes, j * frameBytes,
+                math.min(n, (j + 1) * frameBytes))
+            }
+            val mp4 = MediaCodecs.encodeMp4(frames, syncEvery = stride)
+            MediaCodecs.mp4SyncSamples(mp4).iterator.map {
+              case (idx, frame) =>
+                var s = 0L
+                var i = 0
+                while (i < frame.length) { s += frame(i) & 0xff; i += 1 }
+                (id, idx.toLong, frame.length.toLong, s)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame_len", "frame_sum")
   }
 
   /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,

@@ -445,4 +445,292 @@ object MediaCodecs {
     }
     encodeBmp24(wr, hr, out)
   }
+
+  // ── ISO-BMFF (MP4) container ─────────────────────────────────────────
+  //
+  // A video pipeline at corpus scale samples KEYFRAMES by demuxing the
+  // container — walking the `moov` sample tables to find each sync
+  // sample's byte range inside `mdat` — and only then hands those bytes
+  // to a codec. The demux half needs no codec at all, so it is
+  // implemented for real here: box walking (big-endian size+type),
+  // stsz/stsc/stco sample-to-offset resolution, stss sync-sample
+  // selection. The muxer writes a minimal valid single-track file
+  // (ftyp + mdat + moov{mvhd,trak{tkhd,mdia{mdhd,hdlr,minf{vmhd,dinf,
+  // stbl{stsd,stts,stss,stsc,stsz,stco}}}}}) so tests and pipelines can
+  // synthesize deterministic containers. moov is written AFTER mdat so
+  // chunk offsets don't depend on moov's own size.
+
+  /** Decoded MP4 facts from the sample tables. */
+  case class Mp4Info(timescale: Int, durationTicks: Long, nSamples: Int,
+                     nSync: Int)
+
+  private def asciiBytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def be32Bytes(v: Int): Array[Byte] = {
+    val b = new Array[Byte](4); putBe32(b, 0, v); b
+  }
+
+  /** Assemble one box: 32-bit big-endian total size + 4-char type +
+    * concatenated payload parts. */
+  private def mp4Box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val size = 8 + parts.iterator.map(_.length).sum
+    val out = new Array[Byte](size)
+    putBe32(out, 0, size)
+    asciiBytes(typ).copyToArray(out, 4)
+    var off = 8
+    parts.foreach { p => p.copyToArray(out, off); off += p.length }
+    out
+  }
+
+  /** FullBox = box whose payload starts with version(8) + flags(24). */
+  private def mp4FullBox(typ: String, version: Int, flags: Int,
+                         parts: Array[Byte]*): Array[Byte] = {
+    val head = new Array[Byte](4)
+    head(0) = version.toByte
+    head(1) = ((flags >> 16) & 0xff).toByte
+    head(2) = ((flags >> 8) & 0xff).toByte
+    head(3) = (flags & 0xff).toByte
+    mp4Box(typ, (head +: parts): _*)
+  }
+
+  /** Serialize frames into a minimal single-track single-chunk MP4.
+    * Every `syncEvery`-th frame (1st, 1+syncEvery, …) is marked as a sync
+    * sample in `stss`; each frame is one sample of duration 1 tick. */
+  def encodeMp4(frames: Array[Array[Byte]], syncEvery: Int,
+                timescale: Int = 1000): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(syncEvery >= 1, s"syncEvery must be >= 1, got $syncEvery")
+    val n = frames.length
+    val ftyp = mp4Box("ftyp", asciiBytes("isom"), be32Bytes(0x200),
+      asciiBytes("isomiso2mp41"))
+    val mdat = mp4Box("mdat", frames: _*)
+    // Single chunk: first sample starts right after mdat's 8-byte header.
+    val firstSampleOffset = ftyp.length + 8
+
+    // stsd: one VisualSampleEntry-shaped entry ("mp4v", 86 bytes). The
+    // demuxer never decodes sample payloads, so the entry is structural.
+    val sampleEntry = {
+      val e = new Array[Byte](86)
+      putBe32(e, 0, 86); asciiBytes("mp4v").copyToArray(e, 4)
+      e(15) = 1.toByte // data_reference_index = 1 (16-bit BE at 14)
+      putBe16Be(e, 32, 16); putBe16Be(e, 34, 16) // width, height
+      putBe32(e, 36, 0x00480000); putBe32(e, 40, 0x00480000) // 72 dpi
+      putBe16Be(e, 48, 1) // frame_count
+      e(82) = 0x18 // depth = 24
+      e(84) = 0xff.toByte; e(85) = 0xff.toByte // pre_defined = -1
+      e
+    }
+    val stsd = mp4FullBox("stsd", 0, 0, be32Bytes(1), sampleEntry)
+    val stts = mp4FullBox("stts", 0, 0, be32Bytes(1), be32Bytes(n),
+      be32Bytes(1))
+    val syncs = (1 to n by syncEvery).toArray
+    val stss = mp4FullBox("stss", 0, 0, be32Bytes(syncs.length),
+      joinBe32(syncs))
+    val stsc = mp4FullBox("stsc", 0, 0, be32Bytes(1), be32Bytes(1),
+      be32Bytes(n), be32Bytes(1))
+    val stsz = mp4FullBox("stsz", 0, 0, be32Bytes(0), be32Bytes(n),
+      joinBe32(frames.map(_.length)))
+    val stco = mp4FullBox("stco", 0, 0, be32Bytes(1),
+      be32Bytes(firstSampleOffset))
+    val stbl = mp4Box("stbl", stsd, stts, stss, stsc, stsz, stco)
+
+    val url = mp4FullBox("url ", 0, 1) // self-contained
+    val dref = mp4FullBox("dref", 0, 0, be32Bytes(1), url)
+    val dinf = mp4Box("dinf", dref)
+    val vmhd = mp4FullBox("vmhd", 0, 1, new Array[Byte](8))
+    val minf = mp4Box("minf", vmhd, dinf, stbl)
+    val hdlr = mp4FullBox("hdlr", 0, 0, be32Bytes(0), asciiBytes("vide"),
+      new Array[Byte](12), asciiBytes("graft"), new Array[Byte](1))
+    val mdhd = mp4FullBox("mdhd", 0, 0, be32Bytes(0), be32Bytes(0),
+      be32Bytes(timescale), be32Bytes(n), Array[Byte](0x55, 0xc4.toByte),
+      new Array[Byte](2)) // language "und" + pre_defined
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val tkhd = {
+      val p = new Array[Byte](80)
+      putBe32(p, 8, 1) // track_ID
+      putBe32(p, 16, n) // duration
+      putBe32(p, 36, 0x00010000); putBe32(p, 52, 0x00010000)
+      putBe32(p, 68, 0x40000000) // unity matrix
+      mp4FullBox("tkhd", 0, 7, p)
+    }
+    val trak = mp4Box("trak", tkhd, mdia)
+    val mvhd = {
+      val p = new Array[Byte](96)
+      putBe32(p, 8, timescale)
+      putBe32(p, 12, n) // duration
+      putBe32(p, 16, 0x00010000) // rate 1.0
+      p(20) = 1 // volume 1.0 (8.8 fixed, high byte)
+      putBe32(p, 32, 0x00010000); putBe32(p, 48, 0x00010000)
+      putBe32(p, 64, 0x40000000) // unity matrix
+      putBe32(p, 92, 2) // next_track_ID
+      mp4FullBox("mvhd", 0, 0, p)
+    }
+    val moov = mp4Box("moov", mvhd, trak)
+
+    val out = new Array[Byte](ftyp.length + mdat.length + moov.length)
+    ftyp.copyToArray(out, 0)
+    mdat.copyToArray(out, ftyp.length)
+    moov.copyToArray(out, ftyp.length + mdat.length)
+    out
+  }
+
+  private def putBe16Be(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 8) & 0xff).toByte; b(off + 1) = (v & 0xff).toByte
+  }
+
+  private def joinBe32(vs: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](vs.length * 4)
+    var i = 0
+    while (i < vs.length) { putBe32(out, i * 4, vs(i)); i += 1 }
+    out
+  }
+
+  /** Find the first child box of `typ` inside [start, end); returns the
+    * payload range. Box sizes are validated against the enclosing range
+    * before any use (crafted sizes must not walk out of bounds). */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+                      typ: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size = be32(b, off)
+      require(size >= 8 && size <= end - off,
+        s"bad box size $size at offset $off")
+      if (tag(b, off + 4) == typ) return Some((off + 8, off + size))
+      off += size
+    }
+    None
+  }
+
+  private def requireBox(b: Array[Byte], start: Int, end: Int,
+                         typ: String): (Int, Int) =
+    findBox(b, start, end, typ).getOrElse(
+      throw new IllegalArgumentException(s"missing $typ box"))
+
+  /** Count declared in a table box, bounds-checked against the bytes that
+    * actually follow BEFORE any allocation (crafted-header guard, same
+    * policy as the PNG decoder). */
+  private def checkedCount(b: Array[Byte], off: Int, end: Int,
+                           bytesPer: Int, what: String): Int = {
+    require(end - off >= 4, s"$what too short for a count")
+    val n = be32(b, off)
+    require(n >= 0 && n.toLong * bytesPer <= end - off - 4,
+      s"$what count $n exceeds box payload")
+    n
+  }
+
+  /** Walk the container and resolve every sample's absolute byte range
+    * from stsz/stsc/stco, plus the stss sync set and mdhd timing. Returns
+    * (info, sizes, absolute offsets, sync flags). A genuine demux: nothing
+    * here assumes the single-chunk layout the muxer happens to write. */
+  def mp4SampleTable(bytes: Array[Byte])
+      : (Mp4Info, Array[Int], Array[Long], Array[Boolean]) = {
+    require(bytes.length >= 16, "too short for an MP4")
+    val (ftS, _) = requireBox(bytes, 0, bytes.length, "ftyp")
+    require(ftS >= 8, "bad ftyp")
+    val (moovS, moovE) = requireBox(bytes, 0, bytes.length, "moov")
+    val (trakS, trakE) = requireBox(bytes, moovS, moovE, "trak")
+    val (mdiaS, mdiaE) = requireBox(bytes, trakS, trakE, "mdia")
+    val (mdhdS, mdhdE) = requireBox(bytes, mdiaS, mdiaE, "mdhd")
+    require(mdhdE - mdhdS >= 20, "mdhd too short")
+    require(bytes(mdhdS) == 0, "only mdhd version 0 supported")
+    val timescale = be32(bytes, mdhdS + 12)
+    val duration = be32(bytes, mdhdS + 16).toLong & 0xffffffffL
+    val (minfS, minfE) = requireBox(bytes, mdiaS, mdiaE, "minf")
+    val (stblS, stblE) = requireBox(bytes, minfS, minfE, "stbl")
+
+    // stsz → per-sample sizes
+    val (stszS, stszE) = requireBox(bytes, stblS, stblE, "stsz")
+    require(stszE - stszS >= 12, "stsz too short")
+    val uniform = be32(bytes, stszS + 4)
+    val nSamples = be32(bytes, stszS + 8)
+    require(nSamples > 0, "no samples")
+    val sizes =
+      if (uniform != 0) {
+        require(uniform > 0 && nSamples.toLong * uniform <= bytes.length,
+          s"uniform sample table $nSamples x $uniform exceeds file size")
+        Array.fill(nSamples)(uniform)
+      } else {
+        require(nSamples.toLong * 4 <= stszE - stszS - 12,
+          s"stsz count $nSamples exceeds box payload")
+        Array.tabulate(nSamples)(i => be32(bytes, stszS + 12 + i * 4))
+      }
+    sizes.foreach(s => require(s >= 0 && s <= bytes.length,
+      s"bad sample size $s"))
+
+    // stsc → samples-per-chunk runs; stco → chunk start offsets
+    val (stscS, stscE) = requireBox(bytes, stblS, stblE, "stsc")
+    val nRuns = checkedCount(bytes, stscS + 4, stscE, 12, "stsc")
+    require(nRuns > 0, "empty stsc")
+    val runs = Array.tabulate(nRuns) { i =>
+      val o = stscS + 8 + i * 12
+      (be32(bytes, o), be32(bytes, o + 4)) // (first_chunk, samples/chunk)
+    }
+    val (stcoS, stcoE) = requireBox(bytes, stblS, stblE, "stco")
+    val nChunks = checkedCount(bytes, stcoS + 4, stcoE, 4, "stco")
+    require(nChunks > 0, "empty stco")
+    val chunkOffsets = Array.tabulate(nChunks)(i =>
+      be32(bytes, stcoS + 8 + i * 4).toLong & 0xffffffffL)
+
+    // Resolve each sample's absolute offset by walking chunks in order.
+    val offsets = new Array[Long](nSamples)
+    var run = 0
+    var sample = 0
+    var chunk = 1
+    while (chunk <= nChunks && sample < nSamples) {
+      while (run + 1 < nRuns && runs(run + 1)._1 <= chunk) run += 1
+      val perChunk = runs(run)._2
+      require(perChunk > 0, "non-positive samples_per_chunk")
+      var off = chunkOffsets(chunk - 1)
+      var i = 0
+      while (i < perChunk && sample < nSamples) {
+        require(off + sizes(sample) <= bytes.length,
+          s"sample $sample range [$off, ${off + sizes(sample)}) outside file")
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    require(sample == nSamples,
+      s"chunk tables cover $sample of $nSamples samples")
+
+    // stss → sync flags (absent ⇒ every sample is sync, per spec)
+    val sync = Array.fill(nSamples)(false)
+    findBox(bytes, stblS, stblE, "stss") match {
+      case Some((sS, sE)) =>
+        val nSync = checkedCount(bytes, sS + 4, sE, 4, "stss")
+        var i = 0
+        while (i < nSync) {
+          val s = be32(bytes, sS + 8 + i * 4)
+          require(s >= 1 && s <= nSamples, s"sync sample $s out of range")
+          sync(s - 1) = true
+          i += 1
+        }
+      case None => java.util.Arrays.fill(sync, true)
+    }
+    (Mp4Info(timescale, duration, nSamples, sync.count(identity)),
+      sizes, offsets, sync)
+  }
+
+  /** Demux the container's SYNC samples (keyframes): the byte payload of
+    * every stss-marked sample, extracted from mdat via the resolved
+    * offsets. Returns (0-based sample index, payload bytes). */
+  def mp4SyncSamples(bytes: Array[Byte]): Vector[(Int, Array[Byte])] = {
+    val (_, sizes, offsets, sync) = mp4SampleTable(bytes)
+    val out = Vector.newBuilder[(Int, Array[Byte])]
+    var i = 0
+    while (i < sizes.length) {
+      if (sync(i)) {
+        val start = offsets(i).toInt
+        out += ((i, java.util.Arrays.copyOfRange(bytes, start,
+          start + sizes(i))))
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Parse header facts only (timing + sample counts). */
+  def decodeMp4(bytes: Array[Byte]): Mp4Info = mp4SampleTable(bytes)._1
 }
