@@ -446,6 +446,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X8: mixed-format decode DISPATCH — one binary column whose
+    //    rows carry different formats (doc_id mod 4 → WAV/BMP/PNG/JPEG),
+    //    each routed to its REAL decoder inside one per-partition pass;
+    //    the heterogeneous-media shape of a production decode stage ──────
+    "q_media_dispatch" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.dispatchDecode(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X8: REAL video-container demux — frames muxed into genuine
     //    ISO-BMFF, then keyframes extracted by walking the
     //    stsz/stsc/stco/stss sample tables; only stss-marked samples'
@@ -1343,6 +1353,29 @@ object SparkEntry {
                 CAST(greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS BIGINT) height,
                 TRUE AS lossy_ok
          FROM documents ORDER BY doc_id""",
+    // Dispatch: doc_id mod 4 picks the format; each branch's values are
+    // the same integer facts the single-format oracles recompute (WAV
+    // energy / BMP+PNG channel sums / JPEG geometry + bounded-error
+    // verdict). ASCII fixture: byte i == ascii(char i).
+    "q_media_dispatch" ->
+      """WITH agg AS (SELECT doc_id, strlen(text) n,
+                             sum(ascii(substr(text, CAST(j AS INT), 1))) s,
+                             sum(CAST((ascii(substr(text, CAST(j AS INT), 1)) - 128) * 256 AS BIGINT)
+                               * CAST((ascii(substr(text, CAST(j AS INT), 1)) - 128) * 256 AS BIGINT)) en
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1, 2)
+         SELECT doc_id,
+                CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                                WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
+                CAST(CASE WHEN doc_id % 4 = 0 THEN 8000 ELSE 16 END AS BIGINT) AS geom1,
+                CAST(CASE doc_id % 4
+                       WHEN 0 THEN n
+                       WHEN 3 THEN greatest(1, CAST(ceil(n / 16.0) AS BIGINT))
+                       ELSE greatest(1, CAST(ceil(n / 48.0) AS BIGINT))
+                     END AS BIGINT) AS geom2,
+                CAST(CASE doc_id % 4 WHEN 0 THEN en WHEN 3 THEN 1 ELSE s
+                     END AS BIGINT) AS feature
+         FROM agg ORDER BY doc_id""",
     // MP4 keyframe demux: frames of 48 text bytes (last one short), every
     // 2nd frame marked sync in stss; the engine reads keyframe payloads
     // back OUT of mdat via the sample tables, so frame_len/frame_sum are

@@ -263,6 +263,63 @@ object Media {
       .toDF("doc_id", "frame_no", "frame_len", "frame_sum")
   }
 
+  /** Mixed-format decode DISPATCH — the multimodal column as it actually
+    * appears at corpus scale: one opaque binary column whose rows carry
+    * different formats, routed to the right decoder by a format tag.
+    * Each document synthesizes the container its tag names (WAV, BMP,
+    * PNG, or JPEG — all four REAL codecs) and decodes it back through
+    * the matching parser, inside ONE per-partition pass: the decoder
+    * lookup happens per row, the decoder state per partition, exactly
+    * like a production `mapInPandas` decode stage over heterogeneous
+    * media. Unified output schema: geom1/geom2 are the format's natural
+    * geometry (sample rate × frames for audio, width × height for
+    * images); feature is the format's verification value (PCM energy /
+    * channel sums / the JPEG bounded-error verdict as 0-or-1).
+    */
+  def dispatchDecode(docs: DataFrame, idCol: String, textCol: String,
+                     width: Int = 16)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          java.lang.Math.floorMod(id, 4L).toInt match {
+            case 0 =>
+              val samples = Array.tabulate(bytes.length)(i =>
+                (((bytes(i) & 0xff) - 128) * 256).toShort)
+              val info = MediaCodecs.decodeWav(
+                MediaCodecs.encodeWavPcm16(samples, 8000))
+              (id, "wav", info.sampleRate.toLong, info.nFrames, info.energy)
+            case 1 =>
+              val rowBytes = width * 3
+              val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+              val info = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp24(
+                width, h, java.util.Arrays.copyOf(bytes, rowBytes * h)))
+              (id, "bmp", info.width.toLong, info.height.toLong,
+                info.sumChannels)
+            case 2 =>
+              val rowBytes = width * 3
+              val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+              val info = MediaCodecs.decodePng(MediaCodecs.encodePng(
+                width, h, 3, java.util.Arrays.copyOf(bytes, rowBytes * h)))
+              (id, "png", info.width.toLong, info.height.toLong,
+                info.sumChannels)
+            case _ =>
+              val h = math.max(1, (bytes.length + width - 1) / width)
+              val gray = java.util.Arrays.copyOf(bytes, width * h)
+              val (dw, dh, decoded) =
+                JpegCodec.decodeGray(JpegCodec.encodeGray(width, h, gray))
+              val ok = dw == width && dh == h &&
+                JpegCodec.meanAbsError(gray, decoded) <= 32.0
+              (id, "jpeg", dw.toLong, dh.toLong, if (ok) 1L else 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "geom1", "geom2", "feature")
+  }
+
   /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,
     * scales, re-encodes per partition; the stub keeps a deterministic
     * byte-budget prefix so schema/plumbing (binary in, binary out, metadata
