@@ -24,6 +24,16 @@ object JpegCodec {
   System.setProperty("java.awt.headless", "true")
   ImageIO.setUseCache(false)
 
+  // ImageIO writer/reader instances are not thread-safe but ARE reusable
+  // across calls (setOutput/setInput resets them). A per-row
+  // `getImageWritersByFormatName` walks the service registry every call —
+  // per-task-thread caching amortizes that to once per executor thread,
+  // the decode-stage equivalent of initializing a codec handle once per
+  // partition.
+  private val writerTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      ImageIO.getImageWritersByFormatName("jpg").next())
+
   /** Encode an 8-bit grayscale image (row-major `width*height` bytes) as
     * baseline JPEG at the given quality. */
   def encodeGray(width: Int, height: Int, gray: Array[Byte],
@@ -33,25 +43,43 @@ object JpegCodec {
       s"expected ${width * height} pixels, got ${gray.length}")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, gray)
-    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val writer = writerTl.get()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
     try {
-      val param = writer.getDefaultWriteParam
-      param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-      param.setCompressionQuality(quality)
-      val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
-      try {
-        writer.setOutput(ios)
-        writer.write(null, new IIOImage(img, null, null), param)
-      } finally ios.close()
-      bos.toByteArray
-    } finally writer.dispose()
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+    } finally {
+      writer.setOutput(null) // detach so the cached writer holds no stream
+      ios.close()
+    }
+    bos.toByteArray
   }
 
+  private val readerTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("jpg").next())
+
   /** Decode a JPEG into (width, height, row-major grayscale bytes). A
-    * color input is luminance-converted by the raster copy. */
+    * color input is luminance-converted by the raster copy. Undecodable
+    * bytes reject cleanly with IllegalArgumentException. */
   def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = readerTl.get()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val img =
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"not a decodable JPEG: $e")
+      } finally {
+        reader.setInput(null)
+        iis.close()
+      }
     require(img != null, "not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
