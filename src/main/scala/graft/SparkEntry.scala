@@ -272,6 +272,14 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9: corpus-rarity signal — per-doc distinct-vocabulary df
+    //    facts (count, rarest token's df, total df mass); the integer-
+    //    exact core of frequency-based quality filtering, one distinct
+    //    (doc, token) frame reused for df agg and join-back ──────────────
+    "q_token_rarity" -> ((s, dir) =>
+      TextOps.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9: deterministic 10% sample — md5-bucket filter, reproducible
     //    across reruns/engines/layouts (no rand()) ────────────────────────
     "q_hash_sample" -> ((s, dir) =>
@@ -1048,6 +1056,15 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_token_rarity" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                       FROM documents)),
+         dfreq AS (SELECT tok, count(*) df FROM dt GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) n_distinct,
+                CAST(min(df) AS BIGINT) min_df, CAST(sum(df) AS BIGINT) sum_df
+         FROM dt JOIN dfreq USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
     // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
     // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
     "q_hash_sample" ->

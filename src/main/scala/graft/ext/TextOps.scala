@@ -145,6 +145,47 @@ object TextOps {
         col("tok"), col("tf"), col("df"))
   }
 
+  /** Corpus-rarity signal per document — the integer-exact core of
+    * frequency-based quality filtering and importance-weighted sampling:
+    * documents whose distinct vocabulary is dominated by corpus-rare
+    * tokens are niche/information-dense; an all-common vocabulary flags
+    * boilerplate. Emits per doc the distinct-token count, the document
+    * frequency of its RAREST token, and the total df mass of its
+    * vocabulary. Counts only — no log-probabilities, so two engines can
+    * never disagree at a floating-point ulp (`topTerms` policy).
+    *
+    * One exploded DISTINCT (doc, token) frame feeds BOTH the
+    * |vocabulary|-sized df aggregation and the token-keyed join back —
+    * the join shuffles on the same key the df agg already hashed, and
+    * ReuseExchange materializes the distinct frame once. No all-pairs
+    * stage, no driver-side vocabulary.
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // One token-partitioned distinct frame: the df aggregation runs on it
+    // WITHOUT a further exchange (already hashed by tok), and the merge
+    // join consumes the SAME Exchange subtree — ReuseExchange materializes
+    // scan + distinct once (without the explicit repartition the planner
+    // builds the frame twice: the agg side inserts a partial-agg between
+    // distinct and its exchange, so the subtrees never match).
+    val dt = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .repartition(col("tok"))
+    // count(doc_id), not count(1): counting the column keeps doc_id in
+    // the df-side requirement, so BOTH branches prune to the same column
+    // set and the exchange subtrees stay canonically equal (count(1)
+    // lets the optimizer narrow the df branch to tok-only, which silently
+    // defeats the reuse and doubles the scan+distinct work).
+    val dfreq = dt.groupBy("tok").agg(count(col("doc_id")).as("df"))
+    // merge hint: keep the sort-merge join (vocabulary is |corpus|-scale
+    // at 100 TB; a broadcast would also break the exchange reuse)
+    dt.join(dfreq.hint("merge"), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_distinct"),
+        min(col("df")).cast(LongType).as("min_df"),
+        sum(col("df")).cast(LongType).as("sum_df"))
+  }
+
   /** Document fingerprints: (a) md5 of whitespace-normalized lower-cased
     * text — exact-dedup key; (b) a positional polynomial hash
     * (sum ascii(c_i) * ((i*2654435761) mod 1000003) mod 1000003) computed

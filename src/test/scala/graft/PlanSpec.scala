@@ -189,4 +189,20 @@ class PlanSpec extends AnyFunSuite {
     assert(physical(df).linesIterator.exists(l => l.trim.startsWith("*(")),
       s"expected a whole-stage-codegen stage:\n${physical(df)}")
   }
+
+  test("token rarity reuses the distinct-token exchange (one scan, no rebuild)") {
+    // tokenRarity's df aggregation and its join-back must share ONE
+    // materialization of the exploded distinct (doc, token) frame — at
+    // corpus scale rebuilding it doubles the dominant cost. The reuse is
+    // an AQE runtime property (stage-level ReusedExchange), so execute
+    // and inspect the adapted plan, not the static one.
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      i -> s"tok${i % 7} tok${i % 13} shared common words").toDF("doc_id", "text")
+    val out = graft.ext.TextOps.tokenRarity(docs, "doc_id", "text")
+    assert(out.collect().length == 200)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"distinct-token frame must be exchanged once and reused:\n$plan")
+  }
 }

@@ -79,4 +79,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side must broadcast:\n$plan")
   }
+
+  test("tokenRarity: distinct-vocabulary df facts, hand-checked") {
+    import spark.implicits._
+    // corpus dfs: "the"->3, "cat"->2, "sat"->1, "dog"->1, "ran"->1
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat the cat"), // repeats collapse: distinct vocab {the, cat}
+      (3L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 1L, 3L + 2L + 1L))) // rarest: sat (df 1)
+    assert(out(2L) == ((2L, 2L, 3L + 2L)))      // rarest: cat (df 2)
+    assert(out(3L) == ((3L, 1L, 3L + 1L + 1L)))
+  }
+
+  test("tokenRarity agrees with an independent in-memory reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "g", "hh", "iii", "j")
+    val docs = (1L to 60L).map { id =>
+      id -> (0 until (1 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val expected = {
+      val vocabOf = docs.map { case (id, t) =>
+        id -> t.split(" +").map(_.toLowerCase).toSet }.toMap
+      val df = vocabOf.values.flatten.groupBy(identity).map {
+        case (t, occ) => t -> occ.size.toLong }
+      vocabOf.map { case (id, vs) =>
+        id -> ((vs.size.toLong, vs.map(df).min, vs.toSeq.map(df).sum)) }
+    }
+    val got = TextOps.tokenRarity(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
 }
