@@ -346,6 +346,18 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X2e: product-quantization ANN — compressed-code ADC scan +
+    //    exact re-rank, same deterministic recall artifact ────────────────
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallArtifact(
+          Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
+            m = 8, kCodes = 16, refine = 8, dim = 64),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X3: per-language corpus stats ──────────────────────────────
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(t(s, dir, "documents"), "lang", "n_chars")
@@ -1307,6 +1319,10 @@ object SparkEntry {
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_ann_lsh" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    "q_ann_pq" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",

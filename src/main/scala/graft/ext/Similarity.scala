@@ -177,6 +177,141 @@ object Similarity {
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Product-quantization approximate top-k (the compressed-index tier;
+    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — the public design behind Faiss's IndexPQ).
+    *
+    * Where IVF answers "scan fewer vectors", PQ answers "make each vector
+    * 32× smaller": the index keeps only (id, m sub-codes, norm) per vector
+    * — at dim=64/m=8 that is 8 code bytes + 8 norm bytes vs 256 raw float
+    * bytes — so a 100 TB raw embedding table becomes a ~3 TB code table
+    * that fits cluster memory. Raw vectors are re-read ONLY for the
+    * `k × refine` re-rank candidates per probe (a bounded semi-join back
+    * to the corpus, the IO pattern every production PQ deployment uses).
+    *
+    * Fit: each vector is cut into `m` subspaces of dim/m; per subspace a
+    * `kCodes`-word codebook is trained exactly like `ivfTopK`'s centroids
+    * (deterministic hash-order seeds + `lloydIters` Lloyd steps in DECIMAL;
+    * one sub-vector frame keyed by subspace trains all m codebooks in one
+    * plan). The fitted model is m × kCodes × dim/m doubles — bounded,
+    * corpus-size-independent — so like the IVF centroids it is collected
+    * once and re-emitted as a plan literal.
+    *
+    * Encode (map-side only, no shuffle): `codes[s]` = index of the L2-
+    * nearest codeword of subspace s, found by an `array_min` over a scored
+    * struct array built from the literal codebook.
+    *
+    * Search (ADC — asymmetric distance computation): each probe pre-computes
+    * a distance table `dtab[s][c] = dot(probe_s, codeword[s][c])` (m × kCodes
+    * entries, from the same literal), then every corpus row costs m array
+    * lookups instead of dim multiplies:
+    * `dot(p, x) = Σ_s dot(p_s, x_s) ≈ Σ_s dtab[s][codes[s]]` — exact
+    * additive decomposition, quantization error only inside each subspace.
+    * Top `k × refine` by ADC score are re-ranked with the exact codegen dot
+    * against the raw vectors. Composes with IVF (bucket-prune, then
+    * ADC-scan the bucket); kept separate so each tier is independently
+    * testable.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             probePred: Column => Column, k: Int,
+             m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,
+             refine: Int = 4, dim: Int = -1): DataFrame = {
+    val spark = emb.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val d =
+      if (dim > 0) dim
+      else emb.agg(min(size(col(vecCol)))).collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0))).getOrElse(0)
+    require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
+    val sub = d / m
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+    // one row per (vector, subspace): the training frame for all m codebooks
+    val nvd = transform(col("nv"), _.cast(DoubleType))
+    val subvecs = corpus.select(col("nid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(nvd, s * lit(sub) + lit(1), lit(sub)))).as(Seq("s", "sv")))
+
+    // seeds: first kCodes sub-vectors per subspace in hash order — same
+    // deterministic, corpus-size-independent draw as the IVF centroids
+    val wSeed = Window.partitionBy(col("s"))
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+    var codebook = subvecs
+      .withColumn("r", row_number().over(wSeed))
+      .where(col("r") <= kCodes)
+      .select(col("s"), (col("r") - 1).as("code"), col("sv").as("cw"))
+    for (_ <- 0 until lloydIters) {
+      // assign each sub-vector to its L2-nearest codeword of its subspace
+      val assigned = subvecs.join(broadcast(codebook), Seq("s"))
+        .withColumn("d2", l2(col("sv"), col("cw")))
+        .groupBy(col("s"), col("nid"), col("sv"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      // Lloyd step in DECIMAL (bit-deterministic across partitionings);
+      // a codeword that lost every assignment keeps its old value so the
+      // codebook stays dense — the literal below indexes it positionally
+      val means = assigned
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(38, 12))).as("mv"))
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("s"), col("code"),
+          transform(col("pm"), x => x.getField("mv").cast(DoubleType)).as("ncw"))
+      codebook = codebook.join(means, Seq("s", "code"), "left")
+        .select(col("s"), col("code"), coalesce(col("ncw"), col("cw")).as("cw"))
+    }
+    // fitted model → driver → literal: m × kCodes × sub doubles, bounded
+    val fitted = codebook.orderBy("s", "code").collect()
+    val cbSeq: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val rows = fitted.filter(_.getInt(0) == s)
+      require(rows.length == kCodes, s"subspace $s has ${rows.length} codewords")
+      rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2))
+    }
+    val cbLit = typedLit(cbSeq) // [s][code][pos]
+
+    // encode: nearest codeword per subspace, map-side, no shuffle; the
+    // index frame keeps ONLY (nid, codes, nn) — the compression point
+    val encNvd = transform(col("nv"), _.cast(DoubleType))
+    val encoded = corpus.select(col("nid"), col("nn"),
+      transform(cbLit, (cb, s) => {
+        val sv = slice(encNvd, s * lit(sub) + lit(1), lit(sub))
+        array_min(transform(cb, (cw, c) =>
+          struct(l2(sv, cw).as("d2"), c.as("code")))).getField("code")
+      }).as("codes"))
+
+    // search: per-probe ADC table dtab[s][c] = dot(probe_s, codeword[s][c])
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
+    val pvd = transform(col("pv"), _.cast(DoubleType))
+    val probeTabs = probes.select(col("pid"), col("pv"), col("pn"),
+      transform(cbLit, (cb, s) => {
+        val ps = slice(pvd, s * lit(sub) + lit(1), lit(sub))
+        transform(cb, cw =>
+          aggregate(zip_with(ps, cw, (x, y) => x * y), lit(0.0), _ + _))
+      }).as("dtab"))
+
+    // ADC scan over the code table: m lookups per (probe, vector)
+    val adc = aggregate(
+      zip_with(col("dtab"), col("codes"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), _ + _)
+    val wAdc = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col("nid").asc)
+    val candidates = broadcast(probeTabs).join(encoded, col("nid") =!= col("pid"))
+      .withColumn("adc", round(adc / (col("pn") * col("nn")), 9))
+      .withColumn("crank", row_number().over(wAdc))
+      .where(col("crank") <= k * refine)
+      .select(col("pid"), col("pv"), col("pn"), col("nid"))
+
+    // exact re-rank: raw vectors are read back only for the bounded
+    // candidate set (probes × k × refine rows)
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
+    candidates.join(corpus, Seq("nid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** IVF-style approximate top-k (the scale path).
     *
     * Index build: `nCentroids` seed vectors are drawn by a deterministic
