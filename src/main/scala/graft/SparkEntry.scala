@@ -358,6 +358,19 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X2f: IVF+PQ composed ANN — the corpus-scale tier: ADC scan
+    //    and ranking window confined to each probe's nprobe IVF buckets
+    //    over the compressed code table; same recall artifact ─────────────
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallArtifact(
+          Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
+            nprobe = 16, m = 8, kCodes = 16, refine = 8, dim = 64),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X3: per-language corpus stats ──────────────────────────────
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(t(s, dir, "documents"), "lang", "n_chars")
@@ -1323,6 +1336,10 @@ object SparkEntry {
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_ann_pq" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    "q_ann_ivfpq" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",

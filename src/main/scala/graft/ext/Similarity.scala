@@ -99,6 +99,15 @@ object Similarity {
       .select(col("pid"), coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Vector dimensionality: the caller-passed value when positive, else a
+    * deterministic min(size) aggregate over the corpus (one eager job —
+    * hot paths should pass `dim`; see signLshTopK's docstring for why a
+    * limit(1) probe would be cheaper but non-deterministic). */
+  private def dimOf(emb: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else emb.agg(min(size(col(vecCol)))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0))).getOrElse(0)
+
   /** splitmix64 finalizer — the deterministic PRNG behind the LSH
     * hyperplanes (public-domain constant mix, same family as
     * java.util.SplittableRandom). */
@@ -177,57 +186,28 @@ object Similarity {
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Product-quantization approximate top-k (the compressed-index tier;
-    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
-    * Search", TPAMI 2011 — the public design behind Faiss's IndexPQ).
-    *
-    * Where IVF answers "scan fewer vectors", PQ answers "make each vector
-    * 32× smaller": the index keeps only (id, m sub-codes, norm) per vector
-    * — at dim=64/m=8 that is 8 code bytes + 8 norm bytes vs 256 raw float
-    * bytes — so a 100 TB raw embedding table becomes a ~3 TB code table
-    * that fits cluster memory. Raw vectors are re-read ONLY for the
-    * `k × refine` re-rank candidates per probe (a bounded semi-join back
-    * to the corpus, the IO pattern every production PQ deployment uses).
-    *
-    * Fit: each vector is cut into `m` subspaces of dim/m; per subspace a
-    * `kCodes`-word codebook is trained exactly like `ivfTopK`'s centroids
-    * (deterministic hash-order seeds + `lloydIters` Lloyd steps in DECIMAL;
-    * one sub-vector frame keyed by subspace trains all m codebooks in one
-    * plan). The fitted model is m × kCodes × dim/m doubles — bounded,
-    * corpus-size-independent — so like the IVF centroids it is collected
-    * once and re-emitted as a plan literal.
-    *
-    * Encode (map-side only, no shuffle): `codes[s]` = index of the L2-
-    * nearest codeword of subspace s, found by an `array_min` over a scored
-    * struct array built from the literal codebook.
-    *
-    * Search (ADC — asymmetric distance computation): each probe pre-computes
-    * a distance table `dtab[s][c] = dot(probe_s, codeword[s][c])` (m × kCodes
-    * entries, from the same literal), then every corpus row costs m array
-    * lookups instead of dim multiplies:
-    * `dot(p, x) = Σ_s dot(p_s, x_s) ≈ Σ_s dtab[s][codes[s]]` — exact
-    * additive decomposition, quantization error only inside each subspace.
-    * Top `k × refine` by ADC score are re-ranked with the exact codegen dot
-    * against the raw vectors. Composes with IVF (bucket-prune, then
-    * ADC-scan the bucket); kept separate so each tier is independently
-    * testable.
-    */
-  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             probePred: Column => Column, k: Int,
-             m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,
-             refine: Int = 4, dim: Int = -1): DataFrame = {
-    val spark = emb.sparkSession
-    graft.GraftExtensions.ensure(spark)
-    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
-    val d =
-      if (dim > 0) dim
-      else emb.agg(min(size(col(vecCol)))).collect()
-        .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0))).getOrElse(0)
-    require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
-    val sub = d / m
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  /** Squared L2 distance between two double arrays — the PQ fit/encode
+    * metric. */
+  private val l2 = (a: Column, b: Column) =>
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** PQ codebook fit (shared by pqTopK / ivfpqTopK): each vector is cut
+    * into `m` subspaces of `sub` dims; per subspace a codebook of up to
+    * `kCodes` words is trained exactly like `ivfTopK`'s centroids
+    * (deterministic hash-order seeds + `lloydIters` Lloyd steps in
+    * DECIMAL; one sub-vector frame keyed by subspace trains all m
+    * codebooks in one plan). The fitted model is m × kCodes × sub doubles
+    * — bounded, corpus-size-independent — so like the IVF centroids it is
+    * collected once and re-emitted by callers as a plan literal
+    * (`[s][code][pos]`).
+    *
+    * A corpus smaller than `kCodes` clamps the effective codebook to the
+    * available seed count rather than failing (mirroring ivfTopK's
+    * limit(nCentroids) degradation); consumers index the literal
+    * positionally, so they adapt to the narrower codebook.
+    */
+  private def fitPqCodebook(corpus: DataFrame, m: Int, sub: Int,
+                            kCodes: Int, lloydIters: Int): Seq[Seq[Seq[Double]]] = {
     // one row per (vector, subspace): the training frame for all m codebooks
     val nvd = transform(col("nv"), _.cast(DoubleType))
     val subvecs = corpus.select(col("nid"),
@@ -262,42 +242,103 @@ object Similarity {
       codebook = codebook.join(means, Seq("s", "code"), "left")
         .select(col("s"), col("code"), coalesce(col("ncw"), col("cw")).as("cw"))
     }
-    // fitted model → driver → literal: m × kCodes × sub doubles, bounded
+    // fitted model → driver: every subspace seeds one row per corpus
+    // vector, so the clamp min(kCodes, |corpus|) is uniform across
+    // subspaces — verified below
     val fitted = codebook.orderBy("s", "code").collect()
-    val cbSeq: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+    val kEff = fitted.count(_.getInt(0) == 0)
+    require(kEff >= 1, "PQ codebook fit: empty corpus")
+    (0 until m).map { s =>
       val rows = fitted.filter(_.getInt(0) == s)
-      require(rows.length == kCodes, s"subspace $s has ${rows.length} codewords")
+      require(rows.length == kEff,
+        s"subspace $s has ${rows.length} codewords, expected $kEff")
       rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2))
     }
-    val cbLit = typedLit(cbSeq) // [s][code][pos]
+  }
+
+  /** `codes[s]` = index of the L2-nearest codeword of subspace s — the PQ
+    * encode, map-side only (an `array_min` over a scored struct array
+    * built from the literal codebook). */
+  private def pqEncode(cbLit: Column, vec: Column, sub: Int): Column = {
+    val vd = transform(vec, _.cast(DoubleType))
+    transform(cbLit, (cb, s) => {
+      val sv = slice(vd, s * lit(sub) + lit(1), lit(sub))
+      array_min(transform(cb, (cw, c) =>
+        struct(l2(sv, cw).as("d2"), c.as("code")))).getField("code")
+    })
+  }
+
+  /** Per-probe ADC distance table `dtab[s][c] = dot(probe_s,
+    * codeword[s][c])` — m × kCodes entries from the literal codebook,
+    * map-side. */
+  private def pqDtab(cbLit: Column, vec: Column, sub: Int): Column = {
+    val pd = transform(vec, _.cast(DoubleType))
+    transform(cbLit, (cb, s) => {
+      val ps = slice(pd, s * lit(sub) + lit(1), lit(sub))
+      transform(cb, cw =>
+        aggregate(zip_with(ps, cw, (x, y) => x * y), lit(0.0), _ + _))
+    })
+  }
+
+  /** ADC score of an encoded vector against a probe's distance table: m
+    * array lookups instead of dim multiplies —
+    * `dot(p, x) = Σ_s dot(p_s, x_s) ≈ Σ_s dtab[s][codes[s]]` (exact
+    * additive decomposition, quantization error only inside each
+    * subspace). */
+  private val adcScore: Column = aggregate(
+    zip_with(col("dtab"), col("codes"), (t, c) => element_at(t, c + 1)),
+    lit(0.0), _ + _)
+
+  /** Product-quantization approximate top-k (the compressed-index tier;
+    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — the public design behind Faiss's IndexPQ).
+    *
+    * Where IVF answers "scan fewer vectors", PQ answers "make each vector
+    * smaller": the index keeps only (id, m sub-codes, norm) per vector. In
+    * the production packed format that is 1 byte per code (at dim=64/m=8:
+    * 8 code bytes + 8 norm bytes vs 256 raw float bytes, 16×) — this
+    * engine materializes codes as `array<int>` for plan-native ADC
+    * lookups, trading the last constant factor of compression for staying
+    * inside whole-stage codegen; the asymptotic point (index size scales
+    * with m, not dim) is unchanged. Raw vectors are re-read ONLY for the
+    * `k × refine` re-rank candidates per probe (a bounded semi-join back
+    * to the corpus, the IO pattern every production PQ deployment uses).
+    *
+    * Fit/encode/ADC: see fitPqCodebook / pqEncode / pqDtab / adcScore.
+    *
+    * SCALE CONTRACT: this flat variant ADC-scans the ENTIRE encoded corpus
+    * per probe batch (and the `k × refine` cut below it is a ranking
+    * window over that probes × corpus expansion) — intended for bounded
+    * probe sets against a corpus whose CODES fit comfortably in cluster
+    * memory. The corpus-scale composition is `ivfpqTopK`, which confines
+    * both the ADC scan and the ranking window to the probes' nprobe IVF
+    * buckets.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             probePred: Column => Column, k: Int,
+             m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,
+             refine: Int = 4, dim: Int = -1): DataFrame = {
+    val spark = emb.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val d = dimOf(emb, vecCol, dim)
+    require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
+    val sub = d / m
+    val cbLit = typedLit(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
 
     // encode: nearest codeword per subspace, map-side, no shuffle; the
     // index frame keeps ONLY (nid, codes, nn) — the compression point
-    val encNvd = transform(col("nv"), _.cast(DoubleType))
     val encoded = corpus.select(col("nid"), col("nn"),
-      transform(cbLit, (cb, s) => {
-        val sv = slice(encNvd, s * lit(sub) + lit(1), lit(sub))
-        array_min(transform(cb, (cw, c) =>
-          struct(l2(sv, cw).as("d2"), c.as("code")))).getField("code")
-      }).as("codes"))
+      pqEncode(cbLit, col("nv"), sub).as("codes"))
 
-    // search: per-probe ADC table dtab[s][c] = dot(probe_s, codeword[s][c])
+    // search: per-probe ADC table, then the flat ADC scan (see the scale
+    // contract above)
     val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
-    val pvd = transform(col("pv"), _.cast(DoubleType))
     val probeTabs = probes.select(col("pid"), col("pv"), col("pn"),
-      transform(cbLit, (cb, s) => {
-        val ps = slice(pvd, s * lit(sub) + lit(1), lit(sub))
-        transform(cb, cw =>
-          aggregate(zip_with(ps, cw, (x, y) => x * y), lit(0.0), _ + _))
-      }).as("dtab"))
-
-    // ADC scan over the code table: m lookups per (probe, vector)
-    val adc = aggregate(
-      zip_with(col("dtab"), col("codes"), (t, c) => element_at(t, c + 1)),
-      lit(0.0), _ + _)
+      pqDtab(cbLit, col("pv"), sub).as("dtab"))
     val wAdc = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col("nid").asc)
     val candidates = broadcast(probeTabs).join(encoded, col("nid") =!= col("pid"))
-      .withColumn("adc", round(adc / (col("pn") * col("nn")), 9))
+      .withColumn("adc", round(adcScore / (col("pn") * col("nn")), 9))
       .withColumn("crank", row_number().over(wAdc))
       .where(col("crank") <= k * refine)
       .select(col("pid"), col("pv"), col("pn"), col("nid"))
@@ -310,6 +351,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Nearest-centroid pick as a max_by AGGREGATION, not a ranking window:
+    * the windowed form shuffles the full |corpus| × nCentroids expansion
+    * to rank it; max_by collapses to one row per vector in the map-side
+    * partial, so the shuffle carries |corpus| rows regardless of
+    * nCentroids. Tiebreak (csim DESC, cid ASC) via lexicographic struct. */
+  private val nearestCentroid = (csim: Column) =>
+    max_by(col("cid"), struct(csim, (-col("cid")).as("nc")))
+
+  /** IVF centroid fit (shared by ivfTopK / ivfpqTopK): `nCentroids` seed
+    * vectors drawn by a deterministic pseudo-random sample (top-n by hash
+    * of id — stable, cheap TakeOrdered, size-independent of the corpus),
+    * then `lloydIters` k-means refinement steps (means accumulated in
+    * DECIMAL so the refined centroids are bit-deterministic across
+    * partitionings). Returns the lazy (cid, cv) centroid frame; callers
+    * collect it once — the model is nCentroids × dim doubles, bounded by
+    * construction. */
+  private def fitIvfCentroids(corpus: DataFrame, nCentroids: Int,
+                              lloydIters: Int): DataFrame = {
+    var centroids = corpus
+      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
+      .limit(nCentroids)
+      .select(col("nid").as("cid"),
+        transform(col("nv"), _.cast(DoubleType)).as("cv"))
+    for (_ <- 0 until lloydIters) {
+      // assign to nearest seed (norm of nv is constant per nid — dividing
+      // by it cannot change the per-vector ranking, so csim omits it)
+      val assignedTo = corpus.join(broadcast(centroids), lit(true))
+        .withColumn("csim", dot(col("nv"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
+        .groupBy(col("nid"), col("nv"))
+        .agg(nearestCentroid(col("csim")).as("cid"))
+        .select(col("cid"), col("nv"))
+      // Lloyd step: centroid ← mean of its cluster, per dimension.
+      centroids = assignedTo
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(38, 12))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast(DoubleType)).as("cv"))
+    }
+    centroids
   }
 
   /** IVF-style approximate top-k (the scale path).
@@ -334,41 +419,7 @@ object Similarity {
     val spark = emb.sparkSession
     graft.GraftExtensions.ensure(spark)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
-
-    // seed sample: top-nCentroids by splitmix-style hash order — stable,
-    // cheap (TakeOrdered, no full sort), size-independent of the corpus
-    var centroids = corpus
-      .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
-      .limit(nCentroids)
-      .select(col("nid").as("cid"),
-        transform(col("nv"), _.cast(DoubleType)).as("cv"))
-
-    // Nearest-centroid assignment as a max_by AGGREGATION, not a ranking
-    // window: the windowed form shuffles the full |corpus| × nCentroids
-    // expansion to rank it; max_by collapses to one row per vector in the
-    // map-side partial, so the shuffle carries |corpus| rows regardless of
-    // nCentroids. Tiebreak (csim DESC, cid ASC) via lexicographic struct.
-    val nearest = (csim: Column) =>
-      max_by(col("cid"), struct(csim, (-col("cid")).as("nc")))
-    for (_ <- 0 until lloydIters) {
-      // assign to nearest seed (norm of nv is constant per nid — dividing
-      // by it cannot change the per-vector ranking, so csim omits it)
-      val assignedTo = corpus.join(broadcast(centroids), lit(true))
-        .withColumn("csim", dot(col("nv"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
-        .groupBy(col("nid"), col("nv"))
-        .agg(nearest(col("csim")).as("cid"))
-        .select(col("cid"), col("nv"))
-      // Lloyd step: centroid ← mean of its cluster, per dimension.
-      // DECIMAL accumulation ⇒ identical result for any partition order.
-      centroids = assignedTo
-        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("v").cast(DecimalType(38, 12))).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), x => x.getField("m").cast(DoubleType)).as("cv"))
-    }
+    val centroids = fitIvfCentroids(corpus, nCentroids, lloydIters)
     // Fit/transform split: the fitted model is nCentroids × dim doubles —
     // bounded by construction, independent of corpus size — so it is
     // collected to the driver and re-emitted as a literal local relation
@@ -385,7 +436,7 @@ object Similarity {
     val assigned = corpus.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .groupBy(col("nid"), col("nv"), col("nn"))
-      .agg(nearest(col("csim")).as("cid"))
+      .agg(nearestCentroid(col("csim")).as("cid"))
       .select(col("nid"), col("nv"), col("nn"), col("cid"))
 
     // search: top-nprobe centroids per probe
@@ -407,5 +458,113 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** IVF + PQ composed ANN — the corpus-scale tier (the public design
+    * behind Faiss's IndexIVFPQ): the IVF coarse quantizer confines WHICH
+    * vectors are scanned (each probe reads only its `nprobe` of
+    * `nCentroids` buckets) and PQ compresses WHAT is scanned (m sub-codes
+    * per vector), so a probe batch touches ~nprobe/nCentroids of a code
+    * table that is itself a small fraction of the raw corpus — vs
+    * `pqTopK`'s flat ADC scan of the whole code table and `ivfTopK`'s
+    * bucket scan of raw vectors.
+    *
+    * Both fitted models (centroids via fitIvfCentroids, codebook via
+    * fitPqCodebook) are bounded, corpus-size-independent, and collected
+    * once as plan literals. The whole INDEX BUILD is then ONE map-side
+    * pass over the corpus with no shuffle at all: with the centroid set a
+    * literal array, nearest-centroid assignment is an `array_max` over
+    * nCentroids scored structs per row (ivfTopK's broadcast-join +
+    * max_by aggregation is only needed when the centroids are still a
+    * frame), and the PQ encode is the same `array_min` as pqTopK. The
+    * index frame keeps (nid, cid, codes, nn).
+    *
+    * Search: each probe picks its nprobe buckets (array_sort over the
+    * scored centroid literal, map-side) and pre-computes its ADC table,
+    * then joins encoded vectors ON THE BUCKET ID — the ADC scan, the
+    * k × refine ranking window, and the exact re-rank all see
+    * bucket-confined candidates only (pinned by SignLshSpec via
+    * `ivfpqParts`). The bucket id is the join/shuffle partitioning, like
+    * the LSH bands — no flat stage survives at any corpus size.
+    */
+  def ivfpqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                probePred: Column => Column, k: Int,
+                nCentroids: Int = 64, nprobe: Int = 3,
+                m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,
+                refine: Int = 4, dim: Int = -1): DataFrame =
+    ivfpqParts(emb, idCol, vecCol, probePred, k, nCentroids, nprobe,
+      m, kCodes, lloydIters, refine, dim)._3
+
+  /** The ivfpqTopK internals, exposed for the bucket-confinement spec:
+    * (probeBuckets (pid, cid), ADC candidates (pid, nid, cid), final
+    * top-k). Every candidate's cid must appear in its probe's bucket set —
+    * the property that makes the composition scale. */
+  private[graft] def ivfpqParts(emb: DataFrame, idCol: String, vecCol: String,
+                                probePred: Column => Column, k: Int,
+                                nCentroids: Int, nprobe: Int,
+                                m: Int, kCodes: Int, lloydIters: Int,
+                                refine: Int, dim: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val d = dimOf(emb, vecCol, dim)
+    require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
+    val sub = d / m
+
+    // both fitted models → plan literals (each bounded by construction)
+    val cbLit = typedLit(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
+    val centRows: Seq[(Long, Seq[Double], Double)] =
+      fitIvfCentroids(corpus, nCentroids, lloydIters)
+        .select(col("cid").cast(LongType), col("cv"))
+        .collect()
+        .map { r =>
+          val cv = r.getSeq[Double](1)
+          (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+        }.toSeq.sortBy(_._1)
+    require(centRows.nonEmpty, "IVF fit: empty corpus")
+    val centLit = typedLit(centRows) // array<struct<_1 cid, _2 cv, _3 cn>>
+
+    // index build — one map-side pass, zero shuffles: nearest centroid
+    // (csim DESC, cid ASC tiebreak via (csim, -cid) struct max) + PQ codes
+    val nearestCid = (v: Column) =>
+      -array_max(transform(centLit, c =>
+        struct((dot(v, c.getField("_2")) / c.getField("_3")).as("csim"),
+          (-c.getField("_1")).as("nc")))).getField("nc")
+    val encoded = corpus.select(col("nid"), col("nn"),
+      nearestCid(col("nv")).as("cid"),
+      pqEncode(cbLit, col("nv"), sub).as("codes"))
+
+    // probe side — nprobe bucket ids (sim DESC, cid ASC) + ADC table,
+    // both map-side from the literals; slice degrades gracefully when the
+    // corpus yielded fewer than nprobe centroids
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
+    val bucketCids = (v: Column) =>
+      transform(slice(array_sort(transform(centLit, c =>
+        struct((-(dot(v, c.getField("_2")) / c.getField("_3"))).as("negsim"),
+          c.getField("_1").as("cid")))), 1, nprobe), x => x.getField("cid"))
+    val probeTabs = probes.select(col("pid"), col("pv"), col("pn"),
+      pqDtab(cbLit, col("pv"), sub).as("dtab"),
+      explode(bucketCids(col("pv"))).as("cid"))
+    val probeBuckets = probeTabs.select(col("pid"), col("cid"))
+
+    // ADC scan CONFINED to the probes' buckets: the join keys on cid, so
+    // the ranking window below spans only bucket members, never the corpus
+    val wAdc = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col("nid").asc)
+    val candidates = broadcast(probeTabs).join(encoded, Seq("cid"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("adc", round(adcScore / (col("pn") * col("nn")), 9))
+      .withColumn("crank", row_number().over(wAdc))
+      .where(col("crank") <= k * refine)
+      .select(col("pid"), col("pv"), col("pn"), col("nid"), col("cid"))
+
+    // exact re-rank over the bounded candidate set (raw vectors re-read
+    // only here — probes × k × refine rows)
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("nid").asc)
+    val result = candidates.join(corpus, Seq("nid"))
+      .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+    (probeBuckets, candidates.select(col("pid"), col("nid"), col("cid")), result)
   }
 }

@@ -37,6 +37,54 @@ class SignLshSpec extends AnyFunSuite {
       s"mean LSH top-1 sim $meanLsh too far below true $meanTrue")
   }
 
+  test("PQ ANN: recall@5 above a fixed floor vs brute force") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", _ < 25, k = 5,
+      m = 8, kCodes = 16, refine = 8, dim = 64)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 25, k = 5)
+    // recallArtifact pins determinism; this pins QUALITY — a silent
+    // codebook bug (e.g. all-zero codewords) would still emit rows but
+    // collapse the hit rate
+    val recall = Similarity.annHits(pq, brute)
+      .agg(avg(col("hits") / 5.0)).collect().head.getDouble(0)
+    assert(recall >= 0.6, s"PQ recall@5 $recall below floor 0.6")
+  }
+
+  test("PQ ANN: corpus smaller than kCodes clamps the codebook instead of failing") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings").where(col("vec_id") < 10)
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding", _ < 3, k = 2,
+      m = 8, kCodes = 16, refine = 2, dim = 64)
+    assert(out.count() > 0)
+  }
+
+  test("IVF+PQ ANN: ADC candidates come ONLY from each probe's nprobe buckets; recall floor") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val (buckets, candidates, result) = Similarity.ivfpqParts(
+      emb, "vec_id", "embedding", _ < 25, k = 5,
+      nCentroids = 64, nprobe = 4, m = 8, kCodes = 16, lloydIters = 1,
+      refine = 8, dim = 64)
+    // the scale property: every ADC candidate's bucket id is one of its
+    // probe's selected nprobe buckets — nothing outside them was scanned
+    val escaped = candidates.join(buckets, Seq("pid", "cid"), "left_anti")
+    assert(escaped.isEmpty, "ADC candidate outside its probe's nprobe buckets")
+    // each probe selects at most nprobe buckets
+    val overWide = buckets.groupBy("pid").agg(count(lit(1)).as("n"))
+      .where(col("n") > 4)
+    assert(overWide.isEmpty)
+    // shape + honesty: ≤ k rows per probe, approximate sim never exceeds
+    // the true best
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 25, k = 5)
+      .cache()
+    val joined = result.where(col("rank") === 1).select(col("pid"), col("sim").as("a"))
+      .join(brute.where(col("rank") === 1).select(col("pid"), col("sim").as("t")), "pid")
+    assert(joined.where(col("a") > col("t")).isEmpty)
+    // quality floor — nprobe=4 of 64 buckets: loose on purpose (the
+    // operator contract is confinement; recall tunes via nprobe)
+    val recall = Similarity.annHits(result, brute)
+      .agg(avg(col("hits") / 5.0)).collect().head.getDouble(0)
+    assert(recall >= 0.3, s"IVF+PQ recall@5 $recall below floor 0.3")
+  }
+
   test("IVF ANN: sims bounded by true best, useful quality") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 25, k = 1)
