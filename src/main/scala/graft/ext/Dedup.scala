@@ -84,24 +84,29 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document SimHash bit sums (doc_id, s0..s63): s_j is the
+  /** Per-document SimHash bit sums (doc_id, s0..s{width-1}): s_j is the
     * count-weighted sum over tokens of (2*bit_j(md5(token)) - 1); the
-    * fingerprint's bit j is sign(s_j). All 64 sums are computed as 64
-    * aggregate columns over the token rows — one shuffle with map-side
-    * partials, vs. exploding 64× rows. The md5 is evaluated once per token
-    * row; bit j of a token = bit (j mod 4) of hex digit (j div 4). */
+    * fingerprint's bit j is sign(s_j). All `width` sums are computed as
+    * `width` aggregate columns over the token rows — one shuffle with
+    * map-side partials, vs. exploding width× rows. The md5 is evaluated
+    * once per token row; bit j of a token = bit (j mod 4) of hex digit
+    * (j div 4). `width` ≤ 128 (md5 is a 128-bit digest / 32 hex digits).
+    */
   private def simHashBitSums(docs: DataFrame, idCol: String,
-                             textCol: String): DataFrame = {
+                             textCol: String, width: Int): DataFrame = {
+    require(width > 0 && width <= 128 && width % 4 == 0,
+      s"simhash width=$width must be a positive multiple of 4, at most 128")
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    // Bind the 16 hex digits of md5(tok) to their own projection (16 convs
-    // per token row, each consumed by 4 bit sums — CollapseProject keeps
-    // multi-use non-trivial aliases materialized), then slice bits with
-    // integer shifts instead of double-precision pow/floor/pmod.
-    val digits = (0 until 16).map(i =>
+    // Bind the width/4 hex digits of md5(tok) to their own projection (one
+    // conv per digit per token row, each consumed by 4 bit sums —
+    // CollapseProject keeps multi-use non-trivial aliases materialized),
+    // then slice bits with integer shifts instead of double-precision
+    // pow/floor/pmod.
+    val digits = (0 until width / 4).map(i =>
       conv(substring(col("h"), i + 1, 1), 16, 10).cast(LongType).as(s"d$i"))
-    val bitSums = (0 until 64).map { j =>
+    val bitSums = (0 until width).map { j =>
       val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1L))
       sum(col("cnt") * (bit * 2 - 1)).as(s"s$j")
     }
@@ -115,10 +120,11 @@ object Dedup {
     * Near-dup docs (high token overlap) get identical/close fingerprints;
     * grouping by fingerprint is the dedup shuffle key.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fingerprint = concat((0 until 64).map(j =>
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              width: Int = 64): DataFrame = {
+    val fingerprint = concat((0 until width).map(j =>
       when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
-    simHashBitSums(docs, idCol, textCol)
+    simHashBitSums(docs, idCol, textCol, width)
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
@@ -140,16 +146,18 @@ object Dedup {
     * known (0 within a group, the verified rep distance across groups)
     * without re-banding. Per-band bucket fan-out over the distinct
     * fingerprints is |distinct| / 2^w for w-bit bands — lower maxHamming ⇒
-    * wider bands ⇒ smaller buckets; at 100 TB pair with a 128-bit
-    * fingerprint for more headroom.
+    * wider bands ⇒ smaller buckets; at 100 TB pass `width = 128` (md5's
+    * full digest) for more headroom: bands double in width, so bucket
+    * fan-out shrinks quadratically while the same maxHamming contract
+    * holds over the wider fingerprint.
     *
     * Returns (da, db, hamming) with da < db, hamming ≤ maxHamming.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, width: Int = 64): DataFrame = {
     val bands = maxHamming + 1
-    require(64 % bands == 0, s"bands=$bands must divide 64")
-    val (groups, members) = simHashGroups(docs, idCol, textCol, bands)
+    require(width % bands == 0, s"bands=$bands must divide width=$width")
+    val (groups, members) = simHashGroups(docs, idCol, textCol, bands, width)
     // Across groups: band-join the representatives, then expand each
     // verified rep pair to its member pairs (doc→group is unique, so no
     // member pair can arise twice). Docs in different groups may order
@@ -176,16 +184,19 @@ object Dedup {
     * doc_id to its group's rep. Package-private so tests can pin that
     * candidate volume is per-distinct-fingerprint, not per-document. */
   private[graft] def simHashGroups(docs: DataFrame, idCol: String,
-                                   textCol: String,
-                                   bands: Int): (DataFrame, DataFrame) = {
-    val w = 64 / bands
-    // Band b = bits [b*w, (b+1)*w) of the fingerprint, packed into a long.
+                                   textCol: String, bands: Int,
+                                   width: Int = 64): (DataFrame, DataFrame) = {
+    val w = width / bands
+    require(w <= 64, s"band width $w exceeds 64 bits — raise bands")
+    // Band b = bits [b*w, (b+1)*w) of the fingerprint, packed into a long
+    // (bitwise OR of distinct powers — same value as the sum, but immune
+    // to ANSI overflow checks when bit 63 is set).
     val chunkCols = (0 until bands).map { b =>
       (0 until w).map(i =>
         when(col(s"s${b * w + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"c$b")
+        .reduce(_ bitwiseOR _).as(s"c$b")
     }
-    val sig = simHashBitSums(docs, idCol, textCol)
+    val sig = simHashBitSums(docs, idCol, textCol, width)
       .select(col("doc_id") +: chunkCols: _*)
       .select(col("doc_id"),
         array((0 until bands).map(b => col(s"c$b")): _*).as("cs"))
@@ -285,19 +296,31 @@ object Dedup {
     * pairwise candidates into DEDUP CLUSTERS (component id = min doc_id of
     * the cluster; keep one representative per component, drop the rest).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * minimum of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds. Near-dup components are shallow (dup
-    * clusters, not social graphs), so a handful of rounds suffices — the
-    * same reasoning that makes this the standard MapReduce/Spark CC
-    * formulation. Each round is one join + one aggregation, shuffling on
-    * vertex id; the driver only checks a scalar convergence count.
+    * Each round does min-label propagation (every vertex takes the minimum
+    * of its own label and its neighbors' labels) followed by POINTER
+    * DOUBLING (label ← label-of-label — valid because every label value is
+    * itself an endpoint id, see the induction note inline), so the
+    * distance a minimum travels per round roughly doubles: convergence in
+    * O(log diameter) rounds instead of the plain formulation's
+    * O(diameter). Rounds = Spark actions = the driver-side cost that
+    * survives any cluster size, so halving the exponent matters even
+    * though near-dup components are shallow. Each round is two joins + one
+    * aggregation shuffling endpoint-sized frames; the driver only checks a
+    * scalar convergence count.
     *
     * `vertices`: one column `doc_id`; `edges`: (da, db). Returns
     * (doc_id, component) for every vertex (singletons keep their own id).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxIter)._1
+
+  /** connectedComponents plus the number of rounds actually run —
+    * package-private so a spec can pin the O(log diameter) round count on
+    * a chain fixture. */
+  private[graft] def connectedComponentsWithRounds(
+      vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
@@ -338,14 +361,33 @@ object Dedup {
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      val (next, nextRdd) = cut(labels.drop("__changed")
+      // half-round: plain min propagation over the edges. Persisted so the
+      // doubling join below reads it from cache on both sides instead of
+      // recomputing the edge join twice.
+      val (stepped, steppedRdd) = cut(labels.drop("__changed")
         .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("component"), col("min_nbr")).as("component"),
-          (col("min_nbr") < col("component")).as("__changed")))
+          col("component").as("__old")))
+      // pointer doubling: label ← stepped-label of the stepped label.
+      // Sound because every label VALUE is an endpoint id of the same
+      // component (induction: labels start as own ids; min over neighbor
+      // labels and label-of-label both pick existing labels), so the
+      // lookup is a self-join on the label; a label already at its
+      // component minimum has no stepped row iff it equals its own label —
+      // the coalesce keeps it. Monotone: cc2 ≤ stepped ≤ old, so the
+      // changed flag stays exact.
+      val (next, nextRdd) = cut(stepped.as("x")
+        .join(stepped.select(col("doc_id").as("component"),
+          col("component").as("__cc2")).as("y"), Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__cc2"), col("component")).as("component"),
+          (coalesce(col("__cc2"), col("component")) < col("__old")).as("__changed")))
       // the one action of the round: caches every partition of `next`
-      // (reading the previous labels) and yields the convergence count
+      // (reading stepped and the previous labels) and yields the
+      // convergence count
       converged = nextRdd.filter(_.getBoolean(changedIdx)).count() == 0L
+      steppedRdd.unpersist(false)
       labelsRdd.unpersist(false)
       labels = next
       labelsRdd = nextRdd
@@ -359,9 +401,10 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
           "component diameter exceeds maxIter; raise it")
-    vertices.select(col("doc_id"))
+    (vertices.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component")),
+      iter)
   }
 
   /** Edit-distance-verified near-dup pairs: MinHash+LSH candidate

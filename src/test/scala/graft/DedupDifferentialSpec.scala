@@ -136,6 +136,61 @@ class DedupDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashPairs width=128 equals in-memory 128-bit Hamming filter; dup pairs match 64-bit") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // full md5 digest: 128 bits as two 64-bit lanes
+    def fingerprint128(text: String): (Long, Long) = {
+      val counts = text.trim.toLowerCase.split(" +").toSeq.groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      (0 until 128).foldLeft((0L, 0L)) { case ((lo, hi), j) =>
+        val s = counts.map { case (tok, cnt) =>
+          val digit = Integer.parseInt(hex(tok).charAt(j / 4).toString, 16)
+          cnt * (2L * ((digit >> (j % 4)) & 1) - 1L)
+        }.sum
+        if (s <= 0) (lo, hi)
+        else if (j < 64) (lo | (1L << j), hi)
+        else (lo, hi | (1L << (j - 64)))
+      }
+    }
+    val rnd = new Random(13)
+    val base = randomDocs(13, 40)
+    val docs = base ++ base.take(10).map { case (id, t) =>
+      (id + 100L, t + " " + words(rnd.nextInt(words.size))) } ++
+      base.take(5).map { case (id, t) => (id + 200L, t) } // exact dups
+    val fps = docs.map { case (id, t) => id -> fingerprint128(t) }
+    for (maxHam <- Seq(7, 31)) {
+      val want = (for {
+        (da, (la, ha)) <- fps; (db, (lb, hb)) <- fps if db > da
+        h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if h <= maxHam
+      } yield (da, db, h.toLong)).toSet
+      val got = Dedup.simHashPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", maxHamming = maxHam, width = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).asInstanceOf[Number].longValue)).toSet
+      assert(got == want, s"width=128 maxHam=$maxHam")
+      assert(want.exists(_._3 == 0L), "fixture must exercise identical fingerprints")
+      if (maxHam == 31)
+        assert(want.exists(_._3 > 0L), "fixture must exercise near fingerprints")
+    }
+    // a 128-bit fingerprint refines, never coarsens, exact-dup detection:
+    // hamming-0 pairs agree with the 64-bit run on the same corpus
+    val zero64 = Dedup.simHashPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 3)
+      .where(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zero128 = Dedup.simHashPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 3, width = 128)
+      .where(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero128.subsetOf(zero64),
+      "128-bit hamming-0 must be a refinement of 64-bit hamming-0")
+    assert(zero128.nonEmpty)
+  }
+
   test("simHashPairs: identical-fingerprint cluster cannot explode the band join") {
     import spark.implicits._
     // n identical docs + three distinct ones. The fingerprint pre-group
@@ -197,6 +252,20 @@ class DedupDifferentialSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
       assert(want.values.toSet.size < n, s"fixture must have real merges (seed=$seed)")
     }
+  }
+
+  test("connectedComponents: pointer doubling converges on a chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain min propagation: a 33-vertex path (diameter 32)
+    // would need ~32 plain rounds — far over maxIter=10; pointer doubling
+    // must close it in ≤ ceil(log2(32)) + 2 = 7
+    val n = 32L
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("da", "db")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      (0L to n).toDF("doc_id"), edges, maxIter = 10)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to n).map(_ -> 0L).toMap, "one component labeled by its minimum")
+    assert(rounds <= 7, s"chain of diameter $n took $rounds rounds — doubling not effective")
   }
 
   test("dedupPipeline: exact dups, near dups, and uniques get the right canonical") {
