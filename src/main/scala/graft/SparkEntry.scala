@@ -469,6 +469,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X8: REAL palette-image round trip — own GIF87a codec (real
+    //    LZW, 9→12-bit variable codes, sub-block framing); geometry and
+    //    palette-resolved pixel sum come from the decoded container ──────
+    "q_media_gif" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.gifRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X8: REAL lossy-image decode — grayscale JPEG via the JDK's
     //    own codec (javax.imageio, headless); geometry from the DECODED
     //    header, reconstruction verified within a bounded mean pixel
@@ -1393,6 +1402,15 @@ object SparkEntry {
          SELECT doc_id, CAST(16 AS BIGINT) width,
                 CAST(greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) AS BIGINT) height,
                 CAST(3 AS BIGINT) channels, CAST(s AS BIGINT) sum_channels
+         FROM agg ORDER BY doc_id""",
+    "q_media_gif" ->
+      """WITH agg AS (SELECT doc_id, strlen(text) n,
+                             sum(ascii(substr(text, CAST(j AS INT), 1))) s
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1, 2)
+         SELECT doc_id, CAST(16 AS BIGINT) width,
+                CAST(greatest(1, CAST(ceil(n / 16.0) AS BIGINT)) AS BIGINT) height,
+                CAST(s AS BIGINT) sum_pixels
          FROM agg ORDER BY doc_id""",
     // JPEG is LOSSY: the oracle checks exact decoded geometry (grayscale,
     // width 16 → height = ceil(bytes/16), min 1) plus the always-true

@@ -159,6 +159,32 @@ object Media {
       .toDF("doc_id", "width", "height", "channels", "sum_channels")
   }
 
+  /** REAL palette-image round trip: synthesize a genuine GIF87a per
+    * document (pixel indices = text bytes zero-padded to full rows, an
+    * identity grayscale palette), LZW-compress it with the real GIF
+    * algorithm (variable 9→12-bit codes, sub-block framing), then decode
+    * it back — LZW table reconstruction, palette resolution — and emit
+    * the decoded geometry plus the palette-resolved pixel sum. Every
+    * emitted column travels through the compressed container. */
+  def gifRoundTrip(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 16)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val height = math.max(1, (bytes.length + width - 1) / width)
+          val pixels = java.util.Arrays.copyOf(bytes, width * height)
+          val gif = MediaCodecs.encodeGif(width, height, pixels)
+          val info = MediaCodecs.decodeGif(gif)
+          (id, info.width.toLong, info.height.toLong, info.sumPixels)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_pixels")
+  }
+
   /** REAL image resize for the codec-free tier: synthesize a genuine
     * 24-bit BMP per document (as bmpRoundTrip), nearest-neighbor
     * downsample it by `factor` with MediaCodecs.resizeBmp24 (a real

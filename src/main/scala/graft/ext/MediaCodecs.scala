@@ -733,4 +733,318 @@ object MediaCodecs {
 
   /** Parse header facts only (timing + sample counts). */
   def decodeMp4(bytes: Array[Byte]): Mp4Info = mp4SampleTable(bytes)._1
+
+  // ── GIF (8-bit palette, real LZW) ─────────────────────────────────────
+
+  /** Decoded GIF facts: image-descriptor geometry plus the integer sum of
+    * the PALETTE-RESOLVED red channel over all pixels (with the identity
+    * grayscale palette the encoder writes, that is the sum of the pixel
+    * values themselves) — the decode is palette-aware, not an index
+    * pass-through. */
+  case class GifInfo(width: Int, height: Int, sumPixels: Long)
+
+  /** Pixel-count guard shared by the GIF paths: rejects crafted headers
+    * before any allocation (same discipline as the PNG dimension guards).
+    */
+  private val GifMaxPixels: Long = 1L << 26
+
+  private def gifFail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"not a decodable GIF: $msg")
+
+  /** GIF-variant LZW compression of 8-bit codes (minCodeSize 8): variable
+    * code width 9→12 LSB-first, initial clear code, deferred clear when
+    * the table fills (spec-sanctioned; decoders must simply stop adding),
+    * EOI terminator.
+    *
+    * WIDTH RULE (the classic desync trap): the width check runs after
+    * every EMITTED code, against the table size at emission time — NOT at
+    * table-add time. The final data code before EOI is emitted without a
+    * following add, while the decoder always adds after reading it; a
+    * table-add-driven bump would therefore desync the EOI's width
+    * whenever the 2^w boundary lands exactly on the final code. Emission-
+    * driven bumping (what giflib does) keeps both sides aligned for every
+    * code, including EOI. The decoder mirrors with a read-driven counter.
+    */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeWidth = minCodeSize + 1
+    var nextCode = eoi + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+      // post-emission width check (see WIDTH RULE above)
+      if (nextCode >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    put(clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        val key = Integer.valueOf((cur << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          if (nextCode < 4096) {
+            dict.put(key, Integer.valueOf(nextCode)); nextCode += 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode. The classic table-lag algorithm: the decoder
+    * reconstructs each table entry one code AFTER the encoder created it,
+    * which is why a code equal to the next free slot is legal (the KwKwK
+    * case — the sequence is prev + first(prev)). The code width grows via
+    * a READ-driven counter (`runningCode`, giflib's convention), the
+    * exact mirror of the encoder's emission-driven rule — see the WIDTH
+    * RULE note on lzwEncode; a table-add-driven bump here desyncs on the
+    * final code before EOI. `maxBytes` bounds output before any work — a
+    * crafted stream cannot decompress-bomb. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        maxBytes: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val first = new Array[Byte](4096)
+    var i = 0
+    while (i < clear) { first(i) = i.toByte; i += 1 }
+    var nextCode = eoi + 1
+    var runningCode = eoi + 1
+    var codeWidth = minCodeSize + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def read(): Int = {
+      while (bitCnt < codeWidth) {
+        if (pos >= data.length) return -1
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; pos += 1; bitCnt += 8
+      }
+      val c = (bitBuf & ((1L << codeWidth) - 1)).toInt
+      bitBuf >>>= codeWidth; bitCnt -= codeWidth
+      c
+    }
+    val stack = new Array[Byte](4097)
+    // expand `code` (strictly below nextCode) onto the stack; returns depth
+    def expand(code: Int): Int = {
+      var sp = 0; var c = code
+      while (c >= eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (c >= clear) gifFail(s"LZW chain ends in reserved code $c")
+      stack(sp) = c.toByte; sp + 1
+    }
+    def emit(depth: Int): Unit = {
+      if (out.size() + depth > maxBytes) gifFail("LZW output exceeds pixel count")
+      var sp = depth - 1
+      while (sp >= 0) { out.write(stack(sp) & 0xff); sp -= 1 }
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == -1) gifFail("truncated LZW stream (no EOI)")
+      // read-driven width counter: advance for every DATA code, before the
+      // next read — including the final one before EOI (see docstring)
+      if (code != clear && code != eoi) {
+        runningCode += 1
+        if (runningCode > (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+      }
+      if (code == clear) {
+        nextCode = eoi + 1; runningCode = eoi + 1
+        codeWidth = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) gifFail(s"first code after clear is not a literal: $code")
+        emit(expand(code))
+        prev = code
+      } else {
+        val kwk = code == nextCode && nextCode < 4096
+        if (code > nextCode || (!kwk && code == nextCode))
+          gifFail(s"LZW code $code beyond table size $nextCode")
+        val fb: Byte =
+          if (kwk) { // sequence = seq(prev) + first byte of seq(prev)
+            val depth = expand(prev)
+            val f = stack(depth - 1) // first byte sits at the stack bottom
+            emit(depth)
+            if (out.size() + 1 > maxBytes) gifFail("LZW output exceeds pixel count")
+            out.write(f & 0xff)
+            f
+          } else {
+            val depth = expand(code)
+            val f = stack(depth - 1)
+            emit(depth)
+            f
+          }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = fb
+          first(nextCode) = first(prev)
+          nextCode += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Serialize 8-bit row-major pixel indices into a genuine GIF87a: header,
+    * logical screen descriptor, 256-entry identity-grayscale global color
+    * table, image descriptor, real LZW-compressed table-based image data
+    * in ≤255-byte sub-blocks, trailer. */
+  def encodeGif(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width * height == pixels.length,
+      s"pixel buffer ${pixels.length} != $width x $height")
+    require(width <= 0xffff && height <= 0xffff, "GIF geometry is 16-bit")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(asciiBytes("GIF87a"))
+    val lsd = new Array[Byte](7)
+    putLe16(lsd, 0, width); putLe16(lsd, 2, height)
+    lsd(4) = 0xf7.toByte // GCT present, 8-bit color resolution, 256 entries
+    out.write(lsd)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    val idesc = new Array[Byte](10)
+    idesc(0) = 0x2c
+    putLe16(idesc, 5, width); putLe16(idesc, 7, height)
+    out.write(idesc)
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(pixels, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Length-prefixed sub-block walk: returns (concatenated payload, next
+    * offset past the 0x00 terminator). */
+  private def gifSubBlocks(b: Array[Byte], start: Int): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = start
+    var done = false
+    while (!done) {
+      if (pos >= b.length) gifFail("truncated sub-block chain")
+      val n = b(pos) & 0xff; pos += 1
+      if (n == 0) done = true
+      else {
+        if (pos + n > b.length) gifFail("sub-block overruns input")
+        out.write(b, pos, n); pos += n
+      }
+    }
+    (out.toByteArray, pos)
+  }
+
+  /** Decode the FIRST image of a GIF87a/89a stream — full container walk
+    * (header, color tables, extensions skipped sub-block-correctly, image
+    * descriptor, LZW data, trailer) with the same reject-before-allocate
+    * discipline as the PNG/MP4 decoders. Interlaced images are rejected
+    * (the encoder never writes them). Returns (width, height, palette
+    * RGB bytes, pixel index bytes). */
+  def gifPixels(bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
+    if (bytes.length < 13) gifFail("shorter than header + screen descriptor")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") gifFail(s"bad signature '$sig'")
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > bytes.length) gifFail("truncated global color table")
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    var result: (Int, Int, Array[Byte], Array[Byte]) = null
+    var done = false
+    while (!done) {
+      if (pos >= bytes.length) gifFail("missing trailer")
+      (bytes(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension block: label byte, then sub-blocks
+          if (pos + 2 > bytes.length) gifFail("truncated extension")
+          pos = gifSubBlocks(bytes, pos + 2)._2
+        case 0x2c =>
+          if (pos + 10 > bytes.length) gifFail("truncated image descriptor")
+          val iw = le16(bytes, pos + 5); val ih = le16(bytes, pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
+          if (iw <= 0 || ih <= 0) gifFail(s"degenerate geometry $iw x $ih")
+          if (iw.toLong * ih > GifMaxPixels)
+            gifFail(s"geometry $iw x $ih exceeds the $GifMaxPixels-pixel guard")
+          pos += 10
+          var palette = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (pos + 3 * n > bytes.length) gifFail("truncated local color table")
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          if (palette == null) gifFail("image has no color table")
+          if (pos >= bytes.length) gifFail("missing LZW minimum code size")
+          val minCodeSize = bytes(pos) & 0xff; pos += 1
+          if (minCodeSize < 2 || minCodeSize > 11)
+            gifFail(s"bad LZW minimum code size $minCodeSize")
+          val (lzw, p2) = gifSubBlocks(bytes, pos); pos = p2
+          val streamed = lzwDecode(lzw, minCodeSize, iw * ih)
+          if (streamed.length != iw * ih)
+            gifFail(s"decoded ${streamed.length} pixels for $iw x $ih")
+          // interlaced streams carry rows in 4 passes (8/8 offset 0, 8/8
+          // offset 4, 4/4 offset 2, 2/2 offset 1) — rearrange to top-down
+          // (the JDK's own GIF writer interlaces by default, so this path
+          // is load-bearing for interop, and pinned by the spec)
+          val pixels =
+            if (!interlaced) streamed
+            else {
+              val order =
+                (0 until ih by 8) ++ (4 until ih by 8) ++
+                  (2 until ih by 4) ++ (1 until ih by 2)
+              val out = new Array[Byte](streamed.length)
+              var r = 0
+              while (r < ih) {
+                System.arraycopy(streamed, r * iw, out, order(r) * iw, iw)
+                r += 1
+              }
+              out
+            }
+          val nColors = palette.length / 3
+          var i = 0
+          while (i < pixels.length) {
+            if ((pixels(i) & 0xff) >= nColors) gifFail("palette index out of range")
+            i += 1
+          }
+          if (result == null) result = (iw, ih, palette, pixels)
+        case b => gifFail(f"unknown block type 0x$b%02x")
+      }
+    }
+    if (result == null) gifFail("no image data before trailer")
+    result
+  }
+
+  /** Decoded facts of the first image: geometry + palette-resolved red sum
+    * (see GifInfo). */
+  def decodeGif(bytes: Array[Byte]): GifInfo = {
+    val (w, h, palette, pixels) = gifPixels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < pixels.length) {
+      sum += palette(3 * (pixels(i) & 0xff)) & 0xff
+      i += 1
+    }
+    GifInfo(w, h, sum)
+  }
 }
