@@ -256,16 +256,37 @@ object Similarity {
     }
   }
 
+  /** Bits per packed sub-code: ceil(log2(kCodes)). */
+  private def pqBits(kCodes: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.max(1, kCodes - 1))
+
+  /** Whether m sub-codes of a kCodes-word codebook pack into one
+    * non-negative long (the engine-real compression point: the index then
+    * stores ONE 8-byte column per vector instead of an array<int>). True
+    * for the defaults — m=8, kCodes=16 → 32 bits. */
+  private def pqPackable(m: Int, kCodes: Int): Boolean =
+    m * pqBits(kCodes) <= 63
+
   /** `codes[s]` = index of the L2-nearest codeword of subspace s — the PQ
     * encode, map-side only (an `array_min` over a scored struct array
-    * built from the literal codebook). */
-  private def pqEncode(cbLit: Column, vec: Column, sub: Int): Column = {
+    * built from the literal codebook). With `packedBits` set, the m codes
+    * are OR-folded into a single long (code s at bit offset s·bits) —
+    * same integers, 8 bytes per vector. */
+  private def pqEncode(cbLit: Column, vec: Column, sub: Int,
+                       packedBits: Option[Int] = None): Column = {
     val vd = transform(vec, _.cast(DoubleType))
-    transform(cbLit, (cb, s) => {
+    val codes = transform(cbLit, (cb, s) => {
       val sv = slice(vd, s * lit(sub) + lit(1), lit(sub))
       array_min(transform(cb, (cw, c) =>
         struct(l2(sv, cw).as("d2"), c.as("code")))).getField("code")
     })
+    packedBits match {
+      case None => codes
+      case Some(bits) => aggregate(
+        transform(codes, (c, s) =>
+          call_function("shiftleft", c.cast(LongType), s * lit(bits))),
+        lit(0L), _ bitwiseOR _)
+    }
   }
 
   /** Per-probe ADC distance table `dtab[s][c] = dot(probe_s,
@@ -284,25 +305,34 @@ object Similarity {
     * array lookups instead of dim multiplies —
     * `dot(p, x) = Σ_s dot(p_s, x_s) ≈ Σ_s dtab[s][codes[s]]` (exact
     * additive decomposition, quantization error only inside each
-    * subspace). */
-  private val adcScore: Column = aggregate(
-    zip_with(col("dtab"), col("codes"), (t, c) => element_at(t, c + 1)),
-    lit(0.0), _ + _)
+    * subspace). With `packedBits` set, codes[s] is a shift-and-mask field
+    * of the packed long — same lookups, identical scores. */
+  private def adcScore(packedBits: Option[Int]): Column = packedBits match {
+    case None => aggregate(
+      zip_with(col("dtab"), col("codes"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), _ + _)
+    case Some(bits) => aggregate(
+      transform(col("dtab"), (t, s) => element_at(t,
+        call_function("shiftright", col("codes"), s * lit(bits))
+          .bitwiseAND(lit((1L << bits) - 1)).cast(IntegerType) + 1)),
+      lit(0.0), _ + _)
+  }
 
   /** Product-quantization approximate top-k (the compressed-index tier;
     * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011 — the public design behind Faiss's IndexPQ).
     *
     * Where IVF answers "scan fewer vectors", PQ answers "make each vector
-    * smaller": the index keeps only (id, m sub-codes, norm) per vector. In
-    * the production packed format that is 1 byte per code (at dim=64/m=8:
-    * 8 code bytes + 8 norm bytes vs 256 raw float bytes, 16×) — this
-    * engine materializes codes as `array<int>` for plan-native ADC
-    * lookups, trading the last constant factor of compression for staying
-    * inside whole-stage codegen; the asymptotic point (index size scales
-    * with m, not dim) is unchanged. Raw vectors are re-read ONLY for the
-    * `k × refine` re-rank candidates per probe (a bounded semi-join back
-    * to the corpus, the IO pattern every production PQ deployment uses).
+    * smaller": the index keeps only (id, codes, norm) per vector, and
+    * whenever m · ceil(log2 kCodes) ≤ 63 (the defaults: 8 × 4 = 32 bits)
+    * the m sub-codes are PACKED INTO ONE LONG column — at dim=64/m=8 that
+    * is 8 code bytes + 8 norm bytes vs 256 raw float bytes, a real 16×
+    * engine-side compression, with the ADC lookup a shift-and-mask inside
+    * whole-stage codegen. Wider configurations fall back to `array<int>`
+    * codes (same integers; the packed/array paths are spec-pinned
+    * identical). Raw vectors are re-read ONLY for the `k × refine`
+    * re-rank candidates per probe (a bounded semi-join back to the
+    * corpus, the IO pattern every production PQ deployment uses).
     *
     * Fit/encode/ADC: see fitPqCodebook / pqEncode / pqDtab / adcScore.
     *
@@ -317,19 +347,31 @@ object Similarity {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              probePred: Column => Column, k: Int,
              m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,
-             refine: Int = 4, dim: Int = -1): DataFrame = {
+             refine: Int = 4, dim: Int = -1): DataFrame =
+    pqTopKImpl(emb, idCol, vecCol, probePred, k, m, kCodes, lloydIters,
+      refine, dim, pqPackable(m, kCodes))
+
+  /** pqTopK with the code layout forced — package-private so a spec can
+    * pin that the packed-long and array<int> paths return identical
+    * results. */
+  private[graft] def pqTopKImpl(emb: DataFrame, idCol: String, vecCol: String,
+                                probePred: Column => Column, k: Int,
+                                m: Int, kCodes: Int, lloydIters: Int,
+                                refine: Int, dim: Int,
+                                packed: Boolean): DataFrame = {
     val spark = emb.sparkSession
     graft.GraftExtensions.ensure(spark)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
     val d = dimOf(emb, vecCol, dim)
     require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
     val sub = d / m
+    val packedBits = if (packed) Some(pqBits(kCodes)) else None
     val cbLit = typedLit(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
 
     // encode: nearest codeword per subspace, map-side, no shuffle; the
     // index frame keeps ONLY (nid, codes, nn) — the compression point
     val encoded = corpus.select(col("nid"), col("nn"),
-      pqEncode(cbLit, col("nv"), sub).as("codes"))
+      pqEncode(cbLit, col("nv"), sub, packedBits).as("codes"))
 
     // search: per-probe ADC table, then the flat ADC scan (see the scale
     // contract above)
@@ -338,7 +380,7 @@ object Similarity {
       pqDtab(cbLit, col("pv"), sub).as("dtab"))
     val wAdc = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col("nid").asc)
     val candidates = broadcast(probeTabs).join(encoded, col("nid") =!= col("pid"))
-      .withColumn("adc", round(adcScore / (col("pn") * col("nn")), 9))
+      .withColumn("adc", round(adcScore(packedBits) / (col("pn") * col("nn")), 9))
       .withColumn("crank", row_number().over(wAdc))
       .where(col("crank") <= k * refine)
       .select(col("pid"), col("pv"), col("pn"), col("nid"))
@@ -510,6 +552,7 @@ object Similarity {
     val d = dimOf(emb, vecCol, dim)
     require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
     val sub = d / m
+    val packedBits = if (pqPackable(m, kCodes)) Some(pqBits(kCodes)) else None
 
     // both fitted models → plan literals (each bounded by construction)
     val cbLit = typedLit(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
@@ -532,7 +575,7 @@ object Similarity {
           (-c.getField("_1")).as("nc")))).getField("nc")
     val encoded = corpus.select(col("nid"), col("nn"),
       nearestCid(col("nv")).as("cid"),
-      pqEncode(cbLit, col("nv"), sub).as("codes"))
+      pqEncode(cbLit, col("nv"), sub, packedBits).as("codes"))
 
     // probe side — nprobe bucket ids (sim DESC, cid ASC) + ADC table,
     // both map-side from the literals; slice degrades gracefully when the
@@ -552,7 +595,7 @@ object Similarity {
     val wAdc = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col("nid").asc)
     val candidates = broadcast(probeTabs).join(encoded, Seq("cid"))
       .where(col("nid") =!= col("pid"))
-      .withColumn("adc", round(adcScore / (col("pn") * col("nn")), 9))
+      .withColumn("adc", round(adcScore(packedBits) / (col("pn") * col("nn")), 9))
       .withColumn("crank", row_number().over(wAdc))
       .where(col("crank") <= k * refine)
       .select(col("pid"), col("pv"), col("pn"), col("nid"), col("cid"))

@@ -25,7 +25,11 @@ object AnnRecall {
     for ((name, ann) <- Seq(
         "ivf(np=16)" -> Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k, nprobe = 16),
         "lsh(4,8)" -> Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10, k,
-          nBits = 4, nTables = 8, dim = 64))) {
+          nBits = 4, nTables = 8, dim = 64),
+        "pq(m=8,k=16,r=8)" -> Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k,
+          m = 8, kCodes = 16, refine = 8, dim = 64),
+        "ivfpq(np=16)" -> Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k,
+          nprobe = 16, m = 8, kCodes = 16, refine = 8, dim = 64))) {
       val perProbe = Similarity.annHits(ann, exact)
         .orderBy("pid").collect()
       println(s"== $name (k=$k, dir=$dir)")

@@ -50,6 +50,24 @@ class SignLshSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall@5 $recall below floor 0.6")
   }
 
+  test("PQ ANN: packed-long codes return results identical to array<int> codes") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    def run(packed: Boolean) =
+      Similarity.pqTopKImpl(emb, "vec_id", "embedding", _ < 25, k = 5,
+        m = 8, kCodes = 16, lloydIters = 1, refine = 8, dim = 64, packed = packed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    // the packed encode is the same integers OR-folded into one long and
+    // the packed ADC is shift-and-mask lookups of the same table — any
+    // divergence is a bit-layout bug
+    assert(run(packed = true) == run(packed = false))
+    // a configuration too wide to pack (16 subspaces x 4 bits... x 16
+    // codes = 64 bits > 63) must fall back to array codes and still work
+    val wide = Similarity.pqTopK(emb, "vec_id", "embedding", _ < 3, k = 2,
+      m = 16, kCodes = 16, refine = 2, dim = 64)
+    assert(wide.count() > 0)
+  }
+
   test("PQ ANN: corpus smaller than kCodes clamps the codebook instead of failing") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings").where(col("vec_id") < 10)
     val out = Similarity.pqTopK(emb, "vec_id", "embedding", _ < 3, k = 2,
