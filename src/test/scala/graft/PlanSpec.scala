@@ -182,6 +182,27 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 3, s"assignment must not use ranking windows:\n${physical(df)}")
   }
 
+  test("IVF+PQ index build is one map-side pass: no shuffle below the bucket join") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val (_, candidates, _) = graft.ext.Similarity.ivfpqParts(
+      emb, "vec_id", "embedding", _ < 5, k = 3,
+      nCentroids = 8, nprobe = 2, m = 8, kCodes = 16, lloydIters = 1,
+      refine = 4, dim = 64)
+    // probeTabs is broadcast, so the candidate join must be a
+    // BroadcastHashJoin whose STREAMED (corpus/index) side is scan →
+    // encode projection with NO Exchange: both fitted models are plan
+    // literals, so nearest-centroid assignment and PQ encode happen in
+    // the scan's own stage — the "zero-shuffle index build" claim.
+    val plan = candidates.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket join must broadcast the probe side:\n$plan")
+    val joinAt = plan.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val below = plan.linesIterator.toSeq.drop(joinAt + 1)
+      .filterNot(_.contains("BroadcastExchange")) // the probe side's own broadcast
+    assert(!below.exists(_.contains("Exchange")),
+      s"index side of the bucket join must not shuffle:\n$plan")
+  }
+
   test("text operators stay inside whole-stage codegen") {
     val df = graft.ext.TextOps.tokenCount(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
