@@ -1433,15 +1433,17 @@ object SparkEntry {
                       FROM documents, unnest(range(1, strlen(text)+1)) r(j)
                       GROUP BY 1, 2)
          SELECT doc_id,
-                CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
-                                WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
-                CAST(CASE WHEN doc_id % 4 = 0 THEN 8000 ELSE 16 END AS BIGINT) AS geom1,
-                CAST(CASE doc_id % 4
+                CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                                WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                                ELSE 'gif' END AS format,
+                CAST(CASE WHEN doc_id % 5 = 0 THEN 8000 ELSE 16 END AS BIGINT) AS geom1,
+                CAST(CASE doc_id % 5
                        WHEN 0 THEN n
                        WHEN 3 THEN greatest(1, CAST(ceil(n / 16.0) AS BIGINT))
+                       WHEN 4 THEN greatest(1, CAST(ceil(n / 16.0) AS BIGINT))
                        ELSE greatest(1, CAST(ceil(n / 48.0) AS BIGINT))
                      END AS BIGINT) AS geom2,
-                CAST(CASE doc_id % 4 WHEN 0 THEN en WHEN 3 THEN 1 ELSE s
+                CAST(CASE doc_id % 5 WHEN 0 THEN en WHEN 3 THEN 1 ELSE s
                      END AS BIGINT) AS feature
          FROM agg ORDER BY doc_id""",
     // MP4 keyframe demux: frames of 48 text bytes (last one short), every

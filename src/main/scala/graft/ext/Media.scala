@@ -293,14 +293,15 @@ object Media {
     * appears at corpus scale: one opaque binary column whose rows carry
     * different formats, routed to the right decoder by a format tag.
     * Each document synthesizes the container its tag names (WAV, BMP,
-    * PNG, or JPEG — all four REAL codecs) and decodes it back through
-    * the matching parser, inside ONE per-partition pass: the decoder
-    * lookup happens per row, the decoder state per partition, exactly
-    * like a production `mapInPandas` decode stage over heterogeneous
-    * media. Unified output schema: geom1/geom2 are the format's natural
-    * geometry (sample rate × frames for audio, width × height for
-    * images); feature is the format's verification value (PCM energy /
-    * channel sums / the JPEG bounded-error verdict as 0-or-1).
+    * PNG, JPEG, or GIF — all five REAL per-row codecs) and decodes it
+    * back through the matching parser, inside ONE per-partition pass:
+    * the decoder lookup happens per row, the decoder state per
+    * partition, exactly like a production `mapInPandas` decode stage
+    * over heterogeneous media. Unified output schema: geom1/geom2 are
+    * the format's natural geometry (sample rate × frames for audio,
+    * width × height for images); feature is the format's verification
+    * value (PCM energy / channel sums / palette-resolved pixel sum /
+    * the JPEG bounded-error verdict as 0-or-1).
     */
   def dispatchDecode(docs: DataFrame, idCol: String, textCol: String,
                      width: Int = 16)
@@ -311,7 +312,7 @@ object Media {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
-          java.lang.Math.floorMod(id, 4L).toInt match {
+          java.lang.Math.floorMod(id, 5L).toInt match {
             case 0 =>
               val samples = Array.tabulate(bytes.length)(i =>
                 (((bytes(i) & 0xff) - 128) * 256).toShort)
@@ -332,7 +333,7 @@ object Media {
                 width, h, 3, java.util.Arrays.copyOf(bytes, rowBytes * h)))
               (id, "png", info.width.toLong, info.height.toLong,
                 info.sumChannels)
-            case _ =>
+            case 3 =>
               val h = math.max(1, (bytes.length + width - 1) / width)
               val gray = java.util.Arrays.copyOf(bytes, width * h)
               val (dw, dh, decoded) =
@@ -340,6 +341,12 @@ object Media {
               val ok = dw == width && dh == h &&
                 JpegCodec.meanAbsError(gray, decoded) <= 32.0
               (id, "jpeg", dw.toLong, dh.toLong, if (ok) 1L else 0L)
+            case _ =>
+              val h = math.max(1, (bytes.length + width - 1) / width)
+              val info = MediaCodecs.decodeGif(MediaCodecs.encodeGif(
+                width, h, java.util.Arrays.copyOf(bytes, width * h)))
+              (id, "gif", info.width.toLong, info.height.toLong,
+                info.sumPixels)
           }
         }
       }
