@@ -554,9 +554,17 @@ object Similarity {
     val sub = d / m
     val packedBits = if (pqPackable(m, kCodes)) Some(pqBits(kCodes)) else None
 
-    // both fitted models → plan literals (each bounded by construction)
-    val cbLit = typedLit(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
-    val centRows: Seq[(Long, Seq[Double], Double)] =
+    // Both fitted models → plan literals (each bounded by construction).
+    // The two fits are INDEPENDENT pipelines ending in a driver collect,
+    // so their Spark jobs are submitted from separate threads and run
+    // concurrently — the index-build wall time is max(fitPq, fitIvf)
+    // instead of their sum (results are unchanged: each fit is
+    // deterministic on its own).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cbFut = Future(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
+    val centFut = Future {
       fitIvfCentroids(corpus, nCentroids, lloydIters)
         .select(col("cid").cast(LongType), col("cv"))
         .collect()
@@ -564,6 +572,10 @@ object Similarity {
           val cv = r.getSeq[Double](1)
           (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
         }.toSeq.sortBy(_._1)
+    }
+    val cbLit = typedLit(Await.result(cbFut, Duration.Inf))
+    val centRows: Seq[(Long, Seq[Double], Double)] =
+      Await.result(centFut, Duration.Inf)
     require(centRows.nonEmpty, "IVF fit: empty corpus")
     val centLit = typedLit(centRows) // array<struct<_1 cid, _2 cv, _3 cn>>
 
