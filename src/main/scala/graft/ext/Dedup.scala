@@ -302,11 +302,13 @@ object Dedup {
     * itself an endpoint id, see the induction note inline), so the
     * distance a minimum travels per round roughly doubles: convergence in
     * O(log diameter) rounds instead of the plain formulation's
-    * O(diameter). Rounds = Spark actions = the driver-side cost that
-    * survives any cluster size, so halving the exponent matters even
+    * O(diameter). Rounds drive Spark actions — the driver-side cost that
+    * survives any cluster size — so shrinking the exponent matters even
     * though near-dup components are shallow. Each round is two joins + one
-    * aggregation shuffling endpoint-sized frames; the driver only checks a
-    * scalar convergence count.
+    * aggregation shuffling endpoint-sized frames and two actions (the
+    * half-round barrier that stops the doubling join from recomputing the
+    * edge join, then the convergence count); the driver only ever sees
+    * scalar counts.
     *
     * `vertices`: one column `doc_id`; `edges`: (da, db). Returns
     * (doc_id, component) for every vertex (singletons keep their own id).
@@ -361,14 +363,18 @@ object Dedup {
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      // half-round: plain min propagation over the edges. Persisted so the
-      // doubling join below reads it from cache on both sides instead of
-      // recomputing the edge join twice.
+      // half-round: plain min propagation over the edges. Persisted AND
+      // materialized (count) before the doubling join consumes it twice:
+      // without the barrier the join's two parent stages race, and on a
+      // multi-executor cluster each can recompute the edge join before
+      // any partition is cached. The extra action is paid back by the
+      // halved round count.
       val (stepped, steppedRdd) = cut(labels.drop("__changed")
         .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("component"), col("min_nbr")).as("component"),
           col("component").as("__old")))
+      steppedRdd.count()
       // pointer doubling: label ← stepped-label of the stepped label.
       // Sound because every label VALUE is an endpoint id of the same
       // component (induction: labels start as own ids; min over neighbor
@@ -383,9 +389,9 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("__cc2"), col("component")).as("component"),
           (coalesce(col("__cc2"), col("component")) < col("__old")).as("__changed")))
-      // the one action of the round: caches every partition of `next`
-      // (reading stepped and the previous labels) and yields the
-      // convergence count
+      // second action of the round: caches every partition of `next`
+      // (reading the materialized stepped) and yields the convergence
+      // count
       converged = nextRdd.filter(_.getBoolean(changedIdx)).count() == 0L
       steppedRdd.unpersist(false)
       labelsRdd.unpersist(false)

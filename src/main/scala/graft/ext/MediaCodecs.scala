@@ -822,9 +822,6 @@ object MediaCodecs {
     val out = new java.io.ByteArrayOutputStream()
     val prefix = new Array[Int](4096)
     val suffix = new Array[Byte](4096)
-    val first = new Array[Byte](4096)
-    var i = 0
-    while (i < clear) { first(i) = i.toByte; i += 1 }
     var nextCode = eoi + 1
     var runningCode = eoi + 1
     var codeWidth = minCodeSize + 1
@@ -872,11 +869,13 @@ object MediaCodecs {
         emit(expand(code))
         prev = code
       } else {
-        val kwk = code == nextCode && nextCode < 4096
-        if (code > nextCode || (!kwk && code == nextCode))
+        // code == nextCode is the KwKwK case and requires a free slot; a
+        // 12-bit read is ≤ 4095, so at nextCode == 4096 it cannot occur —
+        // the only invalid shape is code > nextCode
+        if (code > nextCode)
           gifFail(s"LZW code $code beyond table size $nextCode")
         val fb: Byte =
-          if (kwk) { // sequence = seq(prev) + first byte of seq(prev)
+          if (code == nextCode) { // KwKwK: seq(prev) + first byte of seq(prev)
             val depth = expand(prev)
             val f = stack(depth - 1) // first byte sits at the stack bottom
             emit(depth)
@@ -891,7 +890,6 @@ object MediaCodecs {
           }
         if (nextCode < 4096) {
           prefix(nextCode) = prev; suffix(nextCode) = fb
-          first(nextCode) = first(prev)
           nextCode += 1
         }
         prev = code

@@ -560,11 +560,16 @@ object Similarity {
     // concurrently — the index-build wall time is max(fitPq, fitIvf)
     // instead of their sum (results are unchanged: each fit is
     // deterministic on its own).
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val cbFut = Future(fitPqCodebook(corpus, m, sub, kCodes, lloydIters))
-    val centFut = Future {
+    // blocking{}: the global pool spawns compensation threads for the
+    // parked collects, so concurrent index builds (or any other library
+    // code on the global EC) cannot starve the pool.
+    val cbFut = Future(blocking {
+      fitPqCodebook(corpus, m, sub, kCodes, lloydIters)
+    })
+    val centFut = Future(blocking {
       fitIvfCentroids(corpus, nCentroids, lloydIters)
         .select(col("cid").cast(LongType), col("cv"))
         .collect()
@@ -572,7 +577,7 @@ object Similarity {
           val cv = r.getSeq[Double](1)
           (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
         }.toSeq.sortBy(_._1)
-    }
+    })
     val cbLit = typedLit(Await.result(cbFut, Duration.Inf))
     val centRows: Seq[(Long, Seq[Double], Double)] =
       Await.result(centFut, Duration.Inf)
