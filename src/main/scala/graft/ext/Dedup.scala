@@ -296,19 +296,22 @@ object Dedup {
     * pairwise candidates into DEDUP CLUSTERS (component id = min doc_id of
     * the cluster; keep one representative per component, drop the rest).
     *
-    * Each round does min-label propagation (every vertex takes the minimum
-    * of its own label and its neighbors' labels) followed by POINTER
-    * DOUBLING (label ← label-of-label — valid because every label value is
-    * itself an endpoint id, see the induction note inline), so the
-    * distance a minimum travels per round roughly doubles: convergence in
-    * O(log diameter) rounds instead of the plain formulation's
-    * O(diameter). Rounds drive Spark actions — the driver-side cost that
-    * survives any cluster size — so shrinking the exponent matters even
-    * though near-dup components are shallow. Each round is two joins + one
-    * aggregation shuffling endpoint-sized frames and two actions (the
-    * half-round barrier that stops the doubling join from recomputing the
-    * edge join, then the convergence count); the driver only ever sees
-    * scalar counts.
+    * ADAPTIVE SHORTCUTTING: near-dup graphs are overwhelmingly SHALLOW —
+    * dup clusters of diameter 2-3 — and plain min-label propagation
+    * closes them in a couple of one-join, one-action rounds; measured on
+    * the corpus fixtures, any unconditional extra work per round is pure
+    * overhead. So the first `plainRounds` rounds run the plain step
+    * (every vertex takes the minimum of its own and its neighbors'
+    * labels, one join + one aggregation, ONE action). Only if the graph
+    * is still unconverged then — i.e. it has revealed real depth — do
+    * subsequent rounds add POINTER DOUBLING (label ← label-of-label,
+    * valid because every label value is itself an endpoint id; see the
+    * induction note inline), under which the distance a minimum travels
+    * roughly doubles per round: worst-case convergence stays
+    * O(log diameter) rounds while the common shallow case pays exactly
+    * the plain cost. Rounds drive Spark actions — the driver-side cost
+    * that survives any cluster size — and the driver only ever sees
+    * scalar convergence counts.
     *
     * `vertices`: one column `doc_id`; `edges`: (da, db). Returns
     * (doc_id, component) for every vertex (singletons keep their own id).
@@ -356,6 +359,9 @@ object Dedup {
     var converged = false
     var iter = 0
     val changedIdx = 2
+    // rounds 0..plainRounds-1 run the cheap plain step; depth beyond that
+    // switches the shortcut on (see the docstring)
+    val plainRounds = 2
     while (!converged && iter < maxIter) {
       // every endpoint occurs as src (sym is symmetric) ⇒ inner join
       val nbrMin = sym
@@ -363,37 +369,47 @@ object Dedup {
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      // half-round: plain min propagation over the edges. Persisted AND
-      // materialized (count) before the doubling join consumes it twice:
-      // without the barrier the join's two parent stages race, and on a
-      // multi-executor cluster each can recompute the edge join before
-      // any partition is cached. The extra action is paid back by the
-      // halved round count.
-      val (stepped, steppedRdd) = cut(labels.drop("__changed")
-        .join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("component"), col("min_nbr")).as("component"),
-          col("component").as("__old")))
-      steppedRdd.count()
-      // pointer doubling: label ← stepped-label of the stepped label.
-      // Sound because every label VALUE is an endpoint id of the same
-      // component (induction: labels start as own ids; min over neighbor
-      // labels and label-of-label both pick existing labels), so the
-      // lookup is a self-join on the label; a label already at its
-      // component minimum has no stepped row iff it equals its own label —
-      // the coalesce keeps it. Monotone: cc2 ≤ stepped ≤ old, so the
-      // changed flag stays exact.
-      val (next, nextRdd) = cut(stepped.as("x")
-        .join(stepped.select(col("doc_id").as("component"),
-          col("component").as("__cc2")).as("y"), Seq("component"), "left")
-        .select(col("doc_id"),
-          coalesce(col("__cc2"), col("component")).as("component"),
-          (coalesce(col("__cc2"), col("component")) < col("__old")).as("__changed")))
-      // second action of the round: caches every partition of `next`
-      // (reading the materialized stepped) and yields the convergence
-      // count
+      var roundStepped: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+      val (next, nextRdd) =
+        if (iter < plainRounds) {
+          // plain round: one join + one aggregation, one action
+          cut(labels.drop("__changed")
+            .join(nbrMin, Seq("doc_id"))
+            .select(col("doc_id"),
+              least(col("component"), col("min_nbr")).as("component"),
+              (col("min_nbr") < col("component")).as("__changed")))
+        } else {
+          // shortcut round — half-round: plain min propagation, persisted
+          // AND materialized (count) before the doubling join consumes it
+          // twice: without the barrier the join's two parent stages race,
+          // and on a multi-executor cluster each can recompute the edge
+          // join before any partition is cached
+          val (stepped, steppedRdd) = cut(labels.drop("__changed")
+            .join(nbrMin, Seq("doc_id"))
+            .select(col("doc_id"),
+              least(col("component"), col("min_nbr")).as("component"),
+              col("component").as("__old")))
+          steppedRdd.count()
+          // pointer doubling: label ← stepped-label of the stepped label.
+          // Sound because every label VALUE is an endpoint id of the same
+          // component (induction: labels start as own ids; min over
+          // neighbor labels and label-of-label both pick existing
+          // labels), so the lookup is a self-join on the label; a label
+          // already at its component minimum has no stepped row iff it
+          // equals its own label — the coalesce keeps it. Monotone:
+          // cc2 ≤ stepped ≤ old, so the changed flag stays exact.
+          roundStepped = Some(steppedRdd)
+          cut(stepped.as("x")
+            .join(stepped.select(col("doc_id").as("component"),
+              col("component").as("__cc2")).as("y"), Seq("component"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__cc2"), col("component")).as("component"),
+              (coalesce(col("__cc2"), col("component")) < col("__old")).as("__changed")))
+        }
+      // the round's convergence count — also the action that caches every
+      // partition of `next`
       converged = nextRdd.filter(_.getBoolean(changedIdx)).count() == 0L
-      steppedRdd.unpersist(false)
+      roundStepped.foreach(_.unpersist(false))
       labelsRdd.unpersist(false)
       labels = next
       labelsRdd = nextRdd

@@ -257,8 +257,10 @@ class DedupDifferentialSpec extends AnyFunSuite {
   test("connectedComponents: pointer doubling converges on a chain in O(log diameter) rounds") {
     import spark.implicits._
     // worst case for plain min propagation: a 33-vertex path (diameter 32)
-    // would need ~32 plain rounds — far over maxIter=10; pointer doubling
-    // must close it in ≤ ceil(log2(32)) + 2 = 7
+    // would need ~32 plain rounds — far over maxIter=10. The adaptive
+    // schedule runs 2 plain rounds (deficit 2), then pointer doubling
+    // roughly doubles the closed distance per round (6, 14, 30, done) —
+    // ≤ 7 rounds total including the convergence-detection round.
     val n = 32L
     val edges = (0L until n).map(i => (i, i + 1)).toDF("da", "db")
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(
