@@ -13,12 +13,16 @@ import org.apache.spark.sql.types._
   * (DuckDB `list_dot_product` on `DOUBLE[]`) reproduces the result
   * bit-for-bit before rounding.
   *
-  * Scale: brute-force is the correctness baseline (probes × corpus, fine
-  * when the probe set is bounded); `ivfTopK` is the 100 TB path — vectors
-  * are bucketed by nearest centroid (one shuffle on centroid id), probes
-  * scan only `nprobe` buckets, so the per-probe work drops by
-  * (#centroids / nprobe)×. A real deployment would broadcast the centroid
-  * table (tiny) exactly as done here.
+  * Scale ladder: brute-force is the correctness baseline (probes ×
+  * corpus, fine when the probe set is bounded); `ivfTopK` prunes WHICH
+  * vectors a probe scans (nprobe of nCentroids buckets); `signLshTopK`
+  * is the alternative bucketing (OR-amplified random hyperplanes);
+  * `pqTopK` compresses WHAT is scanned (sub-codes packed into one long
+  * when they fit, ADC lookups + exact re-rank); `ivfpqTopK` composes the
+  * last two — bucket-confined ADC over the compressed index, the
+  * 100 TB configuration. All fitted models are bounded by construction
+  * and ship as plan literals/broadcasts, exactly as a real deployment
+  * would.
   */
 object Similarity {
 
