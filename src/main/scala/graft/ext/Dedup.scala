@@ -315,6 +315,11 @@ object Dedup {
     *
     * `vertices`: one column `doc_id`; `edges`: (da, db). Returns
     * (doc_id, component) for every vertex (singletons keep their own id).
+    *
+    * `maxIter` bounds COMBINED rounds: the 2 plain warm-up rounds count,
+    * so a diameter-d graph needs ≈ 2 + ceil(log2 d) + 1 rounds — callers
+    * tuning maxIter near that bound should budget the warm-up; the
+    * default 20 covers diameters into the hundreds of thousands.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame =
@@ -369,15 +374,17 @@ object Dedup {
           col("component").as("nbr_component")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_component")).as("min_nbr"))
-      var roundStepped: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-      val (next, nextRdd) =
+      // (next frame, its RDD, the shortcut round's intermediate RDD to
+      // unpersist AFTER next materializes — None in plain rounds)
+      val (next, nextRdd, roundStepped) =
         if (iter < plainRounds) {
           // plain round: one join + one aggregation, one action
-          cut(labels.drop("__changed")
+          val (df, rdd) = cut(labels.drop("__changed")
             .join(nbrMin, Seq("doc_id"))
             .select(col("doc_id"),
               least(col("component"), col("min_nbr")).as("component"),
               (col("min_nbr") < col("component")).as("__changed")))
+          (df, rdd, None)
         } else {
           // shortcut round — half-round: plain min propagation, persisted
           // AND materialized (count) before the doubling join consumes it
@@ -398,13 +405,13 @@ object Dedup {
           // already at its component minimum has no stepped row iff it
           // equals its own label — the coalesce keeps it. Monotone:
           // cc2 ≤ stepped ≤ old, so the changed flag stays exact.
-          roundStepped = Some(steppedRdd)
-          cut(stepped.as("x")
+          val (df, rdd) = cut(stepped.as("x")
             .join(stepped.select(col("doc_id").as("component"),
               col("component").as("__cc2")).as("y"), Seq("component"), "left")
             .select(col("doc_id"),
               coalesce(col("__cc2"), col("component")).as("component"),
               (coalesce(col("__cc2"), col("component")) < col("__old")).as("__changed")))
+          (df, rdd, Some(steppedRdd))
         }
       // the round's convergence count — also the action that caches every
       // partition of `next`
