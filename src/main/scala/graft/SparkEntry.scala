@@ -287,6 +287,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ── §2.9: fixed-budget weighted sample — exactly n rows, inclusion
+    //    probability ∝ weight (sequential Poisson order sampling); the
+    //    priority is u/w with u an exactly-representable 52-bit md5
+    //    integer, so the DuckDB oracle replays the ranking bit-for-bit ───
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), 100)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast(LongType))
+        .orderBy("doc_id")),
+
     // ── §2.9: leakage-free train/valid/test split — assignment hashes the
     //    GROUP key (source), so all docs of a source share a split ────────
     "q_split_assign" -> ((s, dir) =>
@@ -1101,6 +1111,33 @@ object SparkEntry {
          GROUP BY doc_id ORDER BY doc_id""",
     // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
     // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
+    // Sequential Poisson order sampling: u = integer of the first 13 md5
+    // hex digits (52 bits — exact in binary64), priority = u / weight
+    // (one IEEE-exact division), n smallest kept with key tiebreak.
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+                           md5(CAST(doc_id AS VARCHAR)) m
+                    FROM documents WHERE n_chars > 0),
+         v AS (SELECT doc_id, lang, n_chars,
+                 ((strpos('0123456789abcdef', substr(m,1,1))-1) * 281474976710656
+                + (strpos('0123456789abcdef', substr(m,2,1))-1) * 17592186044416
+                + (strpos('0123456789abcdef', substr(m,3,1))-1) * 1099511627776
+                + (strpos('0123456789abcdef', substr(m,4,1))-1) * 68719476736
+                + (strpos('0123456789abcdef', substr(m,5,1))-1) * 4294967296
+                + (strpos('0123456789abcdef', substr(m,6,1))-1) * 268435456
+                + (strpos('0123456789abcdef', substr(m,7,1))-1) * 16777216
+                + (strpos('0123456789abcdef', substr(m,8,1))-1) * 1048576
+                + (strpos('0123456789abcdef', substr(m,9,1))-1) * 65536
+                + (strpos('0123456789abcdef', substr(m,10,1))-1) * 4096
+                + (strpos('0123456789abcdef', substr(m,11,1))-1) * 256
+                + (strpos('0123456789abcdef', substr(m,12,1))-1) * 16
+                + (strpos('0123456789abcdef', substr(m,13,1))-1)) u
+               FROM h),
+         s AS (SELECT doc_id, lang, n_chars FROM v
+               ORDER BY CAST(u AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id
+               LIMIT 100)
+         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         FROM s ORDER BY doc_id""",
     "q_hash_sample" ->
       """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents),
          v AS (SELECT doc_id, lang,

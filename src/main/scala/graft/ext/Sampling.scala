@@ -24,6 +24,48 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Fixed-BUDGET weighted sample — keep exactly `n` rows with inclusion
+    * probability approximately proportional to `weight` (sequential
+    * Poisson / order sampling, Ohlsson 1998: rank by u/w for a
+    * per-row uniform u and take the n smallest — the πps-approximating
+    * order-sampling design production pipelines use for "sample 10M docs
+    * proportional to quality").
+    *
+    * Budget-based where stratifiedSample is rate-based: callers fix the
+    * output SIZE, not a keep-fraction. Samples NEST in the budget —
+    * the priority order is fixed, so the top-50 sample is a subset of the
+    * top-100 sample.
+    *
+    * Determinism across engines is arranged digit by digit: u is the
+    * integer of the first 13 md5 hex digits of the key — 52 bits, so it
+    * is EXACTLY representable in binary64 — and the only floating-point
+    * operation is the single division u/w, which IEEE 754 rounds exactly
+    * the same way in the JVM and in the DuckDB oracle. No ln/exp (their
+    * last-ulp behavior is libm-dependent and would flip adjacent ranks),
+    * no rand(). Ties break on the key.
+    *
+    * Rows with non-positive weight are excluded (a zero weight has zero
+    * inclusion probability; a negative one is a caller bug surfaced by
+    * absence, matching SQL filter semantics).
+    *
+    * Scale: sort+limit plans as a per-partition partial top-n followed by
+    * an n-bounded merge — the corpus is scanned once, map-side, and only
+    * n candidates per partition move. `n` must fit the driver/single
+    * partition (the usual reservoir contract; fine for n into the
+    * millions).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 0, s"sample budget n=$n must be non-negative")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    df.where(weight > 0)
+      .withColumn("__pri", u / weight.cast("double"))
+      .orderBy(col("__pri").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Deterministic `pct`-percent sample: rows whose key hashes into the
     * first `pct` of 100 buckets. Same input → same sample, on any cluster
     * layout, in any engine. */

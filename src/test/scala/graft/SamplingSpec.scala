@@ -23,6 +23,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
   }
 
+  test("weightedSample: exact budget, nesting, layout independence, weight bias") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val s100 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s100.size == 100, "budget is exact")
+    // layout independence (no rand(), priority is pure f(key, weight))
+    val s100b = Sampling.weightedSample(docs.repartition(13), "doc_id",
+      col("n_chars"), 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s100 == s100b)
+    // budgets nest: the priority order is fixed
+    val s50 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s50.subsetOf(s100), "top-50 must be inside top-100")
+    // inclusion tracks weight: the sampled mean weight must exceed the
+    // corpus mean (π_i ∝ w_i); a uniform sampler would match it
+    val corpusMean = docs.agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    val sampleMean = docs.where(col("doc_id").isInCollection(s100))
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    // zero/negative weights are excluded, not sampled or crashed on
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") < 5, lit(0)).otherwise(col("n_chars")))
+    val sz = Sampling.weightedSample(withZero, "doc_id", col("w"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sz.intersect((0L until 5L).toSet).isEmpty)
+    assert(sz.size == 100)
+  }
+
   test("stratifiedSample: per-stratum rates, nesting, default rate") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val s10 = Sampling.stratifiedSample(docs, "lang", "doc_id",
