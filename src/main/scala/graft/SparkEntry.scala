@@ -297,6 +297,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast(LongType))
         .orderBy("doc_id")),
 
+    // ── §2.9: √-temperature mixture sample — per-stratum budgets ∝
+    //    sqrt(count) via integer-exact largest-remainder apportionment
+    //    (sqrt is IEEE-exact; everything after is integer), the classic
+    //    T=2 multilingual rebalancing schedule ──────────────────────────
+    "q_sqrt_mixture" -> ((s, dir) =>
+      Sampling.sqrtMixtureSample(t(s, dir, "documents"), "lang", "doc_id", 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // ── §2.9: leakage-free train/valid/test split — assignment hashes the
     //    GROUP key (source), so all docs of a source share a split ────────
     "q_split_assign" -> ((s, dir) =>
@@ -1111,6 +1120,46 @@ object SparkEntry {
          GROUP BY doc_id ORDER BY doc_id""",
     // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
     // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
+    // √-temperature mixture: integer-exact budget apportionment
+    // (floor(sqrt(cnt)*2^20) weights, largest-remainder), then the same
+    // 52-bit md5 order sampling per stratum.
+    "q_sqrt_mixture" ->
+      """WITH c AS (SELECT lang, count(*) cnt FROM documents GROUP BY 1),
+         w AS (SELECT lang,
+                      CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT) wt
+               FROM c),
+         t AS (SELECT sum(wt) tw FROM w),
+         q AS (SELECT lang, (100 * wt) // tw AS base, (100 * wt) % tw AS rem
+               FROM w, t),
+         l AS (SELECT 100 - sum(base) AS leftover FROM q),
+         r AS (SELECT lang, base,
+                      row_number() OVER (ORDER BY rem DESC, lang) rk
+               FROM q),
+         b AS (SELECT lang,
+                      base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                  THEN 1 ELSE 0 END AS budget
+               FROM r),
+         h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents),
+         v AS (SELECT doc_id, lang,
+                 ((strpos('0123456789abcdef', substr(m,1,1))-1) * 281474976710656
+                + (strpos('0123456789abcdef', substr(m,2,1))-1) * 17592186044416
+                + (strpos('0123456789abcdef', substr(m,3,1))-1) * 1099511627776
+                + (strpos('0123456789abcdef', substr(m,4,1))-1) * 68719476736
+                + (strpos('0123456789abcdef', substr(m,5,1))-1) * 4294967296
+                + (strpos('0123456789abcdef', substr(m,6,1))-1) * 268435456
+                + (strpos('0123456789abcdef', substr(m,7,1))-1) * 16777216
+                + (strpos('0123456789abcdef', substr(m,8,1))-1) * 1048576
+                + (strpos('0123456789abcdef', substr(m,9,1))-1) * 65536
+                + (strpos('0123456789abcdef', substr(m,10,1))-1) * 4096
+                + (strpos('0123456789abcdef', substr(m,11,1))-1) * 256
+                + (strpos('0123456789abcdef', substr(m,12,1))-1) * 16
+                + (strpos('0123456789abcdef', substr(m,13,1))-1)) u
+               FROM h),
+         p AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) rn
+               FROM v)
+         SELECT p.doc_id, p.lang FROM p JOIN b USING (lang)
+         WHERE rn <= budget ORDER BY doc_id""",
     // Sequential Poisson order sampling: u = integer of the first 13 md5
     // hex digits (52 bits — exact in binary64), priority = u / weight
     // (one IEEE-exact division), n smallest kept with key tiebreak.

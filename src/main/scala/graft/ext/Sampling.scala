@@ -66,6 +66,72 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** √-temperature mixture sample — the multilingual/source REBALANCING
+    * operator: draw a fixed total budget `n` with per-stratum allocations
+    * proportional to sqrt(stratum count) (temperature T=2 mixing, the
+    * classic upweight-the-tail schedule for multilingual corpora), then
+    * order-sample each stratum's allocation deterministically.
+    *
+    * Budget arithmetic is INTEGER-EXACT so the oracle replays it:
+    * weight_s = floor(sqrt(count_s) · 2^20) — sqrt is correctly rounded
+    * by IEEE 754 in every engine, the scale is a power of two, floor is
+    * unambiguous — then largest-remainder apportionment of `n` over the
+    * integer weights (ties by remainder DESC, stratum ASC). The fit is
+    * stratum-count-sized, computed on the driver with BigInt (no
+    * overflow at any corpus size) and broadcast back as a literal budget
+    * table. Within a stratum, rows are ranked by the same
+    * exactly-representable 52-bit md5 integer as weightedSample — a
+    * ranking window under a rank filter, which Spark executes as a
+    * partial per-partition top-k (WindowGroupLimit) before the stratum
+    * shuffle.
+    *
+    * A stratum smaller than its allocation yields all its rows (the
+    * output is then smaller than `n`) — allocations are targets, not
+    * resampling-with-replacement. Strata are read as strings (the
+    * mixture key is a language/source tag).
+    */
+  def sqrtMixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 0, s"sample budget n=$n must be non-negative")
+    val counts = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.limit(0)
+    val wts = counts.map { case (s, c) =>
+      (s, math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong)
+    }
+    val tw = wts.map(w => BigInt(w._2)).sum
+    val quotas = wts.map { case (s, w) =>
+      (s, (BigInt(n) * w / tw).toLong, (BigInt(n) * w % tw))
+    }
+    val leftover = n - quotas.map(_._2).sum
+    val bonus = quotas.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    val budgets = quotas.map { case (s, base, _) =>
+      (s, base + (if (bonus(s)) 1L else 0L))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = broadcast(budgets.toSeq.toDF("__s", "__budget"))
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__u").asc, col(keyCol).asc)
+    // the literal rank cut (max budget) sits directly under the window so
+    // Spark plans a WindowGroupLimit — per-partition partial top-k before
+    // the stratum shuffle; the per-stratum exact budget then trims via
+    // the broadcast join
+    val maxBudget = budgets.map(_._2).max
+    df.withColumn("__s", col(strataCol).cast("string"))
+      .withColumn("__u", u)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(maxBudget))
+      .join(budgetDf, Seq("__s"))
+      .where(col("__rn") <= col("__budget"))
+      .drop("__s", "__u", "__rn", "__budget")
+  }
+
   /** Deterministic `pct`-percent sample: rows whose key hashes into the
     * first `pct` of 100 buckets. Same input → same sample, on any cluster
     * layout, in any engine. */

@@ -52,6 +52,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(sz.size == 100)
   }
 
+  test("sqrtMixtureSample: exact total budget, sqrt-flattened mixture, determinism") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val out = Sampling.sqrtMixtureSample(docs, "lang", "doc_id", 100)
+      .select("doc_id", "lang").collect()
+    assert(out.length == 100, "all strata are larger than their allocation here")
+    // flattening: a skewed corpus must come out LESS skewed than raw
+    // proportional sampling — per-stratum shares track sqrt(count)
+    val skewed = docs.withColumn("lang",
+      when(col("doc_id") % 10 < 8, lit("big")).otherwise(col("lang")))
+    val shares = Sampling.sqrtMixtureSample(skewed, "lang", "doc_id", 100)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigN = skewed.where(col("lang") === "big").count().toDouble
+    val rawShare = bigN / skewed.count().toDouble        // ~0.8
+    val bigShare = shares("big").toDouble / 100.0
+    assert(bigShare < rawShare,
+      s"sqrt mixing must flatten: big got $bigShare vs raw $rawShare")
+    assert(bigShare > 1.0 / shares.size,
+      "but the big stratum must still be over-represented vs uniform")
+    // deterministic under repartitioning
+    val again = Sampling.sqrtMixtureSample(docs.repartition(13), "lang", "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+    // a stratum smaller than its allocation yields what it has
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "lang")
+    val t = Sampling.sqrtMixtureSample(tiny, "lang", "doc_id", 100)
+    assert(t.count() == 3)
+  }
+
   test("stratifiedSample: per-stratum rates, nesting, default rate") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val s10 = Sampling.stratifiedSample(docs, "lang", "doc_id",
