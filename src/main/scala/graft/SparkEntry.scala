@@ -894,6 +894,20 @@ object SparkEntry {
         d.where(Sampling.hashBucket(col("doc_id"), 100) < 10),
         "doc_id", "text", minOverlap = 20)
         .orderBy("doc_id")
+    }),
+
+    // ── §2.9: FUZZY decontamination — cross-corpus MinHash+LSH candidates
+    //    + exact Jaccard verification: catches paraphrased benchmark
+    //    leakage that exact n-gram overlap misses. A 50/50 md5-bucket
+    //    split stands in for the train/benchmark pair so the fixture's
+    //    near-dup pairs land on both sides ───────────────────────────────
+    "q_cross_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.crossJaccardVerified(
+        d.where(Sampling.hashBucket(col("doc_id"), 100) >= 50),
+        d.where(Sampling.hashBucket(col("doc_id"), 100) < 50),
+        "doc_id", "text", threshold = 0.3, maxDf = 100)
+        .orderBy("da", "db")
     })
   )
 
@@ -1857,7 +1871,51 @@ object SparkEntry {
                 coalesce(n_overlap, 0) AS n_overlap,
                 coalesce(n_overlap, 0) >= 20 AS contaminated
          FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
-         ORDER BY sz.doc_id"""
+         ORDER BY sz.doc_id""",
+    // Fuzzy decontamination: both corpora banded with the same MinHash
+    // family (16 hashes, 4 bands), cross bucket join, df-capped exact
+    // Jaccard on candidates — the q_dedup_verified pipeline across a
+    // 50/50 md5-bucket split.
+    "q_cross_contamination" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+                     FROM documents),
+         ltoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket >= 50),
+         ltri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
+         rtoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket < 50),
+         rtri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
+         lmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         lsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
+         lbands AS (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM lsig, unnest(range(0,4)) bb(b)),
+         rmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         rsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
+         rbands AS (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM rsig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
+                  JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
+         ltrif AS (SELECT * FROM ltri WHERE sh IN (
+                     SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
+         rtrif AS (SELECT * FROM rtri WHERE sh IN (
+                     SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
+         lsz AS (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
+         rsz AS (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
+         inter AS (SELECT da, db, count(*) i FROM cand
+                   JOIN ltrif a ON a.doc_id = da
+                   JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
+           FROM inter JOIN lsz la ON la.doc_id = da JOIN rsz rb ON rb.doc_id = db)
+         WHERE jaccard >= 0.3 ORDER BY da, db"""
   )
 
   /** DuckDB-dialect SQL for Sampling.hashBucket(key, 100) — the 32-bit

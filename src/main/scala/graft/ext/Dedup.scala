@@ -52,26 +52,33 @@ object Dedup {
                  k: Int = 16, bands: Int = 4): DataFrame =
     minHashLshFromShingles(shingles(docs, idCol, textCol), k, bands)
 
-  /** LSH banding over precomputed (doc_id, sh) shingle rows — callers that
-    * also need the shingles (e.g. minHashVerified) persist them and share.
-    */
-  def minHashLshFromShingles(sh: DataFrame,
-                             k: Int = 16, bands: Int = 4): DataFrame = {
+  /** MinHash band signatures of precomputed (doc_id, sh) shingle rows:
+    * one row per (doc_id, band index b, band hash bh) — the LSH bucket
+    * keys. No shingle distinct needed: min over a multiset equals min
+    * over the set. All k min-hashes are computed as k aggregate columns
+    * in ONE groupBy — the partial (map-side) aggregation reduces each
+    * partition to ≤ |docs| rows before the only shuffle, vs. exploding
+    * k× rows. */
+  private def bandedSignatures(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // No shingle distinct needed: min over a multiset equals min over the
-    // set. All k min-hashes are computed as k aggregate columns in ONE
-    // groupBy — the partial (map-side) aggregation reduces each partition
-    // to ≤ |docs| rows before the only shuffle, vs. exploding k× rows.
     val minCols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val bandHash = (0 until r).map(i => element_at(col("sig"), col("b") * r + i + 1))
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), md5(concat(bandHash: _*)).as("bh"))
+  }
+
+  /** LSH banding over precomputed (doc_id, sh) shingle rows — callers that
+    * also need the shingles (e.g. minHashVerified) persist them and share.
+    */
+  def minHashLshFromShingles(sh: DataFrame,
+                             k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = bandedSignatures(sh, k, bands)
     // Shuffle (merge) join, never broadcast: at corpus scale the banded
     // table is the whole dataset, and a shuffle self-join lets ReuseExchange
     // compute the signature pipeline ONCE for both sides (a BroadcastExchange
@@ -521,6 +528,51 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** CROSS-CORPUS near-duplicate pairs — FUZZY decontamination, the
+    * production complement of `contamination`'s exact-shingle overlap: a
+    * paraphrased or lightly-edited benchmark item leaks into training
+    * data without sharing enough exact n-grams to trip the overlap
+    * count, but its shingle JACCARD against the source stays high.
+    *
+    * MinHash+LSH candidates ACROSS the two corpora (both sides banded
+    * with the same hash family, so the (band, value) bucket join pairs
+    * left docs only with right docs sharing a bucket), then exact
+    * Jaccard verification on the candidates only, df-capped per corpus.
+    * Returns (da: left id, db: right id, jaccard ≥ threshold).
+    *
+    * Scale shape: identical to minHashVerified — the bucket join IS the
+    * shuffle partitioning and verification never sees non-candidates.
+    * The benchmark side is typically tiny, but nothing here assumes it.
+    */
+  def crossJaccardVerified(left: DataFrame, right: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double, k: Int = 16, bands: Int = 4,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val shL = shingles(left, idCol, textCol).distinct()
+    val shR = shingles(right, idCol, textCol).distinct()
+    val cand = bandedSignatures(shL, k, bands).as("a")
+      .join(bandedSignatures(shR, k, bands).as("c").hint("merge"),
+        col("a.b") === col("c.b") && col("a.bh") === col("c.bh"))
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
+      .distinct()
+    val hL = capDf(shL.select(col("doc_id"), xxhash64(col("sh")).as("sh")), maxDf)
+    val hR = capDf(shR.select(col("doc_id"), xxhash64(col("sh")).as("sh")), maxDf)
+    val sizesL = hL.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val sizesR = hR.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val inter = cand
+      .join(hL.as("x"), col("da") === col("x.doc_id"))
+      .join(hR.as("y"), col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesL.withColumnRenamed("doc_id", "da"), "da")
+      .join(sizesR.withColumnRenamed("doc_id", "db"), "db")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
   }
 
   /** Exact n-gram (word-trigram) Jaccard near-dup pairs: shingle-key join,

@@ -226,6 +226,38 @@ class DedupDifferentialSpec extends AnyFunSuite {
     assert(withinCluster.forall(_._3 == 0L))
   }
 
+  test("crossJaccardVerified: finds cross-corpus near-dups, never disjoint-vocab pairs") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val base = Seq.fill(40)(words(rnd.nextInt(6))).mkString(" ")      // vocab A
+    val other = Seq.fill(40)(words(6 + rnd.nextInt(6))).mkString(" ") // vocab B
+    val train = Seq(
+      (1L, base),                 // exact copy of benchmark doc 100
+      (2L, base + " mu"),         // near-dup of benchmark doc 100
+      (3L, other)                 // unrelated vocab
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base),
+      (101L, Seq.fill(40)(words(6 + rnd.nextInt(6))).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardVerified(train, bench, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((1L, 100L)) && got((1L, 100L)) == 1.0,
+      "exact benchmark copy must surface at jaccard 1")
+    assert(got.contains((2L, 100L)) && got((2L, 100L)) > 0.5,
+      "paraphrase-style near-dup must surface")
+    assert(!got.keySet.exists(_._1 == 3L), "disjoint vocab must not pair")
+    // exact jaccard values match the independent in-memory computation
+    for (((da, db), j) <- got) {
+      val ta = train.where(col("doc_id") === da).head().getString(1)
+      val tb = bench.where(col("doc_id") === db).head().getString(1)
+      val expect = BigDecimal(jaccard(trigrams(ta), trigrams(tb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expect, s"pair ($da,$db)")
+    }
+  }
+
   test("connectedComponents equals in-memory union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(5, 6)) {
