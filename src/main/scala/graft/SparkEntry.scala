@@ -896,6 +896,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9: exact-substring repeated spans (Lee et al. 2022) — verbatim
+    //    64-char windows occurring in more than one document mark
+    //    boilerplate that word-shingle Jaccard misses ─────────────────────
+    "q_repeated_spans" -> ((s, dir) =>
+      TextOps.repeatedSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9: FUZZY decontamination — cross-corpus MinHash+LSH candidates
     //    + exact Jaccard verification: catches paraphrased benchmark
     //    leakage that exact n-gram overlap misses. A 50/50 md5-bucket
@@ -1872,6 +1879,25 @@ object SparkEntry {
                 coalesce(n_overlap, 0) >= 20 AS contaminated
          FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
          ORDER BY sz.doc_id""",
+    // Exact-substring repeated spans: distinct 64-char windows at stride
+    // 16; a window is "repeated" when >= 2 distinct docs contain it.
+    "q_repeated_spans" ->
+      """WITH w0 AS (SELECT doc_id, substr(text, CAST(i AS INT), 64) w
+                     FROM documents, unnest(range(1, strlen(text) - 62, 16)) r(i)
+                     WHERE strlen(text) >= 64),
+         w1 AS (SELECT DISTINCT doc_id, w FROM w0),
+         sh AS (SELECT w FROM w1 GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+         rep AS (SELECT doc_id, count(*) n_repeated FROM w1
+                 WHERE w IN (SELECT w FROM sh) GROUP BY 1),
+         tot AS (SELECT doc_id, count(*) n_windows FROM w1 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_windows, 0) AS n_windows,
+                coalesce(n_repeated, 0) AS n_repeated,
+                round(CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+                           ELSE coalesce(n_repeated, 0) / n_windows END, 6)
+                  AS repeated_frac
+         FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rep USING (doc_id)
+         ORDER BY d.doc_id""",
     // Fuzzy decontamination: both corpora banded with the same MinHash
     // family (16 hashes, 4 bands), cross bucket join, df-capped exact
     // Jaccard on candidates — the q_dedup_verified pipeline across a

@@ -217,6 +217,59 @@ object TextOps {
     * no trigrams and score 0. One explode + one per-doc aggregation —
     * shuffles on doc_id only, no cross-document work at any scale.
     */
+  /** Exact-substring repeated spans — the character-level dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022): fixed-length character windows (length L, stride s)
+    * that occur verbatim in MORE THAN ONE document mark boilerplate /
+    * templated spans that word-level shingle Jaccard misses (the
+    * surrounding text differs, the span repeats verbatim).
+    *
+    * Per document: n_windows (windows sampled from the doc),
+    * n_repeated (distinct windows of the doc that also occur in ≥1 OTHER
+    * document), repeated_frac. Docs shorter than L yield zero windows.
+    *
+    * Scale shape: windows are hashed to 8-byte keys and aggregated by
+    * window key with map-side partials — the shuffle carries one row per
+    * distinct window, never doc × doc; the stride bounds row fan-out at
+    * len/s windows per document. At 100 TB this is exactly the
+    * suffix-array-free approximation production pipelines run first.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowLen: Int = 64, stride: Int = 16): DataFrame = {
+    require(windowLen > 0 && stride > 0)
+    // window start offsets 1, 1+s, ... while a full L-char window fits;
+    // distinct (doc, window) — within-doc repeats must not fake sharing
+    val win = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__x"))
+      .where(length(col("__x")) >= windowLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          length(col("__x")) - lit(windowLen - 1), lit(stride))).as("i"),
+        col("__x"))
+      .select(col("doc_id"),
+        // 8-byte join/agg key instead of a 64-char one; a cross-window
+        // xxhash64 collision (P ≈ n²/2⁶⁵) would miscount one window —
+        // the same documented call as ngramJaccard
+        xxhash64(col("__x").substr(col("i"), lit(windowLen))).as("w"))
+      .distinct()
+    val shared = win.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2)
+    val perDoc = win
+      .join(shared.select("w"), Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    val totals = win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_repeated"), lit(0L)) / col("n_windows")), 6)
+          .as("repeated_frac"))
+  }
+
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tri = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))

@@ -41,6 +41,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("repeatedSpans: verbatim cross-doc windows flagged, short/unique docs zero") {
+    import spark.implicits._
+    val boiler = "x" * 30 + "THIS LICENSE HEADER REPEATS VERBATIM ACROSS FILES " + "y" * 30
+    val docs = Seq(
+      (1L, boiler + " unique tail one " + "a" * 40),
+      (2L, boiler + " other tail entirely " + "b" * 40), // shares the header
+      (3L, "completely different prose with no overlap at all " + "c" * 60),
+      (4L, "short")                                       // < windowLen
+    ).toDF("doc_id", "text")
+    val got = TextOps.repeatedSpans(docs, "doc_id", "text",
+        windowLen = 64, stride = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      "the shared verbatim header must be flagged in both docs")
+    assert(got(3L)._2 == 0, "unique prose must have no repeated windows")
+    assert(got(4L) == ((0L, 0L, 0.0)), "sub-window docs yield zero windows")
+    // repeated windows can never exceed total windows
+    assert(got.values.forall { case (nw, nr, _) => nr <= nw })
+    // within-doc repetition alone must NOT count as sharing
+    val selfRep = Seq((7L, ("z" * 64) * 4), (8L, "no overlap here " + "q" * 60))
+      .toDF("doc_id", "text")
+    val sr = TextOps.repeatedSpans(selfRep, "doc_id", "text", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sr(7L) == 0, "identical windows inside ONE doc are not cross-doc repeats")
+  }
+
   test("chunkText: windows cover the text, overlap exactly, tail shortens") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val out = TextOps.chunkText(docs, "doc_id", "text", size = 5, overlap = 1)
