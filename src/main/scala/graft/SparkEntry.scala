@@ -1139,13 +1139,12 @@ object SparkEntry {
                 CAST(min(df) AS BIGINT) min_df, CAST(sum(df) AS BIGINT) sum_df
          FROM dt JOIN dfreq USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
-    // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
-    // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
     // √-temperature mixture: integer-exact budget apportionment
     // (floor(sqrt(cnt)*2^20) weights, largest-remainder), then the same
     // 52-bit md5 order sampling per stratum.
     "q_sqrt_mixture" ->
-      """WITH c AS (SELECT lang, count(*) cnt FROM documents GROUP BY 1),
+      """WITH c AS (SELECT lang, count(*) cnt FROM documents
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL GROUP BY 1),
          w AS (SELECT lang,
                       CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT) wt
                FROM c),
@@ -1160,7 +1159,8 @@ object SparkEntry {
                       base + CASE WHEN rk <= (SELECT leftover FROM l)
                                   THEN 1 ELSE 0 END AS budget
                FROM r),
-         h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents),
+         h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
          v AS (SELECT doc_id, lang,
                  ((strpos('0123456789abcdef', substr(m,1,1))-1) * 281474976710656
                 + (strpos('0123456789abcdef', substr(m,2,1))-1) * 17592186044416
@@ -1187,7 +1187,8 @@ object SparkEntry {
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
                            md5(CAST(doc_id AS VARCHAR)) m
-                    FROM documents WHERE n_chars > 0),
+                    FROM documents
+                    WHERE n_chars > 0 AND doc_id IS NOT NULL),
          v AS (SELECT doc_id, lang, n_chars,
                  ((strpos('0123456789abcdef', substr(m,1,1))-1) * 281474976710656
                 + (strpos('0123456789abcdef', substr(m,2,1))-1) * 17592186044416
@@ -1208,6 +1209,8 @@ object SparkEntry {
                LIMIT 100)
          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
          FROM s ORDER BY doc_id""",
+    // 32-bit value of the first 8 md5 hex digits, mod 100 — the engine's
+    // conv(substr(md5,1,8),16,10) spelled as positional digit arithmetic.
     "q_hash_sample" ->
       """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) m FROM documents),
          v AS (SELECT doc_id, lang,
@@ -1883,8 +1886,8 @@ object SparkEntry {
     // 16; a window is "repeated" when >= 2 distinct docs contain it.
     "q_repeated_spans" ->
       """WITH w0 AS (SELECT doc_id, substr(text, CAST(i AS INT), 64) w
-                     FROM documents, unnest(range(1, strlen(text) - 62, 16)) r(i)
-                     WHERE strlen(text) >= 64),
+                     FROM documents, unnest(range(1, length(text) - 62, 16)) r(i)
+                     WHERE length(text) >= 64),
          w1 AS (SELECT DISTINCT doc_id, w FROM w0),
          sh AS (SELECT w FROM w1 GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
          rep AS (SELECT doc_id, count(*) n_repeated FROM w1

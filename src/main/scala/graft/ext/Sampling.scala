@@ -44,9 +44,12 @@ object Sampling {
     * last-ulp behavior is libm-dependent and would flip adjacent ranks),
     * no rand(). Ties break on the key.
     *
-    * Rows with non-positive weight are excluded (a zero weight has zero
-    * inclusion probability; a negative one is a caller bug surfaced by
-    * absence, matching SQL filter semantics).
+    * Rows with non-positive weight or a NULL key are excluded (a zero
+    * weight has zero inclusion probability; a negative one is a caller
+    * bug surfaced by absence, matching SQL filter semantics; a NULL key
+    * has no md5 and the engines disagree on NULL sort order — Spark
+    * NULLS FIRST, most SQL engines NULLS LAST — so it must never reach
+    * the ranking).
     *
     * Scale: sort+limit plans as a per-partition partial top-n followed by
     * an n-bounded merge — the corpus is scanned once, map-side, and only
@@ -59,7 +62,7 @@ object Sampling {
     require(n >= 0, s"sample budget n=$n must be non-negative")
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double")
-    df.where(weight > 0)
+    df.where(weight > 0 && col(keyCol).isNotNull)
       .withColumn("__pri", u / weight.cast("double"))
       .orderBy(col("__pri").asc, col(keyCol).asc)
       .limit(n)
@@ -88,16 +91,20 @@ object Sampling {
     * A stratum smaller than its allocation yields all its rows (the
     * output is then smaller than `n`) — allocations are targets, not
     * resampling-with-replacement. Strata are read as strings (the
-    * mixture key is a language/source tag).
+    * mixture key is a language/source tag). Rows with a NULL stratum or
+    * NULL key are excluded up front: a NULL stratum has no mixture tag
+    * to rebalance (and would NPE the driver-side budget sort), and a
+    * NULL key has no md5 rank — same contract as weightedSample.
     */
   def sqrtMixtureSample(df: DataFrame, strataCol: String, keyCol: String,
                         n: Int): DataFrame = {
     require(n >= 0, s"sample budget n=$n must be non-negative")
-    val counts = df.groupBy(col(strataCol).cast("string").as("__s"))
+    val in = df.where(col(strataCol).isNotNull && col(keyCol).isNotNull)
+    val counts = in.groupBy(col(strataCol).cast("string").as("__s"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    if (counts.isEmpty) return df.limit(0)
+    if (counts.isEmpty) return in.limit(0)
     val wts = counts.map { case (s, c) =>
       (s, math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong)
     }
@@ -123,7 +130,7 @@ object Sampling {
     // the stratum shuffle; the per-stratum exact budget then trims via
     // the broadcast join
     val maxBudget = budgets.map(_._2).max
-    df.withColumn("__s", col(strataCol).cast("string"))
+    in.withColumn("__s", col(strataCol).cast("string"))
       .withColumn("__u", u)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= lit(maxBudget))

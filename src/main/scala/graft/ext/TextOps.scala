@@ -209,14 +209,6 @@ object TextOps {
       .select(col(idCol), md5(nt).as("fp_md5"), rolling.as("fp_roll"))
   }
 
-  /** Intra-document repetition ratio — the boilerplate/spam signal used by
-    * corpus quality filters (a page of repeated navigation text has high
-    * trigram repetition; prose has almost none): per document,
-    * 1 − distinct_trigrams / total_trigrams, with totals carried so the
-    * threshold can be re-derived. Documents with fewer than 3 tokens have
-    * no trigrams and score 0. One explode + one per-doc aggregation —
-    * shuffles on doc_id only, no cross-document work at any scale.
-    */
   /** Exact-substring repeated spans — the character-level dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (2022): fixed-length character windows (length L, stride s)
@@ -270,6 +262,14 @@ object TextOps {
           .as("repeated_frac"))
   }
 
+  /** Intra-document repetition ratio — the boilerplate/spam signal used by
+    * corpus quality filters (a page of repeated navigation text has high
+    * trigram repetition; prose has almost none): per document,
+    * 1 − distinct_trigrams / total_trigrams, with totals carried so the
+    * threshold can be re-derived. Documents with fewer than 3 tokens have
+    * no trigrams and score 0. One explode + one per-doc aggregation —
+    * shuffles on doc_id only, no cross-document work at any scale.
+    */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tri = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))

@@ -82,6 +82,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(t.count() == 3)
   }
 
+  test("weightedSample and sqrtMixtureSample exclude NULL keys/strata") {
+    import spark.implicits._
+    // NULL key: Spark sorts NULLs first, SQL engines last — a null key
+    // reaching the ranking would desync the engines; it must be filtered
+    val withNullKey = Seq(
+      (Some(1L), "en", 10), (Some(2L), "en", 20), (None, "en", 99999),
+      (Some(3L), "de", 30))
+      .toDF("doc_id", "lang", "n_chars")
+    val ws = Sampling.weightedSample(withNullKey, "doc_id", col("n_chars"), 2)
+      .collect()
+    assert(ws.length == 2 && ws.forall(!_.isNullAt(0)),
+      "null key must never occupy a budget slot")
+    // NULL stratum: must neither NPE the driver-side budget sort (>= 2
+    // strata) nor silently produce an empty sample (1 stratum)
+    val withNullStrata = Seq(
+      (1L, Some("en")), (2L, Some("en")), (3L, None), (4L, Some("de")))
+      .toDF("doc_id", "lang")
+    val ms = Sampling.sqrtMixtureSample(withNullStrata, "lang", "doc_id", 10)
+      .collect()
+    assert(ms.length == 3 && ms.forall(!_.isNullAt(1)),
+      "null-stratum rows are excluded, non-null strata sampled in full")
+    val onlyNull = Seq((1L, Option.empty[String]), (2L, None))
+      .toDF("doc_id", "lang")
+    assert(Sampling.sqrtMixtureSample(onlyNull, "lang", "doc_id", 10).count() == 0)
+  }
+
   test("stratifiedSample: per-stratum rates, nesting, default rate") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val s10 = Sampling.stratifiedSample(docs, "lang", "doc_id",
