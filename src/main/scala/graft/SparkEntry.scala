@@ -314,6 +314,37 @@ object SparkEntry {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
+    // ── §2.9: domain capping — at most 10 docs per source, deterministic
+    //    md5-ranked keepers, WindowGroupLimit partial top-k per partition ──
+    "q_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // ── §2.9: mixture reweighting by repetition — per-source repeat
+    //    factors become deterministic epoch counts (floor + md5-bucket
+    //    fractional part), map-side generator, no shuffle ─────────────────
+    "q_epoch_repeat" -> ((s, dir) =>
+      Sampling.epochRepeat(t(s, dir, "documents"), "doc_id",
+          when(col("source").isin("src0", "src1"), lit(2.5))
+            .when(col("source").isin("src2", "src3"), lit(0.4))
+            .otherwise(lit(1.0)))
+        .select(col("doc_id"), col("source"), col("epoch").cast(LongType))
+        .orderBy("doc_id", "epoch")),
+
+    // ── §2.9: split-leakage audit — MinHash-verified near-dup pairs whose
+    //    members landed in different train/valid/test splits (the leakage
+    //    source-grouped assignment is supposed to prevent) ────────────────
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashVerified(docs, "doc_id", "text", 0.3,
+        maxDf = 100)
+      val assign = Sampling.splitAssign(docs, "source",
+        Seq(("train", 80), ("valid", 10), ("test", 10)))
+      Sampling.splitLeakage(pairs, "da", "db", assign, "doc_id", "split")
+        .orderBy("a", "b")
+    }),
+
     // ── §2.9 X1h: the COMPLETE dedup pipeline — exact dedup → LSH-verified
     //    near-dup pairs among survivors → connected components → canonical
     //    doc per input document (keep rows where doc_id == canonical) ─────
@@ -1240,6 +1271,36 @@ object SparkEntry {
                      WHEN bucket < 90 THEN 'valid'
                      ELSE 'test' END AS split
          FROM v ORDER BY doc_id""",
+    // Domain capping: rank within source by the 52-bit md5 integer (key
+    // tiebreak), keep rank <= cap — the engine's WindowGroupLimit plan
+    // replayed as a plain ranking window.
+    "q_cap_per_group" ->
+      s"""WITH v AS (SELECT doc_id, source,
+                       ${u52Sql("CAST(doc_id AS VARCHAR)")} u
+                     FROM documents WHERE doc_id IS NOT NULL),
+         r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source ORDER BY u, doc_id) rn
+               FROM v)
+         SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    // Epoch expansion: repeats = floor(factor) + 1 extra when the md5
+    // bucket (of 10 000) falls under the fractional basis points.
+    "q_epoch_repeat" ->
+      s"""WITH f AS (SELECT doc_id, source,
+                       CASE WHEN source IN ('src0','src1') THEN 2.5
+                            WHEN source IN ('src2','src3') THEN 0.4
+                            ELSE 1.0 END AS factor
+                     FROM documents WHERE doc_id IS NOT NULL),
+         r AS (SELECT doc_id, source,
+                      CAST(round(factor * 10000) AS BIGINT) AS bp
+               FROM f WHERE factor > 0),
+         e AS (SELECT doc_id, source,
+                      bp // 10000
+                      + CASE WHEN ${bucketSql("CAST(doc_id AS VARCHAR)", 10000)}
+                               < bp % 10000 THEN 1 ELSE 0 END AS rep
+               FROM r)
+         SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         FROM e, unnest(range(1, rep + 1)) t(i)
+         WHERE rep > 0 ORDER BY doc_id, epoch""",
     "q_dedup_simhash" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) cnt FROM (
                        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
@@ -1286,29 +1347,22 @@ object SparkEntry {
            FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
          WHERE jaccard >= 0.3 ORDER BY da, db""",
     "q_dedup_verified" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                       FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
-                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
-                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         trif AS (SELECT * FROM tri WHERE sh IN (
-                    SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
-         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
-         inter AS (SELECT da, db, count(*) i FROM cand
-                   JOIN trif a ON a.doc_id = da
-                   JOIN trif c ON c.doc_id = db AND c.sh = a.sh
-                   GROUP BY 1, 2)
-         SELECT da, db, jaccard FROM (
-           SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
-           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
-         WHERE jaccard >= 0.3 ORDER BY da, db""",
+      s"""WITH $verifiedPairsSql
+         SELECT da, db, jaccard FROM vp ORDER BY da, db""",
+    // Split-leakage audit: the verified near-dup pairs joined twice to
+    // the source-bucket split assignment; pairs crossing splits leak.
+    "q_split_leakage" ->
+      s"""WITH $verifiedPairsSql,
+         sp AS (SELECT doc_id,
+                  CASE WHEN ${bucketSql("source")} < 80 THEN 'train'
+                       WHEN ${bucketSql("source")} < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT vp.da AS a, vp.db AS b,
+                sa.split AS split_a, sb.split AS split_b
+         FROM vp JOIN sp sa ON sa.doc_id = vp.da
+                 JOIN sp sb ON sb.doc_id = vp.db
+         WHERE sa.split <> sb.split ORDER BY a, b""",
     "q_cosine_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
                            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1826,13 +1880,13 @@ object SparkEntry {
                   AS sum_tokens
          FROM sp GROUP BY split ORDER BY split""",
     "q_chunk_text" ->
-      """WITH d AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
          c AS (SELECT doc_id, i AS chunk_no, i * 400 AS chunk_start,
                  substr(text, CAST(i * 400 + 1 AS INT), 500) AS chunk
                FROM d, unnest(range(0,
                  greatest(1, CAST(ceil(L / 400.0) AS BIGINT)))) r(i))
          SELECT doc_id, chunk_no, chunk_start, md5(chunk) AS chunk_md5,
-                strlen(chunk) AS n_chars
+                length(chunk) AS n_chars
          FROM c ORDER BY doc_id, chunk_no""",
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
@@ -1947,12 +2001,51 @@ object SparkEntry {
          WHERE jaccard >= 0.3 ORDER BY da, db"""
   )
 
-  /** DuckDB-dialect SQL for Sampling.hashBucket(key, 100) — the 32-bit
-    * value of the first 8 md5 hex digits mod 100, spelled as digit
+  /** Shared DuckDB CTE chain replicating
+    * `Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100)`;
+    * ends in `vp(da, db, jaccard)`. Used by q_dedup_verified and
+    * q_split_leakage so the two oracles cannot drift apart. */
+  private val verifiedPairsSql =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+               FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
+         trif AS (SELECT * FROM tri WHERE sh IN (
+                    SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
+         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
+         inter AS (SELECT da, db, count(*) i FROM cand
+                   JOIN trif a ON a.doc_id = da
+                   JOIN trif c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2),
+         vp AS (SELECT da, db, jaccard FROM (
+                  SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
+                  FROM inter JOIN sz sa ON sa.doc_id = da
+                       JOIN sz sb ON sb.doc_id = db)
+                WHERE jaccard >= 0.3)"""
+
+  /** DuckDB-dialect SQL for Sampling.hashBucket(key, mod) — the 32-bit
+    * value of the first 8 md5 hex digits mod `mod`, spelled as digit
     * arithmetic because DuckDB v1.0 has no conv(). */
-  private def bucketSql(key: String): String =
+  private def bucketSql(key: String, mod: Int = 100): String =
     (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
         (if (i < 7) s" * ${1L << (4 * (7 - i))}" else ""))
-      .mkString("((", " + ", ") % 100)")
+      .mkString("((", " + ", s") % $mod)")
+
+  /** DuckDB-dialect SQL for the 52-bit order-sampling integer — the value
+    * of the first 13 md5 hex digits of `key` (exactly representable in
+    * binary64), same digit arithmetic as [[bucketSql]]. */
+  private def u52Sql(key: String): String =
+    (0 until 13).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
+        (if (i < 12) s" * ${1L << (4 * (12 - i))}" else ""))
+      .mkString("(", " + ", ")")
 }

@@ -139,6 +139,99 @@ object Sampling {
       .drop("__s", "__u", "__rn", "__budget")
   }
 
+  /** Per-group cap — the DOMAIN-CAPPING operator (Gopher / RefinedWeb
+    * style): keep at most `cap` rows per group (source domain, site,
+    * license bucket), so no single over-crawled domain dominates the
+    * corpus. The keeper set is deterministic — rows rank within their
+    * group by the same exactly-representable 52-bit md5 integer as
+    * weightedSample, keys break ties — and NESTS: the cap-10 survivors
+    * are a subset of the cap-100 survivors, so tightening a cap never
+    * resurrects a dropped row.
+    *
+    * NULL groups form their own group (an unknown domain is still a
+    * domain, and both engines bucket NULL partition keys together); NULL
+    * keys are excluded for the same cross-engine sort-order reason as
+    * weightedSample.
+    *
+    * Scale: the literal rank cut under the window plans as a
+    * WindowGroupLimit — each partition keeps its per-group top-`cap`
+    * BEFORE the group shuffle, so the exchange carries at most
+    * cap × groups × partitions rows, not the corpus. No driver state at
+    * any group count (contrast sqrtMixtureSample, whose budget fit is
+    * stratum-count-sized by design).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  cap: Int): DataFrame = {
+    require(cap >= 0, s"cap=$cap must be non-negative")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__u").asc, col(keyCol).asc)
+    df.where(col(keyCol).isNotNull)
+      .withColumn("__u", u)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__u", "__rn")
+  }
+
+  /** Deterministic epoch expansion — the MIXTURE-REWEIGHTING-BY-REPEAT
+    * operator: materialize each row `factor` times on average, where
+    * `factor` is a per-row repeat target (e.g. joined from a per-source
+    * weight table: books ×2.5, boilerplate web ×0.3). LLM data mixtures
+    * are specified this way (DoReMi / Llama-style source weights become
+    * epoch counts over the tokenized corpus), and the explode must be
+    * deterministic so reruns produce the same corpus.
+    *
+    * repeats = floor(factor) + one extra epoch for the rows whose md5
+    * bucket (out of 10 000) falls under the fractional part — i.e. a
+    * factor of 2.3 gives every row 2 epochs and a deterministic,
+    * key-hash-chosen 30% of rows a 3rd. The fractional threshold is
+    * rounded to integer basis points so the only float op (factor×10⁴)
+    * is replayable. factor ≤ 0 or NULL drops the row (weight-zero
+    * sources leave the mixture); NULL keys are excluded as everywhere
+    * in this module.
+    *
+    * Output: the input columns plus `epoch` (1-based). Map-side only —
+    * a generator over each row, no shuffle, no driver state; at 100 TB
+    * the expansion streams through the scan like any projection.
+    */
+  def epochRepeat(df: DataFrame, keyCol: String, factor: Column): DataFrame = {
+    val bp = round(factor * 10000).cast("long") // basis points, integer-exact
+    val whole = (bp / 10000L).cast("int")
+    val fracBp = bp % 10000L
+    val extra = (hashBucket(col(keyCol), 10000) < fracBp).cast("int")
+    df.where(col(keyCol).isNotNull && factor > 0)
+      .withColumn("__rep", whole + extra)
+      .where(col("__rep") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__rep"))))
+      .drop("__rep")
+  }
+
+  /** Split-leakage audit — the EVAL-HYGIENE operator: given near-duplicate
+    * pairs (from any dedup stage: MinHash-verified, SimHash, embedding
+    * near-dup) and a split assignment, report every pair whose members
+    * landed in DIFFERENT splits. Each such pair is a test document whose
+    * near-copy is trained on — the leakage that grouped split assignment
+    * (splitAssign on a group key) is supposed to prevent and that this
+    * audit proves absent or localizes.
+    *
+    * Output: (a, b, split_a, split_b) for leaking pairs only. Scale: two
+    * shuffles on the pair-member ids, both sides pair-count-sized on the
+    * left — the corpus-sized assignment table streams through as the
+    * build/probe side and never multiplies (pair ids are unique per
+    * row). At 100 TB this is dwarfed by producing the pairs themselves.
+    */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+                   assign: DataFrame, idCol: String,
+                   splitCol: String): DataFrame = {
+    val asg = assign.select(col(idCol), col(splitCol))
+    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .join(asg.select(col(idCol).as("a"), col(splitCol).as("split_a")), Seq("a"))
+      .join(asg.select(col(idCol).as("b"), col(splitCol).as("split_b")), Seq("b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"))
+  }
+
   /** Deterministic `pct`-percent sample: rows whose key hashes into the
     * first `pct` of 100 buckets. Same input → same sample, on any cluster
     * layout, in any engine. */

@@ -146,6 +146,78 @@ class SamplingSpec extends AnyFunSuite {
       ("b", 1L, 0L, 0L, true)))
   }
 
+  test("capPerGroup: cap honored, keepers nest, small groups untouched") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val c10 = Sampling.capPerGroup(docs, "source", "doc_id", 10)
+    val byGroup = c10.groupBy("source").count().collect()
+    assert(byGroup.forall(_.getLong(1) <= 10), "a group exceeded its cap")
+    // nesting: tightening the cap never resurrects a dropped row
+    val ids5 = Sampling.capPerGroup(docs, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids10 = c10.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids5.subsetOf(ids10))
+    // deterministic under repartitioning
+    val again = Sampling.capPerGroup(docs.repartition(13), "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids10)
+    // a group under the cap keeps all rows; NULL group is its own group
+    val tiny = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None),
+      (5L, None)).toDF("doc_id", "src")
+    val t2 = Sampling.capPerGroup(tiny, "src", "doc_id", 2)
+    assert(t2.where(col("src") === "a").count() == 2)
+    assert(t2.where(col("src").isNull).count() == 2,
+      "null group must be capped as its own group, not dropped")
+  }
+
+  test("epochRepeat: deterministic epochs, fractional rate, zero drops") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    // integer factor: exactly N epochs per row
+    val x2 = Sampling.epochRepeat(docs, "doc_id", lit(2.0))
+    assert(x2.count() == docs.count() * 2)
+    assert(x2.groupBy("doc_id").count().collect().forall(_.getLong(1) == 2))
+    // fractional factor: mean repeats ~ factor, each row floor or floor+1
+    val x15 = Sampling.epochRepeat(docs, "doc_id", lit(1.5))
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(x15.forall(n => n == 1 || n == 2))
+    val mean = x15.sum.toDouble / x15.length
+    assert(mean > 1.3 && mean < 1.7, s"mean repeats $mean far from 1.5")
+    // zero / null factors drop the row
+    assert(Sampling.epochRepeat(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.epochRepeat(docs, "doc_id",
+      lit(null).cast("double")).count() == 0)
+    // deterministic under repartitioning
+    val a = Sampling.epochRepeat(docs, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.epochRepeat(docs.repartition(13), "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("splitLeakage: reports exactly the cross-split pairs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("da", "db")
+    val assign = Seq((1L, "train"), (2L, "train"), (3L, "test"),
+      (4L, "valid"), (5L, "test")).toDF("doc_id", "split")
+    val out = Sampling.splitLeakage(pairs, "da", "db", assign, "doc_id", "split")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 3L, "train", "test"),
+      (4L, 5L, "valid", "test")))
+    // grouped assignment (splitAssign on the pair-connected group key)
+    // produces zero leakage by construction when pairs stay within groups
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val asg = Sampling.splitAssign(docs, "source",
+      Seq(("train", 80), ("valid", 10), ("test", 10)))
+    val sameSource = docs.as("x").join(docs.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).limit(500)
+    assert(Sampling.splitLeakage(sameSource, "da", "db", asg,
+      "doc_id", "split").count() == 0)
+  }
+
   test("splitAssign never splits a group across splits; weights are honored") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val assigned = Sampling.splitAssign(docs, "source",
