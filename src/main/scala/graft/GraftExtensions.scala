@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.DotProduct
 
@@ -14,7 +15,7 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotEntry)
+    GraftExtensions.entries.foreach(ext.injectFunction)
   }
 }
 
@@ -24,6 +25,28 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children.head, children(1)): Expression)
 
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+  // runtime join filters but does not expose might_contain in the SQL
+  // registry; registering them here gives the engine a first-class
+  // build-once/probe-map-side Bloom pair without reimplementing the
+  // sketch. The aggregate takes (xxhash64-long, estimatedItems, numBits);
+  // the probe requires a CONSTANT filter (we pass the fitted blob as a
+  // literal, the same fit→literal pattern as the IVF/PQ models).
+  private val bloomAggEntry = (
+    new FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(classOf[BloomFilterAggregate].getName, null, "graft_bloom_agg"),
+    (children: Seq[Expression]) => new BloomFilterAggregate(
+      children.head, children(1), children(2)): Expression)
+
+  private val bloomProbeEntry = (
+    new FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(classOf[BloomFilterMightContain].getName, null,
+      "graft_might_contain"),
+    (children: Seq[Expression]) => BloomFilterMightContain(
+      children.head, children(1)): Expression)
+
+  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry)
+
   /** Idempotently register the engine functions on an existing session —
     * for sessions built without `spark.sql.extensions` (e.g. a host
     * application's). Called by the operators themselves, so the library is
@@ -31,7 +54,8 @@ object GraftExtensions {
     */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(dotEntry._1))
-      reg.registerFunction(dotEntry._1, dotEntry._2, dotEntry._3)
+    entries.foreach { e =>
+      if (!reg.functionExists(e._1)) reg.registerFunction(e._1, e._2, e._3)
+    }
   }
 }

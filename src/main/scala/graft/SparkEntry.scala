@@ -927,6 +927,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9: Bloom-prefiltered contamination — the scale path when the
+    //    benchmark shingle set is broadcast-too-big: fitted Bloom blob as
+    //    a literal, map-side probe, exact semi-join on survivors only
+    //    (false positives removed → result identical to exact overlap) ────
+    "q_bloom_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.bloomContamination(
+        d.where(Sampling.hashBucket(col("doc_id"), 100) >= 15),
+        d.where(Sampling.hashBucket(col("doc_id"), 100) < 15),
+        "doc_id", "text", minOverlap = 20)
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9: exact-substring repeated spans (Lee et al. 2022) — verbatim
     //    64-char windows occurring in more than one document mark
     //    boilerplate that word-shingle Jaccard misses ─────────────────────
@@ -1926,6 +1939,29 @@ object SparkEntry {
                   FROM ttoks, unnest(range(1, len(t)-1)) r(i)),
          btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM b WHERE bucket < 10),
+         btri AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM btoks, unnest(range(1, len(t)-1)) r(i)),
+         ov AS (SELECT doc_id, count(*) AS n_overlap FROM ttri
+                WHERE sh IN (SELECT sh FROM btri) GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
+         SELECT sz.doc_id, n_shingles,
+                coalesce(n_overlap, 0) AS n_overlap,
+                coalesce(n_overlap, 0) >= 20 AS contaminated
+         FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+         ORDER BY sz.doc_id""",
+    // Bloom-prefiltered contamination: the bloom stage only prunes the
+    // shuffle — the exact semi-join removes false positives, so the
+    // oracle is the plain exact-overlap query on the 15% split.
+    "q_bloom_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+                     FROM documents),
+         ttoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM b WHERE bucket >= 15),
+         ttri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM ttoks, unnest(range(1, len(t)-1)) r(i)),
+         btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM b WHERE bucket < 15),
          btri AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM btoks, unnest(range(1, len(t)-1)) r(i)),
          ov AS (SELECT doc_id, count(*) AS n_overlap FROM ttri

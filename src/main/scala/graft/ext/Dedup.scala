@@ -530,6 +530,54 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Bloom-prefiltered contamination — [[contamination]]'s scale path for
+    * benchmarks TOO BIG to broadcast as a shingle set: fit a Bloom filter
+    * over the benchmark shingle hashes (one aggregate; the blob is
+    * numBits/8 bytes regardless of benchmark row count — ~10 MB covers
+    * 10⁸ shingles at ~2% FP), ship it as a literal, and probe it MAP-SIDE
+    * over the corpus shingles so only probable hits reach the exact
+    * verification join. The exact semi-join then removes the false
+    * positives, so the result is IDENTICAL to [[contamination]] — the
+    * bloom stage changes the shuffle volume (corpus-sized → hit-sized),
+    * never the answer. This is the standard two-sided decontamination
+    * shape at 100 TB: sketch small enough to broadcast, exact join only
+    * on survivors.
+    *
+    * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * (registered as graft_bloom_agg / graft_might_contain by
+    * [[graft.GraftExtensions]]) — the sketch behind Spark's runtime join
+    * filters, here driven explicitly as a library operator.
+    */
+  def bloomContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, minOverlap: Int = 1,
+                         expectedItems: Long = 4000000L,
+                         numBits: Long = 33554432L): DataFrame = {
+    graft.GraftExtensions.ensure(train.sparkSession)
+    val trainSh = shingles(train, idCol, textCol).distinct()
+    val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()
+    // fit: one aggregate over the benchmark shingle hashes → bounded blob
+    // (driver-collected like the IVF/PQ model fits; size is numBits/8,
+    // independent of the benchmark's row count)
+    val blob = benchSh
+      .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
+        lit(expectedItems), lit(numBits)).as("f"))
+      .head.getAs[Array[Byte]](0)
+    val survivors =
+      if (blob == null) trainSh.limit(0) // empty benchmark → empty filter
+      else trainSh.where(call_function("graft_might_contain", lit(blob),
+        xxhash64(col("sh"))))
+    // exact verification on bloom survivors only — NOT broadcast: the
+    // benchmark is assumed broadcast-too-big here (else use contamination);
+    // the shuffle's corpus side is survivor-sized thanks to the prefilter
+    val overlap = survivors.join(benchSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** CROSS-CORPUS near-duplicate pairs — FUZZY decontamination, the
     * production complement of `contamination`'s exact-shingle overlap: a
     * paraphrased or lightly-edited benchmark item leaks into training

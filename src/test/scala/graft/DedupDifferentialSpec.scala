@@ -226,6 +226,30 @@ class DedupDifferentialSpec extends AnyFunSuite {
     assert(withinCluster.forall(_._3 == 0L))
   }
 
+  test("bloomContamination is identical to exact contamination, even at brutal FP rates") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val train = docs.where(graft.ext.Sampling.hashBucket(col("doc_id"), 100) >= 15)
+    val bench = docs.where(graft.ext.Sampling.hashBucket(col("doc_id"), 100) < 15)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+    val exact = rows(Dedup.contamination(train, bench, "doc_id", "text",
+      minOverlap = 20, broadcastBench = false))
+    // default sizing
+    assert(rows(Dedup.bloomContamination(train, bench, "doc_id", "text",
+      minOverlap = 20)) == exact)
+    // a 256-bit filter over thousands of shingles ≈ everything collides —
+    // the exact verification join must still remove every false positive
+    assert(rows(Dedup.bloomContamination(train, bench, "doc_id", "text",
+      minOverlap = 20, expectedItems = 10L, numBits = 256L)) == exact)
+    // empty benchmark → zero overlap everywhere, nothing contaminated
+    val none = Dedup.bloomContamination(train, bench.limit(0), "doc_id", "text")
+      .collect()
+    assert(none.nonEmpty && none.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+  }
+
   test("crossJaccardVerified: finds cross-corpus near-dups, never disjoint-vocab pairs") {
     import spark.implicits._
     val rnd = new Random(17)
