@@ -1282,7 +1282,7 @@ object SparkEntry {
          SELECT doc_id, source,
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'valid'
-                     ELSE 'test' END AS split
+                     WHEN bucket < 100 THEN 'test' END AS split
          FROM v ORDER BY doc_id""",
     // Domain capping: rank within source by the 52-bit md5 integer (key
     // tiebreak), keep rank <= cap — the engine's WindowGroupLimit plan
@@ -1369,7 +1369,8 @@ object SparkEntry {
          sp AS (SELECT doc_id,
                   CASE WHEN ${bucketSql("source")} < 80 THEN 'train'
                        WHEN ${bucketSql("source")} < 90 THEN 'valid'
-                       ELSE 'test' END AS split
+                       WHEN ${bucketSql("source")} < 100 THEN 'test'
+                  END AS split
                 FROM documents)
          SELECT vp.da AS a, vp.db AS b,
                 sa.split AS split_a, sb.split AS split_b
@@ -1886,7 +1887,8 @@ object SparkEntry {
          sp AS (SELECT text,
                   CASE WHEN ${bucketSql("source")} < 80 THEN 'train'
                        WHEN ${bucketSql("source")} < 90 THEN 'valid'
-                       ELSE 'test' END AS split
+                       WHEN ${bucketSql("source")} < 100 THEN 'test'
+                  END AS split
                 FROM surv)
          SELECT split, count(*) AS n_docs,
                 CAST(sum(len(regexp_split_to_array(trim(lower(text)), ' +'))) AS BIGINT)

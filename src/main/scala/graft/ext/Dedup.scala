@@ -533,31 +533,59 @@ object Dedup {
   /** Bloom-prefiltered contamination — [[contamination]]'s scale path for
     * benchmarks TOO BIG to broadcast as a shingle set: fit a Bloom filter
     * over the benchmark shingle hashes (one aggregate; the blob is
-    * numBits/8 bytes regardless of benchmark row count — ~10 MB covers
-    * 10⁸ shingles at ~2% FP), ship it as a literal, and probe it MAP-SIDE
-    * over the corpus shingles so only probable hits reach the exact
-    * verification join. The exact semi-join then removes the false
-    * positives, so the result is IDENTICAL to [[contamination]] — the
-    * bloom stage changes the shuffle volume (corpus-sized → hit-sized),
-    * never the answer. This is the standard two-sided decontamination
-    * shape at 100 TB: sketch small enough to broadcast, exact join only
-    * on survivors.
+    * numBits/8 bytes regardless of benchmark row count — at the ~8
+    * bits/item of the defaults that is ~2-3% FP, so 10⁸ shingles need
+    * ~100 MB of bits, 10⁷ need ~10 MB), ship it as a literal, and probe
+    * it MAP-SIDE over the corpus shingles so only probable hits reach
+    * the exact verification join. The exact semi-join then removes the
+    * false positives, so the result is IDENTICAL to [[contamination]] —
+    * the bloom stage changes the shuffle volume (corpus-sized →
+    * hit-sized), never the answer. This is the standard two-sided
+    * decontamination shape at 100 TB: sketch small enough to broadcast,
+    * exact join only on survivors.
     *
     * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
     * (registered as graft_bloom_agg / graft_might_contain by
     * [[graft.GraftExtensions]]) — the sketch behind Spark's runtime join
-    * filters, here driven explicitly as a library operator.
+    * filters, here driven explicitly as a library operator. Spark
+    * SILENTLY CLAMPS the fit to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M / 67,108,864 = 8 MB) — an oversized
+    * request would degrade the FP rate toward 1 and defeat the prefilter
+    * without any error, so sizes beyond the session's caps are rejected
+    * here with a pointer to the confs to raise.
+    *
+    * The benchmark shingle frame is needed twice (the fit action, then
+    * the FP-removing semi-join) in two separate jobs where ReuseExchange
+    * cannot apply, so it is persisted (memory-and-disk) across both; the
+    * cache is dropped when the returned frame no longer needs it — i.e.
+    * by Spark's LRU, or explicitly via `spark.catalog.clearCache()`
+    * after consuming the result.
     */
   def bloomContamination(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, minOverlap: Int = 1,
                          expectedItems: Long = 4000000L,
                          numBits: Long = 33554432L): DataFrame = {
-    graft.GraftExtensions.ensure(train.sparkSession)
+    val spark = train.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    def cap(key: String, default: Long): Long =
+      spark.conf.getOption(s"spark.sql.optimizer.runtime.bloomFilter.$key")
+        .map(_.toLong).getOrElse(default)
+    val maxItems = cap("maxNumItems", 4000000L)
+    val maxBits = cap("maxNumBits", 67108864L)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"requested bloom size ($expectedItems items / $numBits bits) exceeds " +
+        s"the session caps ($maxItems / $maxBits); Spark would silently " +
+        "clamp the fit and ruin the FP rate — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits " +
+        "to match the benchmark size")
     val trainSh = shingles(train, idCol, textCol).distinct()
     val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fit: one aggregate over the benchmark shingle hashes → bounded blob
     // (driver-collected like the IVF/PQ model fits; size is numBits/8,
-    // independent of the benchmark's row count)
+    // independent of the benchmark's row count). This action also
+    // materializes the benchSh cache for the semi-join below.
     val blob = benchSh
       .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
         lit(expectedItems), lit(numBits)).as("f"))

@@ -24,6 +24,15 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** The 52-bit order-sampling priority: integer of the first 13 md5 hex
+    * digits of the key — exactly representable in binary64, so every
+    * engine ranks it bit-identically (mirrored by the oracle's u52Sql).
+    * One definition shared by every ranking sampler so the cross-engine
+    * contract cannot drift between them. */
+  private def u52(keyCol: String): Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+
   /** Fixed-BUDGET weighted sample — keep exactly `n` rows with inclusion
     * probability approximately proportional to `weight` (sequential
     * Poisson / order sampling, Ohlsson 1998: rank by u/w for a
@@ -60,10 +69,8 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      n: Int): DataFrame = {
     require(n >= 0, s"sample budget n=$n must be non-negative")
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
-      .cast("long").cast("double")
     df.where(weight > 0 && col(keyCol).isNotNull)
-      .withColumn("__pri", u / weight.cast("double"))
+      .withColumn("__pri", u52(keyCol).cast("double") / weight.cast("double"))
       .orderBy(col("__pri").asc, col(keyCol).asc)
       .limit(n)
       .drop("__pri")
@@ -121,8 +128,7 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val budgetDf = broadcast(budgets.toSeq.toDF("__s", "__budget"))
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
-      .cast("long")
+    val u = u52(keyCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__s")).orderBy(col("__u").asc, col(keyCol).asc)
     // the literal rank cut (max budget) sits directly under the window so
@@ -163,12 +169,10 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   cap: Int): DataFrame = {
     require(cap >= 0, s"cap=$cap must be non-negative")
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
-      .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__u").asc, col(keyCol).asc)
     df.where(col(keyCol).isNotNull)
-      .withColumn("__u", u)
+      .withColumn("__u", u52(keyCol))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap)
       .drop("__u", "__rn")

@@ -231,5 +231,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L),
       s"80/10/10 weights not reflected: $bySplit")
+    // NULL group → NULL split (unassigned), never a spurious bucket — the
+    // oracles spell the last CASE arm explicitly instead of ELSE so both
+    // engines agree on this
+    import spark.implicits._
+    val withNull = Seq((1L, Some("s")), (2L, None)).toDF("doc_id", "source")
+    val rows = Sampling.splitAssign(withNull, "source",
+      Seq(("train", 80), ("valid", 10), ("test", 10)))
+      .orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(2) && rows(1).isNullAt(2),
+      "null source must yield a null split")
   }
 }
