@@ -947,6 +947,13 @@ object SparkEntry {
       TextOps.repeatedSpans(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── §2.9: repeated-span REMOVAL — the cut half of Lee et al. 2022:
+    //    shared windows merge into maximal spans, documents are rebuilt
+    //    from the text between them (exact clean_text compared) ──────────
+    "q_remove_spans" -> ((s, dir) =>
+      TextOps.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9: FUZZY decontamination — cross-corpus MinHash+LSH candidates
     //    + exact Jaccard verification: catches paraphrased benchmark
     //    leakage that exact n-gram overlap misses. A 50/50 md5-bucket
@@ -1992,6 +1999,52 @@ object SparkEntry {
                            ELSE coalesce(n_repeated, 0) / n_windows END, 6)
                   AS repeated_frac
          FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rep USING (doc_id)
+         ORDER BY d.doc_id""",
+    // Repeated-span removal: flag position-level shared windows, merge
+    // overlaps via a running-max window, rebuild each doc from the gaps
+    // (string_agg ordered by piece start) plus the tail after the last
+    // span. Spans are [s, e) in 1-based character positions.
+    "q_remove_spans" ->
+      """WITH w0 AS (SELECT doc_id, CAST(i AS BIGINT) i,
+                            substr(text, CAST(i AS INT), 64) w
+                     FROM documents, unnest(range(1, length(text) - 62, 16)) r(i)
+                     WHERE length(text) >= 64),
+         sh AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM w0)
+                GROUP BY w HAVING count(*) >= 2),
+         fl AS (SELECT doc_id, i FROM w0 WHERE w IN (SELECT w FROM sh)),
+         m0 AS (SELECT doc_id, i,
+                       max(i + 64) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+                FROM fl),
+         m AS (SELECT doc_id, i,
+                      CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END nw
+               FROM m0),
+         sg AS (SELECT doc_id, i,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY i) seg
+                FROM m),
+         seg AS (SELECT doc_id, seg, min(i) s, max(i) + 64 e
+                 FROM sg GROUP BY 1, 2),
+         mid AS (SELECT doc_id, s AS ord,
+                        lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) pe,
+                        s
+                 FROM seg),
+         pieces AS (SELECT m.doc_id, m.ord,
+                           substr(d.text, CAST(m.pe AS INT),
+                                  CAST(m.s - m.pe AS INT)) piece
+                    FROM mid m JOIN documents d USING (doc_id)
+                    UNION ALL
+                    SELECT t.doc_id, 2147483647,
+                           substr(d.text, CAST(t.me AS INT), length(d.text))
+                    FROM (SELECT doc_id, max(e) me FROM seg GROUP BY 1) t
+                         JOIN documents d USING (doc_id)),
+         reb AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) clean
+                 FROM pieces GROUP BY 1),
+         rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) n_removed
+                 FROM seg GROUP BY 1)
+         SELECT d.doc_id, coalesce(reb.clean, d.text) AS clean_text,
+                coalesce(rem.n_removed, 0) AS n_removed
+         FROM documents d LEFT JOIN reb USING (doc_id)
+              LEFT JOIN rem USING (doc_id)
          ORDER BY d.doc_id""",
     // Fuzzy decontamination: both corpora banded with the same MinHash
     // family (16 hashes, 4 bands), cross bucket join, df-capped exact

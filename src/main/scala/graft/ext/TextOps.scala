@@ -262,6 +262,82 @@ object TextOps {
           .as("repeated_frac"))
   }
 
+  /** Repeated-span REMOVAL — the second half of the Lee et al. 2022
+    * recipe: [[repeatedSpans]] reports cross-document verbatim windows;
+    * this operator CUTS them, returning the cleaned text. Windows (length
+    * L, stride s) occurring in ≥2 documents are flagged, overlapping
+    * flagged windows merge into maximal spans (one running-max window per
+    * doc), and each document is rebuilt from the text between its spans.
+    * Documents with no shared window pass through unchanged.
+    *
+    * Output: (doc_id, clean_text, n_removed) with n_removed the total
+    * characters cut.
+    *
+    * Scale shape: the only non-doc-keyed shuffle is the shared-window
+    * aggregation (one row per distinct window hash, as in
+    * [[repeatedSpans]]); interval merging and text rebuild are windows /
+    * aggregations over doc_id — flagged-window-count sized, reusing one
+    * partitioning. Rebuild is sort_array over the per-doc piece structs
+    * (deterministic, unlike raw collect_list order) — pieces per doc are
+    * bounded by flagged windows / doc, which the stride bounds by len/s.
+    * The same xxhash64 window key as repeatedSpans decides sharing (a
+    * collision would cut one innocent span; P ≈ n²/2⁶⁵, documented
+    * there).
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowLen: Int = 64, stride: Int = 16): DataFrame = {
+    require(windowLen > 0 && stride > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val win = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__x"))
+      .where(length(col("__x")) >= windowLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          length(col("__x")) - lit(windowLen - 1), lit(stride))).as("i"),
+        col("__x"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("__x").substr(col("i"), lit(windowLen))).as("w"))
+    val shared = win.select("doc_id", "w").distinct()
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("w")
+    val flagged = win.join(shared, Seq("w"), "left_semi")
+    // merge overlapping/adjacent flagged windows into maximal spans [s, e)
+    val byI = W.partitionBy("doc_id").orderBy("i")
+    val prevMaxEnd = max(col("i") + lit(windowLen))
+      .over(byI.rowsBetween(W.unboundedPreceding, -1))
+    val seg = flagged
+      .withColumn("__new",
+        when(prevMaxEnd.isNull || col("i") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("__seg", sum(col("__new")).over(byI))
+      .groupBy("doc_id", "__seg")
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(windowLen)).as("e"))
+    // kept pieces: the gap before each span, plus the tail after the last
+    val byS = W.partitionBy("doc_id").orderBy("s")
+    val mid = seg
+      .withColumn("__pe", lag(col("e"), 1, 1).over(byS))
+      .select(col("doc_id"), col("s").as("ord"),
+        col("__pe").as("from"), (col("s") - col("__pe")).as("len"))
+    val tail = seg.groupBy("doc_id")
+      .agg(max(col("e")).as("__me"), sum(col("e") - col("s")).as("n_removed"))
+    val tailPiece = tail.select(col("doc_id"),
+      lit(Int.MaxValue).as("ord"), col("__me").as("from"),
+      lit(Int.MaxValue).as("len"))
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val rebuilt = mid.unionByName(tailPiece)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        struct(col("ord"),
+          col("__t").substr(col("from"), col("len")).as("piece")).as("p"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(sort_array(collect_list(col("p"))),
+        x => x.getField("piece")), "").as("__clean"))
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .join(tail.select("doc_id", "n_removed"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), col("__t")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).cast(LongType).as("n_removed"))
+  }
+
   /** Intra-document repetition ratio — the boilerplate/spam signal used by
     * corpus quality filters (a page of repeated navigation text has high
     * trigram repetition; prose has almost none): per document,

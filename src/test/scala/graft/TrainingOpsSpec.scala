@@ -68,6 +68,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(sr(7L) == 0, "identical windows inside ONE doc are not cross-doc repeats")
   }
 
+  test("removeRepeatedSpans cuts shared spans; matches an in-memory reference") {
+    // in-memory reference of the exact rule: windows (L=64, s=16) shared
+    // by >= 2 docs are flagged at position level, overlaps merge, the doc
+    // is rebuilt from the gaps
+    def reference(docs: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+      val wins = docs.flatMap { case (id, t) =>
+        (1 to t.length - 63 by 16).map(i => (id, i, t.substring(i - 1, i + 63)))
+      }
+      val shared = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      docs.map { case (id, t) =>
+        val flagged = wins.filter(w => w._1 == id && shared(w._3)).map(_._2).sorted
+        val spans = flagged.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, i) => acc match {
+            case (s0, e0) :: rest if i <= e0 => (s0, math.max(e0, i + 64)) :: rest
+            case _ => (i, i + 64) :: acc
+          }
+        }.reverse
+        val clean = {
+          val (sb, pos) = spans.foldLeft((new StringBuilder, 1)) {
+            case ((b, p), (s0, e0)) => (b.append(t.substring(p - 1, s0 - 1)), e0)
+          }
+          sb.append(t.substring(pos - 1)).toString
+        }
+        id -> (clean, spans.map(x => (x._2 - x._1).toLong).sum)
+      }.toMap
+    }
+    val sharedCore = ("X" * 20) + "the exact same boilerplate navigation footer text here" +
+      ("Y" * 30) // 104 chars, embedded verbatim in two docs
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = rnd.alphanumeric.take(n).mkString
+    val docs = Seq(
+      (1L, noise(32) + sharedCore + noise(40)),  // offset 32 ≡ 0 mod 16
+      (2L, noise(48) + sharedCore + noise(25)),  // offset 48 ≡ 0 mod 16
+      (3L, noise(200)),                          // unique long doc
+      (4L, noise(30)))                           // shorter than one window
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val ref = reference(docs)
+    assert(out == ref, s"operator disagrees with reference:\n$out\nvs\n$ref")
+    // sanity on the reference itself: shared docs were cut, others intact
+    assert(ref(1L)._2 > 0 && ref(2L)._2 > 0)
+    assert(ref(3L) == (docs(2)._2, 0L) && ref(4L) == (docs(3)._2, 0L))
+    assert(!ref(1L)._1.contains("boilerplate navigation"))
+    // deterministic under repartitioning
+    val again = TextOps.removeRepeatedSpans(df.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("chunkText: windows cover the text, overlap exactly, tail shortens") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val out = TextOps.chunkText(docs, "doc_id", "text", size = 5, overlap = 1)
