@@ -947,6 +947,13 @@ object SparkEntry {
       TextOps.repeatedSpans(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── §2.9: mixed-language detection — per-chunk language-ID rolled up
+    //    per doc (distinct langs, majority, minority fraction): the
+    //    code-switch / concatenated-page filter signal ───────────────────
+    "q_mixed_language" -> ((s, dir) =>
+      TextOps.mixedLanguage(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9: repeated-span REMOVAL — the cut half of Lee et al. 2022:
     //    shared windows merge into maximal spans, documents are rebuilt
     //    from the text between them (exact clean_text compared) ──────────
@@ -2000,6 +2007,42 @@ object SparkEntry {
                   AS repeated_frac
          FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rep USING (doc_id)
          ORDER BY d.doc_id""",
+    // Mixed-language: 200-char non-overlapping chunks, the q_langid
+    // marker arithmetic per chunk, per-doc rollup (majority by chunk
+    // count then language code).
+    "q_mixed_language" ->
+      """WITH d AS (SELECT doc_id, text,
+                      greatest(1, CAST(ceil(length(text)/200.0) AS BIGINT)) nc
+                    FROM documents),
+         ch AS (SELECT doc_id,
+                  ' ' || lower(substr(text, CAST(i*200+1 AS INT), 200)) || ' ' AS p
+                FROM d, unnest(range(0, nc)) r(i)),
+         sc AS (SELECT doc_id,
+           (length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 + (length(p)-length(replace(p,' die ','')))/5 AS s_de,
+           (length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' and ','')))/5 + (length(p)-length(replace(p,' of ','')))/4 AS s_en,
+           (length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' los ','')))/5 + (length(p)-length(replace(p,' que ','')))/5 AS s_es,
+           (length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' les ','')))/5 + (length(p)-length(replace(p,' est ','')))/5 AS s_fr,
+           (length(p)-length(replace(p,' de ','')))/4 + (length(p)-length(replace(p,' shi ','')))/5 + (length(p)-length(replace(p,' zai ','')))/5 AS s_zh
+           FROM ch),
+         pl AS (SELECT doc_id,
+                  CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                       ELSE 'zh' END AS pl
+                FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best
+                      FROM sc)),
+         g AS (SELECT doc_id, pl, count(*) cnt FROM pl GROUP BY 1, 2),
+         r AS (SELECT doc_id, pl, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, pl) rn
+               FROM g),
+         a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_chunks,
+                      CAST(count(*) AS BIGINT) n_langs,
+                      max(CASE WHEN rn = 1 THEN pl END) major_lang,
+                      sum(CASE WHEN rn = 1 THEN cnt END) maj
+               FROM r GROUP BY 1)
+         SELECT doc_id, n_chunks, n_langs, major_lang,
+                round(1 - maj / n_chunks, 6) AS minority_frac
+         FROM a ORDER BY doc_id""",
     // Repeated-span removal: flag position-level shared windows, merge
     // overlaps via a running-max window, rebuild each doc from the gaps
     // (string_agg ordered by piece start) plus the tail after the last

@@ -56,21 +56,62 @@ object TextOps {
     markers.map(m => occurrences(padded, m)).reduce(_ + _)
   }
 
-  /** Predicted language per document: argmax over langScore, ties broken
-    * by language code ascending. */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = langMarkers.foldLeft(df) { case (d, (lang, ms)) =>
-      d.withColumn(s"__s_$lang", langScore(col(textCol), ms))
+  /** Predicted language of a text column: argmax over langScore, ties
+    * broken by language code ascending (langMarkers is sorted by code, so
+    * the first equal score in the CASE chain — the alphabetically
+    * smallest language — wins). A pure column expression, reusable per
+    * document or per chunk. */
+  def predLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast(StringType)) { case ((l, s), acc) =>
+      when(s === best, lit(l)).otherwise(acc)
     }
-    // argmax via greatest + first matching CASE: langMarkers is sorted by
-    // language code, so the first equal score (alphabetically smallest
-    // language) wins ties.
-    val best = greatest(langMarkers.map { case (l, _) => col(s"__s_$l") }: _*)
-    val pred = langMarkers.foldRight(lit(null).cast(StringType)) { case ((l, _), acc) =>
-      when(col(s"__s_$l") === best, lit(l)).otherwise(acc)
-    }
-    scored.withColumn("pred_lang", pred)
-      .select(col(idCol), col("pred_lang"))
+  }
+
+  /** Predicted language per document: [[predLang]] over the full text. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), predLang(col(textCol)).as("pred_lang"))
+
+  /** Mixed-language detection — the code-switch / concatenated-page
+    * signal corpus filters use (a "French" page whose second half is
+    * English boilerplate poisons both languages' subcorpora): cut the
+    * document into fixed non-overlapping chunks, language-ID each chunk
+    * with the same marker heuristic as [[langId]], and report per doc the
+    * chunk count, the number of distinct predicted languages, the
+    * majority language (ties: most chunks, then code ascending) and the
+    * fraction of chunks disagreeing with it.
+    *
+    * Scale shape: the chunk explode is map-side (fan-out bounded by
+    * len/chunkLen), scoring is pure column expressions on the chunk, and
+    * the rest is two doc-keyed aggregations (per-language counts → per-doc
+    * rollup) — no cross-document work anywhere.
+    */
+  def mixedLanguage(df: DataFrame, idCol: String, textCol: String,
+                    chunkLen: Int = 200): DataFrame = {
+    require(chunkLen > 0)
+    val nChunks = greatest(lit(1L),
+      ceil(length(col("__t")).cast(LongType) / chunkLen.toDouble).cast(LongType))
+    val chunks = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => col("__t").substr((i * chunkLen + 1).cast(IntegerType),
+            lit(chunkLen)))).as("__ck"))
+      .select(col("doc_id"), predLang(col("__ck")).as("pl"))
+    val perLang = chunks.groupBy("doc_id", "pl").agg(count(lit(1)).as("cnt"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, col("pl").asc)
+    perLang
+      .withColumn("__rn", row_number().over(byDoc))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("__rn") === 1, col("pl"))).as("major_lang"),
+        sum(when(col("__rn") === 1, col("cnt"))).as("__maj"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("major_lang"),
+        round(lit(1.0) - col("__maj") / col("n_chunks"), 6).as("minority_frac"))
   }
 
   /** Quality score: alpha ratio, whitespace ratio, stopword density —

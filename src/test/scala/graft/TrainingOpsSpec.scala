@@ -68,6 +68,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(sr(7L) == 0, "identical windows inside ONE doc are not cross-doc repeats")
   }
 
+  test("mixedLanguage: chunk-level language mix, majority and tiebreak") {
+    def chunk(markers: String) = markers.padTo(200, 'x') // exactly one chunk
+    val en = chunk(" the cat and the dog of it ")
+    val de = chunk(" der hund und die katze ")
+    val docs = Seq(
+      (1L, en + en + de),   // 2 en chunks + 1 de chunk
+      (2L, en + en),        // uniform
+      (3L, en + de),        // tie on count -> alphabetical major
+      (4L, "short"))        // < one chunk, still 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.mixedLanguage(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    assert(out(0) == ((1L, 3L, 2L, "en", 0.333333)))
+    assert(out(1) == ((2L, 2L, 1L, "en", 0.0)))
+    assert(out(2) == ((3L, 2L, 2L, "de", 0.5)), "count tie must break to 'de'")
+    assert(out(3)._2 == 1L && out(3)._3 == 1L)
+  }
+
   test("removeRepeatedSpans cuts shared spans; matches an in-memory reference") {
     // in-memory reference of the exact rule: windows (L=64, s=16) shared
     // by >= 2 docs are flagged at position level, overlaps merge, the doc
