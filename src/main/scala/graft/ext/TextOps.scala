@@ -56,22 +56,30 @@ object TextOps {
     markers.map(m => occurrences(padded, m)).reduce(_ + _)
   }
 
-  /** Predicted language of a text column: argmax over langScore, ties
-    * broken by language code ascending (langMarkers is sorted by code, so
-    * the first equal score in the CASE chain — the alphabetically
-    * smallest language — wins). A pure column expression, reusable per
-    * document or per chunk. */
-  def predLang(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(null).cast(StringType)) { case ((l, s), acc) =>
-      when(s === best, lit(l)).otherwise(acc)
+  /** Per-language marker scores of a text column, one named column per
+    * language — materialize these with a select BEFORE applying
+    * [[argmaxLang]]: the marker arithmetic is 15 regexp chains, and the
+    * projection boundary keeps each evaluated once (CollapseProject
+    * refuses to inline non-cheap expressions used more than once),
+    * where a fully inlined argmax would evaluate them twice. */
+  def langScoreCols(text: Column): Seq[Column] =
+    langMarkers.map { case (l, ms) => langScore(text, ms).as(s"__s_$l") }
+
+  /** Argmax over the materialized `__s_<lang>` score columns: ties break
+    * by language code ascending (langMarkers is sorted by code, so the
+    * first equal score in the CASE chain wins). */
+  def argmaxLang: Column = {
+    val best = greatest(langMarkers.map { case (l, _) => col(s"__s_$l") }: _*)
+    langMarkers.foldRight(lit(null).cast(StringType)) { case ((l, _), acc) =>
+      when(col(s"__s_$l") === best, lit(l)).otherwise(acc)
     }
   }
 
-  /** Predicted language per document: [[predLang]] over the full text. */
+  /** Predicted language per document: marker-score argmax over the full
+    * text. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), predLang(col(textCol)).as("pred_lang"))
+    df.select(col(idCol) +: langScoreCols(col(textCol)): _*)
+      .select(col(idCol), argmaxLang.as("pred_lang"))
 
   /** Mixed-language detection — the code-switch / concatenated-page
     * signal corpus filters use (a "French" page whose second half is
@@ -98,7 +106,8 @@ object TextOps {
         explode(transform(sequence(lit(0L), nChunks - 1),
           i => col("__t").substr((i * chunkLen + 1).cast(IntegerType),
             lit(chunkLen)))).as("__ck"))
-      .select(col("doc_id"), predLang(col("__ck")).as("pl"))
+      .select(col("doc_id") +: langScoreCols(col("__ck")): _*)
+      .select(col("doc_id"), argmaxLang.as("pl"))
     val perLang = chunks.groupBy("doc_id", "pl").agg(count(lit(1)).as("cnt"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("cnt").desc, col("pl").asc)
