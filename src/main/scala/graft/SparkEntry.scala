@@ -1430,7 +1430,7 @@ object SparkEntry {
          SELECT doc_id,
                 CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
                      WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
-                     ELSE 'zh' END AS pred_lang
+                     WHEN s_zh = best THEN 'zh' END AS pred_lang
          FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best FROM sc)
          ORDER BY doc_id""",
     "q_quality_score" ->
@@ -2012,7 +2012,8 @@ object SparkEntry {
     // count then language code).
     "q_mixed_language" ->
       """WITH d AS (SELECT doc_id, text,
-                      greatest(1, CAST(ceil(length(text)/200.0) AS BIGINT)) nc
+                      greatest(1, CAST(ceil(coalesce(length(text), 0)/200.0)
+                        AS BIGINT)) nc
                     FROM documents),
          ch AS (SELECT doc_id,
                   ' ' || lower(substr(text, CAST(i*200+1 AS INT), 200)) || ' ' AS p
@@ -2027,7 +2028,7 @@ object SparkEntry {
          pl AS (SELECT doc_id,
                   CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
                        WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
-                       ELSE 'zh' END AS pl
+                       WHEN s_zh = best THEN 'zh' END AS pl
                 FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) best
                       FROM sc)),
          g AS (SELECT doc_id, pl, count(*) cnt FROM pl GROUP BY 1, 2),

@@ -90,23 +90,25 @@ object TextOps {
     * majority language (ties: most chunks, then code ascending) and the
     * fraction of chunks disagreeing with it.
     *
-    * Scale shape: the chunk explode is map-side (fan-out bounded by
-    * len/chunkLen), scoring is pure column expressions on the chunk, and
-    * the rest is two doc-keyed aggregations (per-language counts → per-doc
-    * rollup) — no cross-document work anywhere.
+    * Chunk edges are heuristic noise, shared with the oracle: the marker
+    * match space-pads each chunk, so a marker straddling a boundary
+    * counts in neither chunk, and a word cut at the edge can fabricate a
+    * marker (…' the de'|'ad…' padded to '… the de ' matches the zh
+    * marker ' de '). Acceptable for a screening signal — the chunking is
+    * identical in both engines, and real pipelines tune chunkLen, not
+    * edge handling.
+    *
+    * Scale shape: the chunk explode ([[chunkText]], overlap 0) is
+    * map-side (fan-out bounded by len/chunkLen), scoring is pure column
+    * expressions on the chunk, and the rest is two doc-keyed
+    * aggregations (per-language counts → per-doc rollup) — no
+    * cross-document work anywhere.
     */
   def mixedLanguage(df: DataFrame, idCol: String, textCol: String,
                     chunkLen: Int = 200): DataFrame = {
     require(chunkLen > 0)
-    val nChunks = greatest(lit(1L),
-      ceil(length(col("__t")).cast(LongType) / chunkLen.toDouble).cast(LongType))
-    val chunks = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0L), nChunks - 1),
-          i => col("__t").substr((i * chunkLen + 1).cast(IntegerType),
-            lit(chunkLen)))).as("__ck"))
-      .select(col("doc_id") +: langScoreCols(col("__ck")): _*)
+    val chunks = chunkText(df, idCol, textCol, chunkLen, 0)
+      .select(col("doc_id") +: langScoreCols(col("chunk")): _*)
       .select(col("doc_id"), argmaxLang.as("pl"))
     val perLang = chunks.groupBy("doc_id", "pl").agg(count(lit(1)).as("cnt"))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -259,6 +261,23 @@ object TextOps {
       .select(col(idCol), md5(nt).as("fp_md5"), rolling.as("fp_roll"))
   }
 
+  /** Position-level L-char windows at stride s: (doc_id, i, w) with w
+    * the xxhash64 of the window — an 8-byte join/agg key instead of a
+    * 64-char one (a cross-window collision, P ≈ n²/2⁶⁵, would miscount
+    * one window; same documented call as ngramJaccard). ONE definition
+    * shared by [[repeatedSpans]] (report) and [[removeRepeatedSpans]]
+    * (cut) so the two operators cannot disagree on what a window is. */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                          windowLen: Int, stride: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__x"))
+      .where(length(col("__x")) >= windowLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          length(col("__x")) - lit(windowLen - 1), lit(stride))).as("i"),
+        col("__x"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("__x").substr(col("i"), lit(windowLen))).as("w"))
+
   /** Exact-substring repeated spans — the character-level dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (2022): fixed-length character windows (length L, stride s)
@@ -270,32 +289,22 @@ object TextOps {
     * n_repeated (distinct windows of the doc that also occur in ≥1 OTHER
     * document), repeated_frac. Docs shorter than L yield zero windows.
     *
-    * Scale shape: windows are hashed to 8-byte keys and aggregated by
-    * window key with map-side partials — the shuffle carries one row per
-    * distinct window, never doc × doc; the stride bounds row fan-out at
-    * len/s windows per document. At 100 TB this is exactly the
-    * suffix-array-free approximation production pipelines run first.
+    * Scale shape: windows are hashed to 8-byte keys ([[spanWindows]]) and
+    * aggregated by window key with map-side partials — the shuffle
+    * carries one row per distinct window, never doc × doc; the stride
+    * bounds row fan-out at len/s windows per document. At 100 TB this is
+    * exactly the suffix-array-free approximation production pipelines
+    * run first.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     windowLen: Int = 64, stride: Int = 16): DataFrame = {
     require(windowLen > 0 && stride > 0)
-    // window start offsets 1, 1+s, ... while a full L-char window fits;
-    // distinct (doc, window) — within-doc repeats must not fake sharing
-    val win = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__x"))
-      .where(length(col("__x")) >= windowLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(1),
-          length(col("__x")) - lit(windowLen - 1), lit(stride))).as("i"),
-        col("__x"))
-      .select(col("doc_id"),
-        // 8-byte join/agg key instead of a 64-char one; a cross-window
-        // xxhash64 collision (P ≈ n²/2⁶⁵) would miscount one window —
-        // the same documented call as ngramJaccard
-        xxhash64(col("__x").substr(col("i"), lit(windowLen))).as("w"))
-      .distinct()
+    // distinct (doc, window) — within-doc repeats must not fake sharing;
+    // the frame is then doc-distinct, so sharing is a plain count
+    val win = spanWindows(df, idCol, textCol, windowLen, stride)
+      .select("doc_id", "w").distinct()
     val shared = win.groupBy("w")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .agg(count(lit(1)).as("ndocs"))
       .where(col("ndocs") >= 2)
     val perDoc = win
       .join(shared.select("w"), Seq("w"), "left_semi")
@@ -320,6 +329,13 @@ object TextOps {
     * doc), and each document is rebuilt from the text between its spans.
     * Documents with no shared window pass through unchanged.
     *
+    * By default EVERY occurrence of a shared window is cut — the behavior
+    * of the released exact-substring dedup tooling (the span survives
+    * nowhere). `keepOne = true` instead retains the occurrence in the
+    * smallest doc_id containing each window (the same deterministic
+    * keeper tiebreak as exact dedup), removing only the other copies —
+    * deduplication rather than deletion.
+    *
     * Output: (doc_id, clean_text, n_removed) with n_removed the total
     * characters cut.
     *
@@ -330,31 +346,33 @@ object TextOps {
     * partitioning. Rebuild is sort_array over the per-doc piece structs
     * (deterministic, unlike raw collect_list order) — pieces per doc are
     * bounded by flagged windows / doc, which the stride bounds by len/s.
-    * The same xxhash64 window key as repeatedSpans decides sharing (a
-    * collision would cut one innocent span; P ≈ n²/2⁶⁵, documented
-    * there).
+    * [[spanWindows]] decides sharing, identically to repeatedSpans. The
+    * window scan feeds both the sharing aggregate and the position probe
+    * (two map-side evaluations of one scan subtree — CPU-bound fan-out,
+    * no extra shuffle; persist the input upstream if the scan itself is
+    * the bottleneck).
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          windowLen: Int = 64, stride: Int = 16): DataFrame = {
+                          windowLen: Int = 64, stride: Int = 16,
+                          keepOne: Boolean = false): DataFrame = {
     require(windowLen > 0 && stride > 0)
-    val W = org.apache.spark.sql.expressions.Window
-    val win = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__x"))
-      .where(length(col("__x")) >= windowLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(1),
-          length(col("__x")) - lit(windowLen - 1), lit(stride))).as("i"),
-        col("__x"))
-      .select(col("doc_id"), col("i"),
-        xxhash64(col("__x").substr(col("i"), lit(windowLen))).as("w"))
+    val win = spanWindows(df, idCol, textCol, windowLen, stride)
+    // doc-distinct frame → sharing is a plain count; min doc_id doubles
+    // as the keepOne keeper (deterministic, same tiebreak as exact dedup)
     val shared = win.select("doc_id", "w").distinct()
-      .groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select("w")
-    val flagged = win.join(shared, Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+      .where(col("nd") >= 2)
+    val flagged =
+      if (keepOne)
+        win.join(shared.select("w", "keeper"), Seq("w"))
+          .where(col("doc_id") =!= col("keeper"))
+          .select("doc_id", "i")
+      else win.join(shared.select("w"), Seq("w"), "left_semi")
+        .select("doc_id", "i")
     // merge overlapping/adjacent flagged windows into maximal spans [s, e)
-    val byI = W.partitionBy("doc_id").orderBy("i")
+    val byI = Window.partitionBy("doc_id").orderBy("i")
     val prevMaxEnd = max(col("i") + lit(windowLen))
-      .over(byI.rowsBetween(W.unboundedPreceding, -1))
+      .over(byI.rowsBetween(Window.unboundedPreceding, -1))
     val seg = flagged
       .withColumn("__new",
         when(prevMaxEnd.isNull || col("i") > prevMaxEnd, 1).otherwise(0))
@@ -362,7 +380,7 @@ object TextOps {
       .groupBy("doc_id", "__seg")
       .agg(min(col("i")).as("s"), (max(col("i")) + lit(windowLen)).as("e"))
     // kept pieces: the gap before each span, plus the tail after the last
-    val byS = W.partitionBy("doc_id").orderBy("s")
+    val byS = Window.partitionBy("doc_id").orderBy("s")
     val mid = seg
       .withColumn("__pe", lag(col("e"), 1, 1).over(byS))
       .select(col("doc_id"), col("s").as("ord"),

@@ -136,6 +136,13 @@ class TrainingOpsSpec extends AnyFunSuite {
     val again = TextOps.removeRepeatedSpans(df.repartition(7), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(again == out)
+    // keepOne: the smallest doc_id containing each window keeps its
+    // occurrence — doc 1 survives intact, doc 2 is cut as before
+    val k1 = TextOps.removeRepeatedSpans(df, "doc_id", "text", keepOne = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(k1(1L) == ((docs(0)._2, 0L)), "keeper doc must be untouched")
+    assert(k1(2L) == ref(2L), "non-keeper still loses the shared span")
+    assert(k1(3L) == ((docs(2)._2, 0L)) && k1(4L) == ((docs(3)._2, 0L)))
   }
 
   test("chunkText: windows cover the text, overlap exactly, tail shortens") {
