@@ -973,7 +973,52 @@ object SparkEntry {
         d.where(Sampling.hashBucket(col("doc_id"), 100) < 50),
         "doc_id", "text", threshold = 0.3, maxDf = 100)
         .orderBy("da", "db")
-    })
+    }),
+
+    // ── §2.9 X39: deterministic global shuffle — the training-order
+    //    permutation, computed by the two-phase bucket rank (no global
+    //    window; bucket offsets broadcast) ─────────────────────────────────
+    "q_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", "epoch0")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")),
+
+    // ── §2.9 X40: proportional source interleave — Bresenham mixture
+    //    order: every prefix of the stream holds each source in
+    //    proportion; integer-exact interleave key ──────────────────────────
+    "q_interleave" -> ((s, dir) =>
+      Sampling.interleave(t(s, dir, "documents"), "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("ikey"))
+        .orderBy("ikey", "source", "doc_id")),
+
+    // ── §2.9 X41: corpus bigram LM — conditional next-token counts,
+    //    top-3 continuations per head token (integer-exact MLE pieces) ────
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLm(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("w1", "rank")),
+
+    // ── §2.9 X42: near-dup graph degree — per-doc partner counts over the
+    //    MinHash-verified pair graph (degree 0 for clean docs) ─────────────
+    "q_dup_degree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dupDegree(docs,
+        Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100),
+        "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9 X43: sliding-window event counts — 1h windows every 15min,
+    //    the hopping-window monitoring surface ─────────────────────────────
+    "q_event_sliding" -> ((s, dir) =>
+      Events.slidingCounts(t(s, dir, "events"))
+        .orderBy("win_ts", "event_type")),
+
+    // ── §2.9 X44: percentile winsorization — clamp to the [p05, p95]
+    //    band before per-segment aggregation (robust feature cleaning) ────
+    "q_winsorize" -> ((s, dir) =>
+      Analytics.winsorize(t(s, dir, "customer"), "c_mktsegment", "c_acctbal",
+        0.05, 0.95)
+        .orderBy("c_mktsegment"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2133,7 +2178,81 @@ object SparkEntry {
          SELECT da, db, jaccard FROM (
            SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
            FROM inter JOIN lsz la ON la.doc_id = da JOIN rsz rb ON rb.doc_id = db)
-         WHERE jaccard >= 0.3 ORDER BY da, db"""
+         WHERE jaccard >= 0.3 ORDER BY da, db""",
+    // Deterministic global shuffle: the oracle spells the SAME order as a
+    // plain global row_number over (md5(seed:key), key); the engine's
+    // two-phase bucket rank must reproduce it exactly.
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS pos
+         FROM documents ORDER BY pos""",
+    // Proportional interleave: per-source md5 rank i of n_s rows maps to
+    // the integer-exact key floor((2i-1)*2^40 / (2*n_s)); HUGEINT keeps
+    // the product exact as the engine's DECIMAL(38,0) does.
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5('interleave:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS i,
+                      count(*) OVER (PARTITION BY source) AS ns
+                    FROM documents WHERE source IS NOT NULL)
+         SELECT doc_id, source,
+                CAST((CAST(2*i-1 AS HUGEINT) * 1099511627776) // (2*ns)
+                     AS BIGINT) AS ikey
+         FROM r ORDER BY ikey, source, doc_id""",
+    // Corpus bigram LM: adjacent-token pair counts, per-head continuation
+    // mass, top-3 continuations per head (count desc, token asc).
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+                FROM toks, unnest(range(1, len(t))) r(i)),
+         c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         r AS (SELECT w1, w2, n,
+                      CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+                      CAST(row_number() OVER (PARTITION BY w1
+                        ORDER BY n DESC, w2) AS BIGINT) AS rank
+               FROM c)
+         SELECT w1, w2, n, n_w1, rank FROM r WHERE rank <= 3
+         ORDER BY w1, rank""",
+    // Near-dup graph degree over the MinHash-verified pairs (vp CTE shared
+    // with q_dedup_verified); docs without a partner report 0.
+    "q_dup_degree" ->
+      s"""WITH $verifiedPairsSql,
+         deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+                   (SELECT da AS doc_id FROM vp
+                    UNION ALL SELECT db FROM vp)
+                 GROUP BY 1)
+         SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+         FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+         ORDER BY d.doc_id""",
+    // Sliding windows: every event covers the 4 hour-long windows whose
+    // 15-min-aligned start is within the past hour — derived by k=0..3
+    // offsets from the event's 15-min bucket (second precision, matching
+    // Spark's µs-truncated window membership).
+    "q_event_sliding" ->
+      """WITH e AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) es,
+                           event_type
+                    FROM events),
+         w AS (SELECT (es // 900) * 900 - k * 900 AS win_ts, event_type
+               FROM e, unnest(range(0, 4)) r(k))
+         SELECT win_ts, event_type, count(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
+    // Winsorization: clamp into the global [p05, p95] percentile band
+    // (quantile_cont = Spark's percentile interpolation), then aggregate
+    // per market segment with a DECIMAL-exact sum.
+    "q_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(c_acctbal, 0.05) plo,
+                           quantile_cont(c_acctbal, 0.95) phi
+                    FROM customer)
+         SELECT c_mktsegment, count(*) AS n,
+                round(CAST(sum(CAST(least(greatest(c_acctbal, plo), phi)
+                                    AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_w,
+                round(min(least(greatest(c_acctbal, plo), phi)), 6) AS min_w,
+                round(max(least(greatest(c_acctbal, plo), phi)), 6) AS max_w
+         FROM customer, b GROUP BY 1 ORDER BY c_mktsegment"""
   )
 
   /** Shared DuckDB CTE chain replicating

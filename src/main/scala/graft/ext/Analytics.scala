@@ -145,6 +145,37 @@ object Analytics {
       .drop("qs")
   }
 
+  /** Percentile winsorization — outlier clamping, the feature-cleaning
+    * sibling of [[quantiles]]: every value is clamped into the corpus's
+    * [lo, hi] percentile band before aggregation, so a handful of extreme
+    * rows can't dominate a mean/sum (the standard robustifier for
+    * quality scores, account balances, token counts ahead of training-
+    * mixture math). Emits per-group count + DECIMAL-exact sum + min/max
+    * of the clamped value, rounded to 6dp for engine parity.
+    *
+    * Scale: ONE percentile aggregation over the corpus (exact
+    * `percentile` here; swap to approx_percentile at 100 TB — the
+    * operator shape is identical), broadcast back as a 1-row frame, then
+    * a map-side clamp feeding the group aggregation — two passes, no
+    * corpus-sized shuffle beyond the final group-by.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1")
+    val bounds = df.agg(
+      percentile(col(valueCol), lit(lo)).as("__plo"),
+      percentile(col(valueCol), lit(hi)).as("__phi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        least(greatest(col(valueCol), col("__plo")), col("__phi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__w").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("sum_w"),
+        round(min(col("__w")), 6).as("min_w"),
+        round(max(col("__w")), 6).as("max_w"))
+  }
+
   /** INTERSECT (distinct) of two key sets — the complement of the diff
     * engine's EXCEPT algebra (SURVEY §2.5 O2). Spark plans it as an
     * aggregate + semi join; both sides dedup map-side first.

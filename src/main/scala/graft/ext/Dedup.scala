@@ -194,7 +194,9 @@ object Dedup {
                                    textCol: String, bands: Int,
                                    width: Int = 64): (DataFrame, DataFrame) = {
     val w = width / bands
-    require(w <= 64, s"band width $w exceeds 64 bits — raise bands")
+    require(w <= 64, s"band width $w (width $width / $bands bands) exceeds " +
+      "64 bits — use more bands; from simHashPairs, bands = maxHamming + 1, " +
+      s"so width $width needs maxHamming >= ${width / 64 - 1}")
     // Band b = bits [b*w, (b+1)*w) of the fingerprint, packed into a long
     // (bitwise OR of distinct powers — same value as the sum, but immune
     // to ANSI overflow checks when bit 63 is set).
@@ -579,7 +581,12 @@ object Dedup {
         "clamp the fit and ruin the FP rate — raise " +
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits " +
         "to match the benchmark size")
+    // The corpus-sized train shingle scan feeds two consumers in separate
+    // jobs (the bloom-survivor filter and the n_shingles totals) where
+    // ReuseExchange cannot apply — persist it like benchSh; at scale the
+    // train scan is the dominant cost and must not run twice.
     val trainSh = shingles(train, idCol, textCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fit: one aggregate over the benchmark shingle hashes → bounded blob
@@ -604,6 +611,28 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Near-duplicate graph degree — the dup-graph DIAGNOSTIC: how many
+    * near-copies each document has, over any pair frame a dedup stage
+    * produced (MinHash-verified, SimHash, embedding cosine). Degree
+    * distribution is the first thing to inspect before cutting: a heavy
+    * tail means template/boilerplate families (candidates for removal
+    * wholesale), degree-1 islands mean ordinary crawl dupes. Docs with no
+    * partner report degree 0 so the output is corpus-complete.
+    *
+    * Scale: the union+count is pair-sized; the join back to the corpus is
+    * one equi-join on the doc key. Nothing quadratic — the pairs were
+    * already bounded by the producing stage's banding.
+    */
+  def dupDegree(docs: DataFrame, pairs: DataFrame, idCol: String,
+                aCol: String = "da", bCol: String = "db"): DataFrame = {
+    val deg = pairs.select(col(aCol).as("doc_id"))
+      .unionByName(pairs.select(col(bCol).as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
   }
 
   /** CROSS-CORPUS near-duplicate pairs — FUZZY decontamination, the

@@ -26,6 +26,24 @@ object Events {
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window aggregation — the hopping-window twin of [[tumbling]]:
+    * every event lands in width/slide overlapping windows (here 1h windows
+    * advancing every 15min ⇒ 4 per event), the moving-aggregate view every
+    * monitoring/trend surface needs. Spark's `window(ts, width, slide)` is
+    * a map-side generator (one row per covering window — bounded fan-out
+    * of width/slide, no self-join, no range explosion), then one count
+    * aggregation keyed on (window, type); at 100 TB the shuffle carries
+    * windows × types rows, time-bounded, not the event volume. Output keys
+    * on the window START as epoch seconds, portable across engines.
+    */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_ts"), col("event_type"),
+        col("n"))
+
   /** Event correlation (interval self-join): every (A, B) event pair of
     * the same user where B follows A within `withinSec` — the
     * view→click / impression→conversion attribution join. Equi-join on

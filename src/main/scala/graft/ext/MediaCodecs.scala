@@ -951,9 +951,11 @@ object MediaCodecs {
   /** Decode the FIRST image of a GIF87a/89a stream — full container walk
     * (header, color tables, extensions skipped sub-block-correctly, image
     * descriptor, LZW data, trailer) with the same reject-before-allocate
-    * discipline as the PNG/MP4 decoders. Interlaced images are rejected
-    * (the encoder never writes them). Returns (width, height, palette
-    * RGB bytes, pixel index bytes). */
+    * discipline as the PNG/MP4 decoders. Interlaced images are supported
+    * and de-interlaced to top-down row order (the 4-pass GIF scheme —
+    * required for `javax.imageio` interop, whose writer interlaces by
+    * default). Returns (width, height, palette RGB bytes, pixel index
+    * bytes). */
   def gifPixels(bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
     if (bytes.length < 13) gifFail("shorter than header + screen descriptor")
     val sig = new String(bytes, 0, 6, "US-ASCII")

@@ -303,6 +303,88 @@ object Sampling {
         (col("__start") % budget + col(tokensCol) > budget).as("straddles"))
   }
 
+  /** Scalable md5 rank: 1-based position of every row under the
+    * (md5(seed:key), key) order within each `parts` group (no `parts` =
+    * one global order), WITHOUT a single-reducer window. The rank key's
+    * first hex byte is used as a 256-way bucket; because the bucket is a
+    * PREFIX of the rank key, bucket-major order IS the md5 order. Bucket
+    * counts (|parts| × 256 rows) get a prefix-sum window and broadcast-join
+    * back as offsets; position = bucket offset + row_number within
+    * (parts, bucket). Every stage is 256-way parallel per group — this is
+    * how a global training-order permutation stays distributed at 100 TB,
+    * where `row_number() OVER (ORDER BY …)` would serialize the corpus
+    * through one task.
+    *
+    * Adds `outCol` (1-based LongType) plus nothing else; NULL keys are
+    * excluded (no md5, engines disagree on NULL order). */
+  private def md5Rank(df: DataFrame, keyCol: String, seed: String,
+                      parts: Seq[String], outCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val rk = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    val in = df.where(col(keyCol).isNotNull)
+      .withColumn("__rk", rk)
+      .withColumn("__b", substring(col("__rk"), 1, 2))
+    val partCols = parts.map(col)
+    val counts = in.groupBy(partCols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val cw = (if (parts.isEmpty) W.partitionBy()
+              else W.partitionBy(partCols: _*))
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(cw), lit(0L)))
+      .drop("__n")
+    val rw = W.partitionBy(partCols :+ col("__b"): _*)
+      .orderBy(col("__rk").asc, col(keyCol).asc)
+    in.join(broadcast(offsets), parts :+ "__b")
+      .withColumn(outCol, col("__off") + row_number().over(rw).cast("long"))
+      .drop("__rk", "__b", "__off")
+  }
+
+  /** Deterministic global shuffle — the TRAINING-ORDER operator: a full
+    * pseudo-random permutation of the corpus, reproducible across reruns,
+    * engines, and cluster layouts. Training runs consume data in a fixed
+    * shuffled order (and must replay it exactly on restart); `rand()`
+    * cannot provide that, `md5(seed:key)` can — changing `seed` gives an
+    * independent permutation for the next epoch.
+    *
+    * Output: the input columns plus `pos` (1-based global position under
+    * the md5 order). Computed with the two-phase bucket rank ([[md5Rank]])
+    * — no global window, no driver state; writing the corpus range-
+    * partitioned by `pos` materializes the shuffle. */
+  def shuffleOrder(df: DataFrame, keyCol: String,
+                   seed: String = "shuffle"): DataFrame =
+    md5Rank(df, keyCol, seed, Seq.empty, "pos")
+
+  /** Deterministic proportional source interleave — the MIXTURE-ORDER
+    * operator: lay out a multi-source corpus so every prefix of the
+    * training stream holds each source in proportion to its size (no
+    * "all of source A, then all of B" — order matters to the loss curve).
+    * The i-th document (1-based, md5-ranked within its source) of a
+    * source with n rows gets the rational position (2i−1)/(2n) ∈ (0,1);
+    * sorting by it interleaves sources Bresenham-style. The key is
+    * materialized integer-exact as ikey = floor((2i−1)·2⁴⁰ / (2n)) —
+    * DECIMAL(38,0) intermediate so no overflow at any corpus size — and
+    * the (ikey, source, key) order is total and engine-replayable.
+    *
+    * Per-source ranks come from [[md5Rank]] partitioned by source (256-way
+    * parallel per source); per-source totals fold out of the same counts.
+    * One broadcast of a |sources|×256 frame — no corpus-sized shuffle
+    * beyond the final interleave sort itself. */
+  def interleave(df: DataFrame, sourceCol: String, keyCol: String,
+                 seed: String = "interleave"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = md5Rank(df.where(col(sourceCol).isNotNull),
+      keyCol, seed, Seq(sourceCol), "__i")
+    val totals = ranked.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__ns"))
+    ranked.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("ikey",
+        floor((col("__i") * 2 - 1).cast("decimal(38,0)")
+          * lit(1099511627776L) / (col("__ns") * 2)).cast("long"))
+      .drop("__i", "__ns")
+  }
+
   /** Leakage-free train/validation/test assignment: the split is decided
     * by the hash of `groupCol` (e.g. source domain, near-dup cluster id),
     * so all documents of a group land in the SAME split — the property

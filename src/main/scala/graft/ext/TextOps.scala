@@ -331,10 +331,11 @@ object TextOps {
     *
     * By default EVERY occurrence of a shared window is cut — the behavior
     * of the released exact-substring dedup tooling (the span survives
-    * nowhere). `keepOne = true` instead retains the occurrence in the
-    * smallest doc_id containing each window (the same deterministic
-    * keeper tiebreak as exact dedup), removing only the other copies —
-    * deduplication rather than deletion.
+    * nowhere). `keepOne = true` instead designates the smallest doc_id
+    * containing each window as its keeper: EVERY occurrence inside the
+    * keeper document survives (including within-doc repeats); only the
+    * copies in other documents are cut — deduplication rather than
+    * deletion.
     *
     * Output: (doc_id, clean_text, n_removed) with n_removed the total
     * characters cut.
@@ -475,6 +476,44 @@ object TextOps {
     df.select(col(idCol).as("doc_id"),
       regexp_count(col(textCol), lit(emailPattern)).cast(LongType).as("n_emails"),
       regexp_replace(col(textCol), emailPattern, placeholder).as("redacted"))
+
+  /** Corpus bigram language model — count-based conditional next-token
+    * statistics, the classic data-quality workhorse (KenLM-style models
+    * are built from exactly these counts; they drive perplexity
+    * filtering, domain scoring, and decontamination heuristics). For
+    * every token pair (w1, w2) adjacent in any document: the pair count
+    * `n`, the head's total continuation mass `n_w1` (n/n_w1 is the
+    * conditional MLE probability — emitted as the two integers, never
+    * the division, to keep the oracle bit-exact), and the rank of w2
+    * among w1's continuations (by count desc, token asc); only the top
+    * `topK` continuations per head survive.
+    *
+    * Scale shape: bigram extraction is a map-side transform+explode (no
+    * positional self-join); the only corpus-sized shuffle is the
+    * (w1, w2) count aggregation with map-side partials. The mass and
+    * ranking windows run on the distinct-bigram frame — vocabulary-
+    * sized, orders of magnitude below the corpus — partitioned by w1.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+               topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    val counts = df
+      .select(tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), " +
+          "(x, i) -> named_struct('w1', x, 'w2', element_at(__t, i + 2)))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val wMass = Window.partitionBy(col("w1"))
+    val wRank = Window.partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2").asc)
+    counts
+      .withColumn("n_w1", sum(col("n")).over(wMass))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .where(col("rank") <= topK)
+  }
 
   /** Per-language corpus statistics. */
   def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =

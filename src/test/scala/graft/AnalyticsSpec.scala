@@ -96,4 +96,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (0L, 3L, -5.0, 49.9), (1L, 1L, 50.0, 50.0), (2L, 2L, 120.0, 9999.0)))
   }
+
+  test("winsorize clamps into the percentile band before aggregating") {
+    // 11 values 0..10 in one group plus a wild outlier group:
+    // p10 = 1.0 + outlier shift, p90 interpolated — pin with exact values
+    val df = (Seq.tabulate(11)(i => ("a", i.toDouble)) :+ ("b", 1000000.0))
+      .toDF("g", "v")
+    val out = Analytics.winsorize(df, "g", "v", 0.25, 0.75)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // quantile_cont over all 12 values sorted [0..10, 1e6]:
+    // p25 = 2.75, p75 = 8.25 (linear interpolation at rank 1+p*(n-1))
+    val (plo, phi) = (2.75, 8.25)
+    val clampedA = (0 to 10).map(i => math.min(math.max(i.toDouble, plo), phi))
+    assert(out(0) == ("a", 11L,
+      BigDecimal(clampedA.map(BigDecimal(_)).sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      plo, phi))
+    // the outlier row is clamped down to the hi percentile
+    assert(out(1) == ("b", 1L, phi, phi, phi))
+  }
+
+  test("slidingCounts: every event covers exactly width/slide windows") {
+    import graft.ext.Events
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:37:00")
+    val df = Seq((1L, ts, "click")).toDF("event_id", "ts", "event_type")
+    val got = Events.slidingCounts(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // 10:37 is covered by the 1h windows starting 09:45, 10:00, 10:15, 10:30
+    val base = ts.getTime / 1000
+    val b15 = base / 900 * 900
+    assert(got.toSeq == Seq(3, 2, 1, 0).map(k => (b15 - k * 900, "click", 1L)))
+  }
 }

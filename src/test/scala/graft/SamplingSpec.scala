@@ -242,4 +242,62 @@ class SamplingSpec extends AnyFunSuite {
     assert(!rows(0).isNullAt(2) && rows(1).isNullAt(2),
       "null source must yield a null split")
   }
+
+  test("shuffleOrder: bijective permutation equal to the one-window rank") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val n = docs.count()
+    val got = Sampling.shuffleOrder(docs, "doc_id", "epoch0")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 1..n (bijection — no gaps, no dups)
+    assert(got.values.toSeq.sorted == (1L to n).toSeq)
+    // two-phase bucket rank must equal the naive single-window rank
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat_ws(":", lit("epoch0"),
+        col("doc_id").cast("string"))).asc, col("doc_id").asc)
+    val naive = docs.select(col("doc_id"),
+      row_number().over(w).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "bucket rank diverged from the global-window rank")
+    // a different seed is a different permutation
+    val other = Sampling.shuffleOrder(docs, "doc_id", "epoch1")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != got)
+    // layout independence
+    val re = Sampling.shuffleOrder(docs.repartition(13), "doc_id", "epoch0")
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
+  test("interleave: every prefix holds each source proportionally") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val rows = Sampling.interleave(docs, "source", "doc_id")
+      .select("source", "ikey", "doc_id")
+      .orderBy("ikey", "source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.length
+    val perSource = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // Bresenham guarantee: after any prefix of length p, each source has
+    // emitted floor/ceil of its fair share p * n_s / total (±1 slack for
+    // equal-ikey tiebreak runs among same-size sources)
+    val seen = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    rows.zipWithIndex.foreach { case ((src, _), idx) =>
+      seen(src) += 1
+      val p = idx + 1
+      perSource.foreach { case (s, ns) =>
+        val fair = p.toDouble * ns / total
+        assert(math.abs(seen(s) - fair) <= 2,
+          s"source $s drifted to ${seen(s)} after $p (fair $fair)")
+      }
+    }
+    // ikey is the integer-exact rational: spot-check first/last per source
+    perSource.foreach { case (s, ns) =>
+      val keys = rows.filter(_._1 == s).map(_._2)
+      assert(keys.head == (BigInt(1) * (1L << 40) / (2 * ns)).toLong)
+      assert(keys.last ==
+        (BigInt(2 * ns - 1) * (1L << 40) / (2 * ns)).toLong)
+    }
+  }
 }

@@ -221,4 +221,40 @@ class TrainingOpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == expected)
   }
+
+  test("bigramLm: counts, continuation mass, rank cut, deterministic ties") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the cat sat"),
+      (4L, "a dog"),
+      (5L, "one")). // single token — contributes no bigram
+      toDF("doc_id", "text")
+    val got = TextOps.bigramLm(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      // head "the": only continuation "cat" (3×), mass 3
+      ("the", "cat", 3L, 3L, 1L),
+      // head "cat": sat 2×, ran 1× — rank by count desc then token asc
+      ("cat", "sat", 2L, 3L, 1L),
+      ("cat", "ran", 1L, 3L, 2L),
+      ("a", "dog", 1L, 1L, 1L)))
+    // topK cut: k=1 keeps only the argmax continuation per head
+    val top1 = TextOps.bigramLm(docs, "doc_id", "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top1 == Set(("the", "cat"), ("cat", "sat"), ("a", "dog")))
+    // tie on count breaks by token asc: "x b" and "x a" both 1× → a first
+    val ties = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
+    val t1 = TextOps.bigramLm(ties, "doc_id", "text", 1).collect()
+    assert(t1.length == 1 && t1.head.getString(1) == "a")
+  }
+
+  test("dupDegree: partner counts over the pair graph, zero for clean docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("da", "db")
+    val got = Dedup.dupDegree(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 0L))
+  }
 }
