@@ -933,10 +933,16 @@ object SparkEntry {
     //    (false positives removed → result identical to exact overlap) ────
     "q_bloom_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // filter sized for the fixture benchmark (~35k distinct shingles at
+      // sf0.1): 2^21 bits = 256 KB blob — ~60 bits/item, negligible FP.
+      // Sizing only moves work between the bloom prune and the exact
+      // semi-join; the result is identical at ANY size (FPs are removed
+      // exactly), which is the operator's correctness contract.
       Dedup.bloomContamination(
         d.where(Sampling.hashBucket(col("doc_id"), 100) >= 15),
         d.where(Sampling.hashBucket(col("doc_id"), 100) < 15),
-        "doc_id", "text", minOverlap = 20)
+        "doc_id", "text", minOverlap = 20,
+        expectedItems = 262144L, numBits = 2097152L)
         .orderBy("doc_id")
     }),
 

@@ -29,6 +29,21 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).cast(LongType).as("hour_ts"),
         col("event_type"), col("n"))
 
+  /** Watermarked sliding-window counts — the streaming form of
+    * Events.slidingCounts (X43): hopping 1h windows every 15min, each
+    * event counted in width/slide windows, state evicted per window as
+    * the watermark passes its end. Schema matches the batch form.
+    */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).cast(LongType).as("win_ts"),
+        col("event_type"), col("n"))
+
   /** Gap-based sessionization via the native session_window — the
     * streaming form of Events.sessionize (X5): sessions close when no
     * event arrives within `gap`, state evicted by the watermark.

@@ -53,6 +53,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming sliding counts (complete mode) == batch slidingCounts") {
+    val dir = tmp("graft_stream_slide_")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val q = EventStreams.slidingCounts(stream).writeStream
+      .format("memory").queryName("slide_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_slide_"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("slide_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.ext.Events.slidingCounts(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("streaming session_window sessions match batch gap-sessionization") {
     val dir = tmp("graft_stream_sess_")
     events.write.mode("overwrite").parquet(dir)
