@@ -1024,7 +1024,28 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) =>
       Analytics.winsorize(t(s, dir, "customer"), "c_mktsegment", "c_acctbal",
         0.05, 0.95)
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // ── §2.9 X45: incremental delta dedup — each doc of the 20% "new"
+    //    bucket classified against the 80% "existing" corpus: exact md5
+    //    match first, else best LSH-verified Jaccard match, else new ─────
+    "q_dedup_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupDelta(
+        d.where(Sampling.hashBucket(col("doc_id"), 100) >= 20),
+        d.where(Sampling.hashBucket(col("doc_id"), 100) < 20),
+        "doc_id", "text", threshold = 0.3, maxDf = 100)
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9 X46: token-budget selection — per source, keep the longest
+    //    docs (ties by id) until 3000 chars of budget are filled ──────────
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSelect(t(s, dir, "documents"), "source", "doc_id",
+        col("n_chars"), "n_chars", 3000L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("cum_tokens"))
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2258,7 +2279,78 @@ object SparkEntry {
                                     AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_w,
                 round(min(least(greatest(c_acctbal, plo), phi)), 6) AS min_w,
                 round(max(least(greatest(c_acctbal, plo), phi)), 6) AS max_w
-         FROM customer, b GROUP BY 1 ORDER BY c_mktsegment"""
+         FROM customer, b GROUP BY 1 ORDER BY c_mktsegment""",
+    // Incremental delta dedup: the crossJaccardVerified CTE chain over an
+    // 80/20 md5-bucket split (corpus >= 20, delta < 20) + an exact-md5
+    // match CTE; exact wins, else best fuzzy by (jaccard desc, id asc).
+    "q_dedup_delta" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+                     FROM documents),
+         ltoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket < 20),
+         ltri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
+         rtoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket >= 20),
+         rtri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
+         lmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         lsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
+         lbands AS (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM lsig, unnest(range(0,4)) bb(b)),
+         rmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         rsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
+         rbands AS (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM rsig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
+                  JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
+         ltrif AS (SELECT * FROM ltri WHERE sh IN (
+                     SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
+         rtrif AS (SELECT * FROM rtri WHERE sh IN (
+                     SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
+         lsz AS (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
+         rsz AS (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
+         inter AS (SELECT da, db, count(*) i FROM cand
+                   JOIN ltrif a ON a.doc_id = da
+                   JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2),
+         vp AS (SELECT da, db, jaccard FROM (
+                  SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
+                  FROM inter JOIN lsz la ON la.doc_id = da
+                       JOIN rsz rb ON rb.doc_id = db)
+                WHERE jaccard >= 0.3),
+         ch AS (SELECT md5(text) h, min(doc_id) exact_match
+                FROM d WHERE bucket >= 20 GROUP BY 1),
+         dh AS (SELECT doc_id, md5(text) h FROM d WHERE bucket < 20),
+         ex AS (SELECT dh.doc_id, ch.exact_match
+                FROM dh LEFT JOIN ch USING (h)),
+         best AS (SELECT da AS doc_id, db AS near_match, jaccard FROM (
+                    SELECT da, db, jaccard, row_number() OVER (
+                      PARTITION BY da ORDER BY jaccard DESC, db) r
+                    FROM vp) WHERE r = 1)
+         SELECT ex.doc_id,
+                CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                     WHEN near_match IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS status,
+                coalesce(exact_match, near_match) AS match_id,
+                CASE WHEN exact_match IS NULL THEN jaccard END AS jaccard
+         FROM ex LEFT JOIN best USING (doc_id)
+         ORDER BY ex.doc_id""",
+    // Token-budget selection: inclusive running char total per source in
+    // (n_chars desc, doc_id) order; keep rows within the 3000 budget.
+    "q_token_budget" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                      CAST(sum(n_chars) OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM documents)
+         SELECT doc_id, source, n_chars, cum_tokens
+         FROM r WHERE cum_tokens <= 3000 ORDER BY doc_id"""
   )
 
   /** Shared DuckDB CTE chain replicating

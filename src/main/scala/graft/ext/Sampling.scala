@@ -385,6 +385,35 @@ object Sampling {
       .drop("__i", "__ns")
   }
 
+  /** Token-budget selection — the CURATION operator: within each group
+    * (source, language, shard), keep the best rows by a quality order
+    * until a token budget is exhausted — "take the highest-quality docs
+    * from every source up to N tokens each", the step that turns scored
+    * corpora into a sized training mixture. A row is kept iff its
+    * INCLUSIVE running token total (in quality-desc order, key-asc
+    * tiebreak) stays within `budget` — so selection is deterministic,
+    * prefix-closed (raising the budget only adds rows), and exact when
+    * `tokensCol` is integral (the running sum is integer arithmetic, no
+    * float drift).
+    *
+    * Output: kept rows with `cum_tokens` (the inclusive running total).
+    * Scale: one running-sum window per group — the packChunks shape; the
+    * group key is the mixture unit, so every window fits an executor, and
+    * there is no global coordination at any group count.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, keyCol: String,
+                        qualityCol: Column, tokensCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(qualityCol.desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.where(col(keyCol).isNotNull)
+      .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Leakage-free train/validation/test assignment: the split is decided
     * by the hash of `groupCol` (e.g. source domain, near-dup cluster id),
     * so all documents of a group land in the SAME split — the property

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Sampling, TextOps}
 
 /** The round-3 training-data hygiene operators: PII redaction, repetition
   * scoring, and benchmark-contamination checking. */
@@ -248,6 +248,55 @@ class TrainingOpsSpec extends AnyFunSuite {
     val ties = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
     val t1 = TextOps.bigramLm(ties, "doc_id", "text", 1).collect()
     assert(t1.length == 1 && t1.head.getString(1) == "a")
+  }
+
+  test("dedupDelta: exact wins, near-dup picks best match, rest are new") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (10L, base),
+      (11L, base), // second identical corpus doc — keeper must be min id
+      (12L, base.replace("alpha", "ALPHA2")), // near variant in corpus
+      (13L, "completely different text about other things entirely " +
+        "with many distinct words appearing nowhere else at all"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base), // exact dup of 10/11
+      (21L, base.replace("tau", "changed")), // near dup, no exact match
+      (22L, "nothing shared with any corpus document whatsoever here " +
+        "because every single token is novel and unrepeated today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupDelta(corpus, delta, "doc_id", "text", 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          !r.isNullAt(3))).toMap
+    assert(got(20L) == (("exact_dup", 10L, false)),
+      s"exact dup must match min corpus id with NULL jaccard: ${got(20L)}")
+    assert(got(21L)._1 == "near_dup" && got(21L)._3,
+      s"edited copy must be a near_dup with a jaccard: ${got(21L)}")
+    assert(Set(10L, 11L, 12L).contains(got(21L)._2))
+    assert(got(22L) == (("new", -1L, false)))
+    assert(got.size == 3, "one row per delta doc")
+  }
+
+  test("tokenBudgetSelect: quality order, inclusive budget, nesting") {
+    val df = Seq(
+      ("s1", 1L, 500L), ("s1", 2L, 400L), ("s1", 3L, 300L), ("s1", 4L, 200L),
+      ("s2", 5L, 900L), ("s2", 6L, 900L), ("s2", 7L, 100L))
+      .toDF("source", "doc_id", "n_chars")
+    def sel(b: Long) = Sampling.tokenBudgetSelect(df, "source", "doc_id",
+      col("n_chars"), "n_chars", b)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val k1000 = sel(1000L)
+    // s1 in order 500, 400, 300…: 500, 900 kept; 1200 > 1000 stops doc 3
+    // s2: 900 (doc 5, tie broken by id), 1800 > 1000 stops doc 6
+    assert(k1000 == Map(1L -> 500L, 2L -> 900L, 5L -> 900L))
+    // budgets nest
+    val k1300 = sel(1300L)
+    assert(k1000.keySet.subsetOf(k1300.keySet))
+    assert(k1300.keySet == Set(1L, 2L, 3L, 5L))
+    // zero budget keeps nothing
+    assert(sel(0L).isEmpty)
   }
 
   test("dupDegree: partner counts over the pair graph, zero for clean docs") {
