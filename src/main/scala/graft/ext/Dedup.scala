@@ -627,8 +627,11 @@ object Dedup {
     */
   def dupDegree(docs: DataFrame, pairs: DataFrame, idCol: String,
                 aCol: String = "da", bCol: String = "db"): DataFrame = {
-    val deg = pairs.select(col(aCol).as("doc_id"))
-      .unionByName(pairs.select(col(bCol).as("doc_id")))
+    // explode, not union-of-projections: the pair frame is typically an
+    // expensive dedup pipeline — one map-side explode consumes it once,
+    // where a union would evaluate the producing subtree twice
+    val deg = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     docs.select(col(idCol).as("doc_id"))
       .join(deg, Seq("doc_id"), "left")
