@@ -1045,7 +1045,34 @@ object SparkEntry {
         col("n_chars"), "n_chars", 3000L)
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("cum_tokens"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── §2.9 X47: curriculum rank — exact global rank by length via the
+    //    value-bucketed two-phase rank (no single-reducer window), integer
+    //    decile cut ────────────────────────────────────────────────────────
+    "q_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val total = d.agg(count(lit(1)).as("__tot"))
+      Sampling.rankByValue(d, "n_chars", "doc_id")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_chars"), col("rnk"),
+          floor((col("rnk") - 1) * 10 / col("__tot")).cast(LongType)
+            .as("decile"))
+        .orderBy("doc_id")
+    }),
+
+    // ── §2.9 X48: trailing z-score anomaly over hourly event counts —
+    //    integer-exact window sums, one sqrt + one division per score ─────
+    "q_event_anomaly" -> ((s, dir) =>
+      Events.anomaly(t(s, dir, "events"))
+        .orderBy("win_ts", "event_type")),
+
+    // ── §2.9 X49: sequence-length bucketing — fixed ladder, padding-waste
+    //    accounting (the bucketed-batching loader diagnostic) ─────────────
+    "q_length_buckets" -> ((s, dir) =>
+      Sampling.lengthBuckets(t(s, dir, "documents"), "n_chars",
+        Seq(64, 128, 256, 512))
+        .orderBy("bucket"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2350,7 +2377,50 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                     FROM documents)
          SELECT doc_id, source, n_chars, cum_tokens
-         FROM r WHERE cum_tokens <= 3000 ORDER BY doc_id"""
+         FROM r WHERE cum_tokens <= 3000 ORDER BY doc_id""",
+    // Curriculum rank: the engine's bucketed two-phase rank must equal the
+    // one-window global rank under (value, md5(key), key); decile is
+    // integer floor division.
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY n_chars,
+                        md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+                      count(*) OVER () AS tot
+                    FROM documents)
+         SELECT doc_id, n_chars, rnk,
+                CAST(((rnk - 1) * 10) // tot AS BIGINT) AS decile
+         FROM r ORDER BY doc_id""",
+    // Trailing z-score anomaly: integer-exact k/sum/sum-of-squares over a
+    // 24-row trailing frame; dev and z are single correctly-rounded IEEE
+    // ops over exact integers.
+    "q_event_anomaly" ->
+      """WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) win_ts,
+                           event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         t AS (SELECT win_ts, event_type, n,
+                      count(n) OVER w AS k,
+                      sum(n) OVER w AS s,
+                      sum(n*n) OVER w AS ss
+               FROM c WINDOW w AS (PARTITION BY event_type ORDER BY win_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT win_ts, event_type, n,
+                round((n*k - s) / k, 6) AS dev,
+                CASE WHEN k*ss - s*s > 0
+                     THEN round((n*k - s) / sqrt(k*ss - s*s), 6) END AS z
+         FROM t WHERE k = 24 ORDER BY win_ts, event_type""",
+    // Length buckets: first ladder step that fits, -1 overflow; integer
+    // padding-waste accounting.
+    "q_length_buckets" ->
+      """WITH b AS (SELECT CASE WHEN n_chars <= 64 THEN 64
+                                WHEN n_chars <= 128 THEN 128
+                                WHEN n_chars <= 256 THEN 256
+                                WHEN n_chars <= 512 THEN 512
+                                ELSE -1 END AS bucket, n_chars
+                    FROM documents)
+         SELECT bucket, count(*) AS n_docs, sum(n_chars) AS sum_tokens,
+                sum(CASE WHEN bucket = -1 THEN 0
+                         ELSE bucket - n_chars END) AS sum_padding
+         FROM b GROUP BY 1 ORDER BY bucket"""
   )
 
   /** Shared DuckDB CTE chain replicating

@@ -111,6 +111,45 @@ object Events {
         min(col("ep")).as("start_ep"), max(col("ep")).as("end_ep"))
   }
 
+  /** Trailing z-score anomaly detection — the monitoring operator over
+    * windowed counts: each (window, type) count is scored against the
+    * previous `trail` OBSERVED windows of its type (rows-based trailing
+    * frame — engine-replayable; a range frame would need gap fill).
+    * Emitted: `dev` = n − trailing mean, `z` = dev / trailing stddev
+    * (population), NULL when the trailing variance is 0; windows with
+    * fewer than `trail` predecessors are not scored.
+    *
+    * Cross-engine determinism is arranged like the samplers: the window
+    * sums (k, Σn, Σn²) are INTEGER-exact, so dev = (n·k − Σn)/k and
+    * z = (n·k − Σn)/√(k·Σn² − (Σn)²) each involve only correctly-rounded
+    * IEEE ops on exactly-representable integers — no accumulation-order
+    * drift. Scale: one count aggregation + one per-type ordered window
+    * over the (windows × types)-row count frame — time-bounded, tiny
+    * next to the event volume.
+    */
+  def anomaly(events: DataFrame, width: String = "1 hour",
+              trail: Int = 24): DataFrame = {
+    require(trail > 0, s"trail=$trail must be positive")
+    val counts = events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_ts"), col("event_type"),
+        col("n"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("win_ts"))
+      .rowsBetween(-trail, -1)
+    counts
+      .withColumn("__k", count(col("n")).over(wt))
+      .withColumn("__s", sum(col("n")).over(wt))
+      .withColumn("__ss", sum(col("n") * col("n")).over(wt))
+      .where(col("__k") === trail)
+      .withColumn("__num", col("n") * col("__k") - col("__s"))
+      .withColumn("__v2", col("__k") * col("__ss") - col("__s") * col("__s"))
+      .select(col("win_ts"), col("event_type"), col("n"),
+        round(col("__num") / col("__k"), 6).as("dev"),
+        when(col("__v2") > 0,
+          round(col("__num") / sqrt(col("__v2").cast("double")), 6)).as("z"))
+  }
+
   /** X6 — top-k per group via ranking window, deterministic tiebreak. */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                    tieCol: String, k: Int): DataFrame = {

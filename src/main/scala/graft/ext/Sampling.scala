@@ -385,6 +385,42 @@ object Sampling {
       .drop("__i", "__ns")
   }
 
+  /** Scalable global rank BY VALUE — the curriculum/percentile operator:
+    * the exact 1-based position of every row under the total order
+    * (value asc, md5(key) asc, key asc), again with NO single-reducer
+    * window. Same two-phase idea as [[md5Rank]], but the bucket here is
+    * (value, first md5 hex byte): a PREFIX of the sort order because the
+    * within-value tiebreak is DEFINED as the md5 order — deterministic,
+    * engine-replayable, and skew-proof (a value shared by billions of
+    * rows still splits over 256 buckets; a plain value-partitioned window
+    * would serialize it). Offsets come from a prefix-sum over the
+    * (distinct values × 256)-row count frame, broadcast back.
+    *
+    * Ranks are EXACT regardless of value distribution; from them,
+    * integer math gives percentile/decile curriculum buckets with no
+    * float division. Adds `rnk` (LongType); NULL values/keys excluded.
+    */
+  def rankByValue(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val in = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__rk", md5(col(keyCol).cast("string")))
+      .withColumn("__b", substring(col("__rk"), 1, 2))
+    val counts = in.groupBy(col(valueCol).as("__v"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val cw = W.orderBy(col("__v").asc, col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(cw), lit(0L)))
+      .drop("__n")
+      .withColumnRenamed("__b", "__ob")
+    val rw = W.partitionBy(col(valueCol), col("__b"))
+      .orderBy(col("__rk").asc, col(keyCol).asc)
+    in.join(broadcast(offsets),
+        col(valueCol) === col("__v") && col("__b") === col("__ob"))
+      .withColumn("rnk", col("__off") + row_number().over(rw).cast("long"))
+      .drop("__v", "__rk", "__b", "__ob", "__off")
+  }
+
   /** Token-budget selection — the CURATION operator: within each group
     * (source, language, shard), keep the best rows by a quality order
     * until a token budget is exhausted — "take the highest-quality docs
@@ -412,6 +448,32 @@ object Sampling {
     df.where(col(keyCol).isNotNull)
       .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
       .where(col("cum_tokens") <= budget)
+  }
+
+  /** Sequence-length bucketing — the BATCHING-EFFICIENCY diagnostic:
+    * assign every row to the first step of a fixed length `ladder` that
+    * fits its token count (the bucketed-batching scheme loaders use so a
+    * batch pads to its bucket size, not the corpus max), and report per
+    * bucket the document count, true token mass, and padding waste
+    * (bucket − tokens, summed). Rows longer than the top step land in
+    * bucket −1 (overflow — the rows a loader must truncate or split).
+    * All-integer arithmetic; one map-side CASE + one ≤|ladder|+1-group
+    * aggregation — nothing corpus-sized shuffles.
+    */
+  def lengthBuckets(df: DataFrame, tokensCol: String,
+                    ladder: Seq[Int]): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.head > 0,
+      s"ladder must be ascending positive steps: $ladder")
+    val t = col(tokensCol).cast("long")
+    val bucket = ladder.tail.foldLeft(when(t <= ladder.head, ladder.head.toLong)) {
+      (acc, step) => acc.when(t <= step, step.toLong)
+    }.otherwise(lit(-1L))
+    df.select(t.as("__t"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"),
+        sum(when(col("bucket") === -1L, lit(0L))
+          .otherwise(col("bucket") - col("__t"))).as("sum_padding"))
   }
 
   /** Leakage-free train/validation/test assignment: the split is decided

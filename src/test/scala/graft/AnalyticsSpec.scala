@@ -118,6 +118,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1) == ("b", 1L, phi, phi, phi))
   }
 
+  test("anomaly: constant series scores z NULL, a spike scores exactly") {
+    import graft.ext.Events
+    // one event per hour for 26 hours, then an hour with 25 events
+    val rows = (0 until 26).flatMap { h =>
+      val base = java.sql.Timestamp.valueOf(s"2026-01-01 00:30:00")
+      val t = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+      val n = if (h == 25) 25 else 1
+      (0 until n).map(i => (h * 100L + i, t, "click"))
+    }
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val got = Events.anomaly(df, trail = 24).orderBy("win_ts").collect()
+    // hours 24 and 25 have full trailing frames
+    assert(got.length == 2)
+    val flat = got(0) // hour 24: n=1 over a constant-1 trail → dev 0, z NULL
+    assert(flat.getLong(2) == 1L && flat.getDouble(3) == 0.0 && flat.isNullAt(4))
+    val spike = got(1) // hour 25: n=25, trail mean 1, variance 0 → z NULL
+    assert(spike.getLong(2) == 25L && spike.getDouble(3) == 24.0 &&
+      spike.isNullAt(4))
+    // non-degenerate variance: alternating 1/3 trail, then a 10 —
+    // mean 2, population variance 1 → z = (10-2)/1 = 8
+    val alt = (0 until 25).flatMap { h =>
+      val base = java.sql.Timestamp.valueOf(s"2026-01-01 00:30:00")
+      val t = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+      val n = if (h == 24) 10 else if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => (h * 100L + i, t, "click"))
+    }.toDF("event_id", "ts", "event_type")
+    val g2 = Events.anomaly(alt, trail = 24).collect()
+    assert(g2.length == 1 && g2.head.getDouble(3) == 8.0 &&
+      g2.head.getDouble(4) == 8.0)
+  }
+
   test("slidingCounts: every event covers exactly width/slide windows") {
     import graft.ext.Events
     val ts = java.sql.Timestamp.valueOf("2026-01-01 10:37:00")

@@ -271,6 +271,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("rankByValue equals the one-window rank; skewed values split buckets") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val got = Sampling.rankByValue(docs, "n_chars", "doc_id")
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").asc,
+        md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val naive = docs.select(col("doc_id"),
+      row_number().over(w).cast("long").as("rnk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    // a single shared value (total skew) still yields an exact 1..n rank
+    import spark.implicits._
+    val skew = (1L to 1000L).map(i => (i, 7)).toDF("k", "v")
+    val ranks = Sampling.rankByValue(skew, "v", "k")
+      .select("rnk").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 1000L))
+  }
+
+  test("lengthBuckets: ladder fit, overflow, integer padding accounting") {
+    import spark.implicits._
+    val df = Seq(10L, 64L, 65L, 100L, 600L).toDF("n_tok")
+    val got = Sampling.lengthBuckets(df, "n_tok", Seq(64, 128, 256, 512))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      64L -> ((2L, 74L, 54L)),   // 10 and 64: padding 54 + 0
+      128L -> ((2L, 165L, 91L)), // 65 and 100: padding 63 + 28
+      -1L -> ((1L, 600L, 0L))))  // overflow counts no padding
+  }
+
   test("interleave: every prefix holds each source proportionally") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val rows = Sampling.interleave(docs, "source", "doc_id")
