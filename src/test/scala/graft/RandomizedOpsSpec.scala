@@ -82,4 +82,46 @@ class RandomizedOpsSpec extends AnyFunSuite {
       assert(got == want.toMap, s"seed=$seed")
     }
   }
+
+  test("rankByValue equals in-memory sort rank on random skewed frames") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      // heavy ties: values drawn from a tiny domain
+      val rows = (0 until 200).map(i => (i.toLong, rnd.nextInt(5)))
+      val got = Sampling.rankByValue(rows.toDF("k", "v"), "v", "k")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = rows.sortBy { case (k, v) => (v, md5hex(k.toString), k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("tokenBudgetSelect equals an in-memory greedy cut; budgets nest") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = (0 until 80).map(i =>
+        (s"s${rnd.nextInt(4)}", i.toLong, 1L + rnd.nextInt(500)))
+      val df = rows.toDF("g", "id", "n")
+      def inMem(budget: Long) = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy { case (_, id, n) => (-n, id) }.flatMap { case (_, id, n) =>
+          cum += n
+          if (cum <= budget) Some(id -> cum) else None
+        }
+      }.toMap
+      for (budget <- Seq(0L, 700L, 2000L)) {
+        val got = Sampling.tokenBudgetSelect(df, "g", "id", col("n"), "n",
+          budget).collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+        assert(got == inMem(budget), s"seed=$seed budget=$budget")
+      }
+      // nesting across budgets
+      val small = Sampling.tokenBudgetSelect(df, "g", "id", col("n"), "n", 700L)
+        .collect().map(_.getLong(1)).toSet
+      val large = Sampling.tokenBudgetSelect(df, "g", "id", col("n"), "n", 2000L)
+        .collect().map(_.getLong(1)).toSet
+      assert(small.subsetOf(large), s"seed=$seed budgets must nest")
+    }
+  }
 }
