@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Builder-side profiling: run ONE named SparkEntry query (noop sink, like
+  * Bench) and print per-Spark-job wall times, so the slow queries'
+  * seconds can be attributed to actions/stages instead of guessed at.
+  * Usage: runMain graft.tools.ProfileQuery <query> [sfDir] [repeat]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.head
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val repeat = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = TrieMap[Int, (Long, String)]()
+    @volatile var echo = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts(js.jobId) = (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val (t0, desc) = starts.getOrElse(je.jobId, (0L, ""))
+        if (echo)
+          println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${desc.take(90)}")
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    def run(): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+    run() // warm-up, unechoed
+    for (i <- 1 to repeat) {
+      println(s"=== $name measured pass $i ===")
+      echo = true
+      val t0 = System.nanoTime()
+      run()
+      echo = false
+      println(f"=== total ${(System.nanoTime() - t0) / 1e9}%.3f s ===")
+    }
+    spark.stop()
+  }
+}
