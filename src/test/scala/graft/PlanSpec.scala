@@ -226,4 +226,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"),
       s"distinct-token frame must be exchanged once and reused:\n$plan")
   }
+
+  test("global ranks never run a single-partition window (two-phase rank)") {
+    // The whole point of shuffleOrder/rankByValue: a global permutation
+    // with NO `Window` over `Exchange SinglePartition`. Collect every
+    // WindowExec and assert each has a non-empty partitionSpec.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    for (df <- Seq(
+        graft.ext.Sampling.shuffleOrder(docs, "doc_id", "s"),
+        graft.ext.Sampling.rankByValue(docs, "n_chars", "doc_id"))) {
+      // sparkPlan, not executedPlan: AQE wraps the tree in an
+      // AdaptiveSparkPlanExec that collect() cannot see through
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec => w }
+      assert(windows.nonEmpty, "expected window nodes")
+      // exactly one window may be unpartitioned: the 256-row (or
+      // values×256-row) OFFSET prefix-sum — it must sit under a
+      // BroadcastExchange (i.e. on the tiny counts frame), never on the
+      // corpus. The per-row rank window must be partitioned.
+      val unpartitioned = windows.filterNot(_.partitionSpec.nonEmpty)
+      assert(unpartitioned.size <= 1,
+        s"more than one unpartitioned window:\n${df.queryExecution.sparkPlan}")
+      val corpusWindows = windows.filter(_.partitionSpec.nonEmpty)
+      assert(corpusWindows.nonEmpty,
+        s"the rank window must be bucket-partitioned:\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
+  test("bigram rank cut plans a WindowGroupLimit; sliding windows use Expand") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val lm = graft.ext.TextOps.bigramLm(docs, "doc_id", "text", 3)
+    assert(physical(lm).contains("WindowGroupLimit"),
+      s"top-k continuation cut must push a group limit:\n${physical(lm)}")
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+    val sl = graft.ext.Events.slidingCounts(ev)
+    val plan = physical(sl)
+    assert(plan.contains("Expand"),
+      s"sliding windows must be a map-side Expand:\n$plan")
+    assert(!plan.contains("Join"),
+      s"sliding windows must not plan a join:\n$plan")
+  }
 }
