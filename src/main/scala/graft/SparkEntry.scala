@@ -1051,7 +1051,10 @@ object SparkEntry {
     //    value-bucketed two-phase rank (no single-reducer window), integer
     //    decile cut ────────────────────────────────────────────────────────
     "q_curriculum" -> ((s, dir) => {
+      // the decile denominator counts exactly the RANKED rows (NULL
+      // values/keys are excluded by rankByValue) — oracle filters alike
       val d = t(s, dir, "documents")
+        .where(col("n_chars").isNotNull && col("doc_id").isNotNull)
       val total = d.agg(count(lit(1)).as("__tot"))
       Sampling.rankByValue(d, "n_chars", "doc_id")
         .crossJoin(broadcast(total))
@@ -2386,7 +2389,8 @@ object SparkEntry {
                       row_number() OVER (ORDER BY n_chars,
                         md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
                       count(*) OVER () AS tot
-                    FROM documents)
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
          SELECT doc_id, n_chars, rnk,
                 CAST(((rnk - 1) * 10) // tot AS BIGINT) AS decile
          FROM r ORDER BY doc_id""",

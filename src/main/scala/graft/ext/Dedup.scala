@@ -584,7 +584,11 @@ object Dedup {
     // The corpus-sized train shingle scan feeds two consumers in separate
     // jobs (the bloom-survivor filter and the n_shingles totals) where
     // ReuseExchange cannot apply — persist it like benchSh; at scale the
-    // train scan is the dominant cost and must not run twice.
+    // train scan is the dominant cost and must not run twice. Lifetime
+    // contract is benchSh's (docstring above): LRU-evicted, or freed
+    // explicitly via spark.catalog.clearCache() once the result is
+    // consumed — long-lived sessions calling this repeatedly should do
+    // the latter, as each call persists a fresh corpus-sized frame.
     val trainSh = shingles(train, idCol, textCol).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSh = shingles(bench, idCol, textCol).select("sh").distinct()

@@ -318,7 +318,15 @@ object Sampling {
     * Adds `outCol` (1-based LongType) plus nothing else; NULL keys are
     * excluded (no md5, engines disagree on NULL order). */
   private def md5Rank(df: DataFrame, keyCol: String, seed: String,
-                      parts: Seq[String], outCol: String): DataFrame = {
+                      parts: Seq[String], outCol: String): DataFrame =
+    md5RankWithCounts(df, keyCol, seed, parts, outCol)._1
+
+  /** md5Rank plus its tiny (parts × 256)-row bucket-counts frame, so
+    * callers needing per-group totals (interleave) can fold them from the
+    * counts instead of re-aggregating the corpus. */
+  private def md5RankWithCounts(df: DataFrame, keyCol: String, seed: String,
+                                parts: Seq[String], outCol: String)
+      : (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val rk = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
     val in = df.where(col(keyCol).isNotNull)
@@ -336,9 +344,10 @@ object Sampling {
       .drop("__n")
     val rw = W.partitionBy(partCols :+ col("__b"): _*)
       .orderBy(col("__rk").asc, col(keyCol).asc)
-    in.join(broadcast(offsets), parts :+ "__b")
+    (in.join(broadcast(offsets), parts :+ "__b")
       .withColumn(outCol, col("__off") + row_number().over(rw).cast("long"))
-      .drop("__rk", "__b", "__off")
+      .drop("__rk", "__b", "__off"),
+      counts)
   }
 
   /** Deterministic global shuffle — the TRAINING-ORDER operator: a full
@@ -373,15 +382,21 @@ object Sampling {
     * beyond the final interleave sort itself. */
   def interleave(df: DataFrame, sourceCol: String, keyCol: String,
                  seed: String = "interleave"): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val ranked = md5Rank(df.where(col(sourceCol).isNotNull),
+    val (ranked, counts) = md5RankWithCounts(df.where(col(sourceCol).isNotNull),
       keyCol, seed, Seq(sourceCol), "__i")
-    val totals = ranked.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("__ns"))
+    // per-source totals fold out of the 256-rows-per-source counts frame —
+    // never a second corpus-sized aggregation
+    val totals = counts.groupBy(col(sourceCol))
+      .agg(sum(col("__n")).as("__ns"))
+    // `div` (IntegralDivide) is BigDecimal divideToIntegralValue — the
+    // EXACT integer quotient; a `/`+floor spelling would round the decimal
+    // quotient HALF_UP at scale 6 first and overshoot the floor for
+    // fractional parts above 1 − 5e-7 (reachable once a source exceeds
+    // ~2M rows)
     ranked.join(broadcast(totals), Seq(sourceCol))
       .withColumn("ikey",
-        floor((col("__i") * 2 - 1).cast("decimal(38,0)")
-          * lit(1099511627776L) / (col("__ns") * 2)).cast("long"))
+        expr("(CAST(__i * 2 - 1 AS DECIMAL(38,0)) * 1099511627776L) " +
+          "div (__ns * 2)"))
       .drop("__i", "__ns")
   }
 
@@ -399,6 +414,15 @@ object Sampling {
     * Ranks are EXACT regardless of value distribution; from them,
     * integer math gives percentile/decile curriculum buckets with no
     * float division. Adds `rnk` (LongType); NULL values/keys excluded.
+    *
+    * CONTRACT: the offsets frame is (distinct values × 256) rows — the
+    * prefix-sum window over it is the one serial step, and it is
+    * broadcast. Both are fine for the operator's domain (discrete
+    * scores: lengths, integer quality tiers, bucketed losses) and wrong
+    * for a mostly-unique continuous column, where the frame approaches
+    * corpus size — quantize such a column first (e.g. round to a fixed
+    * grid); ranking a continuous value at full precision has no
+    * training-curriculum meaning anyway.
     */
   def rankByValue(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window

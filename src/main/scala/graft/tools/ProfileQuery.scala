@@ -29,11 +29,11 @@ object ProfileQuery {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts(js.jobId) = (System.nanoTime(),
           Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
-      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val (t0, desc) = starts.getOrElse(je.jobId, (0L, ""))
-        if (echo)
-          println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${desc.take(90)}")
-      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, desc) =>
+          if (echo)
+            println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  ${desc.take(90)}")
+        }
     })
     val fn = graft.SparkEntry.queries(name)
     def run(): Unit =
@@ -44,8 +44,12 @@ object ProfileQuery {
       echo = true
       val t0 = System.nanoTime()
       run()
+      val total = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered async — give the bus time to drain
+      // before muting, or the final (usually largest) job line is dropped
+      Thread.sleep(500)
       echo = false
-      println(f"=== total ${(System.nanoTime() - t0) / 1e9}%.3f s ===")
+      println(f"=== total $total%.3f s ===")
     }
     spark.stop()
   }
