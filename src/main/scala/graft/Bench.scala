@@ -48,10 +48,26 @@ object Bench {
       val median = samples.map(_._2).sorted.apply(samples.size / 2)
       name -> (if (samples.forall(_._1)) median else -median)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query values: the driver snapshots only the LAST 2000
+    // chars of stdout, so a compact line keeps more per-query entries
+    // inside its window (and milliseconds are beyond bench noise anyway)
+    def ms3(v: Double) = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty)
+      ms3(results.values.map(math.abs).sum) else 0.0
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // Short machine-parseable summary LAST: the full line above overflows
+    // the driver's 2000-char tail once the suite passed ~60 queries (its
+    // head — including the total — is truncated away, hence parsed:null
+    // in every BENCH_r*.json). A last line under 150 chars always
+    // survives the tail cut whole.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_local/driver_full.json"), full + "\n")
+    catch { case _: Throwable => () } // bench never fails on bookkeeping
     spark.stop()
   }
 }
