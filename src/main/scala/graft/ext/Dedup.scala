@@ -736,6 +736,89 @@ object Dedup {
     * corpus index, not a corpus×corpus recluster; the corpus side's
     * signatures are delta-independent and cacheable across runs.
     */
+  /** Precomputed corpus side of [[dedupDelta]] — the frames whose content
+    * does NOT depend on the delta, built once and reused across ingestion
+    * runs: LSH band buckets, df-capped hashed shingles with per-doc sizes,
+    * and the exact-hash keeper table. `persist=true` (default) caches all
+    * four at MEMORY_AND_DISK; call [[DeltaIndex.unpersist]] when retiring
+    * the index. At 100 TB this is the difference between a daily delta
+    * paying delta-sized work and re-shingling the whole corpus each run.
+    */
+  final case class DeltaIndex private[graft] (
+      bands: DataFrame, shingles: DataFrame, sizes: DataFrame,
+      exact: DataFrame, k: Int, nBands: Int, maxDf: Int) {
+    def unpersist(): Unit =
+      Seq(bands, shingles, sizes, exact).foreach(_.unpersist(false))
+  }
+
+  /** Build the corpus-side [[DeltaIndex]] for [[dedupDeltaIndexed]]. Same
+    * parameters as [[dedupDelta]]; the df cap is corpus-side (the delta
+    * side caps itself per call, matching dedupDelta's semantics). */
+  def buildDeltaIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4,
+                      maxDf: Int = Int.MaxValue,
+                      persist: Boolean = true): DeltaIndex = {
+    val shR = shingles(corpus, idCol, textCol).distinct()
+    val banded = bandedSignatures(shR, k, bands)
+    val hR = capDf(shR.select(col("doc_id"), xxhash64(col("sh")).as("sh")),
+      maxDf)
+    val sizes = hR.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val exact = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("h"))
+      .groupBy("h").agg(min(col("cid")).as("exact_match"))
+    def p(df: DataFrame) =
+      if (persist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    DeltaIndex(p(banded), p(hR), p(sizes), p(exact), k, bands, maxDf)
+  }
+
+  /** [[dedupDelta]] against a prebuilt [[DeltaIndex]] — identical output,
+    * delta-sized work only: the delta is shingled/banded/hashed, bucket-
+    * joined against the index's bands, verified against the index's
+    * capped shingles, and exact-matched against the index's hash table.
+    */
+  def dedupDeltaIndexed(index: DeltaIndex, delta: DataFrame, idCol: String,
+                        textCol: String, threshold: Double): DataFrame = {
+    val shL = shingles(delta, idCol, textCol).distinct()
+    val cand = bandedSignatures(shL, index.k, index.nBands).as("a")
+      .join(index.bands.as("c").hint("merge"),
+        col("a.b") === col("c.b") && col("a.bh") === col("c.bh"))
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
+      .distinct()
+    val hL = capDf(shL.select(col("doc_id"), xxhash64(col("sh")).as("sh")),
+      index.maxDf)
+    val sizesL = hL.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val shr = index.shingles
+      .select(col("doc_id").as("__db2"), col("sh").as("__shr"))
+    val inter = cand
+      .join(hL.withColumnRenamed("doc_id", "da"), "da")
+      .join(shr, col("db") === col("__db2") && col("sh") === col("__shr"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val fuzzy = inter
+      .join(sizesL.withColumnRenamed("doc_id", "da"), "da")
+      .join(index.sizes.withColumnRenamed("doc_id", "db"), "db")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da")).orderBy(col("jaccard").desc, col("db").asc)
+    val best = fuzzy
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("da").as("doc_id"), col("db").as("near_match"),
+        col("jaccard"))
+    val dh = delta.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    dh.join(index.exact, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_match"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+  }
+
   def dedupDelta(corpus: DataFrame, delta: DataFrame, idCol: String,
                  textCol: String, threshold: Double, k: Int = 16,
                  bands: Int = 4, maxDf: Int = Int.MaxValue): DataFrame = {

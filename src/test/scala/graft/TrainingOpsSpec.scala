@@ -279,6 +279,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.size == 3, "one row per delta doc")
   }
 
+  test("dedupDeltaIndexed equals dedupDelta on the fixture corpus") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val corpus = docs.where(Sampling.hashBucket(col("doc_id"), 100) >= 20)
+    val delta = docs.where(Sampling.hashBucket(col("doc_id"), 100) < 20)
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    val direct = collectMap(
+      Dedup.dedupDelta(corpus, delta, "doc_id", "text", 0.3, maxDf = 100))
+    val index = Dedup.buildDeltaIndex(corpus, "doc_id", "text", maxDf = 100)
+    try {
+      val indexed = collectMap(
+        Dedup.dedupDeltaIndexed(index, delta, "doc_id", "text", 0.3))
+      assert(indexed == direct)
+      // the index is reusable: a second (different) delta works against
+      // the same cached frames
+      val delta2 = docs.where(Sampling.hashBucket(col("doc_id"), 100) < 10)
+      val again = collectMap(
+        Dedup.dedupDeltaIndexed(index, delta2, "doc_id", "text", 0.3))
+      val direct2 = collectMap(
+        Dedup.dedupDelta(corpus, delta2, "doc_id", "text", 0.3, maxDf = 100))
+      assert(again == direct2)
+    } finally index.unpersist()
+  }
+
   test("tokenBudgetSelect: quality order, inclusive budget, nesting") {
     val df = Seq(
       ("s1", 1L, 500L), ("s1", 2L, 400L), ("s1", 3L, 300L), ("s1", 4L, 200L),
