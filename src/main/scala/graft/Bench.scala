@@ -51,8 +51,11 @@ object Bench {
     // 3-decimal per-query values: the driver snapshots only the LAST 2000
     // chars of stdout, so a compact line keeps more per-query entries
     // inside its window (and milliseconds are beyond bench noise anyway)
+    // failed queries stay strictly negative: ms3 alone would round a
+    // fast-failing median to -0.0, which `v < 0` checks read as a pass
     def ms3(v: Double) = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+    def enc(v: Double) = if (v < 0) math.min(-0.001, ms3(v)) else ms3(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + enc(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty)
       ms3(results.values.map(math.abs).sum) else 0.0
@@ -65,9 +68,17 @@ object Bench {
     // in every BENCH_r*.json). A last line under 150 chars always
     // survives the tail cut whole.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_local/driver_full.json"), full + "\n")
-    catch { case _: Throwable => () } // bench never fails on bookkeeping
+    // full-suite record only — a single-query dev loop must not clobber
+    // the suite dump this file exists to preserve
+    if (args.isEmpty) {
+      try {
+        val p = java.nio.file.Paths.get("bench_local/driver_full.json")
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, full + "\n")
+      } catch { case e: Throwable => // bench never fails on bookkeeping
+        System.err.println(s"[bench] full-record write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -758,7 +758,17 @@ object Dedup {
                       k: Int = 16, bands: Int = 4,
                       maxDf: Int = Int.MaxValue,
                       persist: Boolean = true): DeltaIndex = {
-    val shR = shingles(corpus, idCol, textCol).distinct()
+    val shR0 = shingles(corpus, idCol, textCol).distinct()
+    // persist=true materializes eagerly, so the corpus-sized distinct
+    // shingle frame must be shared PHYSICALLY across the four frames —
+    // exchange reuse does not cross InMemoryRelation boundaries, and
+    // without the temporary cache the most expensive shuffle (distinct
+    // over all shingle rows) would run once per frame. persist=false
+    // (the one-shot dedupDelta path) stays lazy: there the consumers sit
+    // in one plan and ReuseExchange shares the subtree as usual.
+    val shR = if (persist)
+      shR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shR0
     val banded = bandedSignatures(shR, k, bands)
     val hR = capDf(shR.select(col("doc_id"), xxhash64(col("sh")).as("sh")),
       maxDf)
@@ -769,7 +779,16 @@ object Dedup {
       if (persist)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    DeltaIndex(p(banded), p(hR), p(sizes), p(exact), k, bands, maxDf)
+    val index = DeltaIndex(p(banded), p(hR), p(sizes), p(exact), k, bands,
+      maxDf)
+    if (persist) {
+      // materialize the four index frames off the shared shingle cache,
+      // then drop the build-only cache
+      Seq(index.bands, index.shingles, index.sizes, index.exact)
+        .foreach(_.count())
+      shR.unpersist(false)
+    }
+    index
   }
 
   /** [[dedupDelta]] against a prebuilt [[DeltaIndex]] — identical output,
@@ -780,8 +799,14 @@ object Dedup {
   def dedupDeltaIndexed(index: DeltaIndex, delta: DataFrame, idCol: String,
                         textCol: String, threshold: Double): DataFrame = {
     val shL = shingles(delta, idCol, textCol).distinct()
+    // NO merge hint here (contrast minHashLshFromShingles): that hint's
+    // rationale is ReuseExchange across a SELF-join's identical sides;
+    // this join is asymmetric — forcing sort-merge would re-shuffle the
+    // corpus-sized cached bands on every delta run, while letting AQE
+    // broadcast the delta side keeps each incremental run corpus-shuffle-
+    // free (a scan of the cache, no exchange of it)
     val cand = bandedSignatures(shL, index.k, index.nBands).as("a")
-      .join(index.bands.as("c").hint("merge"),
+      .join(index.bands.as("c"),
         col("a.b") === col("c.b") && col("a.bh") === col("c.bh"))
       .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
       .distinct()
@@ -821,26 +846,11 @@ object Dedup {
 
   def dedupDelta(corpus: DataFrame, delta: DataFrame, idCol: String,
                  textCol: String, threshold: Double, k: Int = 16,
-                 bands: Int = 4, maxDf: Int = Int.MaxValue): DataFrame = {
-    val ch = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("h"))
-      .groupBy("h").agg(min(col("cid")).as("exact_match"))
-    val dh = delta.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
-    val exact = dh.join(ch, Seq("h"), "left")
-      .select(col("doc_id"), col("exact_match"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("da")).orderBy(col("jaccard").desc, col("db").asc)
-    val best =
-      crossJaccardVerified(delta, corpus, idCol, textCol, threshold, k,
-        bands, maxDf)
-        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-        .select(col("da").as("doc_id"), col("db").as("near_match"),
-          col("jaccard"))
-    exact.join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, lit("exact_dup"))
-          .when(col("near_match").isNotNull, lit("near_dup"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"),
-        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
-  }
+                 bands: Int = 4, maxDf: Int = Int.MaxValue): DataFrame =
+    // one lazy plan over an unpersisted index: equivalence with the
+    // indexed form holds by construction, not by parallel implementation
+    dedupDeltaIndexed(
+      buildDeltaIndex(corpus, idCol, textCol, k, bands, maxDf,
+        persist = false),
+      delta, idCol, textCol, threshold)
 }
