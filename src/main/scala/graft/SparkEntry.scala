@@ -1075,7 +1075,24 @@ object SparkEntry {
     "q_length_buckets" -> ((s, dir) =>
       Sampling.lengthBuckets(t(s, dir, "documents"), "n_chars",
         Seq(64, 128, 256, 512))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // ── §2.9 X50: vocabulary construction — frequency-ranked token ids
+    //    (count desc, md5 tiebreak) over the min-df-filtered vocab, rank
+    //    via the two-phase bucket machinery ────────────────────────────────
+    "q_build_vocab" -> ((s, dir) =>
+      TextOps.buildVocab(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 2, maxVocab = 200)
+        .orderBy("token_id")),
+
+    // ── §2.9 X50b: OOV rate — per-doc tokenizer coverage against the
+    //    top-50 vocabulary cut ────────────────────────────────────────────
+    "q_oov_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.oovRate(d, "doc_id", "text",
+        TextOps.buildVocab(d, "doc_id", "text", minDf = 2, maxVocab = 50))
+        .orderBy("doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2424,7 +2441,42 @@ object SparkEntry {
          SELECT bucket, count(*) AS n_docs, sum(n_chars) AS sum_tokens,
                 sum(CASE WHEN bucket = -1 THEN 0
                          ELSE bucket - n_chars END) AS sum_padding
-         FROM b GROUP BY 1 ORDER BY bucket"""
+         FROM b GROUP BY 1 ORDER BY bucket""",
+    // Vocabulary build: corpus token counts + df, ids in (n desc,
+    // md5(token), token) order — the engine's two-phase rank must equal
+    // the plain window rank.
+    "q_build_vocab" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)), ' +'))
+                          AS token
+                      FROM documents),
+         c AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY 1),
+         f AS (SELECT * FROM c WHERE df >= 2),
+         r AS (SELECT token, n, df,
+                      row_number() OVER (ORDER BY n DESC, md5(token), token)
+                        AS token_id
+               FROM f)
+         SELECT token, n, df, token_id FROM r WHERE token_id <= 200
+         ORDER BY token_id""",
+    // OOV rate: per-doc token totals vs the top-50 vocabulary cut.
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)), ' +'))
+                          AS token
+                      FROM documents),
+         c AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY 1),
+         f AS (SELECT * FROM c WHERE df >= 2),
+         r AS (SELECT token,
+                      row_number() OVER (ORDER BY n DESC, md5(token), token)
+                        AS token_id
+               FROM f),
+         voc AS (SELECT token FROM r WHERE token_id <= 50)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN token IN (SELECT token FROM voc)
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         FROM tok GROUP BY 1 ORDER BY doc_id"""
   )
 
   /** Shared DuckDB CTE chain replicating

@@ -515,6 +515,57 @@ object TextOps {
       .where(col("rank") <= topK)
   }
 
+  /** Vocabulary construction — the TOKENIZER-BUILDING step: every token's
+    * corpus count `n` and document frequency `df`, with a deterministic
+    * integer `token_id` assigned in (count desc, md5(token), token) order
+    * — the frequency-ranked id assignment every count-based vocabulary
+    * (WordPiece/BPE seed vocabs, embedding tables) starts from. Tokens in
+    * fewer than `minDf` documents are dropped (hapax/noise floor), and
+    * only the top `maxVocab` ids survive.
+    *
+    * The id rank runs on the VOCABULARY frame (distinct tokens), not the
+    * corpus — but a web-scale vocabulary is itself hundreds of millions
+    * of rows, so the rank uses [[graft.ext.Sampling.rankByValue]]'s
+    * two-phase bucket machinery (value = −n, 256-way md5-prefix buckets)
+    * rather than a single-reducer window; counts are one corpus-sized
+    * explode+aggregate with map-side partials.
+    */
+  def buildVocab(df: DataFrame, idCol: String, textCol: String,
+                 minDf: Int = 1, maxVocab: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1, s"minDf=$minDf must be >= 1")
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+    graft.ext.Sampling.rankByValue(
+        counts.withColumn("__negn", -col("n")), "__negn", "token")
+      .withColumnRenamed("rnk", "token_id")
+      .where(col("token_id") <= maxVocab)
+      .select(col("token"), col("n"), col("df"), col("token_id"))
+  }
+
+  /** Out-of-vocabulary rate — the TOKENIZER-COVERAGE check: per document,
+    * total tokens and how many fall outside `vocab` (a frame with a
+    * `token` column, e.g. [[buildVocab]]'s output). High-OOV documents
+    * are the ones a fixed vocabulary will shred into unknowns — the
+    * standard pre-training screen after a vocab cut. Integer counts only.
+    *
+    * Scale: one explode + left-semi-ish join keyed on the token (the
+    * vocab side aggregates to distinct tokens and is broadcast when it
+    * fits), then a doc-keyed count aggregation — no corpus×corpus work.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val v = vocab.select(col("token")).distinct()
+      .withColumn("__in", lit(1))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Per-language corpus statistics. */
   def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =
     df.groupBy(col(langCol)).agg(

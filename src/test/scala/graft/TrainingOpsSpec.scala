@@ -325,6 +325,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(sel(0L).isEmpty)
   }
 
+  test("buildVocab: counts, df floor, deterministic ids, vocab cut") {
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b d"),
+      (3L, "a e")).toDF("doc_id", "text")
+    val got = TextOps.buildVocab(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // df>=2 keeps a (n=4, df=3) and b (n=2, df=2); c/d/e are hapax
+    assert(got == Map("a" -> ((4L, 3L, 1L)), "b" -> ((2L, 2L, 2L))))
+    // maxVocab cuts by id
+    assert(TextOps.buildVocab(docs, "doc_id", "text", minDf = 2, maxVocab = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // equal counts tie-break on md5(token) then token — pin against an
+    // in-memory replay
+    val ties = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = TextOps.buildVocab(ties, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = Seq("x", "y").sortBy(t => (md5hex(t), t))
+      .zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
+    assert(ids == want)
+  }
+
+  test("oovRate: per-doc totals and out-of-vocab counts") {
+    val docs = Seq(
+      (1L, "a a b z"),
+      (2L, "q r"),
+      (3L, "a")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = TextOps.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((4L, 1L)), 2L -> ((2L, 2L)), 3L -> ((1L, 0L))))
+  }
+
   test("dupDegree: partner counts over the pair graph, zero for clean docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("da", "db")
