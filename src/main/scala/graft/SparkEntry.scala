@@ -2446,10 +2446,11 @@ object SparkEntry {
     // md5(token), token) order — the engine's two-phase rank must equal
     // the plain window rank.
     "q_build_vocab" ->
-      """WITH tok AS (SELECT doc_id,
+      """WITH tok0 AS (SELECT doc_id,
                         unnest(regexp_split_to_array(trim(lower(text)), ' +'))
                           AS token
                       FROM documents),
+         tok AS (SELECT * FROM tok0 WHERE length(token) > 0),
          c AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
                FROM tok GROUP BY 1),
          f AS (SELECT * FROM c WHERE df >= 2),
@@ -2461,10 +2462,11 @@ object SparkEntry {
          ORDER BY token_id""",
     // OOV rate: per-doc token totals vs the top-50 vocabulary cut.
     "q_oov_rate" ->
-      """WITH tok AS (SELECT doc_id,
+      """WITH tok0 AS (SELECT doc_id,
                         unnest(regexp_split_to_array(trim(lower(text)), ' +'))
                           AS token
                       FROM documents),
+         tok AS (SELECT * FROM tok0 WHERE length(token) > 0),
          c AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
                FROM tok GROUP BY 1),
          f AS (SELECT * FROM c WHERE df >= 2),

@@ -415,9 +415,11 @@ object Sampling {
     * integer math gives percentile/decile curriculum buckets with no
     * float division. Adds `rnk` (LongType); NULL values/keys excluded.
     *
-    * CONTRACT: the offsets frame is (distinct values × 256) rows — the
-    * prefix-sum window over it is the one serial step, and it is
-    * broadcast. Both are fine for the operator's domain (discrete
+    * CONTRACT: the input frame is consumed TWICE (bucket counts, then
+    * the rank join) — persist upstream when it is expensive to
+    * recompute (buildVocab does). The offsets frame is (distinct values
+    * × 256) rows — the prefix-sum window over it is the one serial
+    * step, and it is broadcast. Both are fine for the operator's domain (discrete
     * scores: lengths, integer quality tiers, bucketed losses) and wrong
     * for a mostly-unique continuous column, where the frame approaches
     * corpus size — quantize such a column first (e.g. round to a fixed

@@ -524,20 +524,35 @@ object TextOps {
     * only the top `maxVocab` ids survive.
     *
     * The id rank runs on the VOCABULARY frame (distinct tokens), not the
-    * corpus — but a web-scale vocabulary is itself hundreds of millions
-    * of rows, so the rank uses [[graft.ext.Sampling.rankByValue]]'s
-    * two-phase bucket machinery (value = −n, 256-way md5-prefix buckets)
-    * rather than a single-reducer window; counts are one corpus-sized
-    * explode+aggregate with map-side partials.
+    * corpus, via [[graft.ext.Sampling.rankByValue]]'s two-phase bucket
+    * machinery (value = −n, 256-way md5-prefix buckets) rather than a
+    * single-reducer window. Note rankByValue's cardinality contract
+    * applies to the DISTINCT COUNT VALUES, not the vocabulary size:
+    * Zipf head counts are near-unique, so at web scale quantize the
+    * ranking value first (e.g. cap n, or rank on a log-bucketed count
+    * with the exact count as tiebreak) — at fixture-to-billions-of-token
+    * corpora the distinct-count frame stays modest.
+    *
+    * The counts frame is persisted (vocab-sized — tiny next to the
+    * corpus) because rankByValue consumes its input twice (bucket counts
+    * + rank join); without the cache the corpus-sized explode+aggregate
+    * would run twice. Lifetime: Spark LRU, or clearCache() downstream —
+    * the benchSh pattern.
+    *
+    * Empty/whitespace-only documents contribute NO token: the
+    * empty-string pseudo-token is filtered before counting, so it can
+    * never claim a vocabulary id.
     */
   def buildVocab(df: DataFrame, idCol: String, textCol: String,
                  minDf: Int = 1, maxVocab: Int = Int.MaxValue): DataFrame = {
     require(minDf >= 1, s"minDf=$minDf must be >= 1")
     val counts = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
       .groupBy("token")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ext.Sampling.rankByValue(
         counts.withColumn("__negn", -col("n")), "__negn", "token")
       .withColumnRenamed("rnk", "token_id")
@@ -560,6 +575,7 @@ object TextOps {
     val v = vocab.select(col("token")).distinct()
       .withColumn("__in", lit(1))
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0) // empty doc ⇒ zero tokens, not one ''
       .join(v, Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

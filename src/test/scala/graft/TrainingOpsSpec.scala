@@ -348,6 +348,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     val want = Seq("x", "y").sortBy(t => (md5hex(t), t))
       .zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
     assert(ids == want)
+    // empty/whitespace docs contribute no token — '' never claims an id,
+    // and oovRate reports no phantom token for them
+    val withEmpty = Seq((1L, "a b"), (2L, ""), (3L, "   "), (4L, "a"))
+      .toDF("doc_id", "text")
+    val v = TextOps.buildVocab(withEmpty, "doc_id", "text", minDf = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(v == Set("a", "b"))
+    val oov = TextOps.oovRate(withEmpty, "doc_id", "text",
+      v.toSeq.toDF("token")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(oov == Map(1L -> ((2L, 0L)), 4L -> ((1L, 0L))),
+      s"empty docs must not appear with phantom tokens: $oov")
   }
 
   test("oovRate: per-doc totals and out-of-vocab counts") {
