@@ -98,6 +98,43 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("buildVocab + oovRate equal an in-memory reimplementation") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val docs = (1L to 60L).map(i =>
+        (i, Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+          .mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      // in-memory vocab: counts, df, rank by (n desc, md5, token)
+      val toks = docs.flatMap { case (id, t) => t.split(" +").map(id -> _) }
+      val byTok = toks.groupBy(_._2)
+      val stats = byTok.map { case (t, occ) =>
+        t -> ((occ.size.toLong, occ.map(_._1).distinct.size.toLong)) }
+      val kept = stats.filter(_._2._2 >= 2)
+      val wantVocab = kept.toSeq
+        .sortBy { case (t, (n, _)) => (-n, md5hex(t), t) }
+        .zipWithIndex.map { case ((t, (n, d)), i) =>
+          t -> ((n, d, (i + 1).toLong)) }.toMap
+      val gotVocab = graft.ext.TextOps.buildVocab(df, "doc_id", "text",
+        minDf = 2).collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotVocab == wantVocab, s"seed=$seed")
+      // oov against the top-3 cut
+      val top3 = wantVocab.filter(_._2._3 <= 3).keySet
+      val wantOov = toks.groupBy(_._1).map { case (id, ts) =>
+        id -> ((ts.size.toLong, ts.count(t => !top3(t._2)).toLong)) }
+      val gotOov = graft.ext.TextOps.oovRate(df, "doc_id", "text",
+        graft.ext.TextOps.buildVocab(df, "doc_id", "text", minDf = 2,
+          maxVocab = 3))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotOov == wantOov, s"seed=$seed")
+    }
+  }
+
   test("tokenBudgetSelect equals an in-memory greedy cut; budgets nest") {
     for (seed <- 1 to 6) {
       val rnd = new Random(seed)
