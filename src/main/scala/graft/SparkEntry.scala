@@ -1092,7 +1092,13 @@ object SparkEntry {
       TextOps.oovRate(d, "doc_id", "text",
         TextOps.buildVocab(d, "doc_id", "text", minDf = 2, maxVocab = 50))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── §2.9 X51: skip-gram co-occurrence — word2vec-style training
+    //    pairs (±2 window) with integer PMI pieces, top-50 by count ───────
+    "q_skipgram" -> ((s, dir) =>
+      TextOps.skipgramPmi(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2478,7 +2484,26 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
                 CAST(sum(CASE WHEN token IN (SELECT token FROM voc)
                               THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
-         FROM tok GROUP BY 1 ORDER BY doc_id"""
+         FROM tok GROUP BY 1 ORDER BY doc_id""",
+    // Skip-gram pairs: lateral position ranges give each token its ±2
+    // context window; integer counts + marginals (PMI pieces).
+    "q_skipgram" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         p AS (SELECT t[i] AS a, t[j] AS b
+               FROM toks,
+                    unnest(range(1, len(t)+1)) r(i),
+                    unnest(range(greatest(1, i-2),
+                                 least(len(t), i+2)+1)) s(j)
+               WHERE j != i AND length(t[i]) > 0 AND length(t[j]) > 0),
+         c AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+         m AS (SELECT a, b, n_ab,
+                      CAST(sum(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+                      CAST(sum(n_ab) OVER (PARTITION BY b) AS BIGINT) AS n_b
+               FROM c),
+         tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM c)
+         SELECT a, b, n_ab, n_a, n_b, n_pairs FROM m, tot
+         ORDER BY n_ab DESC, a, b LIMIT 50"""
   )
 
   /** Shared DuckDB CTE chain replicating

@@ -560,6 +560,47 @@ object TextOps {
       .select(col("token"), col("n"), col("df"), col("token_id"))
   }
 
+  /** Skip-gram co-occurrence with PMI pieces — the word2vec-style
+    * TRAINING-PAIR extraction and collocation-mining surface: every
+    * (center, context) token pair within ±`window` positions, counted
+    * corpus-wide, with the integer marginals PMI needs (n_ab, n_a, n_b,
+    * n_pairs — emit the integers, never log(n_ab·N / n_a·n_b), so the
+    * oracle replays exactly). Top `topK` pairs by (count desc, a, b).
+    *
+    * Scale shape: pair extraction is ONE map-side flatten(transform)
+    * over each document's token array — no positional self-join, fan-out
+    * bounded at 2·window per token; the only corpus-sized shuffle is the
+    * (a, b) count aggregation with map-side partials. Marginals are
+    * windows over the distinct-pair (vocabulary²-capped, Zipf-much-
+    * smaller) frame; the pair total is an aggregate broadcast back, not
+    * an unpartitioned window. Top-k plans as TakeOrdered.
+    */
+  def skipgramPmi(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 2, topK: Int = 50): DataFrame = {
+    require(window >= 1 && topK >= 1, s"window=$window topK=$topK invalid")
+    val pairs = df
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(expr(
+        s"""flatten(transform(__t, (x, i) ->
+           filter(transform(sequence(greatest(0, i - $window),
+                                     least(size(__t) - 1, i + $window)),
+             j -> IF(j = i, null,
+                     named_struct('a', x, 'b', element_at(__t, j + 1)))),
+             p -> p IS NOT NULL)))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(length(col("a")) > 0 && length(col("b")) > 0)
+    val counts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val total = counts.agg(sum(col("n_ab")).as("n_pairs"))
+    counts
+      .withColumn("n_a", sum(col("n_ab"))
+        .over(Window.partitionBy(col("a"))))
+      .withColumn("n_b", sum(col("n_ab"))
+        .over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(total))
+      .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Out-of-vocabulary rate — the TOKENIZER-COVERAGE check: per document,
     * total tokens and how many fall outside `vocab` (a frame with a
     * `token` column, e.g. [[buildVocab]]'s output). High-OOV documents

@@ -362,6 +362,24 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"empty docs must not appear with phantom tokens: $oov")
   }
 
+  test("skipgramPmi: windowed pairs, integer marginals, edge truncation") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // window=1: pairs (a,b),(b,a),(b,c),(c,b) — each once
+    val got = TextOps.skipgramPmi(docs, "doc_id", "text", window = 1,
+      topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("a", "b", 1L, 1L, 2L, 4L), // n_a: a appears as center once
+      ("b", "a", 1L, 2L, 1L, 4L),
+      ("b", "c", 1L, 2L, 1L, 4L),
+      ("c", "b", 1L, 1L, 2L, 4L)))
+    // window=2 adds (a,c) and (c,a): 6 ordered pairs total
+    val w2 = TextOps.skipgramPmi(docs, "doc_id", "text", window = 2,
+      topK = 10).collect()
+    assert(w2.length == 6 && w2.map(_.getLong(5)).toSet == Set(6L))
+  }
+
   test("oovRate: per-doc totals and out-of-vocab counts") {
     val docs = Seq(
       (1L, "a a b z"),
