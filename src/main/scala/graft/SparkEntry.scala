@@ -1098,7 +1098,34 @@ object SparkEntry {
     //    pairs (±2 window) with integer PMI pieces, top-50 by count ───────
     "q_skipgram" -> ((s, dir) =>
       TextOps.skipgramPmi(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc))
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)),
+
+    // ── §2.9 X52: keyword search — integer-exact ranked retrieval
+    //    (distinct-term coordination + tf tiebreak), top-10 ───────────────
+    "q_keyword_search" -> ((s, dir) =>
+      TextOps.keywordSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), k = 10)),
+
+    // ── §2.9 X53: BPE merge-candidate pairs — adjacent char-pair counts
+    //    from the (word, count) vocab frame, top-20 merges ────────────────
+    "q_bpe_merge" -> ((s, dir) =>
+      TextOps.bpeMergePairs(t(s, dir, "documents"), "doc_id", "text",
+        topK = 20)),
+
+    // ── §2.9 X54: bigram-LM novelty pieces — per-doc integer familiarity
+    //    vs the corpus bigram counts (the perplexity-filter core) ─────────
+    "q_lm_novelty" -> ((s, dir) =>
+      TextOps.bigramNovelty(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9 X55: dup-graph triangles — cluster-density diagnostic over
+    //    the MinHash-verified pair graph (chain vs clique) ────────────────
+    "q_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.triangles(
+        Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100))
+        .orderBy("a", "b", "c")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2503,7 +2530,57 @@ object SparkEntry {
                FROM c),
          tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM c)
          SELECT a, b, n_ab, n_a, n_b, n_pairs FROM m, tot
-         ORDER BY n_ab DESC, a, b LIMIT 50"""
+         ORDER BY n_ab DESC, a, b LIMIT 50""",
+    // Keyword search: literal term filter, distinct-term + tf scoring,
+    // top-10 under the total order (n_terms desc, total_tf desc, doc_id).
+    "q_keyword_search" ->
+      """WITH tk AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                     FROM documents),
+         h AS (SELECT doc_id, tok, count(*) tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         s AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_terms,
+                      CAST(sum(tf) AS BIGINT) total_tf
+               FROM h GROUP BY 1)
+         SELECT doc_id, n_terms, total_tf FROM s
+         ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 10""",
+    // BPE merge pass: (word, count) vocab frame first, then adjacent
+    // char pairs weighted by word count; top-20 by (n desc, pair).
+    "q_bpe_merge" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), ' +')) w
+                     FROM documents),
+         wc AS (SELECT w, count(*) n FROM tk WHERE len(w) > 0 GROUP BY 1),
+         pr AS (SELECT substring(w, i, 2) AS pair, n
+                FROM wc, unnest(range(1, len(w))) r(i) WHERE len(w) >= 2),
+         agg AS (SELECT pair, CAST(sum(n) AS BIGINT) n FROM pr GROUP BY 1)
+         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""",
+    // Bigram-LM novelty: corpus bigram counts joined back per occurrence;
+    // docs with < 2 tokens report all-zero.
+    "q_lm_novelty" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+                FROM toks, unnest(range(1, len(t))) r(i)),
+         c AS (SELECT bg, CAST(count(*) AS BIGINT) c FROM bg GROUP BY 1),
+         j AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+                      CAST(count(DISTINCT b.bg) AS BIGINT) n_types,
+                      CAST(sum(c.c) AS BIGINT) mass,
+                      CAST(min(c.c) AS BIGINT) min_c
+               FROM bg b JOIN c ON b.bg = c.bg GROUP BY 1)
+         SELECT d.doc_id, coalesce(j.n_bigrams, 0) AS n_bigrams,
+                coalesce(j.n_types, 0) AS n_types,
+                coalesce(j.mass, 0) AS mass, coalesce(j.min_c, 0) AS min_c
+         FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+         ORDER BY d.doc_id""",
+    // Dup-graph triangles over the SAME verified pair frame as
+    // q_dedup_verified / q_dup_degree (shared vp CTE): a<b<c, each
+    // triangle once.
+    "q_triangles" ->
+      s"""WITH $verifiedPairsSql
+         SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         FROM vp e1 JOIN vp e2 ON e1.db = e2.da
+              JOIN vp e3 ON e3.da = e1.da AND e3.db = e2.db
+         ORDER BY a, b, c"""
   )
 
   /** Shared DuckDB CTE chain replicating

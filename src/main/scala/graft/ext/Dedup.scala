@@ -642,6 +642,33 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
   }
 
+  /** Triangles in the near-duplicate pair graph — the cluster-DENSITY
+    * diagnostic that degree ([[dupDegree]]) cannot give: a dup family of
+    * n docs with zero triangles is a CHAIN (each doc similar only to its
+    * neighbors — cutting to one keeper loses content), while a triangle-
+    * rich family is a CLIQUE of true mutual copies (safe to collapse).
+    * Input is any canonical pair frame (aCol < bCol per row, as every
+    * dedup stage here emits); output is one row per triangle (a < b < c).
+    *
+    * Scale shape: the classic two-join enumeration — (a,b)⋈(b,c) on the
+    * shared endpoint, closed by probing (a,c) — over the PAIR frame,
+    * which dedup keeps sparse; each join keys on a doc id, so the work
+    * is edge-frame-shuffle-sized plus wedge-count intermediate rows. The
+    * id-ordered orientation (a<b<c) already counts each triangle once;
+    * at web scale with power-law dup graphs, re-orient edges by DEGREE
+    * (low→high) first — same joins, provably O(E^1.5) wedges — using
+    * dupDegree's output as the ordering key.
+    */
+  def triangles(pairs: DataFrame, aCol: String = "da",
+                bCol: String = "db"): DataFrame = {
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+  }
+
   /** CROSS-CORPUS near-duplicate pairs — FUZZY decontamination, the
     * production complement of `contamination`'s exact-shingle overlap: a
     * paraphrased or lightly-edited benchmark item leaks into training

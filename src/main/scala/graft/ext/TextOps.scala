@@ -623,6 +623,115 @@ object TextOps {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Keyword search — ranked retrieval over the corpus for a literal
+    * query-term set: each document scored by how many DISTINCT query
+    * terms it contains (coordination-level match, the boolean-retrieval
+    * core) with total term frequency as the tiebreak, top `k` documents
+    * returned. All-integer scoring — no idf/log math — so the oracle
+    * replays it exactly; (n_terms desc, total_tf desc, doc_id asc) is a
+    * total order, making the k-boundary deterministic.
+    *
+    * Scale shape: the query terms are a LITERAL `isin` filter applied
+    * map-side during the token explode — only hit rows (corpus ×
+    * |terms|/|vocab|-sized) ever reach a shuffle; the (doc, term) tf
+    * aggregation and doc rollup are hit-sized; the final top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + k-bounded merge, no
+    * global sort). An inverted index would serve repeated queries; for
+    * one-shot scans the map-side filter IS the index probe.
+    */
+  def keywordSearch(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query-term set")
+    require(k > 0, s"k=$k must be positive")
+    val termList = terms.map(_.toLowerCase).distinct
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok").isin(termList: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_terms"),
+        sum(col("tf")).cast(LongType).as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** One BPE merge-candidate pass — corpus counts of ADJACENT CHARACTER
+    * PAIRS inside words, the statistic a byte-pair-encoding tokenizer
+    * ranks to pick its next merge. Computed the way real BPE trainers do
+    * it: aggregate the corpus to (word, count) FIRST, then extract pairs
+    * from the vocabulary frame weighted by word count — pair extraction
+    * cost scales with |vocab|, not corpus tokens. Top `topK` pairs by
+    * (count desc, pair asc) — a total order, deterministic boundary.
+    *
+    * Scale shape: one corpus-sized token count shuffle (map-side
+    * partials); the pair explode + aggregation run on the vocab frame,
+    * orders of magnitude below the corpus; top-k is TakeOrdered.
+    */
+  def bpeMergePairs(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .where(length(col("w")) >= 2) // 1-char words have no pair; also guards
+                                    // sequence(1,0) (descending, not empty)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("n")).cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Bigram-LM novelty/familiarity pieces per document — the perplexity-
+    * filter signal (KenLM-style quality screens) reduced to its integer
+    * core: against the corpus bigram counts C(w1,w2), each document
+    * reports its total bigram occurrences `n_bigrams`, distinct bigram
+    * types `n_types`, the summed corpus count of its bigram occurrences
+    * `mass` (high = the document walks well-trodden n-gram paths;
+    * low = novel or garbled), and the corpus count of its RAREST bigram
+    * `min_c` (1 = contains a corpus-unique transition). Counts only —
+    * the log-probability blend is a consumer-side one-liner, kept out so
+    * two engines can never diverge at a floating-point ulp. Documents
+    * with fewer than two tokens report all-zero.
+    *
+    * Scale shape: bigram extraction is the [[bigramLm]] map-side
+    * transform+explode; ONE bigram-keyed exchange (explicit repartition,
+    * the [[tokenRarity]] pattern) is shared by the corpus count
+    * aggregation and the count join-back via ReuseExchange; the rollup
+    * is doc-keyed. No all-pairs stage, no driver-side model.
+    */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df
+      // explicit isNotNull: the final left-join completion infers
+      // isnotnull(doc_id) and pushes it into ONLY the join-side branch of
+      // the shared frame, making the two Exchange subtrees unequal and
+      // silently defeating ReuseExchange — pre-filtering both branches
+      // identically keeps them canonical (doc ids are never null anyway)
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(__t, i + 2)))")).as("bg"))
+      .repartition(col("bg"))
+    // count(doc_id), not count(1): keeps doc_id in the agg branch's
+    // requirement so both Exchange subtrees prune identically and
+    // ReuseExchange fires (the tokenRarity discipline).
+    val counts = bg.groupBy("bg").agg(count(col("doc_id")).as("c"))
+    val perDoc = bg.join(counts.hint("merge"), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        countDistinct(col("bg")).cast(LongType).as("n_types"),
+        sum(col("c")).cast(LongType).as("mass"),
+        min(col("c")).cast(LongType).as("min_c"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("mass"), lit(0L)).as("mass"),
+        coalesce(col("min_c"), lit(0L)).as("min_c"))
+  }
+
   /** Per-language corpus statistics. */
   def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =
     df.groupBy(col(langCol)).agg(

@@ -254,6 +254,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval top-k plans TakeOrdered; bigram novelty reuses its exchange") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    // keywordSearch / bpeMergePairs: the final top-k must be per-partition
+    // heaps + a k-bounded merge (TakeOrderedAndProject), never a global sort
+    for (df <- Seq(
+        graft.ext.TextOps.keywordSearch(docs, "doc_id", "text",
+          Seq("spark", "join"), k = 10),
+        graft.ext.TextOps.bpeMergePairs(docs, "doc_id", "text", topK = 20))) {
+      val plan = physical(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k must plan as TakeOrderedAndProject:\n$plan")
+      assert(!plan.contains("Sort "), // global Sort node would defeat it
+        s"top-k must not global-sort:\n$plan")
+    }
+    // bigramNovelty: count agg and join-back share ONE bigram exchange
+    // (AQE runtime ReusedExchange, the tokenRarity discipline)
+    val nov = graft.ext.TextOps.bigramNovelty(docs, "doc_id", "text")
+    assert(nov.collect().nonEmpty)
+    val nplan = nov.queryExecution.executedPlan.toString
+    assert(nplan.contains("ReusedExchange"),
+      s"bigram frame must be exchanged once and reused:\n$nplan")
+  }
+
   test("bigram rank cut plans a WindowGroupLimit; sliding windows use Expand") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val lm = graft.ext.TextOps.bigramLm(docs, "doc_id", "text", 3)

@@ -398,4 +398,71 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 0L))
   }
+
+  test("keywordSearch: coordination-level ranking, tf tiebreak, k boundary") {
+    val docs = Seq(
+      (1L, "spark join window extra words"),   // 3 distinct terms, tf 3
+      (2L, "spark spark spark spark"),         // 1 distinct term, tf 4
+      (3L, "join window join"),                // 2 distinct, tf 3
+      (4L, "window join other"),               // 2 distinct, tf 2
+      (5L, "nothing relevant here"),           // 0 — must not appear
+      (6L, "SPARK Join")                       // case-folded: 2 distinct, tf 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.keywordSearch(docs, "doc_id", "text",
+        Seq("spark", "join", "window"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // order: (n_terms desc, total_tf desc, doc_id asc); doc 4 vs 6 tie on
+    // (2, 2) → doc_id breaks it; doc 2 (1 term) falls off at k=4
+    assert(got.toSeq == Seq((1L, 3L, 3L), (3L, 2L, 3L), (4L, 2L, 2L),
+      (6L, 2L, 2L)))
+  }
+
+  test("bpeMergePairs: word-count-weighted adjacent char pairs") {
+    val docs = Seq(
+      (1L, "abc abc ab"),
+      (2L, "abc x")) // 1-char word contributes no pair
+      .toDF("doc_id", "text")
+    // word counts: abc→3, ab→1, x→1
+    // pairs: ab = 3 (from abc) + 1 (from ab) = 4; bc = 3
+    val got = TextOps.bpeMergePairs(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 4L), ("bc", 3L)))
+    // topK boundary is deterministic under (n desc, pair asc)
+    val top1 = TextOps.bpeMergePairs(docs, "doc_id", "text", topK = 1)
+      .collect().map(_.getString(0))
+    assert(top1.toSeq == Seq("ab"))
+  }
+
+  test("bigramNovelty: corpus-count mass per doc, zeros for sub-2-token docs") {
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams: "a b", "b c"
+      (2L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (3L, "solo"),    // no bigram → all-zero row
+      (4L, "x y"))     // unique bigram → min_c = 1
+      .toDF("doc_id", "text")
+    // corpus counts: "a b"→3, "b c"→1, "b a"→1, "x y"→1
+    val got = TextOps.bigramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((2L, 2L, 3L + 1L, 1L)))
+    assert(got(2L) == ((3L, 2L, 3L + 1L + 3L, 1L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("triangles: cliques yield all triangles, chains yield none") {
+    // K4 on {1,2,3,4} (4 triangles) + chain 10-11-12-13 (0 triangles)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("da", "db")
+    val got = Dedup.triangles(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    // adding the chord 11-13 closes exactly one triangle in the chain
+    val withChord = pairs.union(Seq((11L, 13L)).toDF("da", "db"))
+    val got2 = Dedup.triangles(withChord)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == got + ((11L, 12L, 13L)))
+  }
 }
