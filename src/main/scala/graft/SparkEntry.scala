@@ -366,6 +366,28 @@ object SparkEntry {
         _ < 100, threshold = 0.35)
         .orderBy("da", "db")),
 
+    // ── §2.9 X56: semantic dedup (SemDeDup) — cluster-confined greedy
+    //    prune. The cluster assignment is engine-side, so the declared
+    //    artifact pairs the engine's removal against the FLAT greedy rule
+    //    (max lower-id cosine ≥ τ — exactly SQL-replayable): removed_flat
+    //    is a real data column the oracle recomputes, and subset_ok pins
+    //    cluster-confined removal ⊆ flat removal (a cluster-mate witness
+    //    is also a global witness). ─────────────────────────────────────
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sd = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, nCentroids = 16)
+      val flat = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+          _ => lit(true), threshold = 0.35)
+        .select(col("db").as("id")).distinct()
+        .withColumn("rf", lit(true))
+      sd.join(flat, Seq("id"), "left")
+        .select(col("id").as("vec_id"),
+          coalesce(col("rf"), lit(false)).as("removed_flat"),
+          (!col("removed") || coalesce(col("rf"), lit(false))).as("subset_ok"))
+        .orderBy("vec_id")
+    }),
+
     // ── §2.9 X2c: IVF approximate top-k (scale path). The ANN result set
     //    itself is engine-side (bucketing isn't oracle-expressible), so the
     //    declared artifact is deterministic recall accounting: for each
@@ -1565,6 +1587,19 @@ object SparkEntry {
          FROM n p, n c WHERE p.vec_id < 100 AND c.vec_id > p.vec_id
            AND round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) >= 0.35
          ORDER BY da, db""",
+    "q_semdedup" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+            f AS (SELECT a.vec_id AS id FROM n a JOIN n b
+                    ON b.vec_id < a.vec_id
+                  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                          >= 0.35
+                  GROUP BY a.vec_id)
+         SELECT n.vec_id, (f.id IS NOT NULL) AS removed_flat,
+                TRUE AS subset_ok
+         FROM n LEFT JOIN f ON f.id = n.vec_id ORDER BY vec_id""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 round(avg(n_chars), 6) AS avg_chars,

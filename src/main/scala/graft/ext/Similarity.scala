@@ -103,6 +103,78 @@ object Similarity {
       .select(col("pid"), coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): prune
+    * embedding-level near-duplicates WITHOUT an all-pairs stage by
+    * confining the pairwise cosine check to k-means clusters.
+    *
+    * Index: the IVF centroid fit (`fitIvfCentroids` — deterministic
+    * hash-sampled seeds + DECIMAL Lloyd refinement) collected once as a
+    * plan literal; every vector picks its nearest centroid MAP-SIDE
+    * (`array_max` over the centroid literal, zero shuffles — the ivfpq
+    * index-build trick). Prune: within each cluster, a vector is REMOVED
+    * iff some LOWER-id vector in the same cluster has cosine ≥
+    * `threshold` (the deterministic keep-first greedy — no iteration, no
+    * order dependence). The witness reported per removed vector is the
+    * highest-cosine lower-id cluster-mate (ties → smallest id).
+    *
+    * Scale shape: the only corpus-sized shuffle keys on the CLUSTER id,
+    * so the pairwise stage is Σ nᵢ² over cluster sizes — the SemDeDup
+    * n²/k cost model, never corpus². At 100 TB nCentroids grows ∝ n (the
+    * paper runs 50k clusters for LAION-scale corpora) so cluster sizes
+    * stay bounded; a skewed giant cluster is exactly the AQE skew-join
+    * case (same mitigation as the LSH band joins). Cluster-confined
+    * removal is a SUBSET of the flat greedy rule (a cluster-mate witness
+    * is also a global witness) — pinned by SemDedupSpec, with the
+    * nCentroids=1 configuration exactly equal to the flat rule.
+    *
+    * Returns one row per input vector:
+    * (id, cid, removed, witness_id, witness_sim) — witness columns NULL
+    * for kept vectors with no lower-id cluster-mate above the threshold.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCentroids: Int = 64,
+                    lloydIters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    // fit → literal: bounded by construction (nCentroids × dim doubles)
+    val centRows = fitIvfCentroids(corpus, nCentroids, lloydIters)
+      .select(col("cid").cast(LongType), col("cv"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }.toSeq.sortBy(_._1)
+    require(centRows.nonEmpty, "semanticDedup: empty corpus")
+    val centLit = typedLit(centRows)
+    // map-side nearest-centroid assignment (csim DESC, cid ASC tiebreak)
+    val nearestCid = (v: Column) =>
+      -array_max(transform(centLit, c =>
+        struct((dot(v, c.getField("_2")) / c.getField("_3")).as("csim"),
+          (-c.getField("_1")).as("nc")))).getField("nc")
+    val assigned = corpus.select(col("nid"), col("nv"), col("nn"),
+      nearestCid(col("nv")).as("cid"))
+    // cluster-confined pairwise stage: shuffle keys on cid only
+    val a = assigned.select(col("nid").as("id"), col("nv").as("av"),
+      col("nn").as("an"), col("cid"))
+    val b = assigned.select(col("nid").as("bid"), col("nv").as("bv"),
+      col("nn").as("bn"), col("cid"))
+    val witness = a.join(b, Seq("cid"))
+      .where(col("bid") < col("id"))
+      .withColumn("sim", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .where(col("sim") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(col("sim")).as("witness_sim"),
+        // highest-sim lower-id mate; ties at the rounded sim → smallest id
+        max_by(col("bid"), struct(col("sim"), (-col("bid")).as("nb")))
+          .as("witness_id"))
+    assigned.select(col("nid").as("id"), col("cid"))
+      .join(witness, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        col("witness_sim").isNotNull.as("removed"),
+        col("witness_id"), col("witness_sim"))
+  }
+
   /** Vector dimensionality: the caller-passed value when positive, else a
     * deterministic min(size) aggregate over the corpus (one eager job —
     * hot paths should pass `dim`; see signLshTopK's docstring for why a
