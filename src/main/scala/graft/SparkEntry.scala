@@ -272,6 +272,22 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X58: sparse tf-weighted cosine pairs — inverted-index
+    //    (token-keyed) join, integer tf·idf-surrogate weights, cosine ≥ ½
+    //    decided by exact cross-multiplication 4·dot² ≥ ‖a‖²·‖b‖² ───────
+    "q_sparse_cosine" -> ((s, dir) =>
+      TextOps.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("da", "db")),
+
+    // ── §2.9 X57: CMS heavy hitters — exact top-k token counts (the
+    //    oracle-checked columns) with a count-min-sketch estimate
+    //    cross-checked inside the CMS error bound (cms_ok, TRUE per row;
+    //    the X7 approx-next-to-exact pattern for counts) ────────────────
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
+        k = 25)
+        .orderBy(col("n").desc, col("token"))),
+
     // ── §2.9: corpus-rarity signal — per-doc distinct-vocabulary df
     //    facts (count, rarest token's df, total df mass); the integer-
     //    exact core of frequency-based quality filtering, one distinct
@@ -1362,6 +1378,38 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same integer-weight construction as the engine: tf · least(N//df,
+    // 1024) with a 0.5·N df cap; the cosine-≥½ cut replays as exact
+    // integer cross-multiplication (DuckDB sums promote to hugeint).
+    "q_sparse_cosine" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) tf FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                       FROM documents) WHERE length(tok) > 0 GROUP BY 1, 2),
+         n AS (SELECT count(DISTINCT doc_id) nd FROM tf),
+         dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+         w AS (SELECT doc_id, tok, tf * least(nd // df, 1024) AS w
+               FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+               WHERE df <= nd * 0.5),
+         norm AS (SELECT doc_id, sum(w*w) n2 FROM w GROUP BY 1),
+         dots AS (SELECT a.doc_id da, b.doc_id db, sum(a.w*b.w) dot
+                  FROM w a JOIN w b ON a.tok = b.tok AND b.doc_id > a.doc_id
+                  GROUP BY 1, 2)
+         SELECT da, db, CAST(dot AS BIGINT) AS dot,
+                CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+         FROM dots JOIN norm na ON na.doc_id = da
+                   JOIN norm nb ON nb.doc_id = db
+         WHERE 4*dot*dot >= na.n2 * nb.n2
+         ORDER BY da, db""",
+    // Exact top-k token counts under a total (n DESC, token ASC) order;
+    // the CMS cross-check column is asserted TRUE (the engine verifies
+    // estimate ∈ [true, true + ceil(eps·N)] internally — same
+    // approx-next-to-exact contract as q_approx_distinct).
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS token
+                      FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS cms_ok
+         FROM tok WHERE length(token) > 0
+         GROUP BY token ORDER BY n DESC, token LIMIT 25""",
     "q_token_rarity" ->
       """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
                        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok

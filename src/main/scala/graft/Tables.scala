@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -22,10 +22,16 @@ object Tables {
     // date_trunc('microseconds', ts)). FLOOR division (`div` truncates
     // toward zero, which would round pre-epoch negative nanos the wrong
     // way); pmod keeps the arithmetic in exact Long range.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      case None => df
+      // TIMESTAMP(MICROS) parquet with no tz metadata arrives as
+      // TIMESTAMP_NTZ; downstream ops (unix_micros, windows) expect the
+      // instant type. Session tz is pinned to UTC in every entry point, so
+      // the cast is a value-identical relabel, matching DuckDB's naive read.
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

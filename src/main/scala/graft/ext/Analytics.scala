@@ -182,6 +182,55 @@ object Analytics {
     */
   def intersectKeys(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
 
+  /** Column profiler — the one-pass data-quality summary every ingestion
+    * pipeline runs before training: per named column, row count, non-null
+    * count, EXACT distinct count, and min/max rendered to strings with a
+    * per-type rule chosen so two engines format identically (integrals
+    * verbatim; fractionals via DECIMAL(38,6) — canonical fixed-point, no
+    * exponent notation; timestamps as epoch-microsecond integers; strings
+    * pass through).
+    *
+    * Scale shape: ONE aggregate job. The k exact `count(DISTINCT)`s plan
+    * as a single Expand (each input row replicated k+1 times, one grouping
+    * per distinct column) + two-phase HashAggregate — the standard
+    * multi-distinct plan: map-side partials collapse each expanded stream
+    * to its distinct values before the one shuffle. At 100 TB the k×
+    * map-side expansion is the cost of exactness; swap `countDistinct`
+    * for `approx_count_distinct` when ±2% HLL estimates suffice (the X7
+    * pattern). The struct-explode at the end runs on a SINGLE driver-side
+    * row — presentation only, no distributed work.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def render(c: Column, dt: DataType): Column = dt match {
+      case _: IntegralType => c.cast(StringType)
+      case _: FractionalType | _: DecimalType =>
+        c.cast(DecimalType(38, 6)).cast(StringType)
+      case TimestampType => unix_micros(c).cast(StringType)
+      case TimestampNTZType =>
+        // session tz is pinned UTC in every entry point → value-identical
+        unix_micros(c.cast(TimestampType)).cast(StringType)
+      case _ => c.cast(StringType)
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { name =>
+      val dt = types.getOrElse(name,
+        throw new IllegalArgumentException(s"no column '$name'"))
+      Seq(count(col(name)).as(s"__nn_$name"),
+        countDistinct(col(name)).as(s"__nd_$name"),
+        render(min(col(name)), dt).as(s"__mn_$name"),
+        render(max(col(name)), dt).as(s"__mx_$name"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { name =>
+      struct(lit(name).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$name").as("n_nonnull"),
+        col(s"__nd_$name").as("n_distinct"),
+        col(s"__mn_$name").as("min_v"), col(s"__mx_$name").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Ordered conversion funnel: for each user, the earliest time each step
     * was reached, where step i counts only STRICTLY AFTER step i−1's first
     * completion (the product-analytics funnel, not mere set membership).

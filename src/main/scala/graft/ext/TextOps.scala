@@ -168,6 +168,53 @@ object TextOps {
       size(tokens(col(textCol))).cast(LongType).as("n_tokens"),
       ceil(octet_length(col(textCol)) / 4.0).cast(LongType).as("n_tokens_bpe"))
 
+  /** Heavy hitters with a count-min-sketch cross-check — the sketch-based
+    * frequent-token surface next to the exact path (the X7 "approx next
+    * to exact" pattern, for counts instead of cardinality).
+    *
+    * Exact side: one token count aggregation (map-side partials) with a
+    * total (n DESC, token ASC) order and a TakeOrdered top-k — the
+    * deterministic, oracle-checkable result. Sketch side: Spark's own
+    * `count_min_sketch` aggregate fit over the SAME token stream — the
+    * blob is depth×width counters regardless of corpus size (the
+    * broadcastable 100 TB shape: CMS merges associatively, so executors
+    * fold partial sketches and the driver gets one mergeable summary).
+    * Each reported heavy hitter carries `cms_ok`: the sketch estimate is
+    * ≥ the true count (CMS never undercounts) and ≤ true + ceil(eps·N)
+    * (the CMS error bound at total mass N = sketch.totalCount — no extra
+    * job). The estimate lookup has no native SQL expression, so it runs
+    * as a scala UDF — applied AFTER the top-k cut, so exactly k rows pay
+    * it and the corpus-sized path stays whole-stage codegen.
+    *
+    * Returns top-k (token, n, cms_ok); rows come back unordered — callers
+    * add the presentation sort.
+    */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    val tok = df.select(explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val blob = tok
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(seed)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    if (blob == null) return exact.withColumn("cms_ok", lit(false)).limit(0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(blob))
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    // CountMinSketchImpl is java.io.Serializable — the closure ships the
+    // deserialized sketch once per task, not once per row
+    val est = udf((t: String) => sketch.estimateCount(t))
+    exact
+      .withColumn("__est", est(col("token")))
+      .select(col("token"), col("n"),
+        (col("__est") >= col("n") && col("__est") <= col("n") + lit(bound))
+          .as("cms_ok"))
+  }
+
   /** Salient-term extraction — the tf-idf-shaped keyword operator with
     * fully INTEGER ranking, so two engines can never disagree at a
     * floating-point ulp: per (doc, term) emit term frequency and corpus
@@ -236,6 +283,61 @@ object TextOps {
       .agg(count(lit(1)).cast(LongType).as("n_distinct"),
         min(col("df")).cast(LongType).as("min_df"),
         sum(col("df")).cast(LongType).as("sum_df"))
+  }
+
+  /** Sparse tf-weighted cosine similarity pairs — the inverted-index
+    * (token-keyed) join form of document similarity, the weighted
+    * counterpart of [[graft.ext.Dedup.ngramJaccard]]'s set overlap.
+    *
+    * Weights are fully INTEGER (the `topTerms` no-ulp policy): per
+    * (doc, token), w = tf · min(N div df, idfCap) — term frequency times
+    * a floor-division idf surrogate (monotone in rarity, capped so the
+    * products below stay in range; no `ln`, so two engines can never
+    * disagree at a floating-point ulp). Cosine ≥ ½ is decided by exact
+    * integer cross-multiplication: 4·dot² ≥ ‖a‖²·‖b‖², evaluated in
+    * DECIMAL(38,0) (dot ≤ √(na2·nb2) by Cauchy-Schwarz, so with docs up
+    * to ~4k tokens and idfCap 1024, n2 ≤ 4e3·(4e3·1024)² ≈ 7e16 and
+    * 4·dot² ≈ 2e34 — inside both DECIMAL(38,0) and the oracle's
+    * 128-bit hugeint; at corpora beyond that, lower idfCap).
+    *
+    * Scale shape: the ONE corpus-sized tf aggregate feeds all three
+    * consumers (df counts, the weight join, the norm rollup) —
+    * ReuseExchange materializes it once. The pair join shuffles on the
+    * token, never doc×doc, and the df cap (`df ≤ maxDfFrac·N`) removes
+    * stopword-frequency tokens BEFORE the join, bounding per-key fan-out
+    * exactly as in ngramJaccard. N arrives via one broadcast totals
+    * frame — no driver collect.
+    *
+    * Output: (da, db, dot, na2, nb2) for pairs with cosine ≥ ½, all
+    * BIGINT; callers add the presentation sort.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDfFrac: Double = 0.5,
+                        idfCap: Long = 1024L): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("__n"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n)).where(col("df") <= col("__n") * maxDfFrac)
+    val w = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * least(expr("__n div df"), lit(idfCap))).as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    val dec = DecimalType(38, 0)
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+      .where(col("dot").cast(dec) * col("dot") * lit(4) >=
+        col("na2").cast(dec) * col("nb2"))
+      .select(col("da"), col("db"), col("dot").cast(LongType).as("dot"),
+        col("na2").cast(LongType).as("na2"), col("nb2").cast(LongType).as("nb2"))
   }
 
   /** Document fingerprints: (a) md5 of whitespace-normalized lower-cased

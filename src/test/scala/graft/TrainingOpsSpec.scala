@@ -465,4 +465,41 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got2 == got + ((11L, 12L, 13L)))
   }
+
+  test("sparseCosinePairs: integer weights, exact cosine-½ cut, hand-checked") {
+    // N=6, df cap 3. dfs: a,b,c,d,e,x → 2 (idf 6÷2=3); rest → 1 (idf 6).
+    // (1,2) identical: w=3 per token, dot=27, n2=27 — cos 1, kept.
+    // (3,4) partial: dot=18, n2 18 vs 54 — cos .577, kept.
+    // (5,6) share only x (w 3): dot=9 vs n2 117·117 — cos .077, cut.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"),
+      (3L, "d e"), (4L, "d e f"),
+      (5L, "x y z w"), (6L, "x p q r")).toDF("doc_id", "text")
+    val got = TextOps.sparseCosinePairs(docs, "doc_id", "text")
+      .orderBy("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 27L, 27L, 27L),
+      (3L, 4L, 18L, 18L, 54L)))
+  }
+
+  test("heavyHitters: exact top-k counts, tie order, CMS bound holds") {
+    // counts: a->5, b->3, c->3, d->1  (b/c tie broken by token asc)
+    val docs = Seq(
+      (1L, "a a a b b"),
+      (2L, "a a b c c"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val top = TextOps.heavyHitters(docs, "doc_id", "text", k = 3)
+      .orderBy(col("n").desc, col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(top.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 5L), ("b", 3L), ("c", 3L)))
+    assert(top.forall(_._3), "CMS estimate outside [true, true+eps·N]")
+    // k past the vocabulary returns every token, still all within bound
+    val all = TextOps.heavyHitters(docs, "doc_id", "text", k = 10)
+      .collect()
+    assert(all.length == 4)
+    assert(all.forall(_.getBoolean(2)))
+  }
 }
