@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X59: column profiler — one-pass per-column row/non-null/
+    //    exact-distinct counts + type-dispatched min/max rendering ───────
+    "q_profile" -> ((s, dir) =>
+      Analytics.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy("col_name")),
+
     // ── §2.9 X58: sparse tf-weighted cosine pairs — inverted-index
     //    (token-keyed) join, integer tf·idf-surrogate weights, cosine ≥ ½
     //    decided by exact cross-multiplication 4·dot² ≥ ‖a‖²·‖b‖² ───────
@@ -1378,6 +1385,34 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Per-type min/max rendering matches the engine: integrals verbatim,
+    // doubles via DECIMAL(38,6) fixed-point, timestamps as epoch µs.
+    "q_profile" ->
+      """WITH p AS (
+           SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+                  count(l_orderkey) AS n_nonnull,
+                  count(DISTINCT l_orderkey) AS n_distinct,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_v,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_v
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(*), count(l_quantity),
+                  count(DISTINCT l_quantity),
+                  CAST(CAST(min(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+                  CAST(CAST(max(l_quantity) AS DECIMAL(38,6)) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*), count(l_returnflag),
+                  count(DISTINCT l_returnflag),
+                  min(l_returnflag), max(l_returnflag)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', count(*), count(l_shipdate),
+                  count(DISTINCT l_shipdate),
+                  CAST(epoch_us(min(l_shipdate)) AS VARCHAR),
+                  CAST(epoch_us(max(l_shipdate)) AS VARCHAR)
+           FROM lineitem)
+         SELECT * FROM p ORDER BY col_name""",
     // Same integer-weight construction as the engine: tf · least(N//df,
     // 1024) with a 0.5·N df cap; the cosine-≥½ cut replays as exact
     // integer cross-multiplication (DuckDB sums promote to hugeint).

@@ -204,8 +204,8 @@ object Analytics {
     require(cols.nonEmpty, "profile needs at least one column")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def render(c: Column, dt: DataType): Column = dt match {
-      case _: IntegralType => c.cast(StringType)
-      case _: FractionalType | _: DecimalType =>
+      case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+      case FloatType | DoubleType | _: DecimalType =>
         c.cast(DecimalType(38, 6)).cast(StringType)
       case TimestampType => unix_micros(c).cast(StringType)
       case TimestampNTZType =>

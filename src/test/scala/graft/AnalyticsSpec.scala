@@ -160,4 +160,20 @@ class AnalyticsSpec extends AnyFunSuite {
     val b15 = base / 900 * 900
     assert(got.toSeq == Seq(3, 2, 1, 0).map(k => (b15 - k * 900, "click", 1L)))
   }
+
+  test("profile: counts, nulls, distincts, per-type min/max rendering") {
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(2.5), None),
+      (4L, Some(-1.25), Some("a")))
+      .toDF("id", "score", "tag")
+    val got = Analytics.profile(df, Seq("id", "score", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(got("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(got("score") == ((4L, 3L, 2L, "-1.250000", "2.500000")))
+    assert(got("tag") == ((4L, 3L, 2L, "a", "b")))
+  }
 }
