@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NfcNormalize}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (works under spark-submit
@@ -45,7 +45,12 @@ object GraftExtensions {
     (children: Seq[Expression]) => BloomFilterMightContain(
       children.head, children(1)): Expression)
 
-  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry)
+  private val nfcEntry = (
+    new FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, null, "graft_nfc"),
+    (children: Seq[Expression]) => NfcNormalize(children.head): Expression)
+
+  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry, nfcEntry)
 
   /** Idempotently register the engine functions on an existing session —
     * for sessions built without `spark.sql.extensions` (e.g. a host

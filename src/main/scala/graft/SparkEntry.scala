@@ -272,6 +272,12 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X60: text normalization — native codegen NFC (graft_nfc)
+    //    + control strip + whitespace collapse, map-only ─────────────────
+    "q_clean_text" -> ((s, dir) =>
+      TextOps.cleanText(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9 X59: column profiler — one-pass per-column row/non-null/
     //    exact-distinct counts + type-dispatched min/max rendering ───────
     "q_profile" -> ((s, dir) =>
@@ -1385,6 +1391,19 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same pipeline, DuckDB's nfc_normalize in place of graft_nfc; the
+    // regex classes are the Java∩RE2 intersection so both engines agree.
+    "q_clean_text" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'),
+                    '[ \t\n\f\r]+', ' ', 'g')) AS clean_text,
+                  length(text) AS n0
+           FROM documents)
+         SELECT doc_id, clean_text,
+                CAST(n0 - length(clean_text) AS BIGINT) AS n_removed
+         FROM c ORDER BY doc_id""",
     // Per-type min/max rendering matches the engine: integrals verbatim,
     // doubles via DECIMAL(38,6) fixed-point, timestamps as epoch µs.
     "q_profile" ->

@@ -285,6 +285,33 @@ object TextOps {
         sum(col("df")).cast(LongType).as("sum_df"))
   }
 
+  /** Text normalization — the canonical first stage of a training-data
+    * pipeline, run BEFORE fingerprints/dedup/tokenization so canonically
+    * equal strings see one byte sequence: (1) Unicode NFC via the native
+    * codegen expression [[graft.functions.NfcNormalize]] (ASCII rows
+    * return the input buffer untouched — the 100 TB common case); (2)
+    * control characters stripped; (3) whitespace runs collapsed to one
+    * space, ends trimmed.
+    *
+    * Character classes stay in the Java∩RE2 regex intersection (the
+    * `redactPii` dialect rule) and partition 0x00–0x1F exactly: tab, LF,
+    * FF, CR collapse as whitespace `[ \t\n\f\r]` (NOT `\s` — Java's
+    * includes \x0B, RE2's doesn't); the rest (0x00–08, 0B, 0E–1F, 7F)
+    * strip to nothing. All three stages are row-local column expressions
+    * — map-only, no shuffle, whole-stage codegen end to end.
+    *
+    * Output: (doc_id, clean_text, n_removed = chars(in) − chars(out)).
+    */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.GraftExtensions.ensure(df.sparkSession)
+    val nfc = call_function("graft_nfc", col(textCol))
+    val stripped =
+      regexp_replace(nfc, "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\f\\r]+", " "))
+    df.select(col(idCol).as("doc_id"), collapsed.as("clean_text"),
+      (length(col(textCol)) - length(collapsed)).cast(LongType).as("n_removed"))
+  }
+
   /** Sparse tf-weighted cosine similarity pairs — the inverted-index
     * (token-keyed) join form of document similarity, the weighted
     * counterpart of [[graft.ext.Dedup.ngramJaccard]]'s set overlap.

@@ -484,6 +484,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("cleanText: NFC composition, control strip, whitespace collapse") {
+    val docs = Seq(
+      (1L, "café time"),       // e + combining acute → é (5+5 → 9)
+      (2L, "abc"),       // 0x01, 0x0B strip to nothing
+      (3L, "  a \t\n b\r\f c  "),    // runs collapse, ends trim
+      (4L, "plain ascii"))           // identity
+      .toDF("doc_id", "text")
+    val got = TextOps.cleanText(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got(0) == (("café time", 1L)))
+    assert(got(1) == (("abc", 2L)))
+    assert(got(2) == (("a b c", 9L)))
+    assert(got(3) == (("plain ascii", 0L)))
+    // the expression is SQL-callable through the registered extension
+    val viaSql = spark.sql("SELECT graft_nfc('café')").head.getString(0)
+    assert(viaSql == "café")
+  }
+
   test("heavyHitters: exact top-k counts, tie order, CMS bound holds") {
     // counts: a->5, b->3, c->3, d->1  (b/c tie broken by token asc)
     val docs = Seq(
