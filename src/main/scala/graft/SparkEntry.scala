@@ -272,6 +272,15 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X61: record linkage — token-block candidates, row-local
+    //    shared-token + levenshtein scoring, deterministic best match
+    //    per probe (the delta-vs-catalog ER shape) ──────────────────────
+    "q_record_linkage" -> ((s, dir) =>
+      Dedup.recordLinkage(
+        t(s, dir, "part").where(col("p_partkey") < 100),
+        t(s, dir, "part"), "p_partkey", "p_name")
+        .orderBy("da")),
+
     // ── §2.9 X60: text normalization — native codegen NFC (graft_nfc)
     //    + control strip + whitespace collapse, map-only ─────────────────
     "q_clean_text" -> ((s, dir) =>
@@ -1391,6 +1400,31 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same blocking → scoring → resolution stages; list_intersect and
+    // array_intersect both return DISTINCT common elements, and DuckDB's
+    // levenshtein is the same classic DP as Spark's codegen one.
+    "q_record_linkage" ->
+      """WITH lt AS (SELECT p_partkey id, trim(lower(p_name)) nm
+                     FROM part WHERE p_partkey < 100),
+         rt AS (SELECT p_partkey id, trim(lower(p_name)) nm FROM part),
+         ltok AS (SELECT DISTINCT id, unnest(regexp_split_to_array(nm, ' +')) tok
+                  FROM lt),
+         rtok AS (SELECT DISTINCT id, unnest(regexp_split_to_array(nm, ' +')) tok
+                  FROM rt),
+         cand AS (SELECT DISTINCT a.id da, b.id db
+                  FROM ltok a JOIN rtok b USING (tok) WHERE a.id <> b.id),
+         scored AS (SELECT da, db,
+             len(list_intersect(regexp_split_to_array(la.nm, ' +'),
+                                regexp_split_to_array(lb.nm, ' +'))) shared,
+             levenshtein(la.nm, lb.nm) ed
+           FROM cand JOIN lt la ON la.id = da JOIN rt lb ON lb.id = db),
+         best AS (SELECT da, db, shared, ed,
+             row_number() OVER (PARTITION BY da
+               ORDER BY ed, shared DESC, db) rk
+           FROM scored)
+         SELECT da, db, CAST(shared AS BIGINT) AS shared,
+                CAST(ed AS BIGINT) AS edit_dist
+         FROM best WHERE rk = 1 ORDER BY da""",
     // Same pipeline, DuckDB's nfc_normalize in place of graft_nfc; the
     // regex classes are the Java∩RE2 intersection so both engines agree.
     "q_clean_text" ->

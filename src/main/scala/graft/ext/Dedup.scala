@@ -880,4 +880,63 @@ object Dedup {
       buildDeltaIndex(corpus, idCol, textCol, k, bands, maxDf,
         persist = false),
       delta, idCol, textCol, threshold)
+
+  /** X61 — record linkage (entity resolution): link each PROBE record to
+    * its best fuzzy catalog match by name. The classic three-stage ER
+    * shape: (1) BLOCKING — candidates are (probe, catalog) pairs sharing
+    * ≥1 lower-cased name token, via a token-keyed equi-join (never
+    * probe×catalog); (2) row-local SCORING on the candidate pairs only —
+    * shared distinct-token count (`array_intersect`) and codegen
+    * `levenshtein` edit distance; (3) RESOLUTION — best match per probe
+    * under the total order (edit asc, shared desc, catalog id asc), so
+    * the winner is deterministic under any tie.
+    *
+    * Self-matches (same id on both sides — the probe batch usually IS a
+    * slice of the catalog) are always excluded.
+    *
+    * 100 TB shape: the delta-vs-corpus model (`dedupDelta`'s contract) —
+    * the probe side is a small batch, so AQE broadcasts its token frame
+    * and the catalog never shuffles for the block join; candidates and
+    * everything after are probe-sized × blocking fan-out. `maxDf` drops
+    * block tokens occurring in more than that many catalog rows (ER
+    * "stop-token removal") when a heavy token would explode the
+    * candidate set.
+    *
+    * Output: one row per matched probe — (da, db, shared, edit_dist).
+    */
+  def recordLinkage(probe: DataFrame, catalog: DataFrame, idCol: String,
+                    nameCol: String, maxEdit: Int = Int.MaxValue,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norm(df: DataFrame) =
+      df.select(col(idCol).as("id"), trim(lower(col(nameCol))).as("nm"))
+    def toks(df: DataFrame) = df
+      .select(col("id"), explode(split(col("nm"), " +")).as("tok"))
+      .where(length(col("tok")) > 0).distinct()
+    val lt = norm(probe)
+    val rt = norm(catalog)
+    val rtok =
+      if (maxDf == Long.MaxValue) toks(rt)
+      else {
+        val w = Window.partitionBy("tok")
+        toks(rt).withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= maxDf).drop("__df")
+      }
+    val cand = toks(lt).as("a")
+      .join(rtok.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
+    val scored = cand
+      .join(lt.select(col("id").as("da"), col("nm").as("na")), "da")
+      .join(rt.select(col("id").as("db"), col("nm").as("nb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(split(col("na"), " +"), split(col("nb"), " +")))
+          .cast(LongType).as("shared"),
+        levenshtein(col("na"), col("nb")).cast(LongType).as("edit_dist"))
+      .where(col("edit_dist") <= maxEdit)
+    val w = Window.partitionBy("da")
+      .orderBy(col("edit_dist").asc, col("shared").desc, col("db").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+  }
 }

@@ -484,6 +484,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("recordLinkage: blocked candidates, best match, ties, maxDf, self-exclusion") {
+    val catalog = Seq(
+      (1L, "red widget"), (2L, "blue bolt"), (3L, "red widget"),
+      (4L, "red gadget"), (5L, "green bolt"), (6L, "red widget"))
+      .toDF("id", "name")
+    val probe = catalog.where(col("id") <= 2)
+    val got = Dedup.recordLinkage(probe, catalog, "id", "name")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // probe 1 "red widget": exact dups at 3 and 6 (ed 0, shared 2) — the
+    // db-asc tiebreak must pick 3, never its own id 1
+    assert(got(1L) == ((3L, 2L, 0L)))
+    // probe 2 "blue bolt": only "green bolt" shares a token
+    assert(got(2L)._1 == 5L && got(2L)._2 == 1L)
+    // stop-token removal: with maxDf=1 every shared token blocks away
+    assert(Dedup.recordLinkage(probe, catalog, "id", "name", maxDf = 1L)
+      .count() == 0L)
+    // maxEdit gate: exact dup survives an edit cap of 0, fuzzy match dies
+    val strict = Dedup.recordLinkage(probe, catalog, "id", "name", maxEdit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict == Map(1L -> 3L))
+  }
+
   test("cleanText: NFC composition, control strip, whitespace collapse") {
     val docs = Seq(
       (1L, "café time"),       // e + combining acute → é (5+5 → 9)
