@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X62: trailing RANGE-frame rollup — per (user, active day)
+    //    trailing-7-day count/value sum; key-distance frame ages gap days
+    //    out exactly, DECIMAL sums kill double ulp drift ────────────────
+    "q_trailing_7d" -> ((s, dir) =>
+      Events.trailingDaily(t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id", "day")),
+
     // ── §2.9 X61: record linkage — token-block candidates, row-local
     //    shared-token + levenshtein scoring, deterministic best match
     //    per probe (the delta-vs-catalog ER shape) ──────────────────────
@@ -1400,6 +1407,20 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Integer epoch-day RANGE frame replays exactly; DECIMAL(38,6) sums
+    // are order-independent so the window accumulation cannot drift.
+    "q_trailing_7d" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS v
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day,
+                CAST(sum(n) OVER w AS BIGINT) AS trail_n,
+                CAST(sum(v) OVER w AS DECIMAL(38,6)) AS trail_v
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
     // Same blocking → scoring → resolution stages; list_intersect and
     // array_intersect both return DISTINCT common elements, and DuckDB's
     // levenshtein is the same classic DP as Spark's codegen one.

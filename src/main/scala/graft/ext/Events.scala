@@ -150,6 +150,34 @@ object Events {
           round(col("__num") / sqrt(col("__v2").cast("double")), 6)).as("z"))
   }
 
+  /** X62 — trailing RANGE-frame rollup: per (user, active day), the
+    * trailing-`days`-day event count and value sum. Unlike the ROWS
+    * frames elsewhere ([[anomaly]], [[sessionize]]), the frame is defined
+    * by KEY DISTANCE on the integer epoch-day — days with no events
+    * still age out exactly (a ROWS frame would silently stretch across
+    * gaps). Value sums run in DECIMAL(38,6) so the accumulation is exact
+    * in any order — no double ulp drift between engines.
+    *
+    * Scale shape: the daily pre-aggregation collapses events map-side to
+    * ≤ one row per (user, day) BEFORE the window; the window then sorts
+    * user-partitioned day series — bounded by the calendar, not the
+    * event volume.
+    */
+  def trailingDaily(events: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, days: Int = 7): DataFrame = {
+    require(days > 0, s"days=$days must be positive")
+    val daily = events
+      .groupBy(col(userCol).as("user_id"),
+        expr(s"unix_micros($tsCol) div ${86400000000L}").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(38, 6))).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily.select(col("user_id"), col("day"),
+      sum(col("n")).over(w).cast(LongType).as("trail_n"),
+      sum(col("v")).over(w).cast(DecimalType(38, 6)).as("trail_v"))
+  }
+
   /** X6 — top-k per group via ranking window, deterministic tiebreak. */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                    tieCol: String, k: Int): DataFrame = {

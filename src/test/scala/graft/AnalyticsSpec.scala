@@ -161,6 +161,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(3, 2, 1, 0).map(k => (b15 - k * 900, "click", 1L)))
   }
 
+  test("trailingDaily: RANGE frame ages gap days out, DECIMAL sums exact") {
+    import graft.ext.Events
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L + 3600000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.5),
+      (2L, ts(3), 7L, "click", 2.0),
+      (3L, ts(3), 7L, "view", 0.25),
+      (4L, ts(10), 7L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.trailingDaily(ev, "user_id", "ts", "value")
+      .orderBy("day")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue))
+    // day 3 sees day 0 (3 back); day 10 must NOT see day 3 (7 back — a
+    // ROWS frame would wrongly include it across the gap)
+    assert(got.toSeq == Seq((0L, 1L, 1.5), (3L, 3L, 3.75), (10L, 1L, 4.0)))
+  }
+
   test("profile: counts, nulls, distincts, per-type min/max rendering") {
     val df = Seq(
       (1L, Some(2.5), Some("b")),
