@@ -272,6 +272,25 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X63: multi-type PII audit — email→SSN→phone→IPv4 staged
+    //    scrub, each count taken on the previous stage's redaction. The
+    //    corpus carries no PII, so the query constructs deterministic
+    //    PII-bearing text from user ids — the oracle replays the same
+    //    construction, making every detector's count non-trivially
+    //    cross-checked ──────────────────────────────────────────────────
+    "q_pii_audit" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("text", concat(
+          lit("contact u"), col("user_id"), lit("@ex.com or ("),
+          lpad((col("user_id") % 800 + 100).cast("string"), 3, "0"),
+          lit(") 555-"),
+          lpad((col("user_id") % 10000).cast("string"), 4, "0"),
+          when(col("user_id") % 3 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit("")),
+          lit(" ip 10.0.0."), (col("user_id") % 256).cast("string")))
+      TextOps.piiAudit(base, "user_id", "text").orderBy("doc_id")
+    }),
+
     // ── §2.9 X62: trailing RANGE-frame rollup — per (user, active day)
     //    trailing-7-day count/value sum; key-distance frame ages gap days
     //    out exactly, DECIMAL sums kill double ulp drift ────────────────
@@ -1407,6 +1426,41 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same construction, same stage order; DuckDB counts via
+    // len(regexp_extract_all) on the PREVIOUS stage's replacement, so the
+    // two engines audit byte-identical intermediate texts.
+    "q_pii_audit" ->
+      """WITH txt AS (
+           SELECT user_id AS doc_id,
+                  'contact u' || user_id || '@ex.com or (' ||
+                  lpad(CAST(user_id % 800 + 100 AS VARCHAR), 3, '0') ||
+                  ') 555-' ||
+                  lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0') ||
+                  CASE WHEN user_id % 3 = 0 THEN ' ssn 123-45-6789'
+                       ELSE '' END ||
+                  ' ip 10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS t0
+           FROM (SELECT DISTINCT user_id FROM events)),
+         s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_email,
+                  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') t1
+                FROM txt),
+         s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) n_ssn,
+                  regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') t2
+                FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_ssn,
+                  len(regexp_extract_all(t2, '(\+[0-9]{1,2}[ .-])?(\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b')) n_phone,
+                  regexp_replace(t2, '(\+[0-9]{1,2}[ .-])?(\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b', '<PHONE>', 'g') t3
+                FROM s2),
+         s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+                  len(regexp_extract_all(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) n_ip,
+                  regexp_replace(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') t4
+                FROM s3)
+         SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+                CAST(n_ssn AS BIGINT) AS n_ssn,
+                CAST(n_phone AS BIGINT) AS n_phone,
+                CAST(n_ip AS BIGINT) AS n_ip, t4 AS redacted
+         FROM s4 ORDER BY doc_id""",
     // Integer epoch-day RANGE frame replays exactly; DECIMAL(38,6) sums
     // are order-independent so the window accumulation cannot drift.
     "q_trailing_7d" ->

@@ -606,6 +606,52 @@ object TextOps {
       regexp_count(col(textCol), lit(emailPattern)).cast(LongType).as("n_emails"),
       regexp_replace(col(textCol), emailPattern, placeholder).as("redacted"))
 
+  /** Multi-type PII audit — the full scrub pass over four detector
+    * classes, applied in a FIXED sequence (email → SSN → phone → IPv4)
+    * with each count taken on the text AS ALREADY REDACTED by the
+    * previous stages, so counts and replacements can never disagree
+    * (digits inside an email can't double-count as a phone once the
+    * email is a placeholder). Patterns live in the Java∩RE2 regex
+    * intersection ([[emailPattern]]'s dialect rule; `\b` and bounded
+    * repetition are in both), so the oracle finds identical spans.
+    * All stages are row-local codegen column expressions — map-only,
+    * embarrassingly parallel at any scale.
+    *
+    * Output: (doc_id, n_email, n_ssn, n_phone, n_ip, redacted).
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stages = Seq(
+      ("n_email", emailPattern, "<EMAIL>"),
+      ("n_ssn", TextOps.ssnPattern, "<SSN>"),
+      ("n_phone", TextOps.phonePattern, "<PHONE>"),
+      ("n_ip", TextOps.ipPattern, "<IP>"))
+    val (cols, last) = stages.foldLeft(
+      (Seq.empty[org.apache.spark.sql.Column], col(textCol))) {
+      case ((acc, t), (name, pat, ph)) =>
+        (acc :+ regexp_count(t, lit(pat)).cast(LongType).as(name),
+          regexp_replace(t, pat, ph))
+    }
+    df.select(col(idCol).as("doc_id") +: cols :+ last.as("redacted"): _*)
+  }
+
+  /** SSN-shaped: ddd-dd-dddd with word boundaries. Matched BEFORE the
+    * phone stage so the 3-2-4 digit grouping can't be half-eaten by the
+    * looser phone pattern. */
+  val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** North-American phone shapes: optional +c, area code either
+    * parenthesized or bare-with-word-boundary (a leading `\b` alone can't
+    * assert before `(` — both neighbors are non-word), separators
+    * space/dash/dot — 3-3-4 digit core. Bounded so "1234567890123" (an
+    * id, not a phone) does not match. */
+  val phonePattern = "(\\+[0-9]{1,2}[ .-])?" +
+    "(\\([0-9]{3}\\)|\\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+
+  /** Dotted-quad IPv4 (octet range not enforced — the standard audit
+    * over-approximation; 999.1.1.1 flags, which is the safe direction
+    * for a scrub). */
+  val ipPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
   /** Corpus bigram language model — count-based conditional next-token
     * statistics, the classic data-quality workhorse (KenLM-style models
     * are built from exactly these counts; they drive perplexity

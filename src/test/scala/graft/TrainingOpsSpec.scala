@@ -484,6 +484,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("piiAudit: staged detectors, no double counting, all shapes") {
+    val docs = Seq(
+      (1L, "mail a@b.io, ssn 123-45-6789, call (555) 123-4567 from 10.0.0.1"),
+      // digits inside the email are redacted by stage 1 and must NOT
+      // re-count as a phone in stage 3
+      (2L, "reach 123-456-7890x@y.com today"),
+      (3L, "+1 555.123.4567 and bare 555 123 4567"),
+      (4L, "over-approx 999.999.999.999 flags as ip"),
+      (5L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L,
+      "mail <EMAIL>, ssn <SSN>, call <PHONE> from <IP>")))
+    assert(got(2L) == ((1L, 0L, 0L, 0L, "reach <EMAIL> today")))
+    assert(got(3L) == ((0L, 0L, 2L, 0L, "<PHONE> and bare <PHONE>")))
+    assert(got(4L) == ((0L, 0L, 0L, 1L, "over-approx <IP> flags as ip")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("recordLinkage: blocked candidates, best match, ties, maxDf, self-exclusion") {
     val catalog = Seq(
       (1L, "red widget"), (2L, "blue bolt"), (3L, "red widget"),
