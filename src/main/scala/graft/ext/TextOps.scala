@@ -327,13 +327,19 @@ object TextOps {
     * 4·dot² ≈ 2e34 — inside both DECIMAL(38,0) and the oracle's
     * 128-bit hugeint; at corpora beyond that, lower idfCap).
     *
-    * Scale shape: the ONE corpus-sized tf aggregate feeds all three
-    * consumers (df counts, the weight join, the norm rollup) —
-    * ReuseExchange materializes it once. The pair join shuffles on the
-    * token, never doc×doc, and the df cap (`df ≤ maxDfFrac·N`) removes
-    * stopword-frequency tokens BEFORE the join, bounding per-key fan-out
-    * exactly as in ngramJaccard. N arrives via one broadcast totals
-    * frame — no driver collect.
+    * Scale shape: the corpus-sized tf frame and the weight frame are
+    * each PERSISTED (MEMORY_AND_DISK) because they feed multiple
+    * consumers in separate jobs where ReuseExchange cannot apply (tf →
+    * doc totals + df counts + the weight join; w → the norm rollup and
+    * BOTH sides of the pair join) — without the persists the planner
+    * re-derives each from the scan, multiplying corpus reads. Lifetime
+    * contract is [[graft.ext.Dedup.bloomContamination]]'s: LRU-evicted,
+    * or freed via `spark.catalog.clearCache()` once the result is
+    * consumed. The pair join shuffles on the token, never doc×doc, and
+    * the df cap (`df ≤ maxDfFrac·N`) removes stopword-frequency tokens
+    * BEFORE the join, bounding per-key fan-out exactly as in
+    * ngramJaccard. N arrives via one broadcast totals frame — no driver
+    * collect.
     *
     * Output: (da, db, dot, na2, nb2) for pairs with cosine ≥ ½, all
     * BIGINT; callers add the presentation sort.
@@ -345,12 +351,14 @@ object TextOps {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = tf.agg(countDistinct(col("doc_id")).as("__n"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n)).where(col("df") <= col("__n") * maxDfFrac)
     val w = tf.join(dfreq, "tok")
       .select(col("doc_id"), col("tok"),
         (col("tf") * least(expr("__n div df"), lit(idfCap))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val dots = w.as("a")
       .join(w.as("b"),
