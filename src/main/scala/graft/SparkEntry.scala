@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X64: join cardinality / skew diagnostic — exact inner-join
+    //    size and heaviest key from the two key histograms, never the
+    //    join itself ────────────────────────────────────────────────────
+    "q_join_estimate" -> ((s, dir) =>
+      Analytics.joinCardinality(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey")),
+
     // ── §2.9 X63: multi-type PII audit — email→SSN→phone→IPv4 staged
     //    scrub, each count taken on the previous stage's redaction. The
     //    corpus carries no PII, so the query constructs deterministic
@@ -1431,6 +1438,23 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same histogram algebra: the join size is computed from per-key
+    // counts, never by materializing the join.
+    "q_join_estimate" ->
+      """WITH ca AS (SELECT l_orderkey k, count(*) na FROM lineitem
+                     WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         cb AS (SELECT o_orderkey k, count(*) nb FROM orders
+                WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         j AS (SELECT ca.k, CAST(na AS DECIMAL(38,0)) * nb AS prod
+               FROM ca JOIN cb USING (k)),
+         sa AS (SELECT count(*) n_keys_a, max(na) max_mult_a FROM ca),
+         sb AS (SELECT count(*) n_keys_b, max(nb) max_mult_b FROM cb),
+         sj AS (SELECT count(*) n_common,
+                       CAST(coalesce(sum(prod), 0) AS DECIMAL(38,0)) join_rows
+                FROM j),
+         top AS (SELECT CAST(k AS VARCHAR) top_key, prod top_rows
+                 FROM j ORDER BY prod DESC, k LIMIT 1)
+         SELECT * FROM sa, sb, sj, top""",
     // Same construction, same stage order; DuckDB counts via
     // len(regexp_extract_all) on the PREVIOUS stage's replacement, so the
     // two engines audit byte-identical intermediate texts.

@@ -182,6 +182,42 @@ object Analytics {
     */
   def intersectKeys(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
 
+  /** Join cardinality / skew diagnostic — the pre-flight check a 100 TB
+    * join deserves BEFORE running it: per-side distinct key counts and
+    * max key multiplicity, common-key count, the EXACT inner-join output
+    * size Σₖ nₐ(k)·n_b(k) (computable from the two per-key count frames
+    * without materializing the join), and the single heaviest key with
+    * its contribution. `join_rows >> max(rows_a, rows_b)` says "this
+    * join explodes"; `top_rows` close to `join_rows` says "one key is
+    * the explosion — salt it" (feeding [[graft.ext]]'s salted join).
+    *
+    * Scale shape: two per-key count aggregations (map-side partials),
+    * one count-frame join on the key, then single-row rollups crossed
+    * together — the full input is never joined, only its key histogram.
+    * Products run in DECIMAL(38,0) so a pathological key pair cannot
+    * overflow.
+    */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyA: String,
+                      keyB: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ca = a.where(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.where(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("k")).agg(count(lit(1)).as("nb"))
+    val j = ca.join(cb, "k")
+      .select(col("k"), (col("na").cast(dec) * col("nb")).as("prod"))
+    val sa = ca.agg(count(lit(1)).as("n_keys_a"), max(col("na")).as("max_mult_a"))
+    val sb = cb.agg(count(lit(1)).as("n_keys_b"), max(col("nb")).as("max_mult_b"))
+    val sj = j.agg(count(lit(1)).as("n_common"),
+      coalesce(sum(col("prod")), lit(0).cast(dec)).cast(dec).as("join_rows"))
+    val top = j.orderBy(col("prod").desc, col("k").asc).limit(1)
+      .select(col("k").cast(StringType).as("top_key"),
+        col("prod").as("top_rows"))
+    // left join (not crossJoin) against `top`: disjoint key sets must
+    // still report a row — (n_common=0, join_rows=0, top_key=null)
+    sa.crossJoin(sb).crossJoin(sj).join(top, lit(true), "left")
+  }
+
   /** Column profiler — the one-pass data-quality summary every ingestion
     * pipeline runs before training: per named column, row count, non-null
     * count, EXACT distinct count, and min/max rendered to strings with a

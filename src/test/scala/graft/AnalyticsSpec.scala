@@ -179,6 +179,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 1.5), (3L, 3L, 3.75), (10L, 1L, 4.0)))
   }
 
+  test("joinCardinality: exact size from histograms, heaviest key, disjoint total") {
+    val a = Seq(1L, 1L, 1L, 2L).toDF("ka")
+    val b = Seq(1L, 1L, 1L, 1L, 3L, 3L).toDF("kb")
+    val r = Analytics.joinCardinality(a, b, "ka", "kb").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)   // a: keys, max mult
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L)   // b: keys, max mult
+    assert(r.getLong(4) == 1L)                          // common keys
+    assert(r.getDecimal(5).longValue == 12L)            // 3*4 exact join rows
+    assert(r.getString(6) == "1" && r.getDecimal(7).longValue == 12L)
+    // cross-check against the materialized join
+    assert(a.join(b, col("ka") === col("kb")).count() == 12L)
+    // disjoint key sets still report one (zeroed) row
+    val d = Analytics.joinCardinality(a,
+      Seq(9L).toDF("kb"), "ka", "kb").head
+    assert(d.getLong(4) == 0L && d.getDecimal(5).longValue == 0L &&
+      d.isNullAt(6))
+  }
+
   test("profile: counts, nulls, distincts, per-type min/max rendering") {
     val df = Seq(
       (1L, Some(2.5), Some("b")),
