@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X65: equi-depth histogram — bucket populations equal ±1 by
+    //    construction via the X47 two-phase rank; integer bucket math ────
+    "q_equidepth" -> ((s, dir) =>
+      Analytics.equiDepth(t(s, dir, "documents"), "n_chars", "doc_id",
+        nBuckets = 8)
+        .orderBy("bucket")),
+
     // ── §2.9 X64: join cardinality / skew diagnostic — exact inner-join
     //    size and heaviest key from the two key histograms, never the
     //    join itself ────────────────────────────────────────────────────
@@ -1438,6 +1445,18 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // The same (value, md5(key), key) total order drives row_number, so
+    // the integer bucket assignment replays exactly.
+    "q_equidepth" ->
+      """WITH r AS (SELECT n_chars v,
+                  row_number() OVER (ORDER BY n_chars,
+                    md5(CAST(doc_id AS VARCHAR)), doc_id) rnk
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         t AS (SELECT count(*) n FROM r)
+         SELECT ((rnk - 1) * 8) // n AS bucket,
+                count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+         FROM r, t GROUP BY 1 ORDER BY bucket""",
     // Same histogram algebra: the join size is computed from per-key
     // counts, never by materializing the join.
     "q_join_estimate" ->

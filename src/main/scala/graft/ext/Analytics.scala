@@ -182,6 +182,33 @@ object Analytics {
     */
   def intersectKeys(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
 
+  /** Equi-DEPTH histogram — nBuckets buckets of (near-)equal ROW COUNT
+    * with exact value boundaries, the complement of [[histogram]]'s
+    * equi-width bins (equi-width starves under skew; equi-depth is what
+    * an optimizer or a curriculum scheduler actually wants). Built on
+    * the X47 two-phase distributed rank ([[graft.ext.Sampling.rankByValue]]
+    * — no single-reducer window, skew-proof within duplicate values), so
+    * the bucket of a row is pure integer math `(rnk−1)·nBuckets div N` —
+    * the bucket populations differ by at most 1 BY CONSTRUCTION, and two
+    * engines can never disagree at a boundary.
+    *
+    * Output: (bucket, n_rows, lo, hi) per non-empty bucket. NULL
+    * values/keys are excluded (the rank operator's contract — also what
+    * a NULLS-FIRST vs NULLS-LAST engine pair needs to agree).
+    */
+  def equiDepth(df: DataFrame, valueCol: String, keyCol: String,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    val ranked = graft.ext.Sampling.rankByValue(df, valueCol, keyCol)
+    val total = ranked.agg(count(lit(1)).as("__t"))
+    ranked.crossJoin(broadcast(total))
+      .select(col(valueCol),
+        expr(s"((rnk - 1) * $nBuckets) div __t").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Join cardinality / skew diagnostic — the pre-flight check a 100 TB
     * join deserves BEFORE running it: per-side distinct key counts and
     * max key multiplicity, common-key count, the EXACT inner-join output

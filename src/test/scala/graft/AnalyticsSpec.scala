@@ -179,6 +179,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 1.5), (3L, 3L, 3.75), (10L, 1L, 4.0)))
   }
 
+  test("equiDepth: populations equal within 1, boundaries ordered, skew survives") {
+    // 100 rows, heavily skewed: 60 copies of value 5, the rest 1..40
+    val rows = (1L to 60L).map(i => (i, 5L)) ++
+      (61L to 100L).map(i => (i, i - 60L))
+    val df = rows.toDF("id", "v")
+    val got = Analytics.equiDepth(df, "v", "id", nBuckets = 4)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 100L)
+    assert(got.map(_._2).forall(n => n == 25L), "4 buckets of exactly 25")
+    // bucket value ranges are non-decreasing across buckets
+    val flat = got.sortBy(_._1)
+    assert(flat.sliding(2).forall { case Array(a, b) => a._4 <= b._3 || a._4 <= b._4 }
+      , s"boundaries out of order: ${flat.toSeq}")
+    // the 60-copy value straddles buckets rather than serializing one
+    assert(flat.count(b => b._3 <= 5L && 5L <= b._4) >= 2)
+  }
+
   test("joinCardinality: exact size from histograms, heaviest key, disjoint total") {
     val a = Seq(1L, 1L, 1L, 2L).toDF("ka")
     val b = Seq(1L, 1L, 1L, 1L, 3L, 3L).toDF("kb")
