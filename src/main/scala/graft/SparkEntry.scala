@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X66: exact dedup with provenance — keeper + capped sorted
+    //    removed-id list + distinct-source span, one hash shuffle ────────
+    "q_dedup_provenance" -> ((s, dir) =>
+      Dedup.exactWithProvenance(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+        .orderBy("doc_id")),
+
     // ── §2.9 X65: equi-depth histogram — bucket populations equal ±1 by
     //    construction via the X47 two-phase rank; integer bucket math ────
     "q_equidepth" -> ((s, dir) =>
@@ -1445,6 +1452,20 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same rank-capped collection; array_to_string(list_sort(...)) and
+    // Spark's array_join(sort_array(...)) serialize identically, and
+    // coalesce('') matches Spark's empty-list join.
+    "q_dedup_provenance" ->
+      """WITH g AS (SELECT md5(text) h, doc_id, source,
+               row_number() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) rnk
+           FROM documents)
+         SELECT min(doc_id) AS doc_id,
+                CAST(count(*) - 1 AS BIGINT) AS n_dups,
+                coalesce(array_to_string(list_sort(list(doc_id)
+                  FILTER (rnk BETWEEN 2 AND 101)), ','), '') AS removed_ids,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM g GROUP BY h ORDER BY doc_id""",
     // The same (value, md5(key), key) total order drives row_number, so
     // the integer bucket assignment replays exactly.
     "q_equidepth" ->

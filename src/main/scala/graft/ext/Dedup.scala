@@ -881,6 +881,39 @@ object Dedup {
         persist = false),
       delta, idCol, textCol, threshold)
 
+  /** X66 — exact dedup WITH PROVENANCE: the audit-trail form of [[exact]].
+    * Shipping a deduplicated corpus without recording what was removed
+    * makes takedown requests, contamination tracebacks and mixture
+    * accounting impossible — so per surviving document this emits the
+    * removal evidence: how many copies were dropped, WHICH ids (sorted,
+    * capped at `maxIds` — the cap is applied by RANK before any
+    * collection, so a viral million-copy document costs maxIds list
+    * slots, not an unbounded `collect_list`), and how many distinct
+    * sources the group spanned (cross-source duplication is the
+    * interesting curation signal — boilerplate, not crawl overlap).
+    *
+    * One hash-shuffle total: the rank window and the group aggregation
+    * share the md5 partitioning. The id list is serialized as a
+    * comma-joined string — deterministic, engine-comparable, and
+    * bounded. Output: (doc_id, n_dups, removed_ids, n_sources).
+    */
+  def exactWithProvenance(docs: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, maxIds: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("h").orderBy(col("doc_id").asc)
+    docs.select(md5(col(textCol)).as("h"), col(idCol).as("doc_id"),
+        col(srcCol).as("src"))
+      .withColumn("__rnk", row_number().over(w))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"),
+        (count(lit(1)) - 1).cast(LongType).as("n_dups"),
+        array_join(sort_array(collect_list(
+          when(col("__rnk").between(2, maxIds + 1), col("doc_id")))), ",")
+          .as("removed_ids"),
+        countDistinct(col("src")).cast(LongType).as("n_sources"))
+      .drop("h")
+  }
+
   /** X61 — record linkage (entity resolution): link each PROBE record to
     * its best fuzzy catalog match by name. The classic three-stage ER
     * shape: (1) BLOCKING — candidates are (probe, catalog) pairs sharing

@@ -484,6 +484,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("exactWithProvenance: keeper, capped removed list, source span") {
+    val docs = Seq(
+      (5L, "same text", "s1"), (2L, "same text", "s2"),
+      (9L, "same text", "s1"), (7L, "same text", "s3"),
+      (3L, "unique here", "s1"),
+      (11L, "pair", "s2"), (10L, "pair", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.exactWithProvenance(docs, "doc_id", "text", "source",
+        maxIds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    // keeper is min id; cap 2 keeps the two smallest REMOVED ids (5,7 of
+    // 5,7,9); three distinct sources in the group
+    assert(got(2L) == ((3L, "5,7", 3L)))
+    assert(got(3L) == ((0L, "", 1L)))
+    assert(got(10L) == ((1L, "11", 1L)))
+    assert(got.size == 3)
+  }
+
   test("piiAudit: staged detectors, no double counting, all shapes") {
     val docs = Seq(
       (1L, "mail a@b.io, ssn 123-45-6789, call (555) 123-4567 from 10.0.0.1"),
