@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X67: reason-coded quality gate — failure bitmask per doc,
+    //    integer cross-multiplied thresholds, map-only ───────────────────
+    "q_filter_reasons" -> ((s, dir) =>
+      TextOps.filterWithReasons(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 30L, maxChars = 900L)
+        .orderBy("doc_id")),
+
     // ── §2.9 X66: exact dedup with provenance — keeper + capped sorted
     //    removed-id list + distinct-source span, one hash shuffle ────────
     "q_dedup_provenance" -> ((s, dir) =>
@@ -1452,6 +1459,32 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same integer cross-multiplied rules; stopword hits via a list
+    // lambda on the one token array (overlapping-regex-safe).
+    "q_filter_reasons" ->
+      """WITH b AS (SELECT doc_id, text,
+                  regexp_split_to_array(trim(lower(text)), ' +') t
+           FROM documents),
+         m AS (SELECT doc_id,
+                  CAST(len(t) AS BIGINT) nt,
+                  CAST(len(list_distinct(t)) AS BIGINT) nd,
+                  CAST(length(text) AS BIGINT) ln,
+                  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) alpha,
+                  CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) stops
+           FROM b)
+         SELECT doc_id, nt AS n_tokens,
+                CAST((CASE WHEN nt < 30 THEN 1 ELSE 0 END)
+                   + (CASE WHEN ln > 900 THEN 2 ELSE 0 END)
+                   + (CASE WHEN alpha * 100 < ln * 60 THEN 4 ELSE 0 END)
+                   + (CASE WHEN (nt - nd) * 100 > nt * 50 THEN 8 ELSE 0 END)
+                   + (CASE WHEN stops = 0 THEN 16 ELSE 0 END) AS BIGINT)
+                  AS reasons,
+                ((CASE WHEN nt < 30 THEN 1 ELSE 0 END)
+                   + (CASE WHEN ln > 900 THEN 2 ELSE 0 END)
+                   + (CASE WHEN alpha * 100 < ln * 60 THEN 4 ELSE 0 END)
+                   + (CASE WHEN (nt - nd) * 100 > nt * 50 THEN 8 ELSE 0 END)
+                   + (CASE WHEN stops = 0 THEN 16 ELSE 0 END)) = 0 AS kept
+         FROM m ORDER BY doc_id""",
     // Same rank-capped collection; array_to_string(list_sort(...)) and
     // Spark's array_join(sort_array(...)) serialize identically, and
     // coalesce('') matches Spark's empty-list join.

@@ -161,6 +161,48 @@ object TextOps {
       .select(col(idCol), col("quality"))
   }
 
+  /** Reason-coded quality gate — the auditable form of [[qualityFilter]]:
+    * instead of silently dropping, every document gets a BITMASK of the
+    * rules it failed (1 too-short, 2 too-long, 4 low-alpha, 8 high
+    * within-doc token duplication, 16 no stopwords) and `kept = reasons
+    * == 0`. Rule thresholds compare via INTEGER cross-multiplication
+    * (`alpha·100 < len·minAlphaPct`), never ratios — no float ulp can
+    * flip a gate between engines. Reason codes are what curation teams
+    * actually iterate on: "how many docs fail ONLY the alpha rule" is a
+    * groupBy away, and rule changes replay without re-crawling.
+    *
+    * Stopword hits count tokens via an array `filter` on the ONE
+    * materialized token array (no overlapping-regex pitfalls — ' a of '
+    * style adjacency loses matches when a scan consumes the shared
+    * space). Entirely row-local column expressions: map-only, no
+    * shuffle, whole-stage codegen.
+    *
+    * Output: (doc_id, n_tokens, reasons, kept).
+    */
+  def filterWithReasons(df: DataFrame, idCol: String, textCol: String,
+                        minTokens: Long = 5L, maxChars: Long = 5000L,
+                        minAlphaPct: Long = 60L,
+                        maxDupPct: Long = 50L): DataFrame = {
+    val bound = df.select(col(idCol).as("doc_id"), col(textCol).as("__tx"),
+      tokens(col(textCol)).as("__t"))
+    val nt = size(col("__t")).cast(LongType)
+    val nd = size(array_distinct(col("__t"))).cast(LongType)
+    val ln = length(col("__tx")).cast(LongType)
+    val alpha = length(regexp_replace(lower(col("__tx")), "[^a-z]", ""))
+      .cast(LongType)
+    val stops = size(filter(col("__t"),
+      t => t.isin("the", "a", "of", "and"))).cast(LongType)
+    val reasons =
+      when(nt < minTokens, 1L).otherwise(0L) +
+      when(ln > maxChars, 2L).otherwise(0L) +
+      when(alpha * 100L < ln * minAlphaPct, 4L).otherwise(0L) +
+      when((nt - nd) * 100L > nt * maxDupPct, 8L).otherwise(0L) +
+      when(stops === 0L, 16L).otherwise(0L)
+    bound.select(col("doc_id"), nt.as("n_tokens"),
+      reasons.cast(LongType).as("reasons"),
+      (reasons === 0L).as("kept"))
+  }
+
   /** Token count: whitespace tokenization plus a BPE-ish proxy
     * (ceil(bytes/4) — the classic "~4 bytes per token" rule). */
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =

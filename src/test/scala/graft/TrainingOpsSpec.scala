@@ -484,6 +484,27 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("filterWithReasons: each gate flips its own bit, clean doc passes") {
+    val docs = Seq(
+      (1L, "the cat sat of a mat and then some more words here now ok"),
+      (2L, "tiny"),                                  // 1: too short
+      (3L, "the " + ("filler words vary all round the house so " * 3) +
+        "x " * 300),                                 // 2+8: long & dup-heavy
+      (4L, "the of and a 123 456 789 0123 4567 !!!"),// 4: low alpha
+      (5L, "aa bb cc aa bb cc aa bb cc the of"),     // 8: dup tokens
+      (6L, "words without any stop tokens at all friends"))  // 16
+      .toDF("doc_id", "text")
+    val got = TextOps.filterWithReasons(docs, "doc_id", "text",
+        minTokens = 5L, maxChars = 500L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((0L, true)))
+    assert(got(2L)._1 % 2 == 1L && !got(2L)._2)
+    assert((got(3L)._1 & 2L) == 2L && (got(3L)._1 & 8L) == 8L)
+    assert((got(4L)._1 & 4L) == 4L)
+    assert(got(5L) == ((8L, false)))
+    assert(got(6L) == ((16L, false)))
+  }
+
   test("exactWithProvenance: keeper, capped removed list, source span") {
     val docs = Seq(
       (5L, "same text", "s1"), (2L, "same text", "s2"),
