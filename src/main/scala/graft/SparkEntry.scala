@@ -272,6 +272,17 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X68: corpus encoding — apply the X50 vocabulary: id
+    //    sequences (OOV→0) per doc, order restored by in-row struct sort.
+    //    Vocab cut to top-50 so OOV is non-trivially exercised ───────────
+    "q_encode_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = TextOps.buildVocab(d, "doc_id", "text",
+        minDf = 2, maxVocab = 50)
+      TextOps.encodeTokens(d, vocab, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X67: reason-coded quality gate — failure bitmask per doc,
     //    integer cross-multiplied thresholds, map-only ───────────────────
     "q_filter_reasons" -> ((s, dir) =>
@@ -1459,6 +1470,34 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same vocab CTE as q_build_vocab (top-50 cut), positional explode
+    // via unnest(range) (no WITH ORDINALITY in DuckDB 1.0), id order
+    // restored by list(tid ORDER BY i).
+    "q_encode_tokens" ->
+      """WITH tok0 AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)), ' +'))
+                          AS token
+                      FROM documents),
+         tokc AS (SELECT * FROM tok0 WHERE length(token) > 0),
+         c AS (SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+               FROM tokc GROUP BY 1),
+         f AS (SELECT * FROM c WHERE df >= 2),
+         v AS (SELECT token,
+                      row_number() OVER (ORDER BY n DESC, md5(token), token)
+                        AS token_id
+               FROM f QUALIFY token_id <= 50),
+         toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                  FROM documents),
+         p AS (SELECT doc_id, i, t[i+1] AS token
+               FROM toks, unnest(range(0, len(t))) r(i)
+               WHERE length(t[i+1]) > 0),
+         enc AS (SELECT doc_id, i, coalesce(v.token_id, 0) tid
+                 FROM p LEFT JOIN v USING (token))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                array_to_string(list(tid ORDER BY i), ',') AS ids
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     // Same integer cross-multiplied rules; stopword hits via a list
     // lambda on the one token array (overlapping-regex-safe).
     "q_filter_reasons" ->

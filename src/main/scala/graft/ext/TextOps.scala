@@ -785,6 +785,40 @@ object TextOps {
       .select(col("token"), col("n"), col("df"), col("token_id"))
   }
 
+  /** Corpus encoding — APPLY a [[buildVocab]] vocabulary to the corpus:
+    * every document becomes its token-id sequence (OOV → id 0), the
+    * tokenizer-application stage between vocabulary construction and
+    * batch packing. Output per doc: token count, OOV count, and the id
+    * sequence serialized as a comma-joined string (bounded by document
+    * length; engine-comparable without array-cell semantics).
+    *
+    * Scale shape: positional explode → hash join on the token (Spark
+    * broadcasts the vocab when it fits — the common case; a
+    * corpus-scale vocab degrades to a shuffle join, which is the right
+    * shape, not a failure) → one doc-keyed aggregation whose
+    * `collect_list` is bounded by the document, the natural unit. Order
+    * is restored by sorting (pos, id) structs INSIDE the row —
+    * `array_sort` compares leading struct fields, so the sequence is
+    * deterministic under any partitioning.
+    */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(length(col("token")) > 0)
+    pos.join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("tid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).cast(LongType)
+          .as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid").cast(StringType)), ",").as("ids"))
+  }
+
   /** Skip-gram co-occurrence with PMI pieces — the word2vec-style
     * TRAINING-PAIR extraction and collocation-mining surface: every
     * (center, context) token pair within ±`window` positions, counted

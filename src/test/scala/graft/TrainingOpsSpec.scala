@@ -484,6 +484,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("encodeTokens: sequence order, OOV zeros, vocab join") {
+    val vocab = Seq(("a", 1L), ("b", 2L), ("cc", 3L)).toDF("token", "token_id")
+    val docs = Seq(
+      (1L, "b a b cc"),
+      (2L, "zz a yy"),
+      (3L, "all oov words only"))
+      .toDF("doc_id", "text")
+    val got = TextOps.encodeTokens(docs, vocab, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((4L, 0L, "2,1,2,3")))
+    assert(got(2L) == ((3L, 2L, "0,1,0")))
+    assert(got(3L) == ((4L, 4L, "0,0,0,0")))
+    // order survives repartitioning (in-row struct sort, not task order)
+    val again = TextOps.encodeTokens(docs.repartition(5), vocab,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again(1L) == "2,1,2,3")
+  }
+
   test("filterWithReasons: each gate flips its own bit, clean doc passes") {
     val docs = Seq(
       (1L, "the cat sat of a mat and then some more words here now ok"),
