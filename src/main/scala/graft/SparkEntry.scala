@@ -272,6 +272,12 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X69: KWIC concordance — row-local indexed-lambda hit
+    //    positions (no corpus-sized explode), per-hit context slices ─────
+    "q_concordance" -> ((s, dir) =>
+      TextOps.concordance(t(s, dir, "documents"), "doc_id", "text",
+        term = "spark", window = 3, k = 200)),
+
     // ── §2.9 X68: corpus encoding — apply the X50 vocabulary: id
     //    sequences (OOV→0) per doc, order restored by in-row struct sort.
     //    Vocab cut to top-50 so OOV is non-trivially exercised ───────────
@@ -1470,6 +1476,21 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Positional unnest(range) replays the hit positions; DuckDB slices
+    // are 1-based inclusive and clamp at the ends like Spark's slice.
+    "q_concordance" ->
+      """WITH toks AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), ' +') t
+           FROM documents),
+         hits AS (SELECT doc_id, i, t
+                  FROM toks, unnest(range(0, len(t))) r(i)
+                  WHERE t[i+1] = 'spark')
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                coalesce(array_to_string(t[greatest(1, i+1-3):i], ' '), '')
+                  AS left_ctx,
+                coalesce(array_to_string(t[i+2:i+1+3], ' '), '')
+                  AS right_ctx
+         FROM hits ORDER BY doc_id, pos LIMIT 200""",
     // Same vocab CTE as q_build_vocab (top-50 cut), positional explode
     // via unnest(range) (no WITH ORDINALITY in DuckDB 1.0), id order
     // restored by list(tid ORDER BY i).

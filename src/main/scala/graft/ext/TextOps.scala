@@ -913,6 +913,45 @@ object TextOps {
       .limit(k)
   }
 
+  /** Keyword-in-context (KWIC) concordance — every occurrence of a term
+    * with its ±`window` token neighborhood, the corpus-exploration
+    * surface behind "show me how this token is actually used" (and the
+    * span-level evidence a contamination or PII hit needs for review).
+    *
+    * Scale shape: hit positions are found ROW-LOCALLY with an indexed
+    * `transform` + `filter` over the one materialized token array — the
+    * corpus-sized stage never explodes (a posexplode-then-filter plan
+    * would emit every token row carrying the full array before
+    * filtering). Only the hit-position array (usually empty) explodes;
+    * context slices are per-hit array ops. Top-k by (doc, pos) plans as
+    * TakeOrdered — no global sort.
+    *
+    * Output: (doc_id, pos [0-based], left_ctx, right_ctx) with contexts
+    * space-joined.
+    */
+  def concordance(df: DataFrame, idCol: String, textCol: String,
+                  term: String, window: Int = 3, k: Int = 100): DataFrame = {
+    require(window > 0 && k > 0, "window and k must be positive")
+    val t = lit(term.toLowerCase)
+    val hits = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        filter(transform(col("__t"),
+          (x, i) => when(x === t, i).otherwise(lit(-1))),
+          p => p >= 0).as("__ps"))
+      .where(size(col("__ps")) > 0)
+      .select(col("doc_id"), col("__t"), explode(col("__ps")).as("__p"))
+      .select(col("doc_id"), col("__t"), col("__p").cast(LongType).as("pos"))
+    hits.select(col("doc_id"), col("pos"),
+        array_join(slice(col("__t"),
+          greatest(lit(1), col("pos") + 1 - window),
+          least(lit(window.toLong), col("pos"))), " ").as("left_ctx"),
+        array_join(slice(col("__t"), col("pos") + 2, lit(window)), " ")
+          .as("right_ctx"))
+      .orderBy("doc_id", "pos")
+      .limit(k)
+  }
+
   /** One BPE merge-candidate pass — corpus counts of ADJACENT CHARACTER
     * PAIRS inside words, the statistic a byte-pair-encoding tokenizer
     * ranks to pick its next merge. Computed the way real BPE trainers do

@@ -484,6 +484,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("concordance: hit positions, clamped contexts, doc edges") {
+    val docs = Seq(
+      (1L, "x spark y"),         // middle hit, 1-token contexts each side
+      (2L, "spark starts here"), // hit at position 0 — empty left
+      (3L, "ends with spark"),   // hit at the end — empty right
+      (4L, "spark a spark"),     // two hits, one doc
+      (5L, "no hits here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.concordance(docs, "doc_id", "text", "spark",
+        window = 2, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "x", "y"),
+      (2L, 0L, "", "starts here"),
+      (3L, 2L, "ends with", ""),
+      (4L, 0L, "", "a spark"),
+      (4L, 2L, "spark a", "")))
+  }
+
   test("encodeTokens: sequence order, OOV zeros, vocab join") {
     val vocab = Seq(("a", 1L), ("b", 2L), ("cc", 3L)).toDF("token", "token_id")
     val docs = Seq(
