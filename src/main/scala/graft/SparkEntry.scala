@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X70: class centroids — mean-pooling prototypes in LONG
+    //    form: order-independent DECIMAL sums + integer counts ───────────
+    "q_class_centroids" -> ((s, dir) =>
+      Similarity.classCentroids(t(s, dir, "embeddings"), "embedding",
+        "label")
+        .orderBy("label", "dim")),
+
     // ── §2.9 X69: KWIC concordance — row-local indexed-lambda hit
     //    positions (no corpus-sized explode), per-hit context slices ─────
     "q_concordance" -> ((s, dir) =>
@@ -1476,6 +1483,15 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Element-wise float→DECIMAL(38,6) casts, then exact decimal sums —
+    // order-independent, so any partitioning agrees.
+    "q_class_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+                CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE)
+                  AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM embeddings, unnest(range(0, len(embedding))) r(i)
+         GROUP BY 1, 2 ORDER BY label, dim""",
     // Positional unnest(range) replays the hit positions; DuckDB slices
     // are 1-based inclusive and clamp at the ends like Spark's slice.
     "q_concordance" ->

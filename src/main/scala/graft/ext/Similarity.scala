@@ -55,6 +55,35 @@ object Similarity {
       .withColumn(nAs, norm(col(vAs)))
   }
 
+  /** X70 — per-class embedding centroids, the mean-pooling prototype
+    * operator (nearest-class-mean classifiers, SemDeDup/IVF centroid
+    * seeding, class-drift monitoring). Emitted in LONG form — one row
+    * per (label, dimension) with the SUM as DECIMAL(38,6) and the count
+    * as a separate integer — because decimal sums are order-independent
+    * (exact in any partitioning; a double sum would drift by
+    * accumulation order) and the division is left to the consumer, so
+    * two engines can never disagree on a rounded quotient.
+    *
+    * Scale shape: one posexplode (nDims rows per vector) into one
+    * (label, dim)-keyed aggregation with map-side partials — output is
+    * |labels|×nDims rows regardless of corpus size.
+    */
+  def classCentroids(emb: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 6)
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      // float → DOUBLE → decimal: the float widens exactly, and both
+      // engines then round the SAME binary double to 6 dp (a float→
+      // decimal cast would round the float's shortest decimal repr —
+      // engine-dependent). A dyadic double can never land on a half-tie
+      // at scale 6 (10⁻⁷ has a factor 5⁷), so the rounding rule can't
+      // diverge either.
+      .agg(sum(col("__v").cast(DoubleType).cast(dec)).cast(dec).as("s"),
+        count(lit(1)).as("n"))
+  }
+
   /** Brute-force cosine top-k: every probe vs the whole corpus, ranked by
     * (sim DESC, neighbor id ASC) — the deterministic tiebreak keeps the
     * oracle hash stable. */

@@ -484,6 +484,27 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("classCentroids: exact decimal sums per (label, dim), partition-stable") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, -1.5f), 0),
+      (3L, Seq(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.classCentroids(emb, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDecimal(2).doubleValue, r.getLong(3))).toMap
+    assert(got((0, 0L)) == ((4.0, 2L)))
+    assert(got((0, 1L)) == ((0.5, 2L)))
+    assert(got((1, 0L)) == ((0.25, 1L)))
+    assert(got((1, 1L)) == ((0.75, 1L)))
+    val again = Similarity.classCentroids(emb.repartition(7), "embedding",
+        "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDecimal(2).doubleValue, r.getLong(3))).toMap
+    assert(again == got, "decimal sums must be order-independent")
+  }
+
   test("concordance: hit positions, clamped contexts, doc edges") {
     val docs = Seq(
       (1L, "x spark y"),         // middle hit, 1-token contexts each side
