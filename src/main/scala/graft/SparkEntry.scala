@@ -272,6 +272,13 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X71: int8 quantization — row-local symmetric q=round(v·127/
+    //    max|v|), no shuffle; the ANN memory-compression step ────────────
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings")
+          .where(col("vec_id") < 50), "vec_id", "embedding")
+        .orderBy("vec_id", "dim")),
+
     // ── §2.9 X70: class centroids — mean-pooling prototypes in LONG
     //    form: order-independent DECIMAL sums + integer counts ───────────
     "q_class_centroids" -> ((s, dir) =>
@@ -1483,6 +1490,20 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Both engines round the same IEEE double v*127/mx; max-abs is an
+    // order-independent fold.
+    "q_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) mx
+           FROM embeddings WHERE vec_id < 50)
+         SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                CASE WHEN mx = 0 THEN 0
+                     ELSE CAST(round(CAST(embedding[i+1] AS DOUBLE) * 127 / mx)
+                       AS BIGINT) END AS q,
+                CAST(mx AS DECIMAL(38,6)) AS scale
+         FROM m, unnest(range(0, len(embedding))) r(i)
+         ORDER BY vec_id, dim""",
     // Element-wise float→DECIMAL(38,6) casts, then exact decimal sums —
     // order-independent, so any partitioning agrees.
     "q_class_centroids" ->

@@ -84,6 +84,29 @@ object Similarity {
         count(lit(1)).as("n"))
   }
 
+  /** X71 — symmetric int8 quantization per vector (q = round(v·127/max|v|),
+    * scale = max|v|) — the 4× ANN memory compression step (an int8 ADC
+    * or dot kernel reads a quarter of the bytes; recall loss is the
+    * documented trade). Entirely ROW-LOCAL: the max-abs reduction is an
+    * order-independent fold over the one vector, so no shuffle at all.
+    * Zero vectors quantize to all-zero (guarded divide). Long-form
+    * output (vec_id, dim, q, scale) with the scale through the
+    * float→DOUBLE→DECIMAL(38,6) chain ([[classCentroids]]' rounding
+    * argument); q itself is exact: both engines round the same IEEE
+    * double v·127/mx.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("__e"))
+      .withColumn("__mx",
+        array_max(transform(col("__e"), x => abs(x.cast(DoubleType)))))
+      .select(col("vec_id"), col("__mx"),
+        posexplode(col("__e")).as(Seq("dim", "__v")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        when(col("__mx") === 0.0, 0L)
+          .otherwise(round(col("__v").cast(DoubleType) * 127.0 / col("__mx"))
+            .cast(LongType)).as("q"),
+        col("__mx").cast(DecimalType(38, 6)).as("scale"))
+
   /** Brute-force cosine top-k: every probe vs the whole corpus, ranked by
     * (sim DESC, neighbor id ASC) — the deterministic tiebreak keeps the
     * oracle hash stable. */

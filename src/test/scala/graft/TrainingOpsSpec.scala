@@ -484,6 +484,20 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("quantizeInt8: max element hits ±127, zero vector guarded") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),  // mx=1.0 → q = 64,-127,32
+      (2L, Seq(0.0f, 0.0f, 0.0f)))    // zero vector → all 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 0L)) == 64L)   // round(0.5*127) = round(63.5) = 64
+    assert(got((1L, 1L)) == -127L)
+    assert(got((1L, 2L)) == 32L)   // round(31.75) = 32
+    assert(Seq(0L, 1L, 2L).forall(d => got((2L, d)) == 0L))
+  }
+
   test("classCentroids: exact decimal sums per (label, dim), partition-stable") {
     import graft.ext.Similarity
     val emb = Seq(
