@@ -277,6 +277,41 @@ class PlanSpec extends AnyFunSuite {
       s"bigram frame must be exchanged once and reused:\n$nplan")
   }
 
+  test("profile plans a hash-agg Expand for distincts — never SortAggregate") {
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val plan = physical(graft.ext.Analytics.profile(li,
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")))
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan ONE Expand:\n$plan")
+    // the var-length min/max buffers live in their own ungrouped pass
+    // (SortAggregate there is fine — no keys, no sort); mixing them into
+    // the Expand aggregate would insert a corpus-sized Sort node
+    assert(!plan.contains("Sort ["),
+      s"profile must never sort the expanded corpus:\n$plan")
+  }
+
+  test("recordLinkage broadcasts the probe side — catalog never shuffles") {
+    val part = Tables.load(spark, TestSpark.sfDir, "part")
+    val plan = physical(graft.ext.Dedup.recordLinkage(
+      part.where(col("p_partkey") < 100), part, "p_partkey", "p_name"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block join must broadcast the probe tokens:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no catalog-wide shuffle join for a bounded probe batch:\n$plan")
+  }
+
+  test("concordance explodes hit positions only — no corpus-sized Generate") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.TextOps.concordance(docs, "doc_id", "text", "spark")
+    val plan = physical(df)
+    // exactly one Generate, and it runs on the (filtered) hit arrays:
+    // a posexplode-then-filter plan would put Generate before the Filter
+    assert(plan.split("Generate").length == 2,
+      s"exactly one explode, of the per-doc hit array:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered:\n$plan")
+  }
+
   test("bigram rank cut plans a WindowGroupLimit; sliding windows use Expand") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val lm = graft.ext.TextOps.bigramLm(docs, "doc_id", "text", 3)
