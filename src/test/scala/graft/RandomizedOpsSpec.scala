@@ -161,4 +161,58 @@ class RandomizedOpsSpec extends AnyFunSuite {
       assert(small.subsetOf(large), s"seed=$seed budgets must nest")
     }
   }
+
+  test("sparseCosinePairs equals an in-memory weighted-cosine scan") {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val docs = (1L to 20L).map(i =>
+        (i, (0 until 3 + rnd.nextInt(8))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      val got = graft.ext.TextOps.sparseCosinePairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxDfFrac = 0.6, idfCap = 16L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // independent reimplementation of the exact integer contract
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" +").filter(_.nonEmpty).groupBy(identity)
+          .map { case (w, o) => (id, w, o.length.toLong) } }
+      val nDocs = tf.map(_._1).distinct.size
+      val dfs = tf.groupBy(_._2).map { case (w, rs) => w -> rs.size.toLong }
+      val w8 = tf.collect { case (id, w, f) if dfs(w) <= 0.6 * nDocs =>
+        (id, w, f * math.min(nDocs / dfs(w), 16L)) }
+      val byDoc = w8.groupBy(_._1)
+        .map { case (id, rs) => id -> rs.map(r => r._2 -> r._3).toMap }
+      val n2 = byDoc.map { case (id, m) =>
+        id -> m.values.map(v => v * v).sum }
+      val want = (for {
+        a <- byDoc.keys; b <- byDoc.keys if b > a
+        dot = byDoc(a).keySet.intersect(byDoc(b).keySet).toSeq
+          .map(k => byDoc(a)(k) * byDoc(b)(k)).sum
+        if dot > 0 && BigInt(dot) * dot * 4 >= BigInt(n2(a)) * n2(b)
+      } yield (a, b) -> ((dot, n2(a), n2(b)))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("heavyHitters equals in-memory counts; CMS bound always holds") {
+    val words = Vector("x", "y", "z", "w", "v", "u")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val docs = (1L to 15L).map(i =>
+        (i, (0 until 1 + rnd.nextInt(20))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      val k = 1 + rnd.nextInt(6)
+      val got = graft.ext.TextOps.heavyHitters(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val counts = docs.flatMap(_._2.split(" +").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      val want = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(k)
+      assert(got.map(t => (t._1, t._2)).sortBy(t => (-t._2, t._1)).toSeq
+        == want, s"seed=$seed k=$k")
+      assert(got.forall(_._3), s"seed=$seed CMS bound violated")
+    }
+  }
 }
