@@ -272,6 +272,14 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X72: top-p (nucleus) mass cut — smallest per-source doc
+    //    prefix covering 60% of character mass, integer boundary test ────
+    "q_top_p_cut" -> ((s, dir) =>
+      Sampling.topPMassCut(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", pNum = 3L, pDen = 5L)
+        .orderBy(col("source"), col("cum_w"), col("doc_id"))),
+
     // ── §2.9 X71: int8 quantization — row-local symmetric q=round(v·127/
     //    max|v|), no shuffle; the ANN memory-compression step ────────────
     "q_quantize_int8" -> ((s, dir) =>
@@ -1490,6 +1498,19 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same (weight desc, key) order and integer cross-product boundary.
+    "q_top_p_cut" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) cum_w,
+                  sum(n_chars) OVER (PARTITION BY source) total_w
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+         SELECT doc_id, source, n_chars, CAST(cum_w AS BIGINT) AS cum_w,
+                CAST(total_w AS BIGINT) AS total_w
+         FROM r WHERE (cum_w - n_chars) * 5 < total_w * 3
+         ORDER BY source, cum_w, doc_id""",
     // Both engines round the same IEEE double v*127/mx; max-abs is an
     // order-independent fold.
     "q_quantize_int8" ->

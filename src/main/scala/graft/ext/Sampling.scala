@@ -476,6 +476,36 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** X72 — top-p (nucleus) mass cut per group: keep, in (weight desc,
+    * key asc) order, the SHORTEST prefix whose weight mass reaches
+    * p = pNum/pDen of the group total — the proportional complement of
+    * [[tokenBudgetSelect]]'s absolute budget (nucleus sampling supports,
+    * vocabulary-coverage cuts, "smallest set of sources covering 90% of
+    * tokens"). A row survives iff the mass BEFORE it is still short of
+    * p·total: (cum − w)·pDen < pNum·total, all integer cross-products —
+    * no float fraction can flip a boundary row, and the crossing row is
+    * always included (so the kept mass is ≥ p, minimal by construction).
+    * Selection is prefix-closed in p: raising p only adds rows.
+    *
+    * One window per group (running sum + total over the same partition —
+    * a single shuffle and sort, same shape as tokenBudgetSelect). Output:
+    * input columns + cum_w + total_w.
+    */
+  def topPMassCut(df: DataFrame, groupCol: String, keyCol: String,
+                  weightCol: String, pNum: Long, pDen: Long): DataFrame = {
+    require(pDen > 0 && pNum >= 0 && pNum <= pDen,
+      s"p = $pNum/$pDen must lie in [0, 1]")
+    val W = org.apache.spark.sql.expressions.Window
+    val run = W.partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc, col(keyCol).asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val tot = W.partitionBy(col(groupCol))
+    df.where(col(keyCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("cum_w", sum(col(weightCol).cast("long")).over(run))
+      .withColumn("total_w", sum(col(weightCol).cast("long")).over(tot))
+      .where((col("cum_w") - col(weightCol)) * pDen < col("total_w") * pNum)
+  }
+
   /** Sequence-length bucketing — the BATCHING-EFFICIENCY diagnostic:
     * assign every row to the first step of a fixed length `ladder` that
     * fits its token count (the bucketed-batching scheme loaders use so a

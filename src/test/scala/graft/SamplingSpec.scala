@@ -332,4 +332,25 @@ class SamplingSpec extends AnyFunSuite {
         (BigInt(2 * ns - 1) * (1L << 40) / (2 * ns)).toLong)
     }
   }
+
+  test("topPMassCut: minimal covering prefix, crossing row kept, p-nesting") {
+    import spark.implicits._
+    // group g: weights 50, 30, 20 (total 100)
+    val df = Seq(("g", 1L, 50L), ("g", 2L, 30L), ("g", 3L, 20L),
+      ("h", 9L, 10L))
+      .toDF("src", "id", "w")
+    def ids(num: Long, den: Long) =
+      graft.ext.Sampling.topPMassCut(df, "src", "id", "w", num, den)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // p=0.5: row 1 (mass 50 ≥ 50) alone covers — crossing row included
+    assert(ids(1, 2) == Set(("g", 1L), ("h", 9L)))
+    // p=0.51: needs rows 1+2
+    assert(ids(51, 100) == Set(("g", 1L), ("g", 2L), ("h", 9L)))
+    // p=0.81: needs all three
+    assert(ids(81, 100) == Set(("g", 1L), ("g", 2L), ("g", 3L), ("h", 9L)))
+    // p=0 keeps nothing; p=1 keeps everything; selection nests in p
+    assert(ids(0, 1).isEmpty && ids(1, 1).size == 4)
+    assert(ids(1, 2).subsetOf(ids(51, 100)) &&
+      ids(51, 100).subsetOf(ids(81, 100)))
+  }
 }
