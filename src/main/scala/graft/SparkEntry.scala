@@ -272,6 +272,12 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X73: contrastive negative sampling — k uniform negatives
+    //    per anchor over [1..N]∖{anchor} by exact rank arithmetic ────────
+    "q_negatives" -> ((s, dir) =>
+      Sampling.negativeSamples(t(s, dir, "documents"), "doc_id", k = 2)
+        .orderBy("anchor_id", "slot")),
+
     // ── §2.9 X72: top-p (nucleus) mass cut — smallest per-source doc
     //    prefix covering 60% of character mass, integer boundary test ────
     "q_top_p_cut" -> ((s, dir) =>
@@ -1498,6 +1504,30 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same rank construction ('neg:' md5 order), same 52-bit draw and
+    // step-past-anchor bijection.
+    "q_negatives" ->
+      """WITH r AS (SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS pos
+           FROM documents),
+         n AS (SELECT count(*) AS nn FROM r),
+         p AS (SELECT r.doc_id AS anchor_id, r.pos AS ra, j.slot
+               FROM r, n, unnest([1, 2]) j(slot) WHERE nn > 1),
+         d AS (SELECT anchor_id, slot,
+                  CAST(('0x' || substring(md5('neg|' ||
+                    CAST(anchor_id AS VARCHAR) || '|' ||
+                    CAST(slot AS VARCHAR)), 1, 13)) AS BIGINT) AS h,
+                  ra
+               FROM p),
+         t AS (SELECT anchor_id, slot, ra,
+                  (h % (nn - 1)) + 1 AS t0 FROM d, n),
+         f AS (SELECT anchor_id, slot,
+                  CASE WHEN t0 >= ra THEN t0 + 1 ELSE t0 END AS tt FROM t)
+         SELECT anchor_id, CAST(slot AS BIGINT) AS slot, r.doc_id AS neg_id
+         FROM f JOIN r ON r.pos = f.tt
+         ORDER BY anchor_id, slot""",
     // Same (weight desc, key) order and integer cross-product boundary.
     "q_top_p_cut" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

@@ -365,6 +365,44 @@ object Sampling {
                    seed: String = "shuffle"): DataFrame =
     md5Rank(df, keyCol, seed, Seq.empty, "pos")
 
+  /** X73 — deterministic contrastive NEGATIVE sampling: k pseudo-random
+    * negatives per anchor, uniform over the corpus EXCLUDING the anchor,
+    * reproducible under any partitioning (the `rand()`-free discipline).
+    * Construction: rank the corpus 1..N in md5 order ([[shuffleOrder]]'s
+    * two-phase rank — no global window); for anchor a (rank rₐ) and slot
+    * j, draw t = H(a,j) mod (N−1) + 1 from the 52-bit md5 prefix and
+    * step t past rₐ (t ≥ rₐ → t+1) — an exact bijection onto
+    * [1..N]∖{rₐ}, so self-pairs are impossible BY ARITHMETIC, not by a
+    * filter that would bias slot counts. One equi-join of probes on the
+    * rank — shuffle on an integer key, uniform by construction (ranks
+    * are a permutation), never a corpus×corpus stage.
+    *
+    * Output: (anchor_id, slot [1..k], neg_id).
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      seed: String = "neg"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val ranked = shuffleOrder(df.select(col(idCol).as("id")), "id", seed)
+      .select(col("id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.agg(count(lit(1)).as("__N"))
+    val slots = array((1 to k).map(lit): _*)
+    val draw = conv(substring(md5(concat_ws("|", lit(seed),
+      col("anchor_id").cast("string"), col("slot").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val probes = ranked.crossJoin(broadcast(n))
+      .where(col("__N") > 1) // a 1-doc corpus has no valid negative
+      .select(col("id").as("anchor_id"), col("pos").as("__ra"), col("__N"),
+        explode(slots).as("slot"))
+      .withColumn("__t", pmod(draw, col("__N") - 1) + 1)
+      .withColumn("__t",
+        when(col("__t") >= col("__ra"), col("__t") + 1).otherwise(col("__t")))
+    probes.join(ranked.select(col("pos").as("__t"), col("id").as("neg_id")),
+        "__t")
+      .select(col("anchor_id"), col("slot").cast("long").as("slot"),
+        col("neg_id"))
+  }
+
   /** Deterministic proportional source interleave — the MIXTURE-ORDER
     * operator: lay out a multi-source corpus so every prefix of the
     * training stream holds each source in proportion to its size (no

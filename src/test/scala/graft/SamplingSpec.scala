@@ -333,6 +333,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSamples: no self-pairs, k per anchor, partition-stable") {
+    import spark.implicits._
+    val docs = (1L to 60L).toDF("doc_id")
+    val got = graft.ext.Sampling.negativeSamples(docs, "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 180, "every anchor gets exactly k slots")
+    assert(got.forall { case (a, _, n) => a != n }, "self-pair impossible")
+    assert(got.map(t => (t._1, t._2)).distinct.length == 180)
+    // negatives spread over the corpus, not collapsed on a few ranks
+    assert(got.map(_._3).distinct.length > 30)
+    val again = graft.ext.Sampling
+      .negativeSamples(docs.repartition(7), "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq, "determinism")
+    // a 1-doc corpus has no valid negative — empty, not a crash
+    assert(graft.ext.Sampling.negativeSamples(Seq(7L).toDF("doc_id"),
+      "doc_id", k = 2).count() == 0L)
+  }
+
   test("topPMassCut: minimal covering prefix, crossing row kept, p-nesting") {
     import spark.implicits._
     // group g: weights 50, 30, 20 (total 100)
