@@ -272,6 +272,12 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X74: span corruption — deterministic md5 masking, runs
+    //    collapse to numbered sentinels, (input, target) example pairs ───
+    "q_span_corrupt" -> ((s, dir) =>
+      TextOps.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9 X73: contrastive negative sampling — k uniform negatives
     //    per anchor over [1..N]∖{anchor} by exact rank arithmetic ────────
     "q_negatives" -> ((s, dir) =>
@@ -1504,6 +1510,41 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same md5 mask rule, lag-based run starts, running sentinel count,
+    // and ordered string_agg (NULL pieces skip on both engines).
+    "q_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), ' +') t
+           FROM documents),
+         p0 AS (SELECT doc_id, i, t[i+1] AS tok
+                FROM toks, unnest(range(0, len(t))) r(i)
+                WHERE length(t[i+1]) > 0),
+         m AS (SELECT doc_id, i, tok,
+                  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||
+                    '|' || CAST(i AS VARCHAR)), 1, 13)) AS BIGINT) % 100)
+                    < 15 AS mk
+               FROM p0),
+         r AS (SELECT doc_id, i, tok, mk,
+                  mk AND NOT coalesce(lag(mk) OVER
+                    (PARTITION BY doc_id ORDER BY i), FALSE) AS rs
+               FROM m),
+         s AS (SELECT doc_id, i, tok, mk, rs,
+                  sum(CASE WHEN rs THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM r)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN NOT mk THEN tok
+                    WHEN rs THEN '<X' || sid || '>' END, ' ' ORDER BY i), '')
+                  AS input_text,
+                coalesce(string_agg(CASE WHEN mk THEN
+                    CASE WHEN rs THEN '<X' || sid || '> ' || tok
+                         ELSE tok END END, ' ' ORDER BY i), '')
+                  AS target_text,
+                CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_masked,
+                CAST(max(sid) AS BIGINT) AS n_spans
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     // Same rank construction ('neg:' md5 order), same 52-bit draw and
     // step-past-anchor bijection.
     "q_negatives" ->

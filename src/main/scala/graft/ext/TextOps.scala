@@ -913,6 +913,58 @@ object TextOps {
       .limit(k)
   }
 
+  /** X74 — T5-style span corruption: turn every document into a
+    * deterministic (input, target) denoising pair. Tokens are masked by
+    * an md5 rule (no `rand()` — the draw is H(doc,pos) mod 100 <
+    * maskPct, so the corruption is reproducible under any partitioning
+    * and replayable by the oracle); CONSECUTIVE masked tokens collapse
+    * into one numbered sentinel: input keeps unmasked tokens with
+    * `<Xn>` at each masked run, target lists each run as `<Xn>` followed
+    * by the masked tokens — exactly the span-corruption objective's
+    * example shape.
+    *
+    * Scale shape: one doc-partitioned window pass (lag → run starts →
+    * running sentinel count) and one doc-keyed ordered aggregation;
+    * both share the same partitioning. Per-doc state is the document
+    * itself — the natural unit.
+    *
+    * Output: (doc_id, input_text, target_text, n_masked, n_spans).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  maskPct: Int = 15): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, s"maskPct=$maskPct out of range")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val p = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+      .withColumn("mk",
+        pmod(conv(substring(md5(concat_ws("|", col("doc_id").cast("string"),
+          col("pos").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(100L)) < maskPct)
+      .withColumn("rs", col("mk") && !coalesce(lag(col("mk"), 1).over(w),
+        lit(false)))
+      .withColumn("sid",
+        sum(when(col("rs"), 1L).otherwise(0L)).over(run))
+    val sent = concat(lit("<X"), col("sid").cast("string"), lit(">"))
+    val inPiece = when(!col("mk"), col("tok"))
+      .when(col("rs"), sent)                      // masked run start
+    val tgtPiece = when(col("mk") && col("rs"),
+        concat(sent, lit(" "), col("tok")))
+      .when(col("mk"), col("tok"))
+    def joined(piece: Column) = array_join(transform(
+      array_sort(collect_list(when(piece.isNotNull,
+        struct(col("pos"), piece.as("s"))))),
+      s => s.getField("s")), " ")
+    p.groupBy("doc_id")
+      .agg(joined(inPiece).as("input_text"),
+        joined(tgtPiece).as("target_text"),
+        sum(when(col("mk"), 1L).otherwise(0L)).as("n_masked"),
+        max(col("sid")).as("n_spans"))
+  }
+
   /** Keyword-in-context (KWIC) concordance — every occurrence of a term
     * with its ±`window` token neighborhood, the corpus-exploration
     * surface behind "show me how this token is actually used" (and the

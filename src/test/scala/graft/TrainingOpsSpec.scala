@@ -484,6 +484,36 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("spanCorrupt: sentinel substitution reconstructs the document") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 40).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.exists(_._4 > 0), "30% masking must mask something")
+    out.foreach { case (id, input, target, nMasked, nSpans) =>
+      assert(nSpans <= nMasked)
+      // parse target into sentinel -> tokens
+      val spans = ("<X\\d+>".r.findAllIn(target).toSeq zip
+        target.split("<X\\d+> ?").toSeq.drop(1).map(_.trim)).toMap
+      val rebuilt = input.split(" ").toSeq.flatMap { s =>
+        if (s.startsWith("<X")) spans(s).split(" ").filter(_.nonEmpty).toSeq
+        else Seq(s)
+      }
+      val orig = (0 until 40).map(j => s"w${(id * 7 + j) % 13}")
+      assert(rebuilt.toSeq == orig, s"doc $id failed reconstruction")
+    }
+    // maskPct 0: identity input, empty target
+    val zero = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 0)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(zero.forall(z => z._2 == "" && z._3 == 0L))
+    // maskPct 100: one run swallowing the whole doc
+    val full = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 100)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    assert(full.forall(f => f._1 == "<X1>" && f._2 == 1L))
+  }
+
   test("quantizeInt8: max element hits ±127, zero vector guarded") {
     import graft.ext.Similarity
     val emb = Seq(
