@@ -272,6 +272,12 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X75: FIM splits — two md5-drawn character cuts, row-local;
+    //    prefix||middle||suffix reconstructs the document ────────────────
+    "q_fim_split" -> ((s, dir) =>
+      TextOps.fimSplit(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── §2.9 X74: span corruption — deterministic md5 masking, runs
     //    collapse to numbered sentinels, (input, target) example pairs ───
     "q_span_corrupt" -> ((s, dir) =>
@@ -1510,6 +1516,23 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same 52-bit draws mod (len+1); DuckDB substr mirrors Spark's
+    // 1-based (pos, len) semantics.
+    "q_fim_split" ->
+      """WITH d AS (SELECT doc_id, text,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|1'),
+                    1, 13)) AS BIGINT) % (length(text) + 1) AS h1,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|2'),
+                    1, 13)) AS BIGINT) % (length(text) + 1) AS h2
+           FROM documents),
+         c AS (SELECT doc_id, text, least(h1, h2) c1, greatest(h1, h2) c2
+               FROM d)
+         SELECT doc_id,
+                substr(text, 1, CAST(c1 AS INT)) AS prefix,
+                substr(text, CAST(c1 AS INT) + 1, CAST(c2 - c1 AS INT))
+                  AS middle,
+                substr(text, CAST(c2 AS INT) + 1, length(text)) AS suffix
+         FROM c ORDER BY doc_id""",
     // Same md5 mask rule, lag-based run starts, running sentinel count,
     // and ordered string_agg (NULL pieces skip on both engines).
     "q_span_corrupt" ->

@@ -965,6 +965,30 @@ object TextOps {
         max(col("sid")).as("n_spans"))
   }
 
+  /** X75 — fill-in-the-middle (FIM) splits: each document cut into
+    * (prefix, middle, suffix) at two deterministic md5-drawn character
+    * positions (c = H(doc,slot) mod (len+1), min/max ordered — same
+    * rand()-free discipline as [[spanCorrupt]]; equal cuts give an empty
+    * middle, which the objective tolerates). The code-model training
+    * transformation, and concat(prefix, middle, suffix) = text BY
+    * CONSTRUCTION — the spec's invariant. Entirely row-local, map-only.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def draw(slot: Int) = pmod(
+      conv(substring(md5(concat_ws("|", col("doc_id").cast("string"),
+        lit(slot))), 1, 13), 16, 10).cast("long"),
+      length(col("__tx")).cast("long") + 1)
+    val c1 = least(draw(1), draw(2))
+    val c2 = greatest(draw(1), draw(2))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__tx"))
+      .select(col("doc_id"),
+        col("__tx").substr(lit(1), c1.cast("int")).as("prefix"),
+        col("__tx").substr(c1.cast("int") + 1, (c2 - c1).cast("int"))
+          .as("middle"),
+        col("__tx").substr(c2.cast("int") + 1,
+          length(col("__tx"))).as("suffix"))
+  }
+
   /** Keyword-in-context (KWIC) concordance — every occurrence of a term
     * with its ±`window` token neighborhood, the corpus-exploration
     * surface behind "show me how this token is actually used" (and the

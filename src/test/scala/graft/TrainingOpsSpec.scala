@@ -484,6 +484,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 4L, 18L, 18L, 54L)))
   }
 
+  test("fimSplit: concat reconstructs, cuts deterministic, empty text safe") {
+    val docs = (1L to 50L).map(i => (i, s"document body ${"abc" * (i % 7).toInt} tail$i"))
+      .toDF("doc_id", "text")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.fimSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    got.foreach { case (id, (p, m, s)) =>
+      assert(p + m + s == orig(id), s"doc $id reconstruction failed")
+    }
+    // at least one doc gets a non-empty middle at this corpus size
+    assert(got.values.exists(_._2.nonEmpty))
+    val again = TextOps.fimSplit(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(again == got)
+    val empty = TextOps.fimSplit(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head
+    assert(empty.getString(1) == "" && empty.getString(2) == "" &&
+      empty.getString(3) == "")
+  }
+
   test("spanCorrupt: sentinel substitution reconstructs the document") {
     val docs = (1L to 30L).map(i =>
       (i, (0 until 40).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
