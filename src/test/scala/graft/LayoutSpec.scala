@@ -3,10 +3,55 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Layout, StatsSkipping}
+import graft.sources.{Layout, StatsSkipping, TextFormats}
 
 class LayoutSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  test("JSONL round-trips documents; malformed lines quarantine, not crash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "embedded \"quotes\" and a\nnewline plus , comma", "de"),
+      (3L, "unicode café ✓", "fr")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    TextFormats.writeJsonl(docs, s"$dir/docs")
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.toSeq)
+    // keep a data column referenced: pruning to ONLY the corrupt column
+    // is rejected by Spark on raw reads (see TextFormats.quarantined)
+    val back = TextFormats.readJsonl(spark, s"$dir/docs", schema)
+      .select("doc_id", "text", "lang", TextFormats.CorruptCol).collect()
+    assert(back.forall(_.isNullAt(3)), "no corrupt rows expected")
+    val got = back.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, "JSONL round trip must be lossless")
+    // corrupt line lands in _corrupt with data columns null
+    val f = new java.io.PrintWriter(s"$dir/bad.jsonl")
+    f.println("""{"doc_id": 7, "text": "fine", "lang": "en"}""")
+    f.println("""{not json at all""")
+    f.close()
+    val mixed = TextFormats.readJsonl(spark, s"$dir/bad.jsonl", schema)
+      .select("doc_id", TextFormats.CorruptCol).collect()
+    assert(mixed.length == 2)
+    assert(mixed.count(!_.isNullAt(1)) == 1, "one quarantined line")
+    assert(mixed.count(r => !r.isNullAt(0) && r.getLong(0) == 7L) == 1)
+  }
+
+  test("CSV round-trips with quoting; stays newline-splittable") {
+    import spark.implicits._
+    val rows = Seq((1L, "a,b and \"q\"", 2.5), (2L, "plain", -1.0))
+      .toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    TextFormats.writeCsv(rows, s"$dir/t")
+    val schema = org.apache.spark.sql.types.StructType(rows.schema.fields.toSeq)
+    val back = TextFormats.readCsv(spark, s"$dir/t", schema)
+      .select("id", "s", "v", TextFormats.CorruptCol).collect()
+    assert(back.forall(_.isNullAt(3)), "no corrupt rows expected")
+    val got = back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a,b and \"q\"", 2.5), (2L, "plain", -1.0)))
+  }
 
   private val fmt = (c: org.apache.spark.sql.Column) =>
     date_format(c, "yyyy-MM-dd HH:mm:ss")
