@@ -272,6 +272,16 @@ object SparkEntry {
         k = 3, maxDfFrac = 0.8)
         .orderBy("doc_id", "rank")),
 
+    // ── §2.9 X76: rebalance planner — unique minimal move plan to the
+    //    exact balanced spread; windows only on server-sized frames ──────
+    "q_rebalance_plan" -> ((s, dir) => {
+      val pl = t(s, dir, "orders")
+        .select(col("o_orderkey").as("shard_id"),
+          pmod(col("o_custkey"), lit(10L)).as("server"))
+      graft.ops.CoreOps.rebalancePlan(pl, "shard_id", "server")
+        .orderBy("shard_id")
+    }),
+
     // ── §2.9 X75: FIM splits — two md5-drawn character cuts, row-local;
     //    prefix||middle||suffix reconstructs the document ────────────────
     "q_fim_split" -> ((s, dir) =>
@@ -1516,6 +1526,43 @@ object SparkEntry {
                     FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
          SELECT doc_id, CAST(rank AS BIGINT) rank, tok, tf, df
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Same construction: rank targets, prefix-sum offsets, top-surplus
+    // shard choice, index-paired moves.
+    "q_rebalance_plan" ->
+      """WITH pl AS (SELECT o_orderkey AS shard_id,
+                  o_custkey % 10 AS server FROM orders),
+         c AS (SELECT server, count(*) cnt FROM pl GROUP BY 1),
+         t AS (SELECT sum(cnt) nn, count(*) ss FROM c),
+         r AS (SELECT server, cnt,
+                  row_number() OVER (ORDER BY server) i FROM c),
+         k AS (SELECT server, cnt, i,
+                  (nn // ss) + (CASE WHEN i <= nn % ss THEN 1 ELSE 0 END)
+                    AS target
+               FROM r, t),
+         d AS (SELECT server, cnt - target AS delta, i FROM k),
+         g AS (SELECT server, delta,
+                  coalesce(sum(delta) OVER (ORDER BY server
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+               FROM d WHERE delta > 0),
+         tk AS (SELECT server AS to_server, -delta AS need,
+                  coalesce(sum(-delta) OVER (ORDER BY server
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+                FROM d WHERE delta < 0),
+         mv AS (SELECT pl.shard_id, pl.server AS from_server,
+                  g.off + row_number() OVER (PARTITION BY pl.server
+                    ORDER BY pl.shard_id DESC) AS idx,
+                  g.delta,
+                  row_number() OVER (PARTITION BY pl.server
+                    ORDER BY pl.shard_id DESC) AS rr
+                FROM pl JOIN g ON pl.server = g.server),
+         mv2 AS (SELECT shard_id, from_server, idx FROM mv
+                 WHERE rr <= delta),
+         sl AS (SELECT to_server, off + j.j AS idx
+                FROM tk, unnest(range(1, CAST(need AS BIGINT) + 1)) j(j))
+         SELECT shard_id, from_server, to_server
+         FROM mv2 JOIN sl USING (idx) ORDER BY shard_id""",
     // Same 52-bit draws mod (len+1); DuckDB substr mirrors Spark's
     // 1-based (pos, len) semantics.
     "q_fim_split" ->

@@ -222,4 +222,61 @@ object CoreOps {
       explode(sequence(lit(0L), lit(salts - 1L))))
     left.join(right, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ── X76: placement rebalance planner ──────────────────────────────────
+  /** Compute the MOVE PLAN that balances shard counts across servers —
+    * the operation a placement catalog exists to support (the reference
+    * maintains placements; this plans their redistribution). Targets are
+    * the exact balanced spread (N div S, the first N mod S servers in
+    * server order holding one extra); each overloaded server gives up its
+    * HIGHEST shard ids (deterministic choice), each move pairs with a
+    * deficit slot by global index, so the plan is unique, minimal
+    * (Σ surplus moves — no plan balances with fewer), and
+    * engine-replayable.
+    *
+    * Scale shape: windows touch only SERVER-CARDINALITY frames (the
+    * count ranks and the surplus/deficit prefix-sum offsets — broadcast
+    * back); the placement-sized stages are a groupBy, a per-server rank
+    * window (partitioned — no global window), and one integer-keyed
+    * equi-join of movers to slots. Balances across servers PRESENT in
+    * the frame; include empty servers by unioning zero-count rows
+    * upstream.
+    *
+    * Output: (shard_id, from_server, to_server).
+    */
+  def rebalancePlan(placements: DataFrame, shardCol: String,
+                    serverCol: String): DataFrame = {
+    val pl = placements.select(col(shardCol).as("shard_id"),
+      col(serverCol).as("server"))
+      .where(col("shard_id").isNotNull && col("server").isNotNull)
+    val counts = pl.groupBy("server").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).cast(LongType).as("__N"),
+      count(lit(1)).as("__S"))
+    val cw = Window.orderBy("server") // server-cardinality frame only
+    val ranked = counts.crossJoin(broadcast(totals))
+      .withColumn("__i", row_number().over(cw).cast(LongType))
+      .withColumn("target", expr("__N div __S") +
+        when(col("__i") <= pmod(col("__N"), col("__S")), 1L).otherwise(0L))
+      .withColumn("delta", col("cnt") - col("target"))
+    val run = cw.rowsBetween(Window.unboundedPreceding, -1)
+    val givers = ranked.where(col("delta") > 0)
+      .withColumn("__off", coalesce(sum(col("delta")).over(run), lit(0L)))
+      .select(col("server"), col("delta"), col("__off"))
+    val takers = ranked.where(col("delta") < 0)
+      .withColumn("__off", coalesce(sum(-col("delta")).over(run), lit(0L)))
+      .select(col("server").as("to_server"), (-col("delta")).as("need"),
+        col("__off"))
+    val sw = Window.partitionBy("server").orderBy(col("shard_id").desc)
+    val movers = pl.join(broadcast(givers), "server")
+      .withColumn("__r", row_number().over(sw).cast(LongType))
+      .where(col("__r") <= col("delta"))
+      .select(col("shard_id"), col("server").as("from_server"),
+        (col("__off") + col("__r")).as("__idx"))
+    val slots = takers
+      .select(col("to_server"), col("__off"),
+        explode(sequence(lit(1L), col("need"))).as("__j"))
+      .select(col("to_server"), (col("__off") + col("__j")).as("__idx"))
+    movers.join(slots, "__idx")
+      .select(col("shard_id"), col("from_server"), col("to_server"))
+  }
 }

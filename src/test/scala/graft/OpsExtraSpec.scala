@@ -116,4 +116,36 @@ class OpsExtraSpec extends AnyFunSuite {
     assert(frames.where(octet_length(col("frame")) > 64
       || octet_length(col("frame")) === 0).isEmpty)
   }
+
+  test("rebalancePlan: applying the plan balances exactly; plan is minimal") {
+    import spark.implicits._
+    // server 0 holds 10, server 1 holds 5, server 2 holds 3 → 18 over 3
+    // observed servers → 6 each
+    val pl = ((1L to 10L).map(s => (s, 0L)) ++
+      (11L to 15L).map(s => (s, 1L)) ++
+      (16L to 18L).map(s => (s, 2L))).toDF("shard_id", "server")
+    val plan = graft.ops.CoreOps.rebalancePlan(pl, "shard_id", "server")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // minimal: exactly the surplus of server 0 (10 − 6) moves
+    assert(plan.length == 4)
+    assert(plan.forall(_._2 == 0L), "only the overloaded server gives")
+    // the overloaded server gives its HIGHEST ids
+    assert(plan.map(_._1).sorted.toSeq == Seq(7L, 8L, 9L, 10L))
+    // applying the plan yields the exact balanced spread
+    val moved = pl.collect().map(r => (r.getLong(0), r.getLong(1))).map {
+      case (sh, sv) => plan.find(_._1 == sh).map(m => (sh, m._3))
+        .getOrElse((sh, sv))
+    }
+    val byServer = moved.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byServer.values.toSeq.sorted == Seq(6, 6, 6), s"got $byServer")
+    // deterministic under repartitioning
+    val again = graft.ops.CoreOps
+      .rebalancePlan(pl.repartition(7), "shard_id", "server")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == plan.sorted.toSeq)
+    // already balanced → empty plan
+    val bal = (1L to 9L).map(s => (s, s % 3)).toDF("shard_id", "server")
+    assert(graft.ops.CoreOps.rebalancePlan(bal, "shard_id", "server")
+      .count() == 0L)
+  }
 }
