@@ -322,6 +322,13 @@ object SparkEntry {
         "label")
         .orderBy("label", "dim")),
 
+    // ── §2.9 X78: embedding Gram matrix — upper-triangle second-moment
+    //    DECIMAL sums, row-local pair expansion collapsing into map-side
+    //    partials; the PCA/whitening seed artifact ───────────────────────
+    "q_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")),
+
     // ── §2.9 X69: KWIC concordance — row-local indexed-lambda hit
     //    positions (no corpus-sized explode), per-hit context slices ─────
     "q_concordance" -> ((s, dir) =>
@@ -443,6 +450,13 @@ object SparkEntry {
     "q_token_rarity" -> ((s, dir) =>
       TextOps.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ── §2.9 X77: cross-source vocabulary overlap — integer Jaccard
+    //    pieces per source pair, one token-keyed distinct frame reused
+    //    for both join sides; the mixture-design diagnostic ──────────────
+    "q_vocab_overlap" -> ((s, dir) =>
+      TextOps.sourceVocabOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("source_a", "source_b")),
 
     // ── §2.9: deterministic 10% sample — md5-bucket filter, reproducible
     //    across reruns/engines/layouts (no rand()) ────────────────────────
@@ -1675,6 +1689,19 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM embeddings, unnest(range(0, len(embedding))) r(i)
          GROUP BY 1, 2 ORDER BY label, dim""",
+    // Same float→DOUBLE→DECIMAL chain as q_class_centroids; the product
+    // is one IEEE double op so both engines round the same dyadic.
+    "q_gram_matrix" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE)
+                            * CAST(embedding[j+1] AS DOUBLE)
+                          AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM embeddings,
+              unnest(range(0, len(embedding))) r(i),
+              unnest(range(0, len(embedding))) r2(j)
+         WHERE j >= i
+         GROUP BY 1, 2 ORDER BY i, j""",
     // Positional unnest(range) replays the hit positions; DuckDB slices
     // are 1-based inclusive and clamp at the ends like Spark's slice.
     "q_concordance" ->
@@ -1943,6 +1970,22 @@ object SparkEntry {
                 CAST(min(df) AS BIGINT) min_df, CAST(sum(df) AS BIGINT) sum_df
          FROM dt JOIN dfreq USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    // Distinct (source, token) vocabularies; inner pair join, so pairs
+    // with empty intersection are absent on both engines.
+    "q_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, tok FROM (
+                      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                      FROM documents)
+                    WHERE length(tok) > 0),
+         n AS (SELECT source, count(*) nv FROM v GROUP BY 1)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(count(*) AS BIGINT) AS inter,
+                CAST(min(na.nv) AS BIGINT) AS n_a,
+                CAST(min(nb.nv) AS BIGINT) AS n_b
+         FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+         JOIN n na ON na.source = a.source
+         JOIN n nb ON nb.source = b.source
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
     // √-temperature mixture: integer-exact budget apportionment
     // (floor(sqrt(cnt)*2^20) weights, largest-remainder), then the same
     // 52-bit md5 order sampling per stratum.

@@ -107,6 +107,39 @@ object Similarity {
             .cast(LongType)).as("q"),
         col("__mx").cast(DecimalType(38, 6)).as("scale"))
 
+  /** X78 — embedding Gram matrix (uncentred second-moment sums): per
+    * upper-triangle dimension pair (i ≤ j) the DECIMAL(38,12) sum of
+    * vᵢ·vⱼ plus the vector count — the PCA / whitening seed artifact
+    * (covariance = S/n − mean·meanᵀ with the X70 centroid sums; division
+    * and centring left to the consumer, [[classCentroids]] policy).
+    *
+    * Exactness: each float widens to DOUBLE exactly, the product is ONE
+    * correctly-rounded IEEE op, and rounding that dyadic double to scale
+    * 12 can't half-tie (10⁻¹³ carries a factor 5¹³) — so both engines
+    * round identically, and the DECIMAL sum is order-independent under
+    * any partitioning (a double Σ would drift by accumulation order).
+    *
+    * Scale shape: the d(d+1)/2 products are expanded ROW-LOCALLY (nested
+    * transform + flatten, one generator) and collapse into map-side
+    * HashAggregate partials IN THE SAME STAGE — the one shuffle carries
+    * ≤ d(d+1)/2 rows per map partition regardless of corpus rows, and the
+    * output is d(d+1)/2 rows total. No self-join, no vec_id exchange.
+    */
+  def gramMatrix(emb: DataFrame, vecCol: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val v = col("__e")
+    emb.select(col(vecCol).as("__e"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(v) - 1),
+        i => transform(sequence(i, size(v) - 1),
+          j => struct(i.cast(LongType).as("i"), j.cast(LongType).as("j"),
+            (element_at(v, (i + 1).cast(IntegerType)).cast(DoubleType) *
+             element_at(v, (j + 1).cast(IntegerType)).cast(DoubleType))
+              .cast(dec).as("p")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).cast(dec).as("s"), count(lit(1)).as("n"))
+  }
+
   /** Brute-force cosine top-k: every probe vs the whole corpus, ranked by
     * (sim DESC, neighbor id ASC) — the deterministic tiebreak keeps the
     * oracle hash stable. */

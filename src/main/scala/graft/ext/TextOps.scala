@@ -327,6 +327,45 @@ object TextOps {
         sum(col("df")).cast(LongType).as("sum_df"))
   }
 
+  /** X77 — cross-source vocabulary overlap: for every source pair (a < b)
+    * the integer Jaccard pieces |Vₐ∩V_b|, |Vₐ|, |V_b| over DISTINCT token
+    * vocabularies — the mixture-design diagnostic (near-identical
+    * vocabularies ⇒ redundant sources; disjoint ⇒ a domain the mixture
+    * would lose by dropping the source). Division is left to the consumer
+    * ([[tokenRarity]] integer policy), so two engines can never disagree
+    * at a float ulp. Pairs with an empty intersection are absent (the
+    * pair frame is inner-joined); absence = zero overlap.
+    *
+    * Scale shape: ONE distinct (source, token) frame, token-partitioned,
+    * feeds both sides of the pair join — ReuseExchange materializes
+    * scan + distinct once (same canonical-subtree discipline as
+    * [[tokenRarity]]). Per-token join fan-out is bounded by the SOURCE
+    * count (sources × sources, not docs × docs), so the pair stage is
+    * |vocab|·|sources|²-bounded regardless of corpus rows; the
+    * |sources|-sized vocabulary totals broadcast onto the pair frame.
+    */
+  def sourceVocabOverlap(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val v = df
+      .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .distinct()
+      .repartition(col("tok"))
+    // count(src) not count(1): keeps both branches' column requirements
+    // equal so the exchange subtrees stay canonical (tokenRarity note).
+    val sizes = v.groupBy("src").agg(count(col("tok")).as("nv"))
+    v.as("a").join(v.as("b").hint("merge"),
+        col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).cast(LongType).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("nv").cast(LongType).as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("nv").cast(LongType).as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Text normalization — the canonical first stage of a training-data
     * pipeline, run BEFORE fingerprints/dedup/tokenization so canonically
     * equal strings see one byte sequence: (1) Unicode NFC via the native

@@ -227,6 +227,35 @@ class PlanSpec extends AnyFunSuite {
       s"distinct-token frame must be exchanged once and reused:\n$plan")
   }
 
+  test("vocab overlap reuses the distinct exchange; gram matrix shuffles once") {
+    import spark.implicits._
+    // sourceVocabOverlap: both sides of the pair join must consume ONE
+    // materialization of the token-keyed distinct (source, token) frame
+    // (tokenRarity discipline — rebuilding it doubles the dominant cost).
+    val docs = (1L to 200L).map(i =>
+      (i, s"src${i % 5}", s"tok${i % 7} tok${i % 13} shared words"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.TextOps.sourceVocabOverlap(docs, "source", "text")
+    assert(out.collect().nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"distinct (source, token) frame must be exchanged once and reused:\n$plan")
+    // gramMatrix: the row-local pair expansion must collapse into a
+    // map-side partial aggregate in the SAME stage — exactly one exchange
+    // in the whole plan, carrying ≤ d(d+1)/2 rows per map partition.
+    val emb = (1L to 50L).map(i =>
+      i -> Seq.tabulate(4)(d => (i + d).toFloat)).toDF("vec_id", "embedding")
+    val gp = graft.ext.Similarity.gramMatrix(emb, "embedding")
+    assert(gp.collect().length == 10) // 4*5/2
+    // The AQE plan string repeats the tree under "== Initial Plan ==" —
+    // count exchanges in the final section only.
+    val gplan = gp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nEx = "(?<!Reused)Exchange".r.findAllIn(gplan).length
+    assert(nEx == 1, s"gram matrix must shuffle exactly once:\n$gplan")
+    assert(gplan.contains("Generate"), "pair expansion is one generator")
+  }
+
   test("global ranks never run a single-partition window (two-phase rank)") {
     // The whole point of shuffleOrder/rankByValue: a global permutation
     // with NO `Window` over `Exchange SinglePartition`. Collect every

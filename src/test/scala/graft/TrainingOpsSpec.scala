@@ -571,6 +571,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again == got, "decimal sums must be order-independent")
   }
 
+  test("gramMatrix: upper-triangle second moments, partition-stable") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.gramMatrix(emb, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDecimal(2).doubleValue, r.getLong(3))).toMap
+    // S00 = 1+9, S01 = 2-3, S11 = 4+1; strictly-lower (1,0) absent
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(got((0L, 0L)) == ((10.0, 2L)))
+    assert(got((0L, 1L)) == ((-1.0, 2L)))
+    assert(got((1L, 1L)) == ((5.0, 2L)))
+    val again = Similarity.gramMatrix(emb.repartition(5), "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDecimal(2).doubleValue, r.getLong(3))).toMap
+    assert(again == got, "decimal sums must be order-independent")
+  }
+
+  test("sourceVocabOverlap: intersection/vocab counts, zero-overlap absent") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma"),
+      (2L, "a", "beta delta"),         // V(a) = {alpha,beta,gamma,delta}
+      (3L, "b", "beta gamma zeta"),    // V(b) = {beta,gamma,zeta}
+      (4L, "c", "omega"))              // V(c) disjoint from both
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceVocabOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 4L, 3L))),
+      "only the overlapping pair appears; counts are exact")
+  }
+
   test("concordance: hit positions, clamped contexts, doc edges") {
     val docs = Seq(
       (1L, "x spark y"),         // middle hit, 1-token contexts each side
