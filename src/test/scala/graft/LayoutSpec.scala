@@ -53,6 +53,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Set((1L, "a,b and \"q\"", 2.5), (2L, "plain", -1.0)))
   }
 
+  test("ORC round-trips, pushes predicates to the scan, evolves schema") {
+    import spark.implicits._
+    import graft.sources.ColumnarFormats
+    val rows = Seq((1L, "alpha", 2.5), (2L, "beta", -1.0), (3L, "gamma", 0.0))
+      .toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    ColumnarFormats.writeOrc(rows, s"$dir/t", bloomCols = Seq("id"))
+    val schema = org.apache.spark.sql.types.StructType(rows.schema.fields.toSeq)
+    val back = ColumnarFormats.readOrc(spark, s"$dir/t", schema)
+    assert(back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "alpha", 2.5), (2L, "beta", -1.0), (3L, "gamma", 0.0)))
+    // point-lookup filter reaches the ORC scan (stripe skipping at scale)
+    val q = back.where(col("id") === 2L).select("id", "s")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"filter must push to the ORC scan:\n$plan")
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("beta"))
+    // schema evolution: a column the files don't have reads as null,
+    // a dropped column is ignored (reads are by name)
+    val evolved = org.apache.spark.sql.types.StructType(
+      schema.fields.filter(_.name != "v") :+
+        org.apache.spark.sql.types.StructField("added",
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val ev = ColumnarFormats.readOrc(spark, s"$dir/t", evolved)
+      .orderBy("id").collect()
+    assert(ev.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(ev.forall(_.isNullAt(2)), "missing column resolves as null")
+  }
+
   private val fmt = (c: org.apache.spark.sql.Column) =>
     date_format(c, "yyyy-MM-dd HH:mm:ss")
   private val lo = "1995-06-01 00:00:00"
