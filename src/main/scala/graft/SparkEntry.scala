@@ -1226,6 +1226,22 @@ object SparkEntry {
         0.05, 0.95)
         .orderBy("c_mktsegment")),
 
+    // ── §2.9 X79: per-group percentile rank — integer (rnk, n) pieces
+    //    under the total (value, id) order; the cross-language score
+    //    normalizer (rank within language, cut globally on rnk/n) ────────
+    "q_percentile_rank" -> ((s, dir) =>
+      Analytics.percentileRank(t(s, dir, "documents"), "lang", "n_chars",
+        "doc_id")
+        .orderBy("grp", "rnk")),
+
+    // ── §2.9 X80: corpus diversity stats — per-source doc/token/trigram
+    //    counts with exact distincts; the type-token-ratio and
+    //    distinct-n-gram pieces that flag templated sources ──────────────
+    "q_diversity" -> ((s, dir) =>
+      TextOps.diversityStats(t(s, dir, "documents"), "source", "doc_id",
+        "text")
+        .orderBy("grp")),
+
     // ── §2.9 X45: incremental delta dedup — each doc of the 20% "new"
     //    bucket classified against the 80% "existing" corpus: exact md5
     //    match first, else best LSH-verified Jaccard match, else new ─────
@@ -3010,6 +3026,42 @@ object SparkEntry {
                 round(min(least(greatest(c_acctbal, plo), phi)), 6) AS min_w,
                 round(max(least(greatest(c_acctbal, plo), phi)), 6) AS max_w
          FROM customer, b GROUP BY 1 ORDER BY c_mktsegment""",
+    // NULL group/value/id rows dropped on both sides before the rank
+    // (NULL sort-order parity note in the verify gotchas).
+    "q_percentile_rank" ->
+      """WITH f AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                      AND n_chars IS NOT NULL)
+         SELECT doc_id AS id, lang AS grp, n_chars AS v,
+                CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+                CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         FROM f ORDER BY grp, rnk""",
+    // Trigrams replay the q_contamination construction (t[i]||' '||...);
+    // docs with <3 tokens contribute no trigram rows on either engine.
+    "q_diversity" ->
+      """WITH base AS (SELECT source AS grp, doc_id,
+                         regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents WHERE source IS NOT NULL),
+         nd AS (SELECT grp, count(doc_id) n_docs FROM base GROUP BY 1),
+         tok AS (SELECT grp, unnest(t) tok FROM base),
+         ta AS (SELECT grp, count(*) n_tokens,
+                       count(DISTINCT tok) n_distinct_tokens
+                FROM tok WHERE length(tok) > 0 GROUP BY 1),
+         tri AS (SELECT grp, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM base, unnest(range(1, len(t)-1)) r(i)),
+         ra AS (SELECT grp, count(*) n_trigrams,
+                       count(DISTINCT sh) n_distinct_trigrams
+                FROM tri GROUP BY 1)
+         SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(n_distinct_tokens, 0) AS BIGINT)
+                  AS n_distinct_tokens,
+                CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+                CAST(coalesce(n_distinct_trigrams, 0) AS BIGINT)
+                  AS n_distinct_trigrams
+         FROM nd LEFT JOIN ta USING (grp) LEFT JOIN ra USING (grp)
+         ORDER BY grp""",
     // Incremental delta dedup: the crossJaccardVerified CTE chain over an
     // 80/20 md5-bucket split (corpus >= 20, delta < 20) + an exact-md5
     // match CTE; exact wins, else best fuzzy by (jaccard desc, id asc).

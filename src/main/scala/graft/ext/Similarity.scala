@@ -119,25 +119,37 @@ object Similarity {
     * round identically, and the DECIMAL sum is order-independent under
     * any partitioning (a double Σ would drift by accumulation order).
     *
-    * Scale shape: the d(d+1)/2 products are expanded ROW-LOCALLY (nested
-    * transform + flatten, one generator) and collapse into map-side
-    * HashAggregate partials IN THE SAME STAGE — the one shuffle carries
-    * ≤ d(d+1)/2 rows per map partition regardless of corpus rows, and the
-    * output is d(d+1)/2 rows total. No self-join, no vec_id exchange.
+    * Scale shape: the d(d+1)/2 products are expanded ROW-LOCALLY by two
+    * CHAINED generators — posexplode the vector, then posexplode its
+    * i-offset slice — and collapse into map-side HashAggregate partials
+    * IN THE SAME STAGE: the one shuffle carries ≤ d(d+1)/2 rows per map
+    * partition regardless of corpus rows, and the output is d(d+1)/2
+    * rows total. No self-join, no vec_id exchange. The generator chain
+    * stays inside whole-stage codegen (a nested transform+flatten
+    * expansion is CodegenFallback — interpreted per element).
+    *
+    * Cost honesty (measured at sf0.1): the dominant cost is the
+    * per-product double→DECIMAL(38,12) conversion + wide-decimal adds
+    * in the partial aggregate (~10× a double sum). That price buys
+    * sums that are EXACT and order-independent — rerun-stable and
+    * engine-replayable at any cluster size, which a double Σ is not;
+    * narrower long-backed decimals would silently null on overflow
+    * under non-ANSI semantics, the one failure mode this engine never
+    * accepts.
     */
   def gramMatrix(emb: DataFrame, vecCol: String): DataFrame = {
     val dec = DecimalType(38, 12)
-    val v = col("__e")
     emb.select(col(vecCol).as("__e"))
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(v) - 1),
-        i => transform(sequence(i, size(v) - 1),
-          j => struct(i.cast(LongType).as("i"), j.cast(LongType).as("j"),
-            (element_at(v, (i + 1).cast(IntegerType)).cast(DoubleType) *
-             element_at(v, (j + 1).cast(IntegerType)).cast(DoubleType))
-              .cast(dec).as("p")))))).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.p")).cast(dec).as("s"), count(lit(1)).as("n"))
+      .select(col("__e"), posexplode(col("__e")).as(Seq("i", "__vi")))
+      // slice start is 1-based: elements i..d-1 (0-based) of the vector
+      .select(col("i"), col("__vi"),
+        posexplode(slice(col("__e"), col("i") + 1,
+          size(col("__e")) - col("i"))).as(Seq("__jr", "__vj")))
+      .groupBy(col("i").cast(LongType).as("i"),
+        (col("i") + col("__jr")).cast(LongType).as("j"))
+      .agg(sum((col("__vi").cast(DoubleType) * col("__vj").cast(DoubleType))
+          .cast(dec)).cast(dec).as("s"),
+        count(lit(1)).as("n"))
   }
 
   /** Brute-force cosine top-k: every probe vs the whole corpus, ranked by

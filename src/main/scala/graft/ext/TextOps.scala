@@ -366,6 +366,40 @@ object TextOps {
         col("n_a"), col("n_b"))
   }
 
+  /** X80 — corpus diversity stats per group: document count, token
+    * count, distinct-token count, trigram count, distinct-trigram count
+    * — the integer pieces of type-token ratio and distinct-n-gram
+    * diversity (the self-repetition diagnostics that catch a source of
+    * templated/boilerplate docs BEFORE it floods a mixture; ratios left
+    * to the consumer, [[tokenRarity]] policy). NULL-group rows are
+    * dropped on both engines (sort-order parity).
+    *
+    * Scale: token and trigram frames each collapse through a two-phase
+    * distinct aggregation — the shuffles are (group, token)- resp.
+    * (group, trigram)-keyed and vocabulary-sized, never all-pairs; the
+    * three group-keyed summaries that join at the end are
+    * |groups|-sized. Left joins + zero-fill keep a group with only
+    * empty documents present with zeroed counts.
+    */
+  def diversityStats(df: DataFrame, groupCol: String, idCol: String,
+                     textCol: String): DataFrame = {
+    val base = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        tokens(col(textCol)).as("__t"))
+    val ndocs = base.groupBy("grp").agg(count(col("id")).as("n_docs"))
+    val ta = base.select(col("grp"), explode(col("__t")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("grp").agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"))
+    val ra = base
+      .select(col("grp"), explode(trigramsOfTokens(col("__t"))).as("sh"))
+      .groupBy("grp").agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("sh")).as("n_distinct_trigrams"))
+    ndocs.join(ta, Seq("grp"), "left").join(ra, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct_tokens", "n_trigrams",
+        "n_distinct_trigrams"))
+  }
+
   /** Text normalization — the canonical first stage of a training-data
     * pipeline, run BEFORE fingerprints/dedup/tokenization so canonically
     * equal strings see one byte sequence: (1) Unicode NFC via the native

@@ -230,4 +230,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("score") == ((4L, 3L, 2L, "-1.250000", "2.500000")))
     assert(got("tag") == ((4L, 3L, 2L, "a", "b")))
   }
+
+  test("percentileRank: per-group ranks, id tiebreak, nulls dropped") {
+    val df = Seq(
+      (1L, Option("a"), Option(10L)),
+      (2L, Option("a"), Option(5L)),
+      (3L, Option("a"), Option(10L)),   // ties with id 1 → id order
+      (4L, Option("b"), Option(7L)),
+      (5L, None, Option(9L)),           // null group dropped
+      (6L, Option("b"), None))          // null value dropped
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Analytics.percentileRank(df, "lang", "n_chars", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> (("a", 2L, 3L)), 2L -> (("a", 1L, 3L)), 3L -> (("a", 3L, 3L)),
+      4L -> (("b", 1L, 1L))))
+  }
 }

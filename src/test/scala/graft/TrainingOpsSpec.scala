@@ -591,6 +591,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again == got, "decimal sums must be order-independent")
   }
 
+  test("diversityStats: doc/token/trigram counts, short docs, empty group") {
+    val docs = Seq(
+      (1L, "a", "x y z x y z"),   // 6 tokens, 3 distinct; 4 trigrams, 3 distinct
+      (2L, "a", "x y"),           // <3 tokens → no trigrams
+      (3L, "b", ""))              // empty text → zero tokens/trigrams
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.diversityStats(docs, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("a") == ((2L, 8L, 3L, 4L, 3L)))
+    assert(got("b") == ((1L, 0L, 0L, 0L, 0L)),
+      "group with only empty docs survives with zeroed counts")
+  }
+
   test("sourceVocabOverlap: intersection/vocab counts, zero-overlap absent") {
     val docs = Seq(
       (1L, "a", "alpha beta gamma"),
