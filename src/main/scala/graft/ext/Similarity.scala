@@ -113,10 +113,14 @@ object Similarity {
     * (covariance = S/n − mean·meanᵀ with the X70 centroid sums; division
     * and centring left to the consumer, [[classCentroids]] policy).
     *
-    * Exactness: each float widens to DOUBLE exactly, the product is ONE
-    * correctly-rounded IEEE op, and rounding that dyadic double to scale
-    * 12 can't half-tie (10⁻¹³ carries a factor 5¹³) — so both engines
-    * round identically, and the DECIMAL sum is order-independent under
+    * Exactness: each float widens to DOUBLE exactly and the product is
+    * ONE correctly-rounded IEEE op, so both engines hold the same
+    * binary double; the decimal cast then rounds the double's SHORTEST
+    * decimal representation (Double.toString semantics — what Spark's
+    * Decimal(double) and DuckDB's cast agree on; pinned by the oracle
+    * and by the valueOf-based differential spec, which also documents
+    * that rounding the exact binary expansion instead disagrees by
+    * 1 ulp of scale 12). The DECIMAL sum is order-independent under
     * any partitioning (a double Σ would drift by accumulation order).
     *
     * Scale shape: the d(d+1)/2 products are expanded ROW-LOCALLY by two

@@ -215,4 +215,55 @@ class RandomizedOpsSpec extends AnyFunSuite {
       assert(got.forall(_._3), s"seed=$seed CMS bound violated")
     }
   }
+
+  test("gramMatrix equals an in-memory BigDecimal outer-product sum") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val d = 2 + rnd.nextInt(6)
+      val vecs = (1L to (5 + rnd.nextInt(40))).map(i =>
+        i -> Seq.fill(d)((rnd.nextFloat() - 0.5f) * rnd.nextInt(20)))
+      val got = graft.ext.Similarity.gramMatrix(
+          vecs.toDF("vec_id", "embedding"), "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDecimal(2), r.getLong(3))).toMap
+      // independent contract: per product, widen to double, round to
+      // scale 12 half-up, sum exactly. NOTE valueOf, not new BigDecimal:
+      // Spark's double→decimal cast goes through the double's SHORTEST
+      // decimal representation (Double.toString semantics), not the
+      // exact binary expansion — rounding the exact dyadic instead
+      // disagrees by 1 ulp of scale 12 on some products.
+      val want = (for {
+        i <- 0 until d; j <- i until d
+      } yield {
+        val s = vecs.map { case (_, v) =>
+          java.math.BigDecimal.valueOf(v(i).toDouble * v(j).toDouble)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+        }.reduce(_ add _)
+        (i.toLong, j.toLong) -> (s, vecs.size.toLong)
+      }).toMap
+      assert(got.keySet == want.keySet, s"seed=$seed d=$d")
+      for (k <- want.keySet)
+        assert(got(k)._2 == want(k)._2 &&
+          got(k)._1.compareTo(want(k)._1) == 0,
+          s"seed=$seed d=$d cell=$k got=${got(k)} want=${want(k)}")
+    }
+  }
+
+  test("percentileRank equals an in-memory per-group sort across seeds") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val rows = (1L to (10 + rnd.nextInt(60))).map(i =>
+        (i, s"g${rnd.nextInt(4)}", rnd.nextInt(10).toLong))
+      val got = Analytics.percentileRank(
+          rows.toDF("id", "grp", "v"), "grp", "v", "id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._3, r._1))
+        sorted.zipWithIndex.map { case (r, ix) =>
+          r._1 -> ((ix + 1).toLong, g.size.toLong) }
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
