@@ -310,23 +310,36 @@ object SparkEntry {
 
     // ── §2.9 X71: int8 quantization — row-local symmetric q=round(v·127/
     //    max|v|), no shuffle; the ANN memory-compression step ────────────
+    // `scale` rendered to STRING for the contract: a DECIMAL(38,x)-typed
+    // output column is the one schema shape the driver's hash treats as
+    // engine-specific (r7: every decimal-output query hash-failed with
+    // matching values; q_profile's VARCHAR rendering passes). Spark's
+    // decimal→string is toPlainString — byte-identical to DuckDB's
+    // VARCHAR cast at any scale (verified incl. 1e-12 edge).
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings")
           .where(col("vec_id") < 50), "vec_id", "embedding")
+        .withColumn("scale", col("scale").cast("string"))
         .orderBy("vec_id", "dim")),
 
     // ── §2.9 X70: class centroids — mean-pooling prototypes in LONG
     //    form: order-independent DECIMAL sums + integer counts ───────────
+    // `s` rendered to STRING (decimal-output contract — q_quantize_int8
+    // note); the exact DECIMAL sum is preserved digit-for-digit.
     "q_class_centroids" -> ((s, dir) =>
       Similarity.classCentroids(t(s, dir, "embeddings"), "embedding",
         "label")
+        .withColumn("s", col("s").cast("string"))
         .orderBy("label", "dim")),
 
     // ── §2.9 X78: embedding Gram matrix — upper-triangle second-moment
     //    DECIMAL sums, row-local pair expansion collapsing into map-side
     //    partials; the PCA/whitening seed artifact ───────────────────────
+    // `s` rendered to STRING (decimal-output contract — q_quantize_int8
+    // note); plain rendering is engine-identical even at scale 12.
     "q_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding")
+        .withColumn("s", col("s").cast("string"))
         .orderBy("i", "j")),
 
     // ── §2.9 X69: KWIC concordance — row-local indexed-lambda hit
@@ -370,9 +383,13 @@ object SparkEntry {
     // ── §2.9 X64: join cardinality / skew diagnostic — exact inner-join
     //    size and heaviest key from the two key histograms, never the
     //    join itself ────────────────────────────────────────────────────
+    // join_rows/top_rows rendered to STRING (decimal-output contract —
+    // q_quantize_int8 note); scale-0 decimals render as plain integers.
     "q_join_estimate" -> ((s, dir) =>
       Analytics.joinCardinality(t(s, dir, "lineitem"), t(s, dir, "orders"),
-        "l_orderkey", "o_orderkey")),
+        "l_orderkey", "o_orderkey")
+        .withColumn("join_rows", col("join_rows").cast("string"))
+        .withColumn("top_rows", col("top_rows").cast("string"))),
 
     // ── §2.9 X63: multi-type PII audit — email→SSN→phone→IPv4 staged
     //    scrub, each count taken on the previous stage's redaction. The
@@ -396,8 +413,11 @@ object SparkEntry {
     // ── §2.9 X62: trailing RANGE-frame rollup — per (user, active day)
     //    trailing-7-day count/value sum; key-distance frame ages gap days
     //    out exactly, DECIMAL sums kill double ulp drift ────────────────
+    // trail_v rendered to STRING (decimal-output contract —
+    // q_quantize_int8 note); the exact windowed DECIMAL sum survives.
     "q_trailing_7d" -> ((s, dir) =>
       Events.trailingDaily(t(s, dir, "events"), "user_id", "ts", "value")
+        .withColumn("trail_v", col("trail_v").cast("string"))
         .orderBy("user_id", "day")),
 
     // ── §2.9 X61: record linkage — token-block candidates, row-local
@@ -435,12 +455,15 @@ object SparkEntry {
         .orderBy("da", "db")),
 
     // ── §2.9 X57: CMS heavy hitters — exact top-k token counts (the
-    //    oracle-checked columns) with a count-min-sketch estimate
-    //    cross-checked inside the CMS error bound (cms_ok, TRUE per row;
-    //    the X7 approx-next-to-exact pattern for counts) ────────────────
+    //    oracle-checked columns); the count-min-sketch cross-check
+    //    column cms_ok stays OUT of the hashed contract (the CMS bound
+    //    holds with probability ≥ confidence per query, not certainly —
+    //    a seed/eps/hash change could flip a row) and is asserted in
+    //    TextOpsSpec instead ─────────────────────────────────────────────
     "q_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
         k = 25)
+        .select("token", "n")
         .orderBy(col("n").desc, col("token"))),
 
     // ── §2.9: corpus-rarity signal — per-doc distinct-vocabulary df
@@ -1683,7 +1706,11 @@ object SparkEntry {
          FROM r WHERE (cum_w - n_chars) * 5 < total_w * 3
          ORDER BY source, cum_w, doc_id""",
     // Both engines round the same IEEE double v*127/mx; max-abs is an
-    // order-independent fold.
+    // order-independent fold. The double→DECIMAL cast goes THROUGH
+    // VARCHAR: every DuckDB version renders the double's shortest
+    // decimal repr (Double.toString semantics), which is what Spark's
+    // Decimal(double) rounds — a direct double→DECIMAL cast rounds the
+    // exact binary expansion in some engine versions (1-ulp drift).
     "q_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
                   list_max(list_transform(embedding,
@@ -1693,25 +1720,32 @@ object SparkEntry {
                 CASE WHEN mx = 0 THEN 0
                      ELSE CAST(round(CAST(embedding[i+1] AS DOUBLE) * 127 / mx)
                        AS BIGINT) END AS q,
-                CAST(mx AS DECIMAL(38,6)) AS scale
+                CAST(CAST(CAST(mx AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)
+                  AS scale
          FROM m, unnest(range(0, len(embedding))) r(i)
          ORDER BY vec_id, dim""",
     // Element-wise float→DECIMAL(38,6) casts, then exact decimal sums —
-    // order-independent, so any partitioning agrees.
+    // order-independent, so any partitioning agrees. double→DECIMAL goes
+    // through VARCHAR (shortest-repr rounding, version-robust — see
+    // q_quantize_int8).
     "q_class_centroids" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
-                CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE)
-                  AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s,
+                CAST(CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE)
+                    AS VARCHAR) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                  AS VARCHAR) AS s,
                 CAST(count(*) AS BIGINT) AS n
          FROM embeddings, unnest(range(0, len(embedding))) r(i)
          GROUP BY 1, 2 ORDER BY label, dim""",
     // Same float→DOUBLE→DECIMAL chain as q_class_centroids; the product
-    // is one IEEE double op so both engines round the same dyadic.
+    // is one IEEE double op so both engines hold the same dyadic, and
+    // the VARCHAR hop pins shortest-repr rounding in every engine
+    // version (see q_quantize_int8).
     "q_gram_matrix" ->
       """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE)
-                            * CAST(embedding[j+1] AS DOUBLE)
-                          AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s,
+                CAST(CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE)
+                                 * CAST(embedding[j+1] AS DOUBLE) AS VARCHAR)
+                          AS DECIMAL(38,12))) AS DECIMAL(38,12))
+                  AS VARCHAR) AS s,
                 CAST(count(*) AS BIGINT) AS n
          FROM embeddings,
               unnest(range(0, len(embedding))) r(i),
@@ -1814,22 +1848,32 @@ object SparkEntry {
                 count(*) AS n_rows, min(v) AS lo, max(v) AS hi
          FROM r, t GROUP BY 1 ORDER BY bucket""",
     // Same histogram algebra: the join size is computed from per-key
-    // counts, never by materializing the join.
+    // counts, never by materializing the join. The per-key product runs
+    // as DECIMAL(19,0)×DECIMAL(19,0) (width-stable: 19+19 ≤ 38, so no
+    // engine-specific promotion/DOUBLE-fallback of an over-wide
+    // DECIMAL(38,0)×BIGINT product), then one cast to the declared
+    // DECIMAL(38,0). `top` is LEFT-joined so disjoint key sets still
+    // report one row with NULL top_key, matching the engine.
     "q_join_estimate" ->
       """WITH ca AS (SELECT l_orderkey k, count(*) na FROM lineitem
                      WHERE l_orderkey IS NOT NULL GROUP BY 1),
          cb AS (SELECT o_orderkey k, count(*) nb FROM orders
                 WHERE o_orderkey IS NOT NULL GROUP BY 1),
-         j AS (SELECT ca.k, CAST(na AS DECIMAL(38,0)) * nb AS prod
+         j AS (SELECT ca.k,
+                      CAST(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+                        AS DECIMAL(38,0)) AS prod
                FROM ca JOIN cb USING (k)),
          sa AS (SELECT count(*) n_keys_a, max(na) max_mult_a FROM ca),
          sb AS (SELECT count(*) n_keys_b, max(nb) max_mult_b FROM cb),
          sj AS (SELECT count(*) n_common,
-                       CAST(coalesce(sum(prod), 0) AS DECIMAL(38,0)) join_rows
+                       CAST(CAST(coalesce(sum(prod), 0) AS DECIMAL(38,0))
+                         AS VARCHAR) join_rows
                 FROM j),
-         top AS (SELECT CAST(k AS VARCHAR) top_key, prod top_rows
+         top AS (SELECT CAST(k AS VARCHAR) top_key,
+                        CAST(prod AS VARCHAR) top_rows
                  FROM j ORDER BY prod DESC, k LIMIT 1)
-         SELECT * FROM sa, sb, sj, top""",
+         SELECT * FROM sa CROSS JOIN sb CROSS JOIN sj
+                   LEFT JOIN top ON TRUE""",
     // Same construction, same stage order; DuckDB counts via
     // len(regexp_extract_all) on the PREVIOUS stage's replacement, so the
     // two engines audit byte-identical intermediate texts.
@@ -1867,14 +1911,19 @@ object SparkEntry {
          FROM s4 ORDER BY doc_id""",
     // Integer epoch-day RANGE frame replays exactly; DECIMAL(38,6) sums
     // are order-independent so the window accumulation cannot drift.
+    // double→DECIMAL goes through VARCHAR (shortest-repr rounding,
+    // version-robust — see q_quantize_int8); `//` is floor division,
+    // matching the engine's pmod-based floor day bucketing.
     "q_trailing_7d" ->
       """WITH daily AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-                  count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS v
+                  count(*) AS n,
+                  sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS v
            FROM events GROUP BY 1, 2)
          SELECT user_id, day,
                 CAST(sum(n) OVER w AS BIGINT) AS trail_n,
-                CAST(sum(v) OVER w AS DECIMAL(38,6)) AS trail_v
+                CAST(CAST(sum(v) OVER w AS DECIMAL(38,6)) AS VARCHAR)
+                  AS trail_v
          FROM daily
          WINDOW w AS (PARTITION BY user_id ORDER BY day
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1967,14 +2016,15 @@ object SparkEntry {
                    JOIN norm nb ON nb.doc_id = db
          WHERE 4*dot*dot >= na.n2 * nb.n2
          ORDER BY da, db""",
-    // Exact top-k token counts under a total (n DESC, token ASC) order;
-    // the CMS cross-check column is asserted TRUE (the engine verifies
-    // estimate ∈ [true, true + ceil(eps·N)] internally — same
-    // approx-next-to-exact contract as q_approx_distinct).
+    // Exact top-k token counts under a total (n DESC, token ASC) order.
+    // The CMS cross-check (estimate ∈ [true, true + ceil(eps·N)]) is a
+    // PROBABILISTIC guarantee (≥ confidence per query), so it is a
+    // spec-asserted engine diagnostic, not part of the hashed contract —
+    // same policy as q_ann_*'s recall accounting.
     "q_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS token
                       FROM documents)
-         SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS cms_ok
+         SELECT token, CAST(count(*) AS BIGINT) AS n
          FROM tok WHERE length(token) > 0
          GROUP BY token ORDER BY n DESC, token LIMIT 25""",
     "q_token_rarity" ->
@@ -3165,17 +3215,20 @@ object SparkEntry {
                      THEN round((n*k - s) / sqrt(k*ss - s*s), 6) END AS z
          FROM t WHERE k = 24 ORDER BY win_ts, event_type""",
     // Length buckets: first ladder step that fits, -1 overflow; integer
-    // padding-waste accounting.
+    // padding-waste accounting. Everything integral is CAST to BIGINT —
+    // the CASE ladder would otherwise type as INTEGER and the sums as
+    // HUGEINT, neither of which matches Spark's LongType.
     "q_length_buckets" ->
-      """WITH b AS (SELECT CASE WHEN n_chars <= 64 THEN 64
+      """WITH b AS (SELECT CAST(CASE WHEN n_chars <= 64 THEN 64
                                 WHEN n_chars <= 128 THEN 128
                                 WHEN n_chars <= 256 THEN 256
                                 WHEN n_chars <= 512 THEN 512
-                                ELSE -1 END AS bucket, n_chars
+                                ELSE -1 END AS BIGINT) AS bucket, n_chars
                     FROM documents)
-         SELECT bucket, count(*) AS n_docs, sum(n_chars) AS sum_tokens,
-                sum(CASE WHEN bucket = -1 THEN 0
-                         ELSE bucket - n_chars END) AS sum_padding
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_tokens,
+                CAST(sum(CASE WHEN bucket = -1 THEN 0
+                         ELSE bucket - n_chars END) AS BIGINT) AS sum_padding
          FROM b GROUP BY 1 ORDER BY bucket""",
     // Vocabulary build: corpus token counts + df, ids in (n desc,
     // md5(token), token) order — the engine's two-phase rank must equal

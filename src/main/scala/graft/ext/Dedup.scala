@@ -650,17 +650,67 @@ object Dedup {
     * Input is any canonical pair frame (aCol < bCol per row, as every
     * dedup stage here emits); output is one row per triangle (a < b < c).
     *
-    * Scale shape: the classic two-join enumeration — (a,b)⋈(b,c) on the
-    * shared endpoint, closed by probing (a,c) — over the PAIR frame,
+    * Scale shape: the classic two-join enumeration — wedges on a shared
+    * endpoint, closed by probing the third edge — over the PAIR frame,
     * which dedup keeps sparse; each join keys on a doc id, so the work
-    * is edge-frame-shuffle-sized plus wedge-count intermediate rows. The
-    * id-ordered orientation (a<b<c) already counts each triangle once;
-    * at web scale with power-law dup graphs, re-orient edges by DEGREE
-    * (low→high) first — same joins, provably O(E^1.5) wedges — using
-    * dupDegree's output as the ordering key.
+    * is edge-frame-shuffle-sized plus wedge-count intermediate rows.
+    * Edges are RE-ORIENTED low→high by (degree, id) before the joins
+    * ([[orientByDegree]]): every wedge then fans out from its ≺-minimum
+    * vertex, whose out-degree is provably O(√E), so the wedge
+    * intermediate is O(E^1.5) TOTAL regardless of skew — an id-ordered
+    * orientation blows up quadratically on a power-law hub whose id
+    * sits mid-order ((in)×(out) wedges through the hub), exactly the
+    * shape template/boilerplate dup families produce at web scale. The
+    * degree pass is one explode + count ([[dupDegree]]'s shape) and two
+    * broadcast-free equi-joins to tag endpoints — edge-frame-sized.
+    * Output (a < b < c by id) is identical to the naive orientation's
+    * (differential-pinned in DedupDifferentialSpec).
     */
   def triangles(pairs: DataFrame, aCol: String = "da",
                 bCol: String = "db"): DataFrame = {
+    val o = orientByDegree(pairs, aCol, bCol)
+    // wedge: two ≺-out-edges of s, ordered between themselves by the
+    // same (degree, id) key so each unordered neighbor pair appears once
+    val wedge = o.as("o1")
+      .join(o.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          (col("o1.dt") < col("o2.dt") ||
+            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.s").as("x"), col("o1.t").as("y"), col("o2.t").as("z"))
+    // close the wedge: y≺z, so the closing edge is oriented y→z
+    val tri = wedge.join(o.as("e3"),
+        col("e3.s") === col("y") && col("e3.t") === col("z"))
+      .select(sort_array(array(col("x"), col("y"), col("z"))).as("__t"))
+    tri.select(col("__t").getItem(0).as("a"), col("__t").getItem(1).as("b"),
+      col("__t").getItem(2).as("c"))
+  }
+
+  /** Edges of a canonical pair frame re-oriented low→high by the total
+    * order ≺ = (degree, id): output (s, t, dt) with s ≺ t and dt = t's
+    * degree (carried so the wedge join can ≺-order neighbors without a
+    * third degree join). The ≺-orientation bounds every vertex's
+    * OUT-degree at O(√E) — the classic triangle-counting trick. */
+  def orientByDegree(pairs: DataFrame, aCol: String = "da",
+                     bCol: String = "db"): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val uLtV = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(uLtV, col("u")).otherwise(col("v")).as("s"),
+        when(uLtV, col("v")).otherwise(col("u")).as("t"),
+        when(uLtV, col("dv")).otherwise(col("du")).as("dt"))
+  }
+
+  /** The naive id-ordered enumeration ((a,b)⋈(b,c) probe (a,c)) — kept
+    * as the differential baseline for [[triangles]]; correct, but its
+    * wedge intermediate is unbounded under degree skew (see the
+    * orientation note there). */
+  def trianglesIdOrdered(pairs: DataFrame, aCol: String = "da",
+                         bCol: String = "db"): DataFrame = {
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))

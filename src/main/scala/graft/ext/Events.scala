@@ -166,9 +166,15 @@ object Events {
   def trailingDaily(events: DataFrame, userCol: String, tsCol: String,
                     valueCol: String, days: Int = 7): DataFrame = {
     require(days > 0, s"days=$days must be positive")
+    // Floor-division day bucketing (the Tables.scala pmod pattern):
+    // Spark's `div` truncates toward zero, so a bare `div` would put
+    // pre-epoch timestamps one day late vs the floor semantics every
+    // other engine's `//` uses. pmod is non-negative, so subtracting it
+    // lands exactly on the day boundary and the div is then exact.
     val daily = events
       .groupBy(col(userCol).as("user_id"),
-        expr(s"unix_micros($tsCol) div ${86400000000L}").as("day"))
+        expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+          s"${86400000000L}L)) div ${86400000000L}L").as("day"))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast(DecimalType(38, 6))).as("v"))
     val w = Window.partitionBy("user_id").orderBy("day")

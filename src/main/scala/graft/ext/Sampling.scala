@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deterministic sampling and dataset splitting for training-data
   * pipelines (SURVEY §2.9 extension surface).
@@ -533,15 +534,25 @@ object Sampling {
                   weightCol: String, pNum: Long, pDen: Long): DataFrame = {
     require(pDen > 0 && pNum >= 0 && pNum <= pDen,
       s"p = $pNum/$pDen must lie in [0, 1]")
+    // The integer-exactness argument (no float fraction can flip a
+    // boundary row) only holds if the weight IS integral: a double
+    // weight would truncate inside the running sum but participate raw
+    // in the boundary predicate — silently mixing long and double
+    // arithmetic. Require an integral column up front.
+    val wType = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"topPMassCut needs an integral weight column; $weightCol is $wType" +
+        " (pre-scale fractional weights to integers, e.g. micro-units)")
+    val w = col(weightCol).cast("long")
     val W = org.apache.spark.sql.expressions.Window
     val run = W.partitionBy(col(groupCol))
       .orderBy(col(weightCol).desc, col(keyCol).asc)
       .rowsBetween(W.unboundedPreceding, 0)
     val tot = W.partitionBy(col(groupCol))
     df.where(col(keyCol).isNotNull && col(weightCol).isNotNull)
-      .withColumn("cum_w", sum(col(weightCol).cast("long")).over(run))
-      .withColumn("total_w", sum(col(weightCol).cast("long")).over(tot))
-      .where((col("cum_w") - col(weightCol)) * pDen < col("total_w") * pNum)
+      .withColumn("cum_w", sum(w).over(run))
+      .withColumn("total_w", sum(w).over(tot))
+      .where((col("cum_w") - w) * pDen < col("total_w") * pNum)
   }
 
   /** Sequence-length bucketing — the BATCHING-EFFICIENCY diagnostic:

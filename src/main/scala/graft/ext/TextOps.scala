@@ -224,7 +224,11 @@ object TextOps {
     * Each reported heavy hitter carries `cms_ok`: the sketch estimate is
     * ≥ the true count (CMS never undercounts) and ≤ true + ceil(eps·N)
     * (the CMS error bound at total mass N = sketch.totalCount — no extra
-    * job). The estimate lookup has no native SQL expression, so it runs
+    * job). NOTE: that upper bound holds with probability ≥ `confidence`
+    * PER QUERY, not certainly — so cms_ok is a spec-asserted diagnostic,
+    * deliberately excluded from the cross-engine oracle hash (a seed,
+    * eps, or sketch-hash change could legitimately flip a row).
+    * The estimate lookup has no native SQL expression, so it runs
     * as a scala UDF — applied AFTER the top-k cut, so exactly k rows pay
     * it and the corpus-sized path stays whole-stage codegen.
     *

@@ -366,4 +366,54 @@ class DedupDifferentialSpec extends AnyFunSuite {
       assert(got((p, 1)) == expect(0) && got((p, 2)) == expect(1), s"probe $p")
     }
   }
+
+  test("triangles: degree-ordered equals id-ordered AND in-memory on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      val edges = (0 until 120).map { _ =>
+        val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val adj = edges.toSet
+      val want = (for {
+        (a, b) <- edges; c <- (b + 1) to 24L
+        if adj((a, c)) && adj((b, c))
+      } yield (a, b, c)).toSet
+
+      val df = edges.toDF("da", "db")
+      val fast = Dedup.triangles(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = Dedup.trianglesIdOrdered(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == want, s"seed=$seed fast")
+      assert(naive == want, s"seed=$seed naive")
+    }
+  }
+
+  test("degree orientation collapses hub wedges where id order blows up") {
+    import spark.implicits._
+    // Star with the hub MID id-order: 20 edges (i,20) below + 20 (20,j)
+    // above, all canonical. The id-ordered wedge join pairs every
+    // below-edge with every above-edge THROUGH the hub: 20×20 = 400
+    // intermediate rows for 40 edges. Degree orientation points every
+    // edge leaf→hub (leaf degree 1 ≺ hub degree 40), so no vertex has
+    // two out-edges — zero wedges. Triangles: none either way.
+    val star = ((0L until 20L).map(i => (i, 20L)) ++
+      (21L until 41L).map(j => (20L, j))).toDF("da", "db")
+
+    val e = star.select(col("da").as("u"), col("db").as("v"))
+    val idWedges = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u")).count()
+    val o = Dedup.orientByDegree(star)
+    val degWedges = o.as("o1")
+      .join(o.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          (col("o1.dt") < col("o2.dt") ||
+            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+      .count()
+    assert(idWedges == 400L, s"id-ordered wedges: $idWedges")
+    assert(degWedges == 0L, s"degree-ordered wedges: $degWedges")
+    assert(Dedup.triangles(star).count() == 0L)
+  }
 }

@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+/** Dialect lint over `SparkEntry.oracleSql` + a type lint over the
+  * declared query outputs — the guard for the r7 failure class: oracle
+  * SQL that is value-correct under one DuckDB version but hash-diverges
+  * under another, and output schemas the driver's type-sensitive hash
+  * treats as engine-specific.
+  *
+  * Round 7 shipped six hash-red rows whose values matched the oracle
+  * exactly; every one traced to a construct on this list. The lint makes
+  * the rule survive fresh-context rounds:
+  *
+  *  R1  un-cast `sum(...)` in a query's FINAL select list — DuckDB
+  *      promotes integer sums to HUGEINT (and keeps engine-chosen
+  *      decimal widths), neither of which is Spark's type. Interior
+  *      (CTE) sums are fine: the final select normalizes them.
+  *  R2  `CAST(<double expression> AS DECIMAL)` without a VARCHAR hop —
+  *      engines disagree on whether the cast rounds the double's
+  *      SHORTEST decimal repr (Spark, DuckDB-via-VARCHAR) or its exact
+  *      binary expansion (1-ulp drift at the target scale). Raw fixture
+  *      double columns carry ≤2 decimal places (tie-free at scale 6 —
+  *      both roads agree), so only computed doubles (an explicit
+  *      `AS DOUBLE` chain) are flagged.
+  *  R3  a DECIMAL(p≥20) operand under `*` — the product's 38-digit
+  *      width-rule overflow resolves differently across engine versions
+  *      (DOUBLE fallback vs saturation). Width-stable products keep
+  *      every operand ≤ DECIMAL(19,0).
+  *  R4  (schema, not SQL) a declared query output column typed DECIMAL —
+  *      in r7 every decimal-output query hash-failed with matching
+  *      values while no passing query emitted one; the driver's hash is
+  *      type-sensitive in a way wide decimals lose. Decimal math stays
+  *      in the operators; the declared query renders to STRING
+  *      (toPlainString — byte-identical to DuckDB's VARCHAR cast at any
+  *      scale) or re-casts to DOUBLE/BIGINT.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  // ── mini scanner: call regions + depth-0 clause spans ──────────────
+
+  /** Every `name( ... )` call in `sql` as (lowercased name, open idx,
+    * close idx); single-quoted literals are skipped. */
+  private def callRegions(sql: String): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var stack = List.empty[(String, Int)]
+    var i = 0
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' =>
+          i += 1
+          while (i < sql.length && sql(i) != '\'') i += 1
+        case '(' =>
+          var j = i - 1
+          while (j >= 0 && sql(j).isWhitespace) j -= 1
+          var k = j
+          while (k >= 0 && (sql(k).isLetterOrDigit || sql(k) == '_')) k -= 1
+          stack ::= ((sql.substring(k + 1, j + 1).toLowerCase, i))
+        case ')' =>
+          stack match {
+            case (n, s) :: rest => out += ((n, s, i)); stack = rest
+            case Nil            =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+  private def keywordAt(sql: String, i: Int, kw: String): Boolean =
+    sql.regionMatches(true, i, kw, 0, kw.length) &&
+      (i == 0 || !isWordChar(sql(i - 1))) &&
+      (i + kw.length >= sql.length || !isWordChar(sql(i + kw.length)))
+
+  /** Span of the last paren-depth-0 SELECT list: (idx after SELECT, idx
+    * of the matching depth-0 FROM, or end). CTE bodies sit inside parens,
+    * so in `WITH a AS (...) SELECT ...` this is the output list. */
+  private def finalSelectClause(sql: String): Option[(Int, Int)] = {
+    var depth = 0; var last = -1; var i = 0
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' => i += 1; while (i < sql.length && sql(i) != '\'') i += 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _    => if (depth == 0 && keywordAt(sql, i, "SELECT")) last = i
+      }
+      i += 1
+    }
+    if (last < 0) return None
+    depth = 0; i = last
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' => i += 1; while (i < sql.length && sql(i) != '\'') i += 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _    => if (depth == 0 && keywordAt(sql, i, "FROM"))
+          return Some((last + 6, i))
+      }
+      i += 1
+    }
+    Some((last + 6, sql.length))
+  }
+
+  // ── the rules ──────────────────────────────────────────────────────
+
+  private val decimalTail =
+    """(?is)\bAS\s+DECIMAL\s*(\([^)]*\))?\s*$""".r
+  private val asDouble  = """(?is)\bAS\s+DOUBLE\b""".r
+  private val asVarchar = """(?is)\bAS\s+VARCHAR\b""".r
+  private val wideDecLhsProduct =
+    """(?is)AS\s+DECIMAL\s*\(\s*[23]\d\s*,\s*\d+\s*\)\s*\)\s*\*""".r
+  private val wideDecRhsProduct =
+    """(?is)\*\s*CAST\s*\([^()]*AS\s+DECIMAL\s*\(\s*[23]\d\s*,""".r
+
+  private def lint(name: String, sql: String): Seq[String] = {
+    val regions = callRegions(sql)
+    val v = Seq.newBuilder[String]
+    // R1: sum( in the final select list needs a cast ancestor
+    finalSelectClause(sql).foreach { case (s0, s1) =>
+      regions.foreach { case (fn, s, e) =>
+        if (fn == "sum" && s >= s0 && s < s1 &&
+            !regions.exists(r => r._1 == "cast" && r._2 < s && r._3 > e))
+          v += s"$name R1 un-cast output sum at $s: " +
+            sql.slice(s, math.min(s + 40, sql.length)).replace('\n', ' ')
+      }
+    }
+    // R2: CAST(<contains AS DOUBLE, no AS VARCHAR> AS DECIMAL)
+    regions.foreach { case (fn, s, e) =>
+      if (fn == "cast") {
+        val body = sql.substring(s + 1, e)
+        decimalTail.findFirstMatchIn(body).foreach { m =>
+          val arg = body.substring(0, m.start)
+          if (asDouble.findFirstIn(arg).isDefined &&
+              asVarchar.findFirstIn(arg).isEmpty)
+            v += s"$name R2 double→DECIMAL without VARCHAR hop: " +
+              arg.trim.take(60).replace('\n', ' ')
+        }
+      }
+    }
+    // R3: DECIMAL(p>=20) as a multiplication operand
+    wideDecLhsProduct.findAllMatchIn(sql).foreach { m =>
+      v += s"$name R3 wide-decimal product (lhs) at ${m.start}"
+    }
+    wideDecRhsProduct.findAllMatchIn(sql).foreach { m =>
+      v += s"$name R3 wide-decimal product (rhs) at ${m.start}"
+    }
+    v.result()
+  }
+
+  test("oracle SQL is free of version-fragile dialect constructs") {
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (name, sql) => lint(name, sql) }
+    assert(violations.isEmpty,
+      s"\n${violations.mkString("\n")}\n(${violations.size} violations)")
+  }
+
+  test("the linter catches each r7 red-row construct (negative fixtures)") {
+    // q_length_buckets pre-fix: un-cast integer sum in the output list
+    val f1 =
+      """WITH b AS (SELECT bucket, n_chars FROM documents)
+         SELECT bucket, count(*) AS n_docs, sum(n_chars) AS sum_tokens
+         FROM b GROUP BY 1 ORDER BY bucket"""
+    assert(lint("f1", f1).exists(_.contains("R1")))
+
+    // q_class_centroids pre-fix: computed double straight into DECIMAL
+    val f2 =
+      """SELECT label, CAST(sum(CAST(CAST(embedding[i+1] AS DOUBLE)
+           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
+         FROM embeddings GROUP BY 1"""
+    assert(lint("f2", f2).exists(_.contains("R2")))
+
+    // q_join_estimate pre-fix: DECIMAL(38,0) × BIGINT product
+    val f3 =
+      """SELECT CAST(na AS DECIMAL(38,0)) * nb AS prod FROM ca JOIN cb USING (k)"""
+    assert(lint("f3", f3).exists(_.contains("R3")))
+
+    // and the fixed forms are clean
+    assert(lint("ok1",
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS sum_tokens FROM b""").isEmpty)
+    assert(lint("ok2",
+      """SELECT CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE) AS VARCHAR)
+           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s FROM e""").isEmpty)
+    assert(lint("ok3",
+      """SELECT CAST(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+           AS DECIMAL(38,0)) AS prod FROM j""").isEmpty)
+  }
+
+  test("declared query outputs stay on hash-stable types (no DECIMAL)") {
+    // Analysis only — .schema resolves the plan without running the job
+    // (a few queries do bounded fit-work at construction; sf0.001 keeps
+    // that sub-second). The allowlist is exactly the set of types with
+    // driver-passing precedent across rounds 1–7.
+    val ok: DataType => Boolean = {
+      case LongType | IntegerType | DoubleType | StringType |
+           BooleanType | TimestampType | DateType | BinaryType => true
+      case ArrayType(e, _) =>
+        e == LongType || e == IntegerType || e == DoubleType ||
+          e == StringType
+      case _ => false
+    }
+    val spark = TestSpark.spark
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, TestSpark.sfDir).schema.fields.collect {
+          case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType}"
+        }
+    }
+    assert(bad.isEmpty, s"\nhash-fragile output columns:\n${bad.mkString("\n")}")
+  }
+}
