@@ -3078,13 +3078,17 @@ object SparkEntry {
          FROM customer, b GROUP BY 1 ORDER BY c_mktsegment""",
     // NULL group/value/id rows dropped on both sides before the rank
     // (NULL sort-order parity note in the verify gotchas).
+    // Tiebreak within equal values is the md5 order — the contract that
+    // lets the Spark side rank without any group-partitioned window
+    // (Sampling.rankByValueGrouped; the md5 bucket must prefix the sort).
     "q_percentile_rank" ->
       """WITH f AS (SELECT doc_id, lang, n_chars FROM documents
                     WHERE doc_id IS NOT NULL AND lang IS NOT NULL
                       AND n_chars IS NOT NULL)
          SELECT doc_id AS id, lang AS grp, n_chars AS v,
                 CAST(row_number() OVER (PARTITION BY lang
-                       ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+                       ORDER BY n_chars, md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS rnk,
                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
          FROM f ORDER BY grp, rnk""",
     // Trigrams replay the q_contamination construction (t[i]||' '||...);

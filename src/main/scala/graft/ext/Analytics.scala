@@ -177,35 +177,34 @@ object Analytics {
   }
 
   /** X79 — per-group percentile rank: each row's integer rank under the
-    * total (value asc, id asc) order within its group plus the group
-    * size — the cross-group score normalizer (quality scores are not
-    * comparable across languages; rank them within language, then cut
-    * globally on rnk/n). The ratio is left to the consumer: (rnk, n)
-    * are exact integers, so two engines can never disagree at a float
-    * ulp, and either convention ((rnk−1)/(n−1) or rnk/n) replays.
+    * total (value asc, md5(id) asc, id asc) order within its group plus
+    * the group size — the cross-group score normalizer (quality scores
+    * are not comparable across languages; rank them within language,
+    * then cut globally on rnk/n). The ratio is left to the consumer:
+    * (rnk, n) are exact integers, so two engines can never disagree at a
+    * float ulp, and either convention ((rnk−1)/(n−1) or rnk/n) replays.
     *
     * NULL group/value/id rows are dropped on BOTH engines before the
     * rank (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST — a
     * null key would desync every rank after it).
     *
-    * Scale: one group-partitioned window — a single exchange + per-group
-    * sort, the id tiebreak makes it deterministic under any
-    * partitioning. Groups are language/source-cardinality in the
-    * intended use; a corpus-sized SINGLE group would ride the X47
-    * two-phase md5 rank instead (`Sampling.rankByValue`).
+    * Scale: rides the grouped two-phase md5 rank
+    * ([[graft.ext.Sampling.rankByValueGrouped]]) — NO window is ever
+    * partitioned by the bare group column, so a corpus-sized single
+    * group (one dominant language) fans out over (value × 256 md5
+    * buckets) partitions instead of serializing through one reducer.
+    * The within-value tiebreak is therefore the md5 order — defined,
+    * engine-replayable, and what makes the bucket a prefix of the sort.
     */
   def percentileRank(df: DataFrame, groupCol: String, valueCol: String,
-                     idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("grp"))
-      .orderBy(col("v").asc, col("id").asc)
-    val nw = Window.partitionBy(col("grp"))
-    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull &&
-        col(idCol).isNotNull)
-      .select(col(idCol).as("id"), col(groupCol).as("grp"),
-        col(valueCol).as("v"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .withColumn("n", count(lit(1)).over(nw).cast(LongType))
-  }
+                     idCol: String): DataFrame =
+    graft.ext.Sampling.rankByValueGrouped(
+      df.where(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+          col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(groupCol).as("grp"),
+          col(valueCol).as("v")),
+      "grp", "v", "id")
+      .select(col("id"), col("grp"), col("v"), col("rnk"), col("n"))
 
   /** INTERSECT (distinct) of two key sets — the complement of the diff
     * engine's EXCEPT algebra (SURVEY §2.5 O2). Spark plans it as an

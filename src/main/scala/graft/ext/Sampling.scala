@@ -486,6 +486,54 @@ object Sampling {
       .drop("__v", "__rk", "__b", "__ob", "__off")
   }
 
+  /** Per-group [[rankByValue]] — the exact 1-based rank of every row
+    * WITHIN its group under (value asc, md5(key) asc, key asc), with no
+    * window ever partitioned by the bare group column. A plain
+    * `row_number() OVER (PARTITION BY grp ORDER BY v)` serializes each
+    * group through one reducer — fatal when a group is corpus-sized (one
+    * dominant language, one mega-source). Here the window partition is
+    * (group, value, md5-prefix bucket): a group sharing one value still
+    * fans out over 256 buckets, so the largest window partition is
+    * ~|group|/(|distinct values|×256) rows regardless of group skew.
+    *
+    * Offsets come from a per-group prefix sum over the
+    * (groups × distinct values × 256)-row count frame — the only serial
+    * step runs per group over that small frame, and the frame is
+    * broadcast. Adds `rnk` (LongType) and `n` (LongType, the group size —
+    * free from the same count frame, no second window). NULL groups /
+    * values / keys excluded. Same contract as [[rankByValue]]: input
+    * consumed twice (persist upstream when expensive) and the value
+    * column must be discrete/quantized, or the count frame approaches
+    * corpus size.
+    */
+  def rankByValueGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                         keyCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val in = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("__rk", md5(col(keyCol).cast("string")))
+      .withColumn("__b", substring(col("__rk"), 1, 2))
+    val counts = in
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val cw = W.partitionBy(col("__g")).orderBy(col("__v").asc, col("__b").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val nw = W.partitionBy(col("__g"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(cw), lit(0L)))
+      .withColumn("__gn", sum(col("__n")).over(nw))
+      .drop("__n")
+      .withColumnRenamed("__b", "__ob")
+    val rw = W.partitionBy(col(groupCol), col(valueCol), col("__b"))
+      .orderBy(col("__rk").asc, col(keyCol).asc)
+    in.join(broadcast(offsets),
+        col(groupCol) === col("__g") && col(valueCol) === col("__v") &&
+          col("__b") === col("__ob"))
+      .withColumn("rnk", col("__off") + row_number().over(rw).cast("long"))
+      .withColumn("n", col("__gn").cast("long"))
+      .drop("__g", "__v", "__rk", "__b", "__ob", "__off", "__gn")
+  }
+
   /** Token-budget selection — the CURATION operator: within each group
     * (source, language, shard), keep the best rows by a quality order
     * until a token budget is exhausted — "take the highest-quality docs

@@ -283,6 +283,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group ranks never window on the bare group column (X79)") {
+    // percentileRank / rankByValueGrouped contract: a corpus-sized single
+    // group must NOT serialize through one reducer. Every window over the
+    // per-row frame must partition by MORE than the group column — the
+    // (group, value, md5-bucket) fan-out. The only 1-column-partitioned
+    // windows allowed are the per-group prefix-sum/size over the tiny
+    // counts frame (they sit on the aggregated side, under the broadcast).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.Analytics.percentileRank(
+      docs, "lang", "n_chars", "doc_id")
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window nodes")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in the grouped rank:\n$plan")
+    // group-only (narrow) windows are legal ONLY over the aggregated
+    // counts frame (groups × values × 256 rows). Structurally: the
+    // per-row frame reaches its window THROUGH the offsets join, while
+    // the counts windows sit below it — so a window whose subtree
+    // contains a join is the per-row rank window, everything else is
+    // counts-side. A narrow window over the joined (per-row) frame is
+    // the single-reducer hazard.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinNode}
+    val (rowWindows, countsWindows) = windows.partition(
+      _.child.collectFirst { case j: JoinNode => j }.nonEmpty)
+    assert(windows.filter(_.partitionSpec.size < 2)
+        .forall(countsWindows.contains),
+      s"group-only window over the per-row frame (single-reducer hazard):\n$plan")
+    assert(countsWindows.forall(
+        _.collectFirst { case h: HashAggregateExec => h }.nonEmpty),
+      s"counts-side window not over the aggregated frame:\n$plan")
+    // and the per-row rank window fans out over ≥ 3 partition columns
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.partitionSpec.size >= 3),
+      s"per-row rank window must partition by (group, value, bucket):\n$plan")
+  }
+
   test("retrieval top-k plans TakeOrdered; bigram novelty reuses its exchange") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     // keywordSearch / bpeMergePairs: the final top-k must be per-partition

@@ -259,7 +259,35 @@ class RandomizedOpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
         .toMap
       val want = rows.groupBy(_._2).flatMap { case (_, g) =>
-        val sorted = g.sortBy(r => (r._3, r._1))
+        // contract order: (value, md5(id), id) — the md5 tiebreak is what
+        // lets the engine rank with no group-partitioned window
+        val sorted = g.sortBy(r => (r._3, md5Hex(r._1.toString), r._1))
+        sorted.zipWithIndex.map { case (r, ix) =>
+          r._1 -> ((ix + 1).toLong, g.size.toLong) }
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("rankByValueGrouped equals in-memory rank on skewed random groups") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      // skew: one group holds ~70% of rows — the case the two-phase rank
+      // exists for
+      val rows = (1L to (40 + rnd.nextInt(80))).map { i =>
+        val g = if (rnd.nextInt(10) < 7) "big" else s"g${rnd.nextInt(3)}"
+        (i, g, rnd.nextInt(5).toLong)
+      }
+      val got = Sampling.rankByValueGrouped(
+          rows.toDF("id", "grp", "v"), "grp", "v", "id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._3, md5Hex(r._1.toString), r._1))
         sorted.zipWithIndex.map { case (r, ix) =>
           r._1 -> ((ix + 1).toLong, g.size.toLong) }
       }
