@@ -1364,7 +1364,54 @@ object SparkEntry {
       Dedup.triangles(
         Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100))
         .orderBy("a", "b", "c")
-    })
+    }),
+
+    // ── §2.9 X81: fixed-point PageRank over the LSH near-dup graph —
+    //    integer ranks (scale 10¹²), bit-identical on any engine ──────────
+    "q_pagerank" -> ((s, dir) =>
+      Dedup.pageRank(Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy(col("pr").desc, col("node").asc)),
+
+    // ── §2.9 X81b: MinHash Jaccard estimation on LSH candidates — the
+    //    integer agreeing-component numerator out of k=16 ─────────────────
+    "q_jaccard_est" -> ((s, dir) =>
+      Dedup.jaccardEstimate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("da", "db")),
+
+    // ── §2.9 X81c: dedup cluster size distribution — CC over the LSH
+    //    graph rolled up to (size → clusters, docs) ───────────────────────
+    "q_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizes(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("size")),
+
+    // ── §2.9 X81d: duplicated-byte accounting per group — where does a
+    //    dedup pass pay for itself. Run on the event log (at-least-once
+    //    delivery → repeated identical payloads per type); the fixture
+    //    documents table has near-dups but zero exact copies ─────────────
+    "q_dup_mass" -> ((s, dir) =>
+      Dedup.dupMass(
+          t(s, dir, "events").withColumn("n_chars", length(col("props"))),
+          "event_type", "props", "n_chars")
+        .orderBy("grp")),
+
+    // ── §2.9 X82: per-group robust center/spread — exact median + MAD by
+    //    order statistics over the grouped two-phase rank ─────────────────
+    "q_mad" -> ((s, dir) =>
+      Analytics.madByGroup(t(s, dir, "documents"), "lang", "n_chars",
+        "doc_id")
+        .orderBy("grp")),
+
+    // ── §2.9 X83: key-skew diagnostic — exact integer Gini + p99/max of
+    //    per-user event counts (the pre-shuffle salting decision) ─────────
+    "q_skew_gini" -> ((s, dir) =>
+      Analytics.skewGini(t(s, dir, "events"), "user_id")
+        .orderBy("n_keys")),
+
+    // ── §2.9 X84: BM25 retrieval in rational fixed point — rarity × tf
+    //    saturation × length norm, all-integer scores ─────────────────────
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), k = 20))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3339,7 +3386,129 @@ object SparkEntry {
          SELECT e1.da AS a, e1.db AS b, e2.db AS c
          FROM vp e1 JOIN vp e2 ON e1.db = e2.da
               JOIN vp e3 ON e3.da = e1.da AND e3.db = e2.db
-         ORDER BY a, b, c"""
+         ORDER BY a, b, c""",
+    // Fixed-point PageRank: 5 unrolled iterations of the integer
+    // recurrence over the LSH candidate graph — every step `//` on
+    // positive operands ≡ Spark's truncating div; DuckDB's HUGEINT sum
+    // promotion ≡ the Spark side's DECIMAL(38,0) partials.
+    "q_pagerank" ->
+      s"""WITH $lshCandSql,
+         edges AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         deg AS (SELECT s, count(*) dg FROM edges GROUP BY s),
+         cnt AS (SELECT count(*) nn FROM deg),
+         it0 AS (SELECT s AS n, 1000000000000 // (SELECT nn FROM cnt) AS r
+                 FROM deg),
+         ${(1 to 5).map(pageRankIterSql).mkString(",\n         ")}
+         SELECT n AS node, CAST(r AS BIGINT) AS pr FROM it5
+         ORDER BY pr DESC, node""",
+    // MinHash Jaccard estimation: agreeing signature components per LSH
+    // candidate pair, integer numerator out of k=16.
+    "q_jaccard_est" ->
+      s"""WITH $lshCandSql,
+         est AS (SELECT c.da, c.db,
+                        sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) n_eq
+                 FROM cand c JOIN mh a ON a.doc_id = c.da
+                      JOIN mh b ON b.doc_id = c.db AND b.k = a.k
+                 GROUP BY c.da, c.db)
+         SELECT da, db, CAST(n_eq AS BIGINT) AS n_eq,
+                CAST(16 AS BIGINT) AS k
+         FROM est ORDER BY da, db""",
+    // Cluster sizes: the q_dedup_components reachability labels rolled up
+    // to (size -> n_clusters, n_docs).
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $lshCandSql,
+         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
+         comp AS (SELECT n, min(l) c FROM reach GROUP BY n),
+         szs AS (SELECT c, count(*) sz FROM comp GROUP BY c)
+         SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY sz ORDER BY size""",
+    // Duplicated-byte accounting over the event log: identical payloads
+    // share their length, so min(length) on the oracle side equals the
+    // engine's per-group pick (character length on both engines).
+    "q_dup_mass" ->
+      """WITH g AS (SELECT event_type AS grp, md5(props) AS h, count(*) AS n,
+                           min(length(props)) AS c
+                    FROM events GROUP BY 1, 2)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_dup_groups,
+                CAST(sum(n - 1) AS BIGINT) AS n_removable,
+                CAST(sum((n - 1) * c) AS BIGINT) AS wasted_chars
+         FROM g WHERE n >= 2 GROUP BY grp ORDER BY grp""",
+    // Median/MAD by order statistics: the middle VALUES are
+    // tiebreak-independent, so the oracle may rank with any within-value
+    // order; (lo+hi)/2 and abs(v-med) are single IEEE ops both engines
+    // share bit-exactly.
+    "q_mad" ->
+      """WITH f AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, doc_id
+                    FROM documents
+                    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                      AND doc_id IS NOT NULL),
+         r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) rnk,
+                       count(*) OVER (PARTITION BY g) n
+                FROM f),
+         m AS (SELECT g, max(n) AS n,
+                      max(CASE WHEN rnk = (n + 1) // 2 THEN v END) AS med_lo,
+                      max(CASE WHEN rnk = n // 2 + 1 THEN v END) AS med_hi
+               FROM r1 GROUP BY g),
+         d AS (SELECT f.g, abs(f.v - (m.med_lo + m.med_hi) / 2) AS dv, f.doc_id
+               FROM f JOIN m ON f.g = m.g),
+         r2 AS (SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) rnk,
+                       count(*) OVER (PARTITION BY g) n
+                FROM d),
+         m2 AS (SELECT g, max(CASE WHEN rnk = (n + 1) // 2 THEN dv END) AS mad_lo,
+                       max(CASE WHEN rnk = n // 2 + 1 THEN dv END) AS mad_hi
+                FROM r2 GROUP BY g)
+         SELECT m.g AS grp, CAST(m.n AS BIGINT) AS n,
+                m.med_lo, m.med_hi, (m.med_lo + m.med_hi) / 2 AS med,
+                m2.mad_lo, m2.mad_hi, (m2.mad_lo + m2.mad_hi) / 2 AS mad
+         FROM m JOIN m2 ON m.g = m2.g ORDER BY grp""",
+    // Gini over per-key counts: Σ(2·rnk−n−1)·x is invariant under
+    // reordering equal counts, so the oracle's plain row_number order
+    // matches the engine's md5-tiebroken two-phase rank.
+    "q_skew_gini" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events
+                    WHERE user_id IS NOT NULL GROUP BY 1),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rnk FROM c),
+         a AS (SELECT count(*) AS n, sum(cnt) AS t, sum(2 * rnk * cnt) AS s2
+               FROM r),
+         p AS (SELECT cnt AS p99 FROM r, a WHERE rnk = (99 * a.n + 99) // 100),
+         m AS (SELECT max(cnt) AS mx FROM c)
+         SELECT CAST(a.n AS BIGINT) AS n_keys, CAST(a.t AS BIGINT) AS total_rows,
+                CAST(a.s2 - (a.n + 1) * a.t AS BIGINT) AS gini_num,
+                CAST(a.n * a.t AS BIGINT) AS gini_den,
+                CAST(m.mx AS BIGINT) AS max_cnt, CAST(p.p99 AS BIGINT) AS p99_cnt
+         FROM a, m, p ORDER BY n_keys""",
+    // BM25 in rational fixed point: every weight an integer `//` chain on
+    // positive operands — mirrors the engine's div order exactly.
+    "q_bm25" ->
+      """WITH tkarr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.doc_id = h.doc_id, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s
+         ORDER BY score DESC, doc_id LIMIT 20"""
   )
 
   /** Shared DuckDB CTE chain replicating
@@ -3371,6 +3540,35 @@ object SparkEntry {
                   FROM inter JOIN sz sa ON sa.doc_id = da
                        JOIN sz sb ON sb.doc_id = db)
                 WHERE jaccard >= 0.3)"""
+
+  /** Shared DuckDB CTE chain replicating
+    * `Dedup.minHashLsh(docs, "doc_id", "text")` (k=16, bands=4); ends in
+    * `cand(da, db)` and also exposes `mh(doc_id, k, m)` for signature
+    * consumers. Same chain as q_dedup_minhash's inline copy; used by the
+    * X81 graph-operator oracles so they cannot drift apart. */
+  private val lshCandSql =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+               FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)"""
+
+  /** One unrolled fixed-point PageRank iteration (Dedup.pageRank's
+    * integer recurrence) as a DuckDB CTE: it{i} from it{i-1}. */
+  private def pageRankIterSql(i: Int): String =
+    s"""it$i AS (SELECT e.d AS n,
+           (15 * (1000000000000 // (SELECT nn FROM cnt))
+            + 85 * sum(p.r // dg.dg)) // 100 AS r
+         FROM edges e JOIN it${i - 1} p ON p.n = e.s
+              JOIN deg dg ON dg.s = e.s
+         GROUP BY e.d)"""
 
   /** DuckDB-dialect SQL for Sampling.hashBucket(key, mod) — the 32-bit
     * value of the first 8 md5 hex digits mod `mod`, spelled as digit

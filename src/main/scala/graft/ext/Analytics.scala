@@ -401,4 +401,89 @@ object Analytics {
       .select(col("bin"), round(lit(lo) + col("bin") * width, 6).as("lo_edge"),
         col("n"), col("min_value"), col("max_value"))
   }
+
+  /** X82 — per-group robust center/spread: exact MEDIAN and MEDIAN
+    * ABSOLUTE DEVIATION by order statistics only. Outlier-immune where
+    * mean/stddev are not — the robust basis for per-language length or
+    * loss gating (cut at med ± c·mad instead of μ ± c·σ, which one 2 GB
+    * pathological doc drags arbitrarily).
+    *
+    * Determinism: the engine picks the two middle ORDER STATISTICS
+    * (rnk = (n+1) div 2 and n div 2 + 1) — selected values, never sums
+    * of many floats — and the only arithmetic is a single IEEE add/halve
+    * (`(lo+hi)/2`) and one `abs(v − med)` per row, each a deterministic
+    * individual operation any engine reproduces bit-exactly. Median
+    * values are tiebreak-independent by definition, so the oracle can
+    * rank with any within-value order.
+    *
+    * Scale: both ranking passes ride [[graft.ext.Sampling.rankByValueGrouped]]
+    * — no window partitioned by the bare group, so a corpus-sized group
+    * fans out over (value × 256 md5-bucket) partitions. The deviation
+    * pass inherits the value column's discreteness (deviations live on
+    * the half-grid of v), keeping the two-phase rank's count frame
+    * bounded — same quantization contract as the rank itself.
+    */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 idCol: String): DataFrame = {
+    def middles(ranked: DataFrame, vCol: String) = ranked
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rnk") === expr("(n + 1) div 2"), col(vCol))).as("lo"),
+        max(when(col("rnk") === expr("n div 2 + 1"), col(vCol))).as("hi"))
+    val in = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"),
+        col(idCol).as("id"))
+    val med = middles(
+        graft.ext.Sampling.rankByValueGrouped(in, "grp", "v", "id"), "v")
+      .select(col("grp"), col("n"), col("lo").as("med_lo"),
+        col("hi").as("med_hi"),
+        ((col("lo") + col("hi")) / 2).as("med"))
+    val dev = in.join(med.select(col("grp"), col("med")), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("dv"), col("id"))
+    val mad = middles(
+        graft.ext.Sampling.rankByValueGrouped(dev, "grp", "dv", "id"), "dv")
+      .select(col("grp"), col("lo").as("mad_lo"), col("hi").as("mad_hi"),
+        ((col("lo") + col("hi")) / 2).as("mad"))
+    med.join(mad, "grp")
+      .select(col("grp"), col("n").cast(LongType).as("n"),
+        col("med_lo"), col("med_hi"), col("med"),
+        col("mad_lo"), col("mad_hi"), col("mad"))
+  }
+
+  /** X83 — key-skew diagnostic with an exact GINI COEFFICIENT over
+    * per-key row counts: gini = gini_num / gini_den with
+    * gini_num = Σᵢ (2·rankᵢ − n − 1)·xᵢ (counts ranked ascending) and
+    * gini_den = n·Σxᵢ — both INTEGER outputs (the no-ulp policy; the
+    * division is the consumer's). 0 = uniform keys, →1 = one key holds
+    * everything. Plus max and p99 count — together the pre-shuffle skew
+    * report for a 100 TB groupBy/join: gini says "how salted does this
+    * key need to be", p99/max say "how big is the hot partition".
+    *
+    * Tie-safety: swapping the ranks of equal counts leaves the Gini sum
+    * unchanged, and the p99/max picks are values, so no tiebreak leaks
+    * into the output. Scale: one map-side count aggregation collapses
+    * the input to |keys| rows; ranking those rides the X47 two-phase
+    * rank (no single-reducer window); the output is ONE row.
+    * Integer bound: gini_num < n_keys·total_rows — overflow-safe while
+    * that product stays under 2⁶³ (pre-aggregate coarser keys beyond).
+    */
+  def skewGini(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ext.Sampling.rankByValue(counts, "cnt", "__k")
+    ranked.agg(
+        count(lit(1)).as("__n"), sum(col("cnt")).as("__t"),
+        sum((lit(2) * col("rnk")) * col("cnt")).as("__s2"))
+      .crossJoin(broadcast(ranked.agg(max(col("cnt")).as("max_cnt"))))
+      .join(ranked.select(col("cnt").as("p99_cnt"), col("rnk").as("__r")),
+        col("__r") === expr("(99 * __n + 99) div 100"), "left")
+      .select(col("__n").cast(LongType).as("n_keys"),
+        col("__t").cast(LongType).as("total_rows"),
+        (col("__s2") - (col("__n") + 1) * col("__t"))
+          .cast(LongType).as("gini_num"),
+        (col("__n") * col("__t")).cast(LongType).as("gini_den"),
+        col("max_cnt").cast(LongType).as("max_cnt"),
+        col("p99_cnt").cast(LongType).as("p99_cnt"))
+  }
 }

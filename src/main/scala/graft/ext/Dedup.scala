@@ -59,14 +59,21 @@ object Dedup {
     * in ONE groupBy — the partial (map-side) aggregation reduces each
     * partition to ≤ |docs| rows before the only shuffle, vs. exploding
     * k× rows. */
+  /** The k-column MinHash signature of (doc_id, sh) shingle rows as one
+    * (doc_id, sig ARRAY<STRING>) frame — k aggregate columns in ONE
+    * groupBy (map-side partials; see [[bandedSignatures]]). */
+  private[graft] def signaturesOfShingles(sh: DataFrame, k: Int): DataFrame = {
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   private def bandedSignatures(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val minCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sig = signaturesOfShingles(sh, k)
     val bandHash = (0 until r).map(i => element_at(col("sig"), col("b") * r + i + 1))
     sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
@@ -299,6 +306,133 @@ object Dedup {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** X81b — MinHash Jaccard ESTIMATION for LSH candidate pairs: the number
+    * of agreeing signature components `n_eq` out of `k` (E[n_eq/k] =
+    * Jaccard — the classic MinHash estimator). The integer numerator is
+    * the output (the `topTerms` no-ulp policy: consumers divide by k
+    * themselves), so two engines can never disagree.
+    *
+    * Versus [[minHashVerified]]'s EXACT Jaccard: estimation touches only
+    * the k-wide signature frame — no shingle re-join, no per-pair
+    * intersection aggregation — so at 100 TB it is the cheap first cut
+    * (candidates × k work, all from the already-built signatures) and
+    * exact verification is reserved for pairs that survive it. The
+    * signature frame is built once and feeds both the banding and the
+    * per-pair comparison (shared scan; the pair join shuffles on doc id).
+    */
+  def jaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val sigs = signaturesOfShingles(sh, k)
+    val cand = minHashLshFromShingles(sh, k, bands)
+    cand
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("__sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("__sb")), "db")
+      .select(col("da"), col("db"),
+        aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_eq"),
+        lit(k.toLong).as("k"))
+  }
+
+  /** X81c — dedup cluster SIZE DISTRIBUTION: connected components over
+    * the LSH near-dup graph, rolled up to (cluster size → number of
+    * clusters, number of docs). THE corpus-health dashboard number for a
+    * dedup pass: the size-1 row is the unique mass, the tail rows are the
+    * mega-clusters that dominate removal (and that a curation run samples
+    * representatives from). Everything after the component labels is two
+    * integer aggregations — component→size (map-side partials on the
+    * label), size→histogram — so the output is bounded by the largest
+    * cluster size, corpus-independent.
+    */
+  def clusterSizes(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4): DataFrame =
+    connectedComponents(
+        docs.select(col(idCol).as("doc_id")),
+        minHashLsh(docs, idCol, textCol, k, bands))
+      .groupBy("component").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).cast("long").as("n_docs"))
+
+  /** X81d — duplicated-byte accounting per group (source/domain/shard):
+    * for every within-group exact-duplicate text group of n copies,
+    * (n−1) copies are waste; report per group the number of duplicated
+    * text groups, the count of removable copies, and the character mass
+    * they hold. The number a curation pass reads to decide WHERE dedup
+    * pays for itself before running the full pipeline. All-integer
+    * (counts and Σ(n−1)·chars) — no ulp hazard; two nested aggregations,
+    * both with map-side partials, keyed (group, md5) then (group).
+    */
+  def dupMass(docs: DataFrame, groupCol: String, textCol: String,
+              charsCol: String): DataFrame =
+    docs.groupBy(col(groupCol).as("grp"), md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("__n"), min(col(charsCol)).as("__c"))
+      .where(col("__n") >= 2)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum(col("__n") - 1).cast("long").as("n_removable"),
+        sum((col("__n") - 1) * col("__c")).cast("long").as("wasted_chars"))
+
+  /** X81 — PageRank over an undirected pair graph (near-dup candidates,
+    * record-linkage matches, co-occurrence edges) in DETERMINISTIC FIXED
+    * POINT: ranks are integers scaled by 10¹², every step is integer
+    * div / multiply / exact DECIMAL(38,0) sums, so the result is
+    * bit-identical on any engine and any partitioning — classic
+    * float PageRank sums contributions in nondeterministic order and
+    * drifts at the ulp, which a hash-compared contract cannot tolerate.
+    *
+    *   r⁰(v)    = S div N                       (S = 10¹², N = |nodes|)
+    *   rᵏ⁺¹(v)  = (15·(S div N) + 85·Σ_{u→v} rᵏ(u) div outdeg(u)) div 100
+    *
+    * i.e. damping 0.85 with truncating integer division at each step
+    * (identical to the oracle's `//` on positive operands). Node set =
+    * edge endpoints; an undirected graph gives every node outdeg ≥ 1 and
+    * indeg ≥ 1, so there is no dangling mass. Rank mass leaks slightly
+    * to truncation — acceptable: ORDER and ratios are what PageRank is
+    * consumed for, and those are exact.
+    *
+    * Scale shape: the adjacency (edge + out-degree) frame is partitioned
+    * by src ONCE and persisted; each iteration is then one co-located
+    * rank join on that partitioning plus one shuffle-on-dst aggregation
+    * with map-side partials (DECIMAL(38,0) partials — overflow-proof and
+    * order-independent) — K iterations = K shuffles of |nodes| rows, the
+    * canonical iterative-join shape. Lineage grows linearly in K; for
+    * K ≫ 10 callers should checkpoint every ~10 rounds (same note as
+    * [[connectedComponents]]). The only driver action is the bounded
+    * node count.
+    *
+    * Returns (node, pr) — pr the scaled integer rank.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    val sym = edges.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = sym.join(deg, "src").repartition(col("src")).persist()
+    val nNodes = adj.select(col("src")).distinct().count()
+    if (nNodes == 0) {
+      adj.unpersist()
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("pr")).where(lit(false))
+    }
+    val r0 = scale / nNodes
+    val teleport = 15L * r0
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(r0))
+    for (_ <- 1 to iterations) {
+      val prev = ranks
+      ranks = adj.join(prev, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("__c"))
+        .groupBy("dst")
+        .agg(sum(col("__c").cast(DecimalType(38, 0))).as("__s"))
+        .select(col("dst").as("node"),
+          expr(s"CAST((CAST($teleport AS DECIMAL(38,0)) + 85 * __s) div 100 " +
+            "AS BIGINT)").as("pr"))
+    }
+    ranks
   }
 
   /** Connected components over a near-dup pair graph — the step that turns

@@ -990,6 +990,64 @@ object TextOps {
       .limit(k)
   }
 
+  /** X84 — BM25-shaped ranked retrieval in RATIONAL FIXED POINT: the
+    * full BM25 structure — rarity-weighted terms, tf saturation,
+    * document-length normalization — with every weight an integer, so
+    * two engines compute bit-identical scores (the `topTerms` no-ulp
+    * policy; classic BM25's log-idf is a transcendental whose last ulp
+    * no oracle can be trusted to share).
+    *
+    *   idf_t      = (N − df_t)·10⁶ div (df_t + 1)        (rarity weight)
+    *   inner_d    = 25 + 75·((dl·100) div avgdl) div 100  (len-norm ×100;
+    *                 k1 = 1.2, b = 0.75)
+    *   score_t,d  = (idf_t·tf·2200) div (tf·1000 + 12·inner_d)
+    *                 (saturation: tf·(k1+1)/(tf + k1·inner) ×1000; the
+    *                 single final div keeps full resolution)
+    *   score_d    = Σ_t score_t,d  — top `k` by (score desc, doc_id asc).
+    *
+    * Every division is integer `div` on positive operands (truncation ≡
+    * floor ≡ the oracle's `//`); avgdl = total_tokens div N. Integer
+    * bound: idf_t·tf·2200 < 2⁶³ holds through N ≈ 10⁹ docs at tf ≤ 10³;
+    * larger corpora lower the 10⁶ idf scale one decade per 10× N.
+    *
+    * Scale shape: query terms are a literal map-side `isin` filter on
+    * the token explode (hit-sized frames after it, like
+    * [[keywordSearch]]); doc lengths are one map-side `size(tokens)`
+    * projection, NOT a second explode; df and the N/avgdl scalars are
+    * |terms|- and 1-row broadcast frames; the final top-k plans as
+    * TakeOrderedAndProject. Nothing corpus-sized survives past the
+    * filter.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query-term set")
+    require(k > 0, s"k=$k must be positive")
+    val termList = terms.map(_.toLowerCase).distinct
+    val docs = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__t"))
+    val lens = docs.select(col("doc_id"), size(col("__t")).cast(LongType).as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("__nd"),
+      expr("sum(dl) div count(1)").as("__avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("__t")).as("tok"))
+      .where(col("tok").isin(termList: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf", expr("((__nd - df) * 1000000) div (df + 1)"))
+      .withColumn("__inner",
+        expr("25 + (75 * ((dl * 100) div __avgdl)) div 100"))
+      .withColumn("__s",
+        expr("(__idf * tf * 2200) div (tf * 1000 + 12 * __inner)"))
+      .groupBy("doc_id")
+      .agg(sum(col("__s")).cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** X74 — T5-style span corruption: turn every document into a
     * deterministic (input, target) denoising pair. Tokens are masked by
     * an md5 rule (no `rand()` — the draw is H(doc,pos) mod 100 <

@@ -273,6 +273,84 @@ class RandomizedOpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("madByGroup equals in-memory order-statistics median/MAD across seeds") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = (1L to (20 + rnd.nextInt(60))).map(i =>
+        (i, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+      def mid(vs: Seq[Double]): (Double, Double) = {
+        val s = vs.sorted; val n = s.size
+        (s((n + 1) / 2 - 1), s(n / 2))
+      }
+      val want = rows.groupBy(_._2).map { case (g, rs) =>
+        val vs = rs.map(_._3.toDouble)
+        val (lo, hi) = mid(vs)
+        val med = (lo + hi) / 2
+        val (ml, mh) = mid(vs.map(v => math.abs(v - med)))
+        g -> (rs.size.toLong, lo, hi, med, ml, mh, (ml + mh) / 2)
+      }
+      val got = Analytics.madByGroup(
+          rows.toDF("id", "grp", "v"), "grp", "v", "id")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("skewGini equals the in-memory Gini/p99/max on random key skews") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      // zipfish: a few hot keys, many cold ones
+      val rows = (0 until (200 + rnd.nextInt(400))).map { _ =>
+        val k = if (rnd.nextInt(10) < 4) rnd.nextInt(3)
+                else rnd.nextInt(60)
+        Tuple1(k.toLong)
+      }
+      val counts = rows.groupBy(_._1).values.map(_.size.toLong).toSeq.sorted
+      val n = counts.size.toLong; val t = counts.sum
+      val giniNum = counts.zipWithIndex.map { case (x, i) =>
+        (2L * (i + 1) - n - 1) * x }.sum
+      val p99 = counts(((99 * n + 99) / 100 - 1).toInt)
+      val got = Analytics.skewGini(rows.toDF("k"), "k").collect().head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5)) ==
+        (n, t, giniNum, n * t, counts.max, p99), s"seed=$seed")
+    }
+  }
+
+  test("bm25 equals the in-memory rational fixed-point scorer across seeds") {
+    val queryTerms = Seq("alpha", "beta", "gamma")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      val docs = (1L to (15 + rnd.nextInt(30))).map(i =>
+        i -> Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val toks = docs.map { case (id, tx) =>
+        id -> tx.trim.toLowerCase.split(" +").toSeq }
+      val nd = toks.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum / nd
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.filter(queryTerms.contains).groupBy(identity)
+          .map { case (tk, g) => (id, tk, g.size.toLong) } }
+      val dfm = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = tf.groupBy(_._1).map { case (id, rs) =>
+        val dl = toks.find(_._1 == id).get._2.size.toLong
+        val inner = 25L + (75L * ((dl * 100L) / avgdl)) / 100L
+        val score = rs.map { case (_, tk, f) =>
+          val idf = ((nd - dfm(tk)) * 1000000L) / (dfm(tk) + 1L)
+          (idf * f * 2200L) / (f * 1000L + 12L * inner)
+        }.sum
+        id -> (score, rs.size.toLong)
+      }.toSeq.sortBy { case (id, (s, _)) => (-s, id) }.take(10)
+      val got = graft.ext.TextOps.bm25(docs.toDF("doc_id", "text"),
+          "doc_id", "text", queryTerms, 10)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("rankByValueGrouped equals in-memory rank on skewed random groups") {
     for (seed <- 1 to 8) {
       val rnd = new Random(seed)
