@@ -343,9 +343,16 @@ class MetaStore(spark: SparkSession, root: String) {
     import org.apache.spark.sql.Observation
     implicit val ec: ExecutionContext = ExecutionContext.global
     val head = currentVersion // stable: the claim serializes writers
+    // REBALANCE before the write: AQE sizes the output files to its
+    // advisory partition size, so a catalog write is a few well-sized
+    // files instead of one near-empty file per shuffle partition — at
+    // metadata scale that is ONE file (and ~60 fewer committer
+    // create/rename round trips per commit on a contended filesystem);
+    // at 100 TB catalog scale the same hint splits to ~64 MB files.
     def write(df: DataFrame, name: String): Long = {
       val o = Observation()
-      df.observe(o, org.apache.spark.sql.functions.count(
+      df.hint("rebalance")
+        .observe(o, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
       o.get("n").asInstanceOf[Long]

@@ -131,8 +131,15 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
       // plus empty src−cat proves set equality without the reverse except.
       // Both sides are scoped to this table — another table's rows must
       // not defeat the fast path.
+      // coalesce(1) collapses the probe to ONE job with one task: a
+      // limit(1) over a 64-partition union otherwise escalates through
+      // ceil(log4(P)) jobs when the diffs are EMPTY (the steady-state
+      // no-op case) — and empty cached partitions cost the single task
+      // nothing to walk, while a non-empty diff short-circuits at its
+      // first row either way.
       val one = (d: DataFrame) => d.select(lit(1).as("one"))
-      val idsChanged = !one(newShardIds).union(one(oldShardIds)).limit(1).isEmpty
+      val idsChanged =
+        !one(newShardIds).union(one(oldShardIds)).coalesce(1).limit(1).isEmpty
       def placementsChanged: Boolean = {
         // both counts in ONE tagged-union job (no short-circuit exists
         // between them — they are only ever compared to each other)
@@ -141,7 +148,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
           .groupBy("side").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         counts.getOrElse("s", 0L) != counts.getOrElse("c", 0L) ||
-          !srcPl.except(catalogPlacements).limit(1).isEmpty
+          !srcPl.except(catalogPlacements).coalesce(1).limit(1).isEmpty
       }
       val changed = idsChanged || placementsChanged
       if (!changed) return baseVersion
@@ -230,9 +237,12 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
       val current = CoreOps.currentSet(catalogPlacements, deleted, inserted).persist()
 
       try {
+        // same single-job probe shape as the strict path (coalesce(1)
+        // collapses the empty-diff take escalation)
         val idsChanged = !newShardIds.select(lit(1).as("one"))
-          .union(oldShardIds.select(lit(1).as("one"))).limit(1).isEmpty
-        val anyApplied = !applied.where(col("ok")).limit(1).isEmpty
+          .union(oldShardIds.select(lit(1).as("one")))
+          .coalesce(1).limit(1).isEmpty
+        val anyApplied = !applied.where(col("ok")).coalesce(1).limit(1).isEmpty
         if (!idsChanged && !anyApplied)
           return SyncResult(baseVersion, skippedCount, skipped)
 
@@ -265,7 +275,7 @@ class SyncEngine(spark: SparkSession, store: MetaStore) {
       .select(col("shard_id"), lit("orphan").as("kind"))
       .unionByName(CoreOps.unplacedShards(newShardIds, postApply, "shard_id")
         .select(col("shard_id"), lit("unplaced").as("kind")))
-      .limit(1).collect()
+      .coalesce(1).limit(1).collect()
     head.headOption.foreach { r =>
       throw new SyncAbortException(
         if (r.getString(1) == "orphan") orphanMsg(r.getLong(0))

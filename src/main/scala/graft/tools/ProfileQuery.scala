@@ -26,9 +26,15 @@ object ProfileQuery {
     val starts = TrieMap[Int, (Long, String)]()
     @volatile var echo = false
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts(js.jobId) = (System.nanoTime(),
-          Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // prefer the result stage's call site — job descriptions are
+        // usually unset outside the SQL UI, but the call site names the
+        // engine line that launched the action
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        val desc = Option(js.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty).getOrElse(site)
+        starts(js.jobId) = (System.nanoTime(), desc)
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, desc) =>
           if (echo)
