@@ -1411,7 +1411,38 @@ object SparkEntry {
     //    saturation × length norm, all-integer scores ─────────────────────
     "q_bm25" -> ((s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "join", "window"), k = 20))
+        Seq("spark", "join", "window"), k = 20)),
+
+    // ── §2.9 X85b: exact substring duplication — per-doc counts of
+    //    24-char windows shared verbatim with another doc, under
+    //    content-defined (alignment-free) window selection ────────────────
+    "q_substring_dup" -> ((s, dir) =>
+      Dedup.substringDup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9 X86: χ² token–label feature selection — top-10 tokens per
+    //    language by the document-frequency 2×2 statistic ─────────────────
+    "q_chi2_tokens" -> ((s, dir) =>
+      TextOps.chiSquareTokens(t(s, dir, "documents"), "doc_id", "text",
+        "lang", minDf = 5, topK = 10)
+        .orderBy("label", "rk")),
+
+    // ── §2.9 / SURVEY §2 layout: Z-order locality audit — per-curve-
+    //    bucket 2-D bounding boxes proving BOTH dimensions stay narrow
+    //    (the data-skipping property linear clustering lacks) ─────────────
+    "q_zorder_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        pmod(col("event_id"), lit(4096)).cast(LongType).as("x"),
+        pmod(col("user_id"), lit(4096)).cast(LongType).as("y"))
+      ev.withColumn("z", graft.sources.Layout.zValue(col("x"), col("y"), 12))
+        .withColumn("bucket", shiftright(col("z"), 14).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy("bucket")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3508,7 +3539,88 @@ object SparkEntry {
                       CAST(count(*) AS BIGINT) AS n_terms
                FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM s
-         ORDER BY score DESC, doc_id LIMIT 20"""
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // 24-char windows at every position, kept when md5's last nibble is
+    // ≡ 0 (mod 4) — content-defined selection, so the oracle replays the
+    // identical window set; both engines' substring/length are
+    // CHARACTER-based and md5 hashes UTF-8 bytes.
+    "q_substring_dup" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+                substring(md5(substring(text, CAST(j AS INT), 24)), 1, 13) AS fp
+           FROM documents, unnest(range(1, length(text) - 22)) r(j)
+           WHERE length(text) >= 24
+             AND substring(md5(substring(text, CAST(j AS INT), 24)), 32, 1)
+                 IN ('0','4','8','c')),
+         sh AS (SELECT fp FROM w GROUP BY fp
+                HAVING count(DISTINCT doc_id) >= 2),
+         tot AS (SELECT doc_id, count(*) n_win FROM w GROUP BY 1),
+         dup AS (SELECT w.doc_id, count(*) n_dup_win
+                 FROM w JOIN sh USING (fp) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(tot.n_win, 0) AS BIGINT) AS n_win,
+                CAST(coalesce(dup.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+                CAST(CASE WHEN coalesce(dup.n_dup_win, 0) > 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS has_dup
+         FROM documents d
+         LEFT JOIN tot ON tot.doc_id = d.doc_id
+         LEFT JOIN dup ON dup.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // χ² from exact integer 2×2 counts; every factor cast to DOUBLE and
+    // the formula evaluated in the SAME association order as the engine
+    // (products left-to-right, one division), ranks on the ROUNDED value.
+    "q_chi2_tokens" ->
+      """WITH u AS (SELECT doc_id, lang FROM documents
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+         nn AS (SELECT count(*) nd FROM u),
+         nl AS (SELECT lang, count(*) nlab FROM u GROUP BY 1),
+         dt AS (SELECT DISTINCT doc_id, lang, tok FROM (
+                  SELECT doc_id, lang,
+                         unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
+                  FROM documents
+                  WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+                WHERE length(tok) > 0),
+         a AS (SELECT tok, lang, count(*) ca FROM dt GROUP BY 1, 2),
+         dfr AS (SELECT tok, sum(ca) df_tok FROM a GROUP BY 1),
+         x AS (SELECT a.lang AS label, a.tok, a.ca, dfr.df_tok, nn.nd,
+                      dfr.df_tok - a.ca AS cb,
+                      nl.nlab - a.ca AS cc,
+                      nn.nd - dfr.df_tok - nl.nlab + a.ca AS cd
+               FROM a JOIN dfr USING (tok) JOIN nl USING (lang) CROSS JOIN nn
+               WHERE dfr.df_tok >= 5),
+         sc AS (SELECT label, tok, ca, df_tok,
+                 CASE WHEN (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                        * (CAST(cc AS DOUBLE) + CAST(cd AS DOUBLE))
+                        * (CAST(ca AS DOUBLE) + CAST(cc AS DOUBLE))
+                        * (CAST(cb AS DOUBLE) + CAST(cd AS DOUBLE)) = 0
+                      THEN 0.0
+                      ELSE round(CAST(nd AS DOUBLE)
+                        * (CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE)
+                           - CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE))
+                        * (CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE)
+                           - CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE))
+                        / ((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                           * (CAST(cc AS DOUBLE) + CAST(cd AS DOUBLE))
+                           * (CAST(ca AS DOUBLE) + CAST(cc AS DOUBLE))
+                           * (CAST(cb AS DOUBLE) + CAST(cd AS DOUBLE))), 6)
+                 END AS chi2
+                FROM x),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY label ORDER BY chi2 DESC, tok) rk FROM sc)
+         SELECT label, tok, CAST(rk AS BIGINT) rk, CAST(ca AS BIGINT) n_both,
+                CAST(df_tok AS BIGINT) df_tok, chi2
+         FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    // bit-interleave replayed as integer divide/mod arithmetic (x on odd
+    // bits, y on even — Layout.zValue's convention)
+    "q_zorder_stats" ->
+      s"""WITH c AS (SELECT event_id % 4096 AS x, user_id % 4096 AS y
+                     FROM events),
+         z AS (SELECT x, y, ${zSql("x", "y", 12)} AS z FROM c)
+         SELECT CAST(z // 16384 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(min(x) AS BIGINT) min_x, CAST(max(x) AS BIGINT) max_x,
+                CAST(min(y) AS BIGINT) min_y, CAST(max(y) AS BIGINT) max_y,
+                CAST(min(z) AS BIGINT) min_z, CAST(max(z) AS BIGINT) max_z
+         FROM z GROUP BY 1 ORDER BY bucket"""
   )
 
   /** Shared DuckDB CTE chain replicating
@@ -3578,6 +3690,15 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
         (if (i < 7) s" * ${1L << (4 * (7 - i))}" else ""))
       .mkString("((", " + ", s") % $mod)")
+
+  /** DuckDB-dialect SQL for Layout.zValue(x, y, bits) — the bit
+    * interleave (x on odd bits, y on even) spelled as divide/mod/multiply
+    * integer arithmetic, which both engines evaluate exactly. */
+  private def zSql(xe: String, ye: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($xe) // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((($ye) // ${1L << i}) % 2) * ${1L << (2 * i)}")
+      .mkString("(", " + ", ")")
 
   /** DuckDB-dialect SQL for the 52-bit order-sampling integer — the value
     * of the first 13 md5 hex digits of `key` (exactly representable in

@@ -1098,6 +1098,63 @@ object Dedup {
       .drop("h")
   }
 
+  /** X85b — exact substring-duplication detection (the ExactSubstr
+    * complement of doc-level X1: two documents that are NOT near-dups can
+    * still share a long verbatim passage — boilerplate, licenses, quoted
+    * spam — and substring dedup is what catches it).
+    *
+    * Every k-char window of every document is fingerprinted (md5, 52-bit
+    * prefix); a window occurring in ≥2 distinct documents marks both as
+    * substring-duplicated. Selection is CONTENT-DEFINED: only windows
+    * whose md5's last nibble ∈ {0,4,8,c} survive (1/4 of positions),
+    * and because the choice depends on the window BYTES alone, both
+    * copies of a shared passage select the SAME windows regardless of
+    * their alignment inside each document — the winnowing property that
+    * a fixed-stride grid lacks. A shared passage of length L ≥ k
+    * contains L−k+1 windows and is missed only if every one is
+    * deselected: P(miss) = (3/4)^(L−k+1), under 1% once L ≥ k+15.
+    *
+    * Scale shape: window generation and selection are MAP-SIDE (explode
+    * + filter inside codegen, no pre-selection shuffle), so the TEXT is
+    * scanned and exploded exactly ONCE and the only shuffled payload is
+    * |chars|/4 rows of (doc_id, 13-hex fp). The plan is a single linear
+    * pipeline on that reduced frame — per-doc distinct, an
+    * fp-partitioned window count (how many docs hold each fingerprint;
+    * no join-back, so the optimizer cannot split the pipeline into
+    * per-consumer re-scans), and one doc-keyed aggregation. Nothing is
+    * ever joined all-pairs; the fingerprint group IS the partitioning.
+    *
+    * Output: (doc_id, n_win, n_dup_win, has_dup) for EVERY input doc —
+    * docs shorter than k (or with no selected window) report zeros.
+    */
+  def substringDup(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(when(length(col(textCol)) >= k,
+            transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => col(textCol).substr(i, lit(k))))
+          .otherwise(array())).as("__w"))
+      .select(col("doc_id"), md5(col("__w")).as("__h"))
+      .where(substring(col("__h"), 32, 1).isin("0", "4", "8", "c"))
+      .select(col("doc_id"), substring(col("__h"), 1, 13).as("fp"))
+      .distinct()
+    // rows are distinct on (doc_id, fp), so count-per-fp IS the distinct
+    // doc count of the fingerprint
+    val withNd = wins.withColumn("__nd",
+      count(lit(1)).over(Window.partitionBy("fp")))
+    val perDoc = withNd.groupBy("doc_id").agg(
+      count(lit(1)).as("n_win"),
+      sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
+    ids.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"))
+      .withColumn("has_dup",
+        (col("n_dup_win") > 0).cast("int").cast(LongType))
+  }
+
   /** X61 — record linkage (entity resolution): link each PROBE record to
     * its best fuzzy catalog match by name. The classic three-stage ER
     * shape: (1) BLOCKING — candidates are (probe, catalog) pairs sharing

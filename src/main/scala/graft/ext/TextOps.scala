@@ -1241,6 +1241,71 @@ object TextOps {
         coalesce(col("min_c"), lit(0L)).as("min_c"))
   }
 
+  /** X86 — χ² token–label association (feature selection): the top-k
+    * tokens most associated with each label by the χ² statistic over the
+    * document-frequency 2×2 table — the classic supervised
+    * vocabulary-selection / domain-signature operator (which tokens mark
+    * a language, a source, a quality tier).
+    *
+    * Per (token t, label l), with document counts
+    *   a = docs of l containing t,   b = docs of other labels containing t,
+    *   c = docs of l without t,      d = docs of other labels without t,
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Cross-engine determinism: a,b,c,d,N are exact integers; every factor
+    * is cast to DOUBLE first and the formula is evaluated in ONE pinned
+    * association order (products left-to-right, single division), so both
+    * engines perform the identical sequence of correctly-rounded IEEE
+    * ops and hold the same binary double before the 6-dp round. Ranking
+    * partitions by label and orders by the ROUNDED χ² (never the raw
+    * double) with the token as tiebreak — a 1-ulp disagreement can
+    * therefore never reorder ranks. Labels with all-equal χ² still rank
+    * deterministically.
+    *
+    * Scale shape: distinct (doc, label, token) is one hash aggregation
+    * over the exploded tokens; (token,label) counts and token totals are
+    * two more keyed aggregations on the same token-partitioned frame; N
+    * and per-label doc counts are label-cardinality-sized and broadcast.
+    * The rank filter plans a WindowGroupLimit, so only k rows per label
+    * survive the final (tiny) window shuffle.
+    */
+  def chiSquareTokens(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, minDf: Long = 5,
+                      topK: Int = 20): DataFrame = {
+    val labeled = docs
+      .where(col(labelCol).isNotNull && col(idCol).isNotNull)
+    val dt = labeled
+      .select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .distinct()
+    val a = dt.groupBy("tok", "label").agg(count(lit(1)).as("a"))
+    val dfTok = a.groupBy("tok").agg(sum(col("a")).as("df_tok"))
+    val nLab = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val nDocs = labeled.agg(count(lit(1)).as("n_docs"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    val joined = a.join(dfTok, "tok").where(col("df_tok") >= minDf)
+      .join(broadcast(nLab), "label")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("b", col("df_tok") - col("a"))
+      .withColumn("c", col("n_label") - col("a"))
+      .withColumn("dd", col("n_docs") - col("df_tok") - col("n_label") + col("a"))
+    val det = d("a") * d("dd") - d("b") * d("c")
+    val den = (d("a") + d("b")) * (d("c") + d("dd")) *
+      (d("a") + d("c")) * (d("b") + d("dd"))
+    val scored = joined.withColumn("chi2",
+      when(den === 0.0, 0.0)
+        .otherwise(round(d("n_docs") * det * det / den, 6)))
+    val w = Window.partitionBy("label")
+      .orderBy(col("chi2").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= topK)
+      .select(col("label"), col("tok"), col("rk"),
+        col("a").cast(LongType).as("n_both"),
+        col("df_tok").cast(LongType).as("df_tok"), col("chi2"))
+  }
+
   /** Per-language corpus statistics. */
   def textStats(df: DataFrame, langCol: String, nCharsCol: String): DataFrame =
     df.groupBy(col(langCol)).agg(
