@@ -1427,6 +1427,43 @@ object SparkEntry {
         "lang", minDf = 5, topK = 10)
         .orderBy("label", "rk")),
 
+    // ── §2.9 X88: k-anonymity / l-diversity audit — per (event_type,
+    //    day) quasi-identifier group sizes + sensitive-value diversity ────
+    "q_k_anonymity" -> ((s, dir) =>
+      Analytics.kAnonymity(
+        t(s, dir, "events").withColumn("day",
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) " +
+            "div 86400000000")),
+        Seq("event_type", "day"), "user_id", k = 5, l = 2)
+        .orderBy("event_type", "day")),
+
+    // ── §2.9 X89: incremental aggregate maintenance — base state ⊎ delta
+    //    state == full recompute (the oracle IS the full recompute) ───────
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = Analytics.aggState(ev.where(col("event_id") % 10 < 8),
+        Seq("user_id"), "value")
+      val delta = Analytics.aggState(ev.where(col("event_id") % 10 >= 8),
+        Seq("user_id"), "value")
+      Analytics.mergeAggState(base, delta, Seq("user_id"))
+        .select(col("user_id"), col("n").cast(LongType).as("n"),
+          round(col("v").cast(DoubleType), 6).as("total"))
+        .orderBy("user_id")
+    }),
+
+    // ── §2.9 X90: SCD type-2 apply — customer segment dimension folded
+    //    with per-(customer, order-date) priority changes into the full
+    //    validity-interval history ────────────────────────────────────────
+    "q_scd2" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("attr"), lit("0000-00-00").as("valid_from"))
+      val chg = t(s, dir, "orders").groupBy(col("o_custkey").as("key"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"))
+        .agg(min(col("o_orderpriority")).as("attr"))
+      Analytics.scd2Apply(base, chg, "key", "attr", "valid_from")
+        .orderBy("key", "valid_from")
+    }),
+
     // ── §2.9 / SURVEY §2 layout: Z-order locality audit — per-curve-
     //    bucket 2-D bounding boxes proving BOTH dimensions stay narrow
     //    (the data-skipping property linear clustering lacks) ─────────────
@@ -3609,6 +3646,43 @@ object SparkEntry {
          SELECT label, tok, CAST(rk AS BIGINT) rk, CAST(ca AS BIGINT) n_both,
                 CAST(df_tok AS BIGINT) df_tok, chi2
          FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    "q_k_anonymity" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) n,
+                CAST(count(DISTINCT user_id) AS BIGINT) n_sensitive,
+                CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+                  k_risk,
+                CAST(CASE WHEN count(DISTINCT user_id) < 2 THEN 1 ELSE 0 END
+                  AS BIGINT) l_risk
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    // the oracle is the FULL recompute over all facts: hash equality
+    // certifies that base-state ⊎ delta-state == recompute exactly
+    // (order-independent DECIMAL state sums)
+    "q_incremental_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)))
+                  AS DOUBLE), 6) AS total
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "q_scd2" ->
+      """WITH base AS (SELECT c_custkey AS key, c_mktsegment AS attr,
+                              '0000-00-00' AS valid_from
+                       FROM customer),
+         chg AS (SELECT o_custkey AS key,
+                        strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                        min(o_orderpriority) AS attr
+                 FROM orders GROUP BY 1, 2),
+         a AS (SELECT key, attr, valid_from FROM base
+               UNION ALL SELECT key, attr, valid_from FROM chg),
+         d AS (SELECT *, lag(attr) OVER
+                 (PARTITION BY key ORDER BY valid_from) AS prev FROM a),
+         f AS (SELECT key, attr, valid_from FROM d
+               WHERE prev IS NULL OR prev <> attr),
+         v AS (SELECT key, attr, valid_from, lead(valid_from) OVER
+                 (PARTITION BY key ORDER BY valid_from) AS valid_to FROM f)
+         SELECT key, attr, valid_from, valid_to,
+                CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_current
+         FROM v ORDER BY key, valid_from""",
     // bit-interleave replayed as integer divide/mod arithmetic (x on odd
     // bits, y on even — Layout.zValue's convention)
     "q_zorder_stats" ->

@@ -486,4 +486,88 @@ object Analytics {
         col("max_cnt").cast(LongType).as("max_cnt"),
         col("p99_cnt").cast(LongType).as("p99_cnt"))
   }
+
+  /** X88 — k-anonymity / l-diversity audit: per quasi-identifier
+    * combination, the group size (k-anonymity: every group must reach k
+    * members or its members are re-identifiable) and the count of
+    * distinct sensitive values (l-diversity: a group whose members all
+    * share one sensitive value leaks it even at size ≥ k). The standard
+    * pre-release privacy gate over a training/analytics export.
+    *
+    * One hash aggregation keyed by the quasi columns; the distinct
+    * count is the usual two-phase (quasi, sensitive)-keyed expansion —
+    * both map-side-partial shapes, output |QI combinations| rows
+    * regardless of input size.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_risk", (col("n") < k).cast("int").cast(LongType))
+      .withColumn("l_risk", (col("n_sensitive") < l).cast("int").cast(LongType))
+
+  /** X89a — per-key aggregate state: (n, DECIMAL(38,6) sum) per key, the
+    * mergeable partial an incremental pipeline persists between batches.
+    * The value goes through double → DECIMAL (shortest-repr rounding,
+    * the [[graft.ext.Similarity.classCentroids]] policy) so state sums
+    * are order-independent and exact under any partitioning or merge
+    * order.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+               valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DoubleType).cast(DecimalType(38, 6))).as("v"))
+
+  /** X89 — incremental aggregate maintenance: merge a persisted
+    * [[aggState]] with a delta batch's state WITHOUT rescanning the base
+    * facts — new_state = base ⊎ delta, one |keys|-sized aggregation over
+    * the two state frames (the base fact table never appears in the
+    * plan). Deletions arrive as negative-n / negated-sum delta rows
+    * (standard retraction encoding); keys whose count nets to zero drop
+    * out of the state entirely. DECIMAL sums make the merge EXACT: state
+    * merged in any batch order equals the full recompute bit-for-bit —
+    * which is precisely what the declared query's oracle (a full
+    * recompute over all facts) certifies.
+    */
+  def mergeAggState(base: DataFrame, delta: DataFrame,
+                    keyCols: Seq[String]): DataFrame =
+    base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("v")).cast(DecimalType(38, 6)).as("v"))
+      .where(col("n") =!= 0)
+
+  /** X90 — SCD type-2 apply: fold a changeset into a slowly-changing
+    * dimension, producing the full version history — per key, rows
+    * ordered by effective time with `valid_to` = next version's
+    * `valid_from` (NULL on the current row) and consecutive NO-OP
+    * changes (attribute equal to the prior version) dropped, so
+    * re-stating an unchanged attribute never opens a spurious version.
+    * The warehouse upsert-with-history primitive (dimension tables,
+    * catalog snapshots, entity timelines).
+    *
+    * Contract: (key, valid_from) unique across base ∪ changes — callers
+    * pre-aggregate colliding same-instant changes to one deterministic
+    * winner (the declared query takes min(attr)).
+    *
+    * Scale shape: one union, then two key-partitioned windows on the
+    * SAME (key, valid_from) ordering — one shuffle, the second window
+    * reuses the first's sort. No joins; history length bounds the
+    * window, not corpus size.
+    */
+  def scd2Apply(base: DataFrame, changes: DataFrame, keyCol: String,
+                attrCol: String, fromCol: String): DataFrame = {
+    def shape(df: DataFrame) = df.select(col(keyCol).as("key"),
+      col(attrCol).as("attr"), col(fromCol).as("valid_from"))
+    val w = Window.partitionBy("key").orderBy("valid_from")
+    shape(base).unionByName(shape(changes))
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col("attr"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull.cast("int").cast(LongType))
+      .drop("__prev")
+  }
 }
