@@ -30,6 +30,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_current_set")(spark, "/root/testdata/sf0.001")
 
+  /** Unique memory-sink names for the streaming queries: a bench pass
+    * re-runs each query in the same session, and a stopped query's sink
+    * table must not be clobbered mid-read by the next run. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1426,6 +1431,43 @@ object SparkEntry {
       TextOps.chiSquareTokens(t(s, dir, "documents"), "doc_id", "text",
         "lang", minDf = 5, topK = 10)
         .orderBy("label", "rk")),
+
+    // ── §2.8: STREAMING tumbling counts, oracle-checked end to end — the
+    //    Structured Streaming pipeline (readStream → watermark → window →
+    //    memory sink, Trigger.AvailableNow) run to completion inside the
+    //    query; complete mode re-emits every window, so the final table
+    //    equals the batch aggregation exactly and the DuckDB oracle
+    //    certifies the STREAM's output, not a batch stand-in ──────────────
+    "q_stream_tumbling" -> ((s, dir) => {
+      val name = s"graft_stream_tumb_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStreams
+        .tumblingCounts(Tables.loadStream(s, dir, "events"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("hour_ts", "event_type")
+    }),
+
+    // ── §2.8: STREAMING sliding (hopping) counts, oracle-checked — each
+    //    event lands in width/slide windows via the streaming Expand; the
+    //    complete-mode final table equals the batch hop aggregation ───────
+    "q_stream_sliding" -> ((s, dir) => {
+      val name = s"graft_stream_slide_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStreams
+        .slidingCounts(Tables.loadStream(s, dir, "events"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("win_ts", "event_type")
+    }),
 
     // ── §2.9 X88: k-anonymity / l-diversity audit — per (event_type,
     //    day) quasi-identifier group sizes + sensitive-value diversity ────
@@ -3646,6 +3688,20 @@ object SparkEntry {
          SELECT label, tok, CAST(rk AS BIGINT) rk, CAST(ca AS BIGINT) n_both,
                 CAST(df_tok AS BIGINT) df_tok, chi2
          FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    // the STREAM's final complete-mode table == the batch aggregation
+    "q_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+                event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    // same hop expansion as the batch q_event_sliding oracle
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) es,
+                           event_type
+                    FROM events),
+         w AS (SELECT (es // 900) * 900 - k * 900 AS win_ts, event_type
+               FROM e, unnest(range(0, 4)) r(k))
+         SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
     "q_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                 CAST(count(*) AS BIGINT) n,

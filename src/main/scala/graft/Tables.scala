@@ -35,6 +35,29 @@ object Tables {
     }
   }
 
+  /** Streaming twin of [[load]]: `readStream` over the same
+    * directory-of-parquet with the batch-inferred schema (file streaming
+    * sources cannot infer) and the identical ts normalization — so every
+    * `DataFrame => DataFrame` operator runs unchanged over either source,
+    * Spark's batch/streaming unification applied to the fixture tables.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(path).schema
+    // file streaming sources want a DIRECTORY base; the fixture tables are
+    // single files, so stream via a glob whose non-glob parent (the
+    // dataset dir) becomes the basePath — at scale the path is a
+    // directory-of-parquet and the glob is moot
+    val df = spark.readStream.schema(raw).parquet(s"$dir/{$name}.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   /** Register every table of a dataset directory as a temp view (plus the
     * engine functions), so the whole surface is reachable from
     * `spark.sql(...)` — the SQL front door next to the DataFrame API.
