@@ -1432,6 +1432,36 @@ object SparkEntry {
         "lang", minDf = 5, topK = 10)
         .orderBy("label", "rk")),
 
+    // ── §2.8 + §2.6: the STREAMING SYNC DRIVER, oracle-checked — the
+    //    reference's cron loop as a checkpointed foreachBatch query: one
+    //    micro-batch carries the full lineitem-derived snapshot, the
+    //    engine diffs it against the orders-seeded catalog and commits
+    //    atomically; the oracle asserts the committed placements equal
+    //    the snapshot exactly (diff convergence THROUGH the stream) ───────
+    "q_stream_sync" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val catShards = ord.select(lit(1L).as("table_id"),
+        col("o_orderkey").as("shard_id"), lit("f").as("storage"),
+        lit(null).cast(StringType).as("min_value"),
+        lit(null).cast(StringType).as("max_value"))
+      val catPlacements = ord.select(col("o_orderkey").as("shard_id"),
+        lit(1L).as("shard_length"),
+        concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
+        .distinct()
+      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val store = new MetaStore(s, root)
+      store.commit(catShards, catPlacements)
+      val snap = Tables.loadStream(s, dir, "lineitem").select(
+        col("l_orderkey").as("shard_id"),
+        col("l_linenumber").cast(LongType).as("shard_length"),
+        concat(lit("host"), (col("l_suppkey") % 7).cast(StringType)).as("hostname"))
+      val q = new graft.streaming.StreamingSync(new SyncEngine(s, store), 1L)
+        .start(snap,
+          java.nio.file.Files.createTempDirectory("graft_ckpt_sync_").toString)
+      q.awaitTermination()
+      store.placements.orderBy("shard_id", "shard_length", "hostname")
+    }),
+
     // ── §2.8: STREAMING tumbling counts, oracle-checked end to end — the
     //    Structured Streaming pipeline (readStream → watermark → window →
     //    memory sink, Trigger.AvailableNow) run to completion inside the
@@ -3688,6 +3718,13 @@ object SparkEntry {
          SELECT label, tok, CAST(rk AS BIGINT) rk, CAST(ca AS BIGINT) n_both,
                 CAST(df_tok AS BIGINT) df_tok, chi2
          FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    // post-stream catalog == the snapshot: the q_sync_apply convergence
+    // contract, reached through the checkpointed streaming driver
+    "q_stream_sync" ->
+      """SELECT DISTINCT l_orderkey AS shard_id,
+                CAST(l_linenumber AS BIGINT) AS shard_length,
+                'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
+         FROM lineitem ORDER BY shard_id, shard_length, hostname""",
     // the STREAM's final complete-mode table == the batch aggregation
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
