@@ -379,6 +379,68 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must plan as TakeOrdered:\n$plan")
   }
 
+  test("substringDup scans and explodes the corpus exactly once") {
+    // the round-8 lesson this pins: a join-back formulation let the
+    // optimizer rewrite each consumer branch differently (semi-join
+    // pushdown through the distinct), defeating exchange reuse and
+    // re-running the window explode THREE times. The window-count
+    // pipeline keeps one Generate and one parquet scan of the text.
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.Dedup.substringDup(docs, "doc_id", "text")
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(plan.split("Generate").length == 2,
+      s"exactly one window explode:\n$plan")
+  }
+
+  test("scd2Apply runs both windows on one exchange (single shuffle)") {
+    // lag-based no-op suppression and lead-based interval chaining share
+    // the (key, valid_from) sort: one Exchange, two Window nodes, no Join
+    val cust = Tables.load(spark, TestSpark.sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("a"),
+        lit("0").as("f"))
+    val chg = Tables.load(spark, TestSpark.sfDir, "orders")
+      .groupBy(col("o_custkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("f"))
+      .agg(min(col("o_orderpriority")).as("a"))
+    val df = graft.ext.Analytics.scd2Apply(cust, chg, "k", "a", "f")
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"no join in the SCD2 fold:\n$plan")
+    val exchanges = plan.split("Exchange hashpartitioning\\(k").length - 1
+    assert(exchanges == 1,
+      s"both windows must share one key exchange, got $exchanges:\n$plan")
+  }
+
+  test("chi2 rank filter plans a WindowGroupLimit; zValue stays map-side") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val chi = graft.ext.TextOps.chiSquareTokens(docs, "doc_id", "text",
+      "lang", minDf = 2, topK = 5)
+    assert(physical(chi).contains("WindowGroupLimit"),
+      s"per-label top-k must push a group limit:\n${physical(chi)}")
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(pmod(col("event_id"), lit(4096)).cast("long").as("x"),
+        pmod(col("user_id"), lit(4096)).cast("long").as("y"))
+    val z = ev.withColumn("z",
+      graft.sources.Layout.zValue(col("x"), col("y"), 12))
+      .groupBy(shiftright(col("z"), 14)).count()
+    val plan = physical(z).split("== Initial Plan ==").head
+    // interleave is pure projection: exactly the one aggregation exchange
+    assert(plan.split("Exchange").length == 2,
+      s"z-value must not add a shuffle:\n$plan")
+  }
+
+  test("mergeAggState plan contains only the state frames, no base facts") {
+    import spark.implicits._
+    val base = Seq((1L, 2L, BigDecimal(3))).toDF("k", "n", "v")
+    val delta = Seq((1L, 1L, BigDecimal(1))).toDF("k", "n", "v")
+    val df = graft.ext.Analytics.mergeAggState(base, delta, Seq("k"))
+    val plan = physical(df).split("== Initial Plan ==").head
+    // one union of two local frames, one keyed aggregation — nothing else
+    assert(!plan.contains("Scan parquet"),
+      s"the merge must never rescan fact tables:\n$plan")
+    assert(plan.split("Exchange").length == 2,
+      s"one aggregation exchange over the union:\n$plan")
+  }
+
   test("bigram rank cut plans a WindowGroupLimit; sliding windows use Expand") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val lm = graft.ext.TextOps.bigramLm(docs, "doc_id", "text", 3)
