@@ -151,6 +151,13 @@ class OracleLintSpec extends AnyFunSuite {
     v.result()
   }
 
+  test("queries and oracleSql agree name-for-name (no orphans)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("oracle SQL is free of version-fragile dialect constructs") {
     val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .flatMap { case (name, sql) => lint(name, sql) }
