@@ -1499,6 +1499,25 @@ object SparkEntry {
       s.table(name).orderBy("win_ts", "event_type")
     }),
 
+    // ── §2.9 X91: per-type least-squares trend + Pearson r from exact
+    //    integer moments (x = epoch seconds, y = centi-units) ─────────────
+    "q_linreg" -> ((s, dir) =>
+      Analytics.linReg(
+        t(s, dir, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("xs"),
+          round(col("value") * 100).cast(LongType).as("yc")),
+        "event_type", "xs", "yc")
+        .orderBy("grp")),
+
+    // ── §2.9 X92: per-user time-weighted average value (step-and-hold
+    //    integral over the observation span, centi-unit fixed point) ──────
+    "q_twap" -> ((s, dir) =>
+      Events.timeWeightedAvg(
+        t(s, dir, "events").withColumn("vc",
+          round(col("value") * 100).cast(LongType)),
+        "user_id", "ts", "vc", "event_id")
+        .orderBy("key")),
+
     // ── §2.9 X88: k-anonymity / l-diversity audit — per (event_type,
     //    day) quasi-identifier group sizes + sensitive-value diversity ────
     "q_k_anonymity" -> ((s, dir) =>
@@ -3739,6 +3758,55 @@ object SparkEntry {
                FROM e, unnest(range(0, 4)) r(k))
          SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
+    // exact DECIMAL moments (width-stable 19x19 products), then the same
+    // pinned IEEE finish as the engine: covn/varx, unrounded-slope
+    // intercept, sqrt-product correlation
+    "q_linreg" ->
+      """WITH b AS (SELECT event_type AS grp,
+                           epoch_us(ts) // 1000000 AS xs,
+                           CAST(round(value * 100) AS BIGINT) AS yc
+                    FROM events WHERE event_type IS NOT NULL),
+         m AS (SELECT grp, count(*) n,
+                sum(CAST(xs AS DECIMAL(19,0))) sx,
+                sum(CAST(yc AS DECIMAL(19,0))) sy,
+                sum(CAST(xs AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) sxy,
+                sum(CAST(xs AS DECIMAL(19,0)) * CAST(xs AS DECIMAL(19,0))) sxx,
+                sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) syy
+               FROM b GROUP BY 1),
+         f AS (SELECT grp, n,
+                CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS covn,
+                CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx,
+                CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary,
+                CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+               FROM m)
+         SELECT grp, CAST(n AS BIGINT) n,
+                CASE WHEN varx = 0 THEN 0.0
+                     ELSE round(covn / varx, 6) END AS slope,
+                CASE WHEN varx = 0 THEN 0.0
+                     ELSE round((syd - (covn / varx) * sxd)
+                                / CAST(n AS DOUBLE), 6) END AS intercept,
+                CASE WHEN varx = 0 OR vary = 0 THEN 0.0
+                     ELSE round(covn / (sqrt(varx) * sqrt(vary)), 6) END AS r
+         FROM f ORDER BY grp""",
+    "q_twap" ->
+      """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS ep,
+                           CAST(round(value * 100) AS BIGINT) AS vc, event_id
+                    FROM events),
+         d AS (SELECT key, vc, lead(ep) OVER
+                 (PARTITION BY key ORDER BY ep, event_id) - ep AS dur
+               FROM e),
+         g AS (SELECT key, count(*) n_intervals, sum(dur) span_us,
+                sum(CAST(vc AS DECIMAL(19,0)) * CAST(dur AS DECIMAL(19,0)))
+                  integ
+               FROM d WHERE dur IS NOT NULL GROUP BY 1)
+         SELECT key, CAST(n_intervals AS BIGINT) n_intervals,
+                CAST(span_us AS BIGINT) span_us,
+                round(CAST(integ AS DOUBLE) / CAST(span_us AS DOUBLE), 6)
+                  AS twap
+         FROM g ORDER BY key""",
     "q_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                 CAST(count(*) AS BIGINT) n,

@@ -487,6 +487,44 @@ object Analytics {
         col("p99_cnt").cast(LongType).as("p99_cnt"))
   }
 
+  /** X91 — per-group simple linear regression + Pearson correlation from
+    * EXACT integer moments: y = slope·x + intercept fitted by least
+    * squares, r the correlation — trend lines, drift monitors, metric
+    * correlation matrices. Inputs must be INTEGRAL columns (pre-scale
+    * fractional data to fixed-point units, like topPMassCut's weight
+    * contract): the six moments (n, Σx, Σy, Σxy, Σx², Σy²) then
+    * accumulate EXACTLY as DECIMAL(38,0) sums of DECIMAL(19,0)×
+    * DECIMAL(19,0) products (width-stable — no 38-digit-rule overflow),
+    * so they are order-independent under any partitioning. The finish is
+    * a fixed sequence of correctly-rounded IEEE double ops on those
+    * exact moments — both engines hold bit-identical doubles before the
+    * 6-dp round (the X48 z-score discipline). Degenerate groups (all x
+    * equal, or zero y variance for r) yield 0.0 by explicit guard.
+    *
+    * One map-side-partial aggregation; output is |groups| rows.
+    */
+  def linReg(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val x = col(xCol).cast(d19)
+    val y = col(yCol).cast(d19)
+    val m = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    m.select(col("grp"), col("n"),
+        when(varX === 0.0, 0.0).otherwise(round(covN / varX, 6)).as("slope"),
+        when(varX === 0.0, 0.0).otherwise(
+          round((d("sy") - (covN / varX) * d("sx")) / d("n"), 6)).as("intercept"),
+        when(varX === 0.0 || varY === 0.0, 0.0).otherwise(
+          round(covN / (sqrt(varX) * sqrt(varY)), 6)).as("r"))
+  }
+
   /** X88 — k-anonymity / l-diversity audit: per quasi-identifier
     * combination, the group size (k-anonymity: every group must reach k
     * members or its members are re-identifiable) and the count of

@@ -204,6 +204,43 @@ object Events {
       .withColumn("gap_us", col("ep") - lag(col("ep"), 1).over(w))
   }
 
+  /** X92 — time-weighted average (TWAP): per key, the step-function
+    * integral of the value over its observation span divided by the span
+    * — the finance/IoT aggregate where a plain mean over-weights bursts
+    * of samples. Each sample holds until the next one (step-and-hold);
+    * the last sample closes the integral at its own timestamp, so keys
+    * with one event report span 0 and are dropped (no integral exists).
+    *
+    * The value column must be INTEGRAL (fixed-point pre-scaling, the
+    * linReg/topPMassCut contract). Each term value×duration_µs is a
+    * width-stable DECIMAL(19,0)×DECIMAL(19,0) product summed as
+    * DECIMAL(38,0) — exact, order-independent; the single closing
+    * division is one correctly-rounded IEEE op (X48 discipline).
+    *
+    * One key-partitioned window (lead) on the same shuffle the
+    * aggregation then consumes — single exchange.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, tieCol: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    // tieCol makes equal-timestamp ordering deterministic: ties give the
+    // earlier row a zero-length interval, so only the LAST of a tie
+    // holds value — which row that is must not depend on the engine
+    val w = Window.partitionBy(col("key")).orderBy(col("__ep"), col("__tie"))
+    events
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__ep"),
+        col(valueCol).cast(d19).as("__v"), col(tieCol).as("__tie"))
+      .withColumn("__dur", lead(col("__ep"), 1).over(w) - col("__ep"))
+      .where(col("__dur").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).cast(LongType).as("span_us"),
+        sum(col("__v") * col("__dur").cast(d19)).as("__integral"))
+      .select(col("key"), col("n_intervals"), col("span_us"),
+        round(col("__integral").cast(DoubleType) /
+          col("span_us").cast(DoubleType), 6).as("twap"))
+  }
+
   /** X7 — approximate distinct (HLL++) next to the exact count. The
     * approximate column has no cross-engine oracle (sketch internals
     * differ); the exact column is the oracle-checked variant and the spec
