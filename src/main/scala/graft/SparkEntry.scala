@@ -1499,6 +1499,19 @@ object SparkEntry {
       s.table(name).orderBy("win_ts", "event_type")
     }),
 
+    // ── Interchange-tier fidelity, oracle-checked: write the events
+    //    slice to each format, read it back schema-explicit, aggregate —
+    //    the oracle aggregates the PARQUET original, so a hash match
+    //    proves the round trip preserved every value (ids, epochs, the
+    //    raw doubles via shortest-repr serialization) with zero
+    //    quarantined rows ────────────────────────────────────────────────
+    "q_csv_roundtrip" -> ((s, dir) =>
+      interchangeRoundTrip(s, dir, "csv")),
+    "q_jsonl_roundtrip" -> ((s, dir) =>
+      interchangeRoundTrip(s, dir, "jsonl")),
+    "q_orc_roundtrip" -> ((s, dir) =>
+      interchangeRoundTrip(s, dir, "orc")),
+
     // ── §2.9 X91: per-type least-squares trend + Pearson r from exact
     //    integer moments (x = epoch seconds, y = centi-units) ─────────────
     "q_linreg" -> ((s, dir) =>
@@ -3758,6 +3771,11 @@ object SparkEntry {
                FROM e, unnest(range(0, 4)) r(k))
          SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
+    // one oracle for all three formats: the round trip must be IDENTITY,
+    // so each format's aggregate equals the parquet original's
+    "q_csv_roundtrip" -> interchangeOracleSql,
+    "q_jsonl_roundtrip" -> interchangeOracleSql,
+    "q_orc_roundtrip" -> interchangeOracleSql,
     // exact DECIMAL moments (width-stable 19x19 products), then the same
     // pinned IEEE finish as the engine: covn/varx, unrounded-slope
     // intercept, sqrt-product correlation
@@ -3925,6 +3943,57 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
         (if (i < 7) s" * ${1L << (4 * (7 - i))}" else ""))
       .mkString("((", " + ", s") % $mod)")
+
+  /** The q_*_roundtrip oracle: aggregates of the parquet ORIGINAL — any
+    * value the interchange round trip perturbs hash-diverges. */
+  private val interchangeOracleSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) n,
+              CAST(0 AS BIGINT) n_corrupt,
+              CAST(sum(event_id) AS BIGINT) sum_id,
+              CAST(min(epoch_us(ts)) AS BIGINT) min_ep,
+              CAST(max(epoch_us(ts)) AS BIGINT) max_ep,
+              CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)))
+                AS DOUBLE) sum_value
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
+  /** Write the events slice to `fmt`, read it back schema-explicit, and
+    * aggregate per type — the interchange-fidelity probe behind
+    * q_{csv,jsonl,orc}_roundtrip. Timestamps travel as epoch-µs longs
+    * (the schema-explicit pipeline convention — text-format timestamp
+    * string round trips are a formatting contract this probe does not
+    * depend on); doubles travel raw (shortest-repr serialization reads
+    * back bit-identical). `n_corrupt` counts PERMISSIVE-mode quarantined
+    * rows — the oracle pins it to zero.
+    */
+  private def interchangeRoundTrip(s: SparkSession, dir: String,
+                                   fmt: String): DataFrame = {
+    import graft.sources.{ColumnarFormats, TextFormats}
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ep"))
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_${fmt}_rt_").toString
+    val back = fmt match {
+      case "csv" =>
+        TextFormats.writeCsv(ev, out); TextFormats.readCsv(s, out, ev.schema)
+      case "jsonl" =>
+        TextFormats.writeJsonl(ev, out)
+        TextFormats.readJsonl(s, out, ev.schema)
+      case "orc" =>
+        ColumnarFormats.writeOrc(ev, out, bloomCols = Seq("event_id"))
+        ColumnarFormats.readOrc(s, out, ev.schema)
+          .withColumn(TextFormats.CorruptCol, lit(null).cast(StringType))
+    }
+    back.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col(TextFormats.CorruptCol).isNotNull, 1L).otherwise(0L))
+          .cast(LongType).as("n_corrupt"),
+        sum(col("event_id")).cast(LongType).as("sum_id"),
+        min(col("ep")).cast(LongType).as("min_ep"),
+        max(col("ep")).cast(LongType).as("max_ep"),
+        sum(col("value").cast(DoubleType).cast(DecimalType(38, 6)))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("event_type")
+  }
 
   /** DuckDB-dialect SQL for Layout.zValue(x, y, bits) — the bit
     * interleave (x on odd bits, y on even) spelled as divide/mod/multiply
