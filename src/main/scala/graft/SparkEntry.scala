@@ -1499,6 +1499,17 @@ object SparkEntry {
       s.table(name).orderBy("win_ts", "event_type")
     }),
 
+    // ── §2.8: custom-state sessionization (flatMapGroupsWithState),
+    //    oracle-checked — the emit-only-on-proof state machine run in
+    //    batch mode; closed sessions == gaps-and-islands minus each
+    //    user's final (still-open) session ────────────────────────────────
+    "q_stateful_sessions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StatefulSessions.closedSessions(t(s, dir, "events"))
+        .toDF()
+        .orderBy("user_id", "start_ep")
+    }),
+
     // ── Interchange-tier fidelity, oracle-checked: write the events
     //    slice to each format, read it back schema-explicit, aggregate —
     //    the oracle aggregates the PARQUET original, so a hash match
@@ -3771,6 +3782,31 @@ object SparkEntry {
                FROM e, unnest(range(0, 4)) r(k))
          SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
+    // the q_sessionize gaps-and-islands chain, minus each user's last
+    // (still-open) session — exactly what the state machine withholds
+    "q_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) ep
+                    FROM events),
+         l AS (SELECT user_id, event_id, ep, lag(ep) OVER
+                 (PARTITION BY user_id ORDER BY ep, event_id) prev FROM e),
+         f AS (SELECT user_id, event_id, ep,
+                      CASE WHEN prev IS NULL OR ep - prev > 1800
+                           THEN 1 ELSE 0 END is_new FROM l),
+         s AS (SELECT user_id, ep,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) session_seq FROM f),
+         g AS (SELECT user_id, session_seq, count(*) n_events,
+                      min(ep) start_ep, max(ep) end_ep
+               FROM s GROUP BY 1, 2),
+         m AS (SELECT user_id, max(session_seq) last_seq FROM g GROUP BY 1)
+         SELECT g.user_id, CAST(g.start_ep AS BIGINT) start_ep,
+                CAST(g.end_ep AS BIGINT) end_ep,
+                CAST(g.n_events AS BIGINT) n_events
+         FROM g JOIN m ON m.user_id = g.user_id
+              AND g.session_seq < m.last_seq
+         ORDER BY g.user_id, g.start_ep""",
     // one oracle for all three formats: the round trip must be IDENTITY,
     // so each format's aggregate equals the parquet original's
     "q_csv_roundtrip" -> interchangeOracleSql,
