@@ -1523,6 +1523,20 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, dir) =>
       interchangeRoundTrip(s, dir, "orc")),
 
+    // ── §2.9 X94: per-class centroid drift — cosine between each label's
+    //    id-parity half-centroids, exact fixed-point vector algebra ───────
+    "q_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")
+        .orderBy("label")),
+
+    // ── §2.9 X93: market-basket pair mining — parts co-ordered within
+    //    an order, support ≥ 2, top-50 (basket-keyed self-join, never
+    //    corpus²; deterministic (count, pair) cut) ─────────────────────────
+    "q_basket_pairs" -> ((s, dir) =>
+      Analytics.basketPairs(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2, topK = 50)),
+
     // ── §2.9 X91: per-type least-squares trend + Pearson r from exact
     //    integer moments (x = epoch seconds, y = centi-units) ─────────────
     "q_linreg" -> ((s, dir) =>
@@ -3812,6 +3826,46 @@ object SparkEntry {
     "q_csv_roundtrip" -> interchangeOracleSql,
     "q_jsonl_roundtrip" -> interchangeOracleSql,
     "q_orc_roundtrip" -> interchangeOracleSql,
+    // micro-unit fixed-point throughout: one round per element, long
+    // sums, width-stable 19x19 decimal dim-reductions, pinned
+    // dot/(sqrt*sqrt) finish
+    "q_centroid_drift" ->
+      """WITH q AS (SELECT label, vec_id % 2 AS half, i AS dim,
+                           CAST(round(CAST(embedding[i+1] AS DOUBLE)
+                             * 1000000) AS BIGINT) AS q
+                    FROM embeddings, unnest(range(0, len(embedding))) r(i)
+                    WHERE label IS NOT NULL),
+         s AS (SELECT label, half, dim, sum(q) s FROM q GROUP BY 1, 2, 3),
+         j AS (SELECT e.label, e.dim, e.s se, o.s so
+               FROM s e JOIN s o ON e.label = o.label AND e.dim = o.dim
+                    AND e.half = 0 AND o.half = 1),
+         p AS (SELECT label,
+                sum(CAST(se AS DECIMAL(19,0)) * CAST(so AS DECIMAL(19,0))) dot,
+                sum(CAST(se AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0))) ee,
+                sum(CAST(so AS DECIMAL(19,0)) * CAST(so AS DECIMAL(19,0))) oo
+               FROM j GROUP BY 1),
+         c AS (SELECT label,
+                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) n_even,
+                CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) n_odd
+               FROM embeddings WHERE label IS NOT NULL GROUP BY 1)
+         SELECT p.label, c.n_even, c.n_odd,
+                CASE WHEN ee = 0 OR oo = 0 THEN 0.0
+                     ELSE round(CAST(dot AS DOUBLE) /
+                          (sqrt(CAST(ee AS DOUBLE)) * sqrt(CAST(oo AS DOUBLE))),
+                          6)
+                END AS cos_halves
+         FROM p JOIN c ON c.label = p.label ORDER BY p.label""",
+    "q_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         p AS (SELECT a.i item_a, c.i item_b, count(*) n_baskets
+               FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+               GROUP BY 1, 2)
+         SELECT item_a, item_b, CAST(n_baskets AS BIGINT) n_baskets
+         FROM p WHERE n_baskets >= 2
+         ORDER BY n_baskets DESC, item_a, item_b LIMIT 50""",
     // exact DECIMAL moments (width-stable 19x19 products), then the same
     // pinned IEEE finish as the engine: covn/varx, unrounded-slope
     // intercept, sqrt-product correlation

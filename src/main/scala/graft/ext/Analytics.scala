@@ -487,6 +487,33 @@ object Analytics {
         col("p99_cnt").cast(LongType).as("p99_cnt"))
   }
 
+  /** X93 — market-basket pair mining: co-occurrence counts of item pairs
+    * within a basket (order, session, document), support-filtered and
+    * top-k'd — the A-priori 2-itemset pass behind recommendations and
+    * "frequently bought together".
+    *
+    * Shape: distinct (basket, item), then a SELF-JOIN ON THE BASKET KEY
+    * with `item_a < item_b` — pairs materialize co-partitioned by basket,
+    * so the expansion is Σ k_b·(k_b−1)/2 bounded by basket width, never
+    * corpus². Wide baskets are the documented hazard: cap or salt
+    * baskets above ~10³ items before calling (the same guard as LSH
+    * band fan-out). The pair aggregation shuffles pair-keyed; top-k
+    * plans TakeOrderedAndProject with a full (count desc, pair asc)
+    * tiebreak, so the cut is deterministic.
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 2, topK: Int = 50): DataFrame = {
+    val items = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    items.as("l").join(items.as("r"),
+        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minSupport)
+      .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
+
   /** X91 — per-group simple linear regression + Pearson correlation from
     * EXACT integer moments: y = slope·x + intercept fitted by least
     * squares, r the correlation — trend lines, drift monitors, metric

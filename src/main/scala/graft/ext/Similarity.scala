@@ -804,4 +804,54 @@ object Similarity {
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
     (probeBuckets, candidates.select(col("pid"), col("nid"), col("cid")), result)
   }
+
+  /** X94 — per-class centroid drift monitor: cosine between the mean
+    * embeddings of a class's two id-parity halves — the embedding-space
+    * health check (a class whose halves' centroids diverge marks label
+    * noise, a distribution shift between ingest batches, or a poisoned
+    * slice). Cosine of the mean equals cosine of the SUM (norms scale
+    * out), so the whole computation runs in EXACT fixed point: each
+    * element rounds once to micro-units (one IEEE op on the same double
+    * in any engine), per-(class, half, dim) sums are plain long
+    * aggregations, and the dim-reductions (dot and both squared norms)
+    * are DECIMAL(38,0) sums of width-stable DECIMAL(19,0) products —
+    * order-independent everywhere, with a single pinned double finish
+    * (dot / (√ee·√oo), the X91 discipline). Zero-norm halves guard to 0.
+    *
+    * Classes with an empty half drop out (a drift monitor compares two
+    * non-empty snapshots). Scale: one posexplode aggregation is the only
+    * corpus-sized stage; everything after is |classes|×dims rows.
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val labeled = emb.where(col(labelCol).isNotNull)
+    val sums = labeled
+      .select(col(labelCol).as("label"),
+        pmod(col(idCol), lit(2)).cast("int").as("half"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("label"), col("half"), col("dim"),
+        round(col("__v").cast(DoubleType) * 1000000).cast(LongType).as("q"))
+      .groupBy("label", "half", "dim").agg(sum(col("q")).as("s"))
+    val e = sums.where(col("half") === 0)
+      .select(col("label"), col("dim"), col("s").as("se"))
+    val o = sums.where(col("half") === 1)
+      .select(col("label"), col("dim"), col("s").as("so"))
+    val per = e.join(o, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(col("se").cast(d19) * col("so").cast(d19)).as("dot"),
+        sum(col("se").cast(d19) * col("se").cast(d19)).as("ee"),
+        sum(col("so").cast(d19) * col("so").cast(d19)).as("oo"))
+    val counts = labeled.groupBy(col(labelCol).as("label"))
+      .agg(sum(when(pmod(col(idCol), lit(2)) === 0, 1L).otherwise(0L))
+          .cast(LongType).as("n_even"),
+        sum(when(pmod(col(idCol), lit(2)) === 1, 1L).otherwise(0L))
+          .cast(LongType).as("n_odd"))
+    per.join(counts, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        when(col("ee") === 0 || col("oo") === 0, 0.0)
+          .otherwise(round(col("dot").cast(DoubleType) /
+            (sqrt(col("ee").cast(DoubleType)) *
+              sqrt(col("oo").cast(DoubleType))), 6)).as("cos_halves"))
+  }
 }

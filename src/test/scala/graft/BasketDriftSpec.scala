@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Analytics, Similarity}
+
+/** Semantics of market-basket pair mining and the centroid-drift
+  * monitor: pair counting/support/tiebreaks, and drift separating
+  * coherent classes from split ones.
+  */
+class BasketDriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("basketPairs: within-basket pairs only, support cut, ordered cut") {
+    // baskets: {1,2,3} twice, {1,2} once, {4,5} once
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L),
+      (13L, 4L), (13L, 5L))
+    val got = Analytics.basketPairs(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) in 3 baskets; (1,3) and (2,3) in 2; (4,5) once -> cut
+    assert(got.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    // duplicate items within one basket must not inflate counts
+    val dup = Seq((20L, 7L), (20L, 7L), (20L, 8L), (21L, 7L), (21L, 8L))
+    val got2 = Analytics.basketPairs(dup.toDF("b", "i"), "b", "i",
+        minSupport = 1, topK = 10).collect()
+    assert(got2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((7L, 8L, 2L)))
+  }
+
+  test("centroidDrift: identical halves cos 1, opposed halves cos -1") {
+    // label 0: both halves identical direction -> cos 1
+    // label 1: halves point opposite ways -> cos -1
+    // label 2: only even ids -> dropped (no odd half)
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 3.0f), 1), (3L, Seq(0.0f, -1.0f), 1),
+      (4L, Seq(1.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(rows, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((0, 1L, 1L, 1.0), (1, 1L, 1L, -1.0)))
+  }
+}
