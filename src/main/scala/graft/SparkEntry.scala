@@ -1537,6 +1537,19 @@ object SparkEntry {
       Analytics.basketPairs(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 2, topK = 50)),
 
+    // ── §2.9 X93b: association rules — confidence + lift over the
+    //    support-filtered pairs, ranked on rounded lift ────────────────────
+    "q_assoc_rules" -> ((s, dir) =>
+      Analytics.assocRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 2, topK = 50)),
+
+    // ── §2.9 X95: event-type transition matrix — the first-order Markov
+    //    chain of user behavior, counts + row-normalized probabilities ────
+    "q_event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+        .orderBy("prev_type", "next_type")),
+
     // ── §2.9 X91: per-type least-squares trend + Pearson r from exact
     //    integer moments (x = epoch seconds, y = centi-units) ─────────────
     "q_linreg" -> ((s, dir) =>
@@ -3857,6 +3870,37 @@ object SparkEntry {
                           6)
                 END AS cos_halves
          FROM p JOIN c ON c.label = p.label ORDER BY p.label""",
+    // exact counts; conf and lift are single pinned divisions; the cut
+    // ranks on the ROUNDED lift with the pair as tiebreak
+    "q_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         p AS (SELECT a.i item_a, c.i item_b, count(*) n_ab
+               FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ni AS (SELECT i, count(*) ni FROM it GROUP BY 1),
+         nb AS (SELECT count(DISTINCT b) nb FROM it)
+         SELECT item_a, item_b, CAST(n_ab AS BIGINT) n_ab,
+                CAST(na.ni AS BIGINT) n_a, CAST(ncb.ni AS BIGINT) n_b,
+                round(CAST(n_ab AS DOUBLE) / CAST(na.ni AS DOUBLE), 6) conf,
+                round(CAST(nb.nb AS DOUBLE) * CAST(n_ab AS DOUBLE)
+                  / (CAST(na.ni AS DOUBLE) * CAST(ncb.ni AS DOUBLE)), 6) lift
+         FROM p JOIN ni na ON na.i = p.item_a
+              JOIN ni ncb ON ncb.i = p.item_b, nb
+         ORDER BY lift DESC, item_a, item_b LIMIT 50""",
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id u, epoch_us(ts) ep, event_type, event_id
+                    FROM events),
+         l AS (SELECT event_type AS next_type, lag(event_type) OVER
+                 (PARTITION BY u ORDER BY ep, event_id) AS prev_type FROM e),
+         p AS (SELECT prev_type, next_type, count(*) n FROM l
+               WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, sum(n) n_prev FROM p GROUP BY 1)
+         SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) n,
+                CAST(t.n_prev AS BIGINT) n_prev,
+                round(CAST(p.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE), 6) p
+         FROM p JOIN t ON t.prev_type = p.prev_type
+         ORDER BY p.prev_type, p.next_type""",
     "q_basket_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem
                      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -514,6 +514,65 @@ object Analytics {
       .limit(topK)
   }
 
+  /** X93b — association rules over the X93 pairs: confidence
+    * P(b|a) = n_ab/n_a and lift = N·n_ab/(n_a·n_b) for each
+    * support-filtered pair — the "bought X, recommend Y" scoring pass.
+    * Counts are exact integers; confidence and lift are single pinned
+    * IEEE divisions (X91 discipline) and the top-k ranks on the ROUNDED
+    * lift with the pair as tiebreak, so a 1-ulp drift can never reorder
+    * the cut. Basket total N and per-item basket counts broadcast.
+    */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long = 2, topK: Int = 50): DataFrame = {
+    val items = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val pairs = items.as("l").join(items.as("r"),
+        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val itemN = items.groupBy(col("i")).agg(count(lit(1)).as("ni"))
+    val total = items.select(col("b")).distinct().agg(count(lit(1)).as("nb"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    pairs
+      .join(broadcast(itemN.select(col("i").as("item_a"), col("ni").as("n_a"))),
+        "item_a")
+      .join(broadcast(itemN.select(col("i").as("item_b"), col("ni").as("n_b"))),
+        "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(d("n_ab") / d("n_a"), 6).as("conf"),
+        round(d("nb") * d("n_ab") / (d("n_a") * d("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topK)
+  }
+
+  /** X95 — event-type transition matrix: per user-ordered consecutive
+    * event pairs, the count n(prev→next) and the row-normalized
+    * transition probability — the first-order Markov chain of user
+    * behavior (journey maps, anomaly priors, next-event prediction
+    * baselines). One key-partitioned lag window (ties broken by an
+    * explicit column), one pair-keyed count, row totals joined back from
+    * a |types|-sized broadcast; probability is a single pinned IEEE
+    * division rounded to 6 dp.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("ep"), col("tie"))
+    val pairs = events.select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("ep"), col(typeCol).as("next_type"),
+        col(tieCol).as("tie"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("n_prev"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("n_prev").cast(LongType).as("n_prev"),
+        round(col("n").cast(DoubleType) / col("n_prev").cast(DoubleType), 6)
+          .as("p"))
+  }
+
   /** X91 — per-group simple linear regression + Pearson correlation from
     * EXACT integer moments: y = slope·x + intercept fitted by least
     * squares, r the correlation — trend lines, drift monitors, metric

@@ -33,6 +33,40 @@ class BasketDriftSpec extends AnyFunSuite {
       === Seq((7L, 8L, 2L)))
   }
 
+  test("assocRules: confidence and lift from hand-checked counts") {
+    // 4 baskets; {1,2} in 3 of them, item 1 in 4, item 2 in 3
+    // conf(1->2) = 3/4 = 0.75; lift = 4*3/(4*3) = 1.0
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 1L))
+    val got = Analytics.assocRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2, topK = 5).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6))
+      === ((1L, 2L, 3L, 4L, 3L, 0.75, 1.0)))
+  }
+
+  test("eventTransitions: per-user chains, row-normalized, tie-ordered") {
+    // user 1: A -> B -> A ; user 2: A -> A. Transitions:
+    // A->B 1, B->A 1, A->A 1; from A total 2 -> p 0.5 each
+    val rows = Seq(
+      (1L, 0L, "A", 1L), (1L, 10L, "B", 2L), (1L, 20L, "A", 3L),
+      (2L, 0L, "A", 4L), (2L, 5L, "A", 5L))
+      .toDF("u", "ep0", "t", "id")
+      .select(col("u"), timestamp_micros(col("ep0")).as("ts"),
+        col("t"), col("id"))
+    val got = Analytics.eventTransitions(rows, "u", "ts", "t", "id")
+      .orderBy("prev_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("A", "A", 1L, 2L, 0.5),
+      ("A", "B", 1L, 2L, 0.5),
+      ("B", "A", 1L, 1L, 1.0)))
+  }
+
   test("centroidDrift: identical halves cos 1, opposed halves cos -1") {
     // label 0: both halves identical direction -> cos 1
     // label 1: halves point opposite ways -> cos -1
