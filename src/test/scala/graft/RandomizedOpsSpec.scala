@@ -372,4 +372,64 @@ class RandomizedOpsSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("substringDup equals an in-memory all-windows scan with the same " +
+    "content-defined selection") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val k = 24
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      // random docs over a tiny alphabet (shared windows arise naturally),
+      // plus planted copies at shifted offsets
+      val base = (1 to 10).map { i =>
+        (i.toLong, (0 until 20 + rnd.nextInt(120))
+          .map(_ => "ab ".charAt(rnd.nextInt(3))).mkString)
+      }
+      val planted = base.take(2).map { case (id, t) =>
+        (id + 100, ("x" * rnd.nextInt(5)) + t) }
+      val docs = base ++ planted
+      // in-memory reference: every k-window, same selection rule
+      val selected: Map[Long, Set[String]] = docs.map { case (id, t) =>
+        id -> (if (t.length < k) Set.empty[String]
+               else (0 to t.length - k).map(p => md5hex(t.substring(p, p + k)))
+                 .filter(h => "048c".contains(h.charAt(31)))
+                 .map(_.substring(0, 13)).toSet)
+      }.toMap
+      val want = docs.map { case (id, _) =>
+        val mine = selected(id)
+        val dup = mine.count(fp =>
+          selected.exists { case (o, s) => o != id && s.contains(fp) })
+        (id, mine.size.toLong, dup.toLong, if (dup > 0) 1L else 0L)
+      }.toSet
+      val got = graft.ext.Dedup.substringDup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("basketPairs equals an in-memory pair count on random baskets") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = (0 until 200).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(15).toLong))
+      val byBasket = rows.distinct.groupBy(_._1).values
+      val counts = byBasket.flatMap { items =>
+        val is = items.map(_._2).distinct.sorted
+        for (a <- is; b <- is if a < b) yield (a, b)
+      }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val want = counts.filter(_._2 >= 2).toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.take(10)
+        .map { case ((a, b), n) => (a, b, n) }
+      val got = Analytics.basketPairs(rows.toDF("b", "i"), "b", "i",
+          minSupport = 2, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
