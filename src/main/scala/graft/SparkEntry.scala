@@ -1462,6 +1462,24 @@ object SparkEntry {
       store.placements.orderBy("shard_id", "shard_length", "hostname")
     }),
 
+    // ── §2.8 + §2.9 X1: STREAMING exact dedup, oracle-checked — the
+    //    aggregate (min-keeper) form whose complete-mode final table is
+    //    arrival-order-independent and equals the batch Dedup.exact ───────
+    "q_stream_dedup" -> ((s, dir) => {
+      val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStreams
+        .dedupAggStream(Tables.loadStream(s, dir, "documents"),
+          "doc_id", "text")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("h")
+    }),
+
     // ── §2.8: STREAMING tumbling counts, oracle-checked end to end — the
     //    Structured Streaming pipeline (readStream → watermark → window →
     //    memory sink, Trigger.AvailableNow) run to completion inside the
@@ -3795,6 +3813,10 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS shard_length,
                 'host' || CAST(l_suppkey % 7 AS VARCHAR) AS hostname
          FROM lineitem ORDER BY shard_id, shard_length, hostname""",
+    // same contract as q_dedup_exact, reached through the stream
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY h""",
     // the STREAM's final complete-mode table == the batch aggregation
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,

@@ -93,4 +93,20 @@ object EventStreams {
       .select(col(idCol), col(tsCol), md5(col(textCol)).as("h"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
+
+  /** Deterministic streaming exact dedup — the aggregate form of
+    * Dedup.exact: per content hash, keep min(id) and the copy count as a
+    * streaming aggregation. Unlike [[dedupStream]]'s keep-first (whose
+    * survivor depends on arrival order — right for bounded-state ingest,
+    * wrong for an oracle), min() is arrival-order-independent, so the
+    * complete-mode final table equals the batch dedup EXACTLY on any
+    * interleaving of micro-batches. State = one row per distinct hash
+    * (unbounded horizon — the batch-job mandate; compose with
+    * [[dedupStream]] for watermark-bounded ingest).
+    */
+  def dedupAggStream(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 }
