@@ -1371,6 +1371,12 @@ object SparkEntry {
         .orderBy("a", "b", "c")
     }),
 
+    // ── §2.9 X96: canonical document selection — per near-dup cluster,
+    //    keep the best-QUALITY copy (components × quality argmax) ─────────
+    "q_canonical_docs" -> ((s, dir) =>
+      Dedup.canonicalDocs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("component")),
+
     // ── §2.9 X81: fixed-point PageRank over the LSH near-dup graph —
     //    integer ranks (scale 10¹²), bit-identical on any engine ──────────
     "q_pagerank" -> ((s, dir) =>
@@ -1821,6 +1827,51 @@ object SparkEntry {
            SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n)
          SELECT n AS doc_id, min(l) AS component FROM reach
          GROUP BY n ORDER BY doc_id""",
+    // the X1g recursive-CC chain composed with the X3 quality chain;
+    // argmax on the ROUNDED quality with doc id tiebreak
+    "q_canonical_docs" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
+         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
+         comp AS (SELECT n AS doc_id, min(l) AS component FROM reach GROUP BY n),
+         qq AS (SELECT doc_id, lower(text) t,
+                       CAST(length(text) AS DOUBLE) len,
+                       ' ' || lower(text) || ' ' p,
+                       CAST(len(regexp_split_to_array(trim(lower(text)), ' +')) AS DOUBLE) ntok
+                FROM documents),
+         c2 AS (SELECT doc_id,
+                 length(regexp_replace(t, '[^a-z]', '', 'g')) / len AS alpha,
+                 (len - length(replace(t, ' ', ''))) / len AS space,
+                 ((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3
+                  + (length(p)-length(replace(p,' of ','')))/4 + (length(p)-length(replace(p,' and ','')))/5) / ntok AS stop
+                FROM qq),
+         qs AS (SELECT doc_id,
+                       round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
+                FROM c2),
+         j AS (SELECT comp.component, comp.doc_id, qs.quality
+               FROM comp JOIN qs USING (doc_id)),
+         rr AS (SELECT component, doc_id, quality,
+                       row_number() OVER (PARTITION BY component
+                         ORDER BY quality DESC, doc_id) rk,
+                       count(*) OVER (PARTITION BY component) nm
+                FROM j)
+         SELECT component, doc_id AS keeper, CAST(nm AS BIGINT) n_members,
+                quality AS best_quality
+         FROM rr WHERE rk = 1 ORDER BY component""",
     // Same LSH candidate CTEs as q_dedup_minhash, plus bounded-prefix
     // Levenshtein verification (DuckDB's levenshtein = the classic DP).
     "q_edit_distance" ->

@@ -1155,6 +1155,38 @@ object Dedup {
         (col("n_dup_win") > 0).cast("int").cast(LongType))
   }
 
+  /** X96 — canonical document selection: for every near-dup cluster
+    * (connected components over the LSH candidate graph), keep the BEST
+    * copy by quality score instead of the arbitrary min-id — the
+    * curation form of dedup (a scraped mirror with cleaner text beats
+    * the truncated original). Composition of three declared operators:
+    * X1b candidates → X1g components → X3 quality, then one
+    * component-partitioned argmax with the ROUNDED quality (rank-safe
+    * across engines) and doc id as tiebreak.
+    *
+    * Output: one row per cluster — (component, keeper, n_members,
+    * best_quality). Scale: the window partitions by component (cluster
+    * width bounds it); everything upstream inherits the cited
+    * operators' shapes.
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(docs.select(col(idCol)),
+      minHashLsh(docs, idCol, textCol))
+    val quality = TextOps.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col(idCol).asc)
+    cc.join(quality, idCol)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("component")).cast(LongType))
+      .where(col("__rk") === 1)
+      .select(col("component"), col(idCol).as("keeper"),
+        col("n_members"), col("quality").as("best_quality"))
+  }
+
   /** X61 — record linkage (entity resolution): link each PROBE record to
     * its best fuzzy catalog match by name. The classic three-stage ER
     * shape: (1) BLOCKING — candidates are (probe, catalog) pairs sharing

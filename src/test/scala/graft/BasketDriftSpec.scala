@@ -67,6 +67,22 @@ class BasketDriftSpec extends AnyFunSuite {
       ("B", "A", 1L, 1L, 1.0)))
   }
 
+  test("canonicalDocs: keeper is the quality argmax, NOT the min id") {
+    // docs 1 and 2 are near-dups (same token trigrams); doc 2 is the
+    // cleaner copy (higher alpha ratio -> higher quality) despite the
+    // larger id. doc 3 is its own singleton cluster.
+    val clean = "the quick brown fox jumps over the lazy dog again and again"
+    val dirty = clean + " 0123 4567 %%%% @@@@"
+    val docs = Seq((1L, dirty), (2L, clean),
+      (3L, "completely unrelated text with zero shared trigrams here"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.canonicalDocs(docs, "doc_id", "text")
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2L), (3L, 3L, 1L)),
+      "cluster {1,2} must keep doc 2 (best quality); 3 is singleton")
+  }
+
   test("centroidDrift: identical halves cos 1, opposed halves cos -1") {
     // label 0: both halves identical direction -> cos 1
     // label 1: halves point opposite ways -> cos -1
