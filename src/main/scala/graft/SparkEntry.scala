@@ -731,6 +731,14 @@ object SparkEntry {
 
     // ── §2.9: REAL container decode — 24-bit BMP (header validation,
     //    bottom-up padded pixel rows, channel sum) ───────────────────────
+    // ── §2.9 X8b: pixel-intensity histogram over DECODED pixels — the
+    //    image-side dedup/quality signal, whole codec path under oracle ───
+    "q_media_histogram" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.bmpHistogram(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "bucket")
+    }),
+
     "q_media_bmp" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Media.bmpRoundTrip(t(s, dir, "documents"), "doc_id", "text")
@@ -2768,6 +2776,25 @@ object SparkEntry {
          FROM agg ORDER BY doc_id""",
     // BMP: width 16 → 48 channel bytes per row, text zero-padded to full
     // rows (padding adds 0 to the sum); height = ceil(bytes/48), min 1.
+    // decoded channel bytes == text bytes zero-padded to 48-byte rows
+    // (ASCII-safe text, q_media_bmp's contract); intensity bucket is
+    // byte//16, padding contributes rowBytes*height - strlen to bucket 0
+    "q_media_histogram" ->
+      """WITH base AS (SELECT doc_id, strlen(text) n FROM documents),
+         pix AS (SELECT doc_id,
+                        ascii(substr(text, CAST(j AS INT), 1)) // 16 AS bucket
+                 FROM documents, unnest(range(1, strlen(text)+1)) r(j)),
+         cnt AS (SELECT doc_id, bucket, count(*) c FROM pix GROUP BY 1, 2),
+         pad AS (SELECT doc_id, 0 AS bucket,
+                        48 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) - n
+                          AS c
+                 FROM base
+                 WHERE 48 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) - n
+                       > 0),
+         allb AS (SELECT * FROM cnt UNION ALL SELECT * FROM pad)
+         SELECT doc_id, CAST(bucket AS BIGINT) bucket,
+                CAST(sum(c) AS BIGINT) n
+         FROM allb GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "q_media_bmp" ->
       """WITH agg AS (SELECT doc_id, strlen(text) n,
                              sum(ascii(substr(text, CAST(j AS INT), 1))) s

@@ -107,6 +107,42 @@ object Media {
       .toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "energy")
   }
 
+  /** X8b — pixel-intensity histogram over REAL decoded pixels: encode
+    * each document as a 24-bit BMP, decode it back through the full
+    * container parse (MediaCodecs.bmpChannels — header validation,
+    * bottom-up padded-row inversion), then bucket every decoded channel
+    * byte into `buckets` equal-width intensity bins. The image-side
+    * dedup/quality signal (black-frame detection, exposure profile,
+    * near-dup prefilter) — computed from the DECODED stream, so the
+    * whole codec path is under the oracle. Zero-padding lands in bucket
+    * 0 by construction (the oracle accounts for it explicitly). Only
+    * non-empty buckets emit. mapPartitions is confined to the codec,
+    * like every media tier; output ≤ buckets rows per doc.
+    */
+  def bmpHistogram(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 16, buckets: Int = 16)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val rowBytes = width * 3
+          val height = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+          val channels = java.util.Arrays.copyOf(bytes, rowBytes * height)
+          val bmp = MediaCodecs.encodeBmp24(width, height, channels)
+          val (_, _, dec) = MediaCodecs.bmpChannels(bmp)
+          val hist = new Array[Long](buckets)
+          dec.foreach(b => hist((b & 0xff) * buckets / 256) += 1)
+          hist.zipWithIndex.collect {
+            case (n, bk) if n > 0 => (id, bk.toLong, n)
+          }
+        }
+      }
+      .toDF("doc_id", "bucket", "n")
+  }
+
   /** Synthesize a genuine 24-bit BMP per document (fixed width; channel
     * bytes = text bytes zero-padded to full rows), then REALLY parse it
     * back with MediaCodecs.decodeBmp — header validation, bottom-up padded
