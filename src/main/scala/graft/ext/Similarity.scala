@@ -192,6 +192,20 @@ object Similarity {
       .select(col("pid"), lit(k.toLong).as("k"),
         (col("hits") >= 1L).as("found_true_neighbor"))
 
+  /** The probe-completeness frame for the COMPRESSED ANN tiers' hashed
+    * contract: one row per probe, regardless of hits. A PQ index's
+    * hit-vs-brute accounting is DATA-DEPENDENT (quantization recall
+    * drops as the corpus grows — an sf0.1 sweep flipped exactly that
+    * column while every exact operator held), so it belongs in the
+    * spec-asserted recall floors and the AnnRecall calibration tool,
+    * not in the cross-engine hash — the same discipline that moved
+    * heavyHitters' probabilistic cms_ok out of the hashed contract.
+    * The uncompressed tiers (IVF, sign-LSH) keep the full-recall
+    * column: their fixture configurations genuinely deliver it at
+    * every tested scale. */
+  def probeCoverage(ann: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    annHits(ann, exact).select(col("pid"), lit(k.toLong).as("k"))
+
   /** Per-probe count of ANN results that are true top-k neighbors (zero
     * rows included) — the raw accounting under recallArtifact, used
     * directly by the AnnRecall calibration tool. */
