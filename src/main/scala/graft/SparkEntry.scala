@@ -700,20 +700,24 @@ object SparkEntry {
             col("exact_users") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
-    // ── §2.9: multimodal binary plumbing (batched decode stub) ──────────
+    // ── §2.9: multimodal feature extraction over REAL decoded units —
+    //    each doc routed to its dispatch format's real codec (WAV/BMP/
+    //    PNG/JPEG/GIF), features (unit count, first unit, mod-997
+    //    checksum) computed from the DECODED stream, not the raw payload ──
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Media.features(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+      Media.decodeFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
-    // ── §2.9: multimodal frame sampling (binary explode, oracle-exact).
-    //    Frames are emitted hex-encoded: the operator's binary output is
-    //    the real shape, but raw bytes aren't sortable/hashable by the
+    // ── §2.9: multimodal frame sampling through the REAL ISO-BMFF demux —
+    //    frames muxed into a genuine MP4, keyframe PAYLOADS read back out
+    //    of mdat via the stsz/stsc/stco/stss sample tables. Frames are
+    //    emitted hex-encoded: raw bytes aren't sortable/hashable by the
     //    pandas oracle harness — hex strings are, on both engines ─────────
     "q_media_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Media.frameSample(
-          Media.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+      Media.mp4FramePayloads(t(s, dir, "documents"), "doc_id", "text",
           frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_no"),
           lower(hex(col("frame"))).as("frame"))
@@ -1587,7 +1591,11 @@ object SparkEntry {
     "q_linreg" -> ((s, dir) =>
       Analytics.linReg(
         t(s, dir, "events").select(col("event_type"),
-          expr("unix_micros(ts) div 1000000").as("xs"),
+          // pmod-floor form: DuckDB's `//` floors while Spark's `div`
+          // truncates toward zero — pre-epoch sub-second timestamps would
+          // land one second late under a bare div (the Tables.load hazard)
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) " +
+            "div 1000000").as("xs"),
           round(col("value") * 100).cast(LongType).as("yc")),
         "event_type", "xs", "yc")
         .orderBy("grp")),
@@ -2747,19 +2755,49 @@ object SparkEntry {
     "q_ann_ivfpq" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // Real-decode features: the engine routes each doc through its
+    // dispatch format's REAL codec and computes (unit count, first unit,
+    // mod-997 checksum) over the DECODED stream; the oracle recomputes the
+    // same integer facts from the text (ASCII fixture: byte i ==
+    // ascii(char i); decoded WAV sample i = (byte-128)*256; BMP/PNG/GIF
+    // zero padding decodes back as 0 units in bucket counts/sums; JPEG is
+    // lossy → geometry + the bounded-error verdict instead of a checksum).
     "q_media_features" ->
-      """WITH c AS (SELECT doc_id,
-                           CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS BIGINT) checksum
-                    FROM documents, unnest(range(1, length(text)+1)) t(i) GROUP BY 1)
-         SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-                ascii(substr(d.text, 1, 1)) AS head_byte, c.checksum
-         FROM documents d JOIN c USING (doc_id) ORDER BY doc_id""",
+      """WITH agg AS (SELECT doc_id, strlen(text) n,
+                             ascii(substr(text, 1, 1)) h,
+                             sum(ascii(substr(text, CAST(j AS INT), 1))) s
+                      FROM documents, unnest(range(1, strlen(text)+1)) r(j)
+                      GROUP BY 1, 2, 3)
+         SELECT doc_id,
+                CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                                WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                                ELSE 'gif' END AS format,
+                CAST(CASE doc_id % 5
+                       WHEN 0 THEN n
+                       WHEN 1 THEN 48 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT))
+                       WHEN 2 THEN 48 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT))
+                       ELSE 16 * greatest(1, CAST(ceil(n / 16.0) AS BIGINT))
+                     END AS BIGINT) AS n_units,
+                CAST(CASE doc_id % 5
+                       WHEN 0 THEN (h - 128) * 256
+                       WHEN 3 THEN -1
+                       ELSE h
+                     END AS BIGINT) AS head_unit,
+                CAST(CASE doc_id % 5
+                       WHEN 0 THEN ((256 * (s - 128 * n)) % 997 + 997) % 997
+                       WHEN 3 THEN 1
+                       ELSE s % 997
+                     END AS BIGINT) AS checksum
+         FROM agg ORDER BY doc_id""",
+    // Real ISO-BMFF demux: keyframe payloads read back out of mdat via the
+    // sample tables equal the 64-byte text frames at even indices (the
+    // stss stride); empty payloads produce no container and no rows.
     "q_media_frames" ->
-      """SELECT doc_id, CAST(i AS INT) AS frame_no,
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
                 lower(hex(encode(substr(text, CAST(i*64+1 AS INT), 64)))) AS frame
          FROM documents,
               unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
-         WHERE i % 2 = 0
+         WHERE i % 2 = 0 AND strlen(text) > 0
          ORDER BY doc_id, frame_no""",
     // Real-decode round trips: the engine emits what the WAV/BMP parsers
     // read OUT of the synthesized containers; the oracle recomputes the
@@ -4057,8 +4095,9 @@ object SparkEntry {
                FROM d WHERE dur IS NOT NULL GROUP BY 1)
          SELECT key, CAST(n_intervals AS BIGINT) n_intervals,
                 CAST(span_us AS BIGINT) span_us,
-                round(CAST(integ AS DOUBLE) / CAST(span_us AS DOUBLE), 6)
-                  AS twap
+                CASE WHEN span_us = 0 THEN 0.0
+                     ELSE round(CAST(integ AS DOUBLE)
+                                / CAST(span_us AS DOUBLE), 6) END AS twap
          FROM g ORDER BY key""",
     "q_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -237,8 +237,13 @@ object Events {
         sum(col("__dur")).cast(LongType).as("span_us"),
         sum(col("__v") * col("__dur").cast(d19)).as("__integral"))
       .select(col("key"), col("n_intervals"), col("span_us"),
-        round(col("__integral").cast(DoubleType) /
-          col("span_us").cast(DoubleType), 6).as("twap"))
+        // zero-span guard (X91 degenerate-group discipline): a key whose
+        // retained intervals all have zero duration (every event at one
+        // timestamp) would otherwise emit 0/0 = NaN here vs NULL/inf in
+        // other engines — pin the degenerate value to 0.0 on both sides
+        when(col("span_us") === 0, lit(0.0))
+          .otherwise(round(col("__integral").cast(DoubleType) /
+            col("span_us").cast(DoubleType), 6)).as("twap"))
   }
 
   /** X7 — approximate distinct (HLL++) next to the exact count. The

@@ -8,9 +8,6 @@ import org.apache.spark.sql.types._
   * multimodal columns). */
 case class MediaItem(doc_id: Long, media: Array[Byte], format: String, n_bytes: Long)
 
-/** Extracted features for one media item. */
-case class MediaFeatures(doc_id: Long, n_bytes: Long, head_byte: Int, checksum: Long)
-
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video travel as
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * run per-partition in batches (the JVM analog of `mapInPandas` — one
@@ -29,9 +26,10 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, head_byte: Int, checksum: 
   *    the stsz/stsc/stco/stss sample tables (`MediaCodecs.encodeMp4` /
   *    `mp4SyncSamples`) — the 100 TB keyframe-sampling shape.
   *  - Only compressed-video PIXEL decode (H.264 and friends) has no JVM
-  *    codec; `decodeStub` keeps that slot honest with deterministic
-  *    byte-level features in the same per-partition batch shape a real
-  *    decoder + vision encoder would fill.
+  *    codec — the honest ecosystem limit. Everything around that slot is
+  *    real: feature extraction ([[decodeFeatures]]) runs over genuinely
+  *    decoded units, and frame sampling ([[mp4FramePayloads]]) reads
+  *    keyframe bytes back out of a real container demux.
   * The Spark-side plumbing — binary schema, partition-batched execution,
   * feature schema — is identical across tiers and oracle-tested.
   */
@@ -52,33 +50,84 @@ object Media {
       .as[MediaItem]
   }
 
-  /** Per-partition batched "decode" — the mapInPandas-shaped hot path.
-    * STUB: a real implementation would decode `item.media` with a codec
-    * initialized once per partition; here the features are deterministic
-    * byte statistics so the oracle can verify the plumbing end-to-end.
+  /** REAL per-format feature extraction — the mapInPandas-shaped decode
+    * stage computed over genuinely DECODED units, not raw payload bytes.
+    * Each document synthesizes the container its dispatch tag names
+    * (doc_id mod 5 → WAV / BMP / PNG / JPEG / GIF, the [[dispatchDecode]]
+    * routing), decodes it back through the matching REAL parser, and
+    * emits features of the decoded stream itself:
+    *   - `n_units`   — decoded sample / channel-byte / pixel count
+    *     (including the encoder's zero padding — it travels through the
+    *     container and comes back out of the decode)
+    *   - `head_unit` — the first decoded unit's value (PCM sample for
+    *     audio, channel byte for BMP/PNG, palette-RESOLVED pixel for GIF;
+    *     −1 for the lossy JPEG tier, whose per-pixel values aren't exact)
+    *   - `checksum`  — floorMod(sum of decoded units, 997); for JPEG the
+    *     bounded-reconstruction-error verdict (1/0), the lossy tier's
+    *     verification value throughout this file.
+    * One per-partition pass; decoder dispatch per row, decoder state per
+    * partition — the heterogeneous-media decode stage at corpus scale.
     */
-  def decodeStub(items: Dataset[MediaItem])
-                (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def decodeFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     width: Int = 16)
+                    (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    items.mapPartitions { it =>
-      // per-partition init would go here (codec / model handle)
-      it.grouped(64).flatMap { batch => // batch shape mirrors Arrow batches
-        batch.map { m =>
-          val bytes = m.media
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-          MediaFeatures(m.doc_id, bytes.length.toLong,
-            if (bytes.nonEmpty) bytes(0) & 0xff else -1, sum % 997L)
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        def feats(units: Iterator[Int]): (Long, Long, Long) = {
+          var n = 0L; var head = 0L; var sum = 0L
+          units.foreach { v =>
+            if (n == 0) head = v.toLong
+            sum += v; n += 1
+          }
+          (n, head, java.lang.Math.floorMod(sum, 997L))
+        }
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          java.lang.Math.floorMod(id, 5L).toInt match {
+            case 0 =>
+              val samples = Array.tabulate(bytes.length)(i =>
+                (((bytes(i) & 0xff) - 128) * 256).toShort)
+              val (_, dec) = MediaCodecs.wavSamples(
+                MediaCodecs.encodeWavPcm16(samples, 8000))
+              val (n, head, ck) = feats(dec.iterator.map(_.toInt))
+              (id, "wav", n, head, ck)
+            case 1 =>
+              val rowBytes = width * 3
+              val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+              val (_, _, dec) = MediaCodecs.bmpChannels(MediaCodecs.encodeBmp24(
+                width, h, java.util.Arrays.copyOf(bytes, rowBytes * h)))
+              val (n, head, ck) = feats(dec.iterator.map(_ & 0xff))
+              (id, "bmp", n, head, ck)
+            case 2 =>
+              val rowBytes = width * 3
+              val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+              val (_, _, _, dec) = MediaCodecs.pngChannels(MediaCodecs.encodePng(
+                width, h, 3, java.util.Arrays.copyOf(bytes, rowBytes * h)))
+              val (n, head, ck) = feats(dec.iterator.map(_ & 0xff))
+              (id, "png", n, head, ck)
+            case 3 =>
+              val h = math.max(1, (bytes.length + width - 1) / width)
+              val gray = java.util.Arrays.copyOf(bytes, width * h)
+              val (dw, dh, decoded) =
+                JpegCodec.decodeGray(JpegCodec.encodeGray(width, h, gray))
+              val ok = dw == width && dh == h &&
+                JpegCodec.meanAbsError(gray, decoded) <= 32.0
+              (id, "jpeg", dw.toLong * dh, -1L, if (ok) 1L else 0L)
+            case _ =>
+              val h = math.max(1, (bytes.length + width - 1) / width)
+              val (_, _, palette, pixels) = MediaCodecs.gifPixels(
+                MediaCodecs.encodeGif(width, h,
+                  java.util.Arrays.copyOf(bytes, width * h)))
+              val (n, head, ck) = feats(
+                pixels.iterator.map(p => palette(3 * (p & 0xff)) & 0xff))
+              (id, "gif", n, head, ck)
+          }
         }
       }
-    }
+      .toDF("doc_id", "format", "n_units", "head_unit", "checksum")
   }
-
-  /** End-to-end: documents → binary media → batched feature extraction. */
-  def features(docs: DataFrame, idCol: String, textCol: String)
-              (implicit spark: SparkSession): DataFrame =
-    decodeStub(asMedia(docs, idCol, textCol)).toDF()
 
   /** Synthesize a genuine RIFF/WAVE PCM16 container per document (samples
     * derived from the text bytes), then REALLY parse it back with
@@ -325,6 +374,40 @@ object Media {
       .toDF("doc_id", "frame_no", "frame_len", "frame_sum")
   }
 
+  /** REAL frame sampling with PAYLOADS: mux the document's fixed-size
+    * frames into a genuine ISO-BMFF container ([[mp4FrameSample]]'s
+    * pipeline), demux the keyframes via the stsz/stsc/stco/stss sample
+    * tables, and emit each keyframe's BYTES as read back out of `mdat` —
+    * the row shape the downstream pixel decoder consumes. Empty payloads
+    * produce no container and no rows. */
+  def mp4FramePayloads(docs: DataFrame, idCol: String, textCol: String,
+                       frameBytes: Int = 64, stride: Int = 2)
+                      (implicit spark: SparkSession): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val n = bytes.length
+            val nFrames = (n + frameBytes - 1) / frameBytes
+            val frames = Array.tabulate(nFrames) { j =>
+              java.util.Arrays.copyOfRange(bytes, j * frameBytes,
+                math.min(n, (j + 1) * frameBytes))
+            }
+            val mp4 = MediaCodecs.encodeMp4(frames, syncEvery = stride)
+            MediaCodecs.mp4SyncSamples(mp4).iterator.map {
+              case (idx, frame) => (id, idx.toLong, frame)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame")
+  }
+
   /** Mixed-format decode DISPATCH — the multimodal column as it actually
     * appears at corpus scale: one opaque binary column whose rows carry
     * different formats, routed to the right decoder by a format tag.
@@ -405,11 +488,11 @@ object Media {
       .as[MediaItem]
   }
 
-  /** Frame-sampling STUB: one "video" payload → every `stride`-th
-    * fixed-size frame as its own row (doc_id, frame_no, frame). A real
-    * pipeline demuxes containers per partition; the plumbing — binary
-    * explode with positional metadata, rows ∝ payload size — is the real
-    * shape of the operator at scale.
+  /** Declarative binary-explode frame splitter — unit plumbing only (the
+    * declared frame-sampling query rides the REAL container demux,
+    * [[mp4FramePayloads]]). Kept because the shape — binary explode with
+    * positional metadata, rows ∝ payload size, zero UDFs — is the
+    * codegen-friendly fallback when payloads arrive pre-demuxed.
     */
   def frameSample(items: Dataset[MediaItem], frameBytes: Int, stride: Int)
                  (implicit spark: SparkSession): DataFrame = {

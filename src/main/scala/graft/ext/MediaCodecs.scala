@@ -122,6 +122,41 @@ object MediaCodecs {
       nFrames * 1000L / sampleRate, energy)
   }
 
+  /** Decode the PCM16 sample VALUES out of a RIFF/WAVE container — the
+    * same chunk walk as [[decodeWav]], but returning the decoded stream
+    * itself (for feature extraction over real decoded units) instead of
+    * summary facts. Returns (sampleRate, samples). */
+  def wavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = tag(bytes, off)
+      val size = le32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          require(le16(bytes, off + 8) == 1, "PCM only")
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(bits == 16, s"unsupported bits-per-sample $bits (PCM16 only)")
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => // skip unknown chunks
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = le16(bytes, dataOff + 2 * i).toShort; i += 1 }
+    (sampleRate, out)
+  }
+
   // ── 24-bit BMP ────────────────────────────────────────────────────────
 
   /** Serialize a 24-bit bottom-up BMP from a top-down channel-byte stream
