@@ -1535,6 +1535,29 @@ object SparkEntry {
       s.table(name).orderBy("win_ts", "event_type")
     }),
 
+    // ── §2.8: STREAMING gap-sessionization via the native session_window,
+    //    oracle-checked end to end — sessions merge while events arrive
+    //    within the 30 min gap (window end = last event + gap; an event at
+    //    exactly prev+gap starts a NEW session — [start, end) overlap
+    //    semantics); complete mode re-emits every session, so the final
+    //    table equals the batch gaps-and-islands exactly. Timestamps are
+    //    second-truncated BEFORE the window so sub-second precision can't
+    //    flip a boundary between engines (the q_sessionize discipline) ─────
+    "q_stream_sessions" -> ((s, dir) => {
+      val name = s"graft_stream_sess_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStreams
+        .sessions(Tables.loadStream(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts"))))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "start_ep")
+    }),
+
     // ── §2.8: custom-state sessionization (flatMapGroupsWithState),
     //    oracle-checked — the emit-only-on-proof state machine run in
     //    batch mode; closed sessions == gaps-and-islands minus each
@@ -3948,6 +3971,30 @@ object SparkEntry {
                FROM e, unnest(range(0, 4)) r(k))
          SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
+    // session_window semantics in SQL: a new session starts when the gap
+    // REACHES 1800 s (windows are [start, end) — exactly-gap does not
+    // merge, unlike q_sessionize's strictly-greater rule), and the session
+    // end is the LAST event + gap; complete mode emits open tails too
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) ep
+                    FROM events),
+         l AS (SELECT user_id, event_id, ep, lag(ep) OVER
+                 (PARTITION BY user_id ORDER BY ep, event_id) prev FROM e),
+         f AS (SELECT user_id, event_id, ep,
+                      CASE WHEN prev IS NULL OR ep - prev >= 1800
+                           THEN 1 ELSE 0 END is_new FROM l),
+         s AS (SELECT user_id, ep,
+                      CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) session_seq FROM f),
+         g AS (SELECT user_id, session_seq, count(*) n_events,
+                      min(ep) start_ep, max(ep) + 1800 end_ep
+               FROM s GROUP BY 1, 2)
+         SELECT user_id, CAST(start_ep AS BIGINT) start_ep,
+                CAST(end_ep AS BIGINT) end_ep,
+                CAST(n_events AS BIGINT) n_events
+         FROM g ORDER BY user_id, start_ep""",
     // the q_sessionize gaps-and-islands chain, minus each user's last
     // (still-open) session — exactly what the state machine withholds
     "q_stateful_sessions" ->

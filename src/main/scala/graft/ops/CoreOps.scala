@@ -22,15 +22,27 @@ object CoreOps {
   // ── §2.1 S1/S2: recursive directory listing as a DataFrame ────────────
   /** Recursive file listing → DataFrame. Reference walks the NameNode with
     * cursor pagination, single-threaded (HdfsMasterNode.java:110-147).
-    * Here the driver lists only the ROOT level; every first-level
-    * subdirectory's subtree is walked in parallel on the executors — the
-    * same shape as Spark's own InMemoryFileIndex parallel partition
-    * discovery, so a directory of millions of files never serializes
-    * through one thread. The Hadoop configuration travels as plain
-    * key/value pairs (Configuration itself is not serializable).
+    * Here the walk is a distributed FRONTIER EXPANSION (the shape of
+    * Spark's own InMemoryFileIndex parallel partition discovery): each
+    * BFS level lists exactly one directory depth on the executors and
+    * only the discovered DIRECTORY paths return to the driver (file rows
+    * stay distributed), so a lake whose fan-out appears below the first
+    * level — 4 top dirs hiding 10⁶ nested dirs — still spreads across
+    * the cluster instead of serializing on 4 tasks. Once the frontier is
+    * wide enough to keep every slot busy (or the level cap is hit), one
+    * final job walks each remaining subtree recursively. The Hadoop
+    * configuration travels as plain key/value pairs (Configuration
+    * itself is not serializable).
     */
   def fileListing(spark: SparkSession, dir: String,
-                  parallelism: Int = 32): DataFrame = {
+                  parallelism: Int = 32): DataFrame =
+    fileListingWithStats(spark, dir, parallelism)._1
+
+  /** [[fileListing]] plus the per-level frontier sizes the BFS saw —
+    * the observable seam the deep-tree distribution spec pins. */
+  def fileListingWithStats(spark: SparkSession, dir: String,
+                           parallelism: Int = 32,
+                           maxBfsLevels: Int = 40): (DataFrame, Seq[Int]) = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
@@ -43,19 +55,48 @@ object CoreOps {
           isDir = false))
       }
 
+    def listLevel(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[FileEntry] =
+      fs.listStatus(p).toSeq.map(st =>
+        FileEntry(st.getPath.getName, st.getPath.toString, st.getLen,
+          st.isDirectory))
+
     val rootPath = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = rootPath.getFileSystem(conf)
-    val top = fs.listStatus(rootPath).toSeq
-    val rootFiles = top.filter(!_.isDirectory).map(st =>
-      FileEntry(st.getPath.getName, st.getPath.toString, st.getLen, isDir = false))
-    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString)
-    val rootDf = spark.createDataset(rootFiles).toDF()
-    if (subDirs.isEmpty) rootDf
-    else {
-      val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
-      val sub = spark.sparkContext
-        .parallelize(subDirs, math.min(subDirs.size, parallelism))
+    val rootEntries = listLevel(fs, rootPath) // only driver-side listing: one dir
+    val rootDf = spark.createDataset(rootEntries.filter(!_.isDir)).toDF()
+    val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    // Expand level by level while the frontier is too narrow to keep the
+    // cluster busy; collect only directory PATHS per level (bounded
+    // metadata — the InMemoryFileIndex discovery pattern), never files.
+    // Level RDDs are persisted because each is consumed twice: its dirs
+    // are collected to drive the next level, its files feed the result.
+    var frontier = rootEntries.filter(_.isDir).map(_.path)
+    var level = 0
+    val levelSizes = Seq.newBuilder[Int]
+    var fileRdds = List.empty[org.apache.spark.rdd.RDD[FileEntry]]
+    val wide = parallelism * 4 // enough dirs that a recursive walk balances
+    while (frontier.nonEmpty && frontier.size < wide && level < maxBfsLevels) {
+      levelSizes += frontier.size
+      val lvl = spark.sparkContext
+        .parallelize(frontier, math.max(1, math.min(frontier.size, parallelism)))
+        .mapPartitions { dirs =>
+          val c = new Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          dirs.flatMap { d =>
+            val p = new Path(d)
+            listLevel(p.getFileSystem(c), p)
+          }
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = lvl.filter(_.isDir).map(_.path).collect().toSeq
+      fileRdds ::= lvl.filter(!_.isDir)
+      level += 1
+    }
+    if (frontier.nonEmpty) {
+      levelSizes += frontier.size
+      fileRdds ::= spark.sparkContext
+        .parallelize(frontier, math.max(1, math.min(frontier.size, parallelism)))
         .mapPartitions { dirs =>
           val c = new Configuration(false)
           confKv.foreach { case (k, v) => c.set(k, v) }
@@ -64,8 +105,10 @@ object CoreOps {
             walk(p.getFileSystem(c), p)
           }
         }
-      rootDf.union(spark.createDataset(sub).toDF())
     }
+    val df = fileRdds.foldLeft(rootDf)((acc, r) =>
+      acc.union(spark.createDataset(r).toDF()))
+    (df, levelSizes.result())
   }
 
   // ── §2.2 P3/P4: filters ───────────────────────────────────────────────

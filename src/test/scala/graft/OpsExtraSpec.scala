@@ -68,6 +68,34 @@ class OpsExtraSpec extends AnyFunSuite {
     listing.unpersist()
   }
 
+  test("deep narrow tree: frontier expansion distributes below the first level") {
+    // 2 top dirs, each a 3-deep narrow chain that only fans out (×80) at
+    // the bottom — the shape that serialized the old walk on 2 tasks.
+    val root = java.nio.file.Files.createTempDirectory("graft_deeptree_")
+    for (chain <- Seq("chainA", "chainB")) {
+      var d = root.resolve(chain)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("at_l1.txt"), "a")
+      d = d.resolve("x"); java.nio.file.Files.createDirectories(d)
+      d = d.resolve("y"); java.nio.file.Files.createDirectories(d)
+      for (f <- 0 until 80) {
+        val fan = java.nio.file.Files.createDirectories(d.resolve(f"fan$f%02d"))
+        java.nio.file.Files.writeString(fan.resolve("leaf.dat"), "zz")
+      }
+    }
+    val (df, levels) =
+      CoreOps.fileListingWithStats(spark, root.toString, parallelism = 32)
+    // every file found: 2 × (1 mid-chain file + 80 leaves)
+    assert(df.count() == 162)
+    assert(df.where(col("name") === "leaf.dat").count() == 160)
+    assert(df.where(col("name") === "at_l1.txt").count() == 2)
+    // the BFS kept expanding past the 2-wide levels and handed the
+    // recursive phase the full 160-dir fan-out — level-2+ distribution
+    assert(levels.length >= 3, s"expected multi-level BFS, saw $levels")
+    assert(levels.head == 2 && levels.last == 160,
+      s"frontier should grow 2 → 160 before the recursive walk, saw $levels")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_quantity")
