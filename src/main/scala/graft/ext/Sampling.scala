@@ -304,10 +304,26 @@ object Sampling {
         (col("__start") % budget + col(tokensCol) > budget).as("straddles"))
   }
 
+  /** Physical fan-out of the two-phase ranks: how many leading md5 hex
+    * chars form the sub-bucket (1 → 16-way, 2 → 256-way). The bucket is
+    * a PREFIX of the rank order, so the choice changes only the physical
+    * plan — the output rank is bit-identical at any width (pinned by
+    * RankFanoutSpec). Width is picked from Catalyst's free size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — no extra pass over the data):
+    * small inputs skip the 256-way constant (the count frame, its
+    * prefix-sum window, and the broadcast build all scale with the
+    * fan-out, which r8 measured as a 2.8× overhead on a 5k-row group),
+    * large inputs take the full width that 100 TB skew-proofing needs. */
+  private def bucketHexChars(df: DataFrame, forced: Option[Int]): Int =
+    forced.getOrElse(
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (32L << 20)) 1
+      else 2)
+
   /** Scalable md5 rank: 1-based position of every row under the
     * (md5(seed:key), key) order within each `parts` group (no `parts` =
     * one global order), WITHOUT a single-reducer window. The rank key's
-    * first hex byte is used as a 256-way bucket; because the bucket is a
+    * first hex chars ([[bucketHexChars]]) are used as a 16/256-way bucket;
+    * because the bucket is a
     * PREFIX of the rank key, bucket-major order IS the md5 order. Bucket
     * counts (|parts| × 256 rows) get a prefix-sum window and broadcast-join
     * back as offsets; position = bucket offset + row_number within
@@ -326,13 +342,14 @@ object Sampling {
     * callers needing per-group totals (interleave) can fold them from the
     * counts instead of re-aggregating the corpus. */
   private def md5RankWithCounts(df: DataFrame, keyCol: String, seed: String,
-                                parts: Seq[String], outCol: String)
+                                parts: Seq[String], outCol: String,
+                                hexChars: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val rk = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
     val in = df.where(col(keyCol).isNotNull)
       .withColumn("__rk", rk)
-      .withColumn("__b", substring(col("__rk"), 1, 2))
+      .withColumn("__b", substring(col("__rk"), 1, bucketHexChars(df, hexChars)))
     val partCols = parts.map(col)
     val counts = in.groupBy(partCols :+ col("__b"): _*)
       .agg(count(lit(1)).as("__n"))
@@ -465,11 +482,12 @@ object Sampling {
     * grid); ranking a continuous value at full precision has no
     * training-curriculum meaning anyway.
     */
-  def rankByValue(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
+  def rankByValue(df: DataFrame, valueCol: String, keyCol: String,
+                  hexChars: Option[Int] = None): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val in = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("__rk", md5(col(keyCol).cast("string")))
-      .withColumn("__b", substring(col("__rk"), 1, 2))
+      .withColumn("__b", substring(col("__rk"), 1, bucketHexChars(df, hexChars)))
     val counts = in.groupBy(col(valueCol).as("__v"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     val cw = W.orderBy(col("__v").asc, col("__b").asc)
@@ -507,12 +525,13 @@ object Sampling {
     * corpus size.
     */
   def rankByValueGrouped(df: DataFrame, groupCol: String, valueCol: String,
-                         keyCol: String): DataFrame = {
+                         keyCol: String,
+                         hexChars: Option[Int] = None): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val in = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull &&
         col(valueCol).isNotNull)
       .withColumn("__rk", md5(col(keyCol).cast("string")))
-      .withColumn("__b", substring(col("__rk"), 1, 2))
+      .withColumn("__b", substring(col("__rk"), 1, bucketHexChars(df, hexChars)))
     val counts = in
       .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"), col("__b"))
       .agg(count(lit(1)).as("__n"))
