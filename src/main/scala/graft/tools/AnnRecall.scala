@@ -22,17 +22,41 @@ object AnnRecall {
     val k = 5
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k)
       .select("pid", "nid").cache()
-    for ((name, ann) <- Seq(
-        "ivf(np=16)" -> Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k, nprobe = 16),
-        "lsh(4,8)" -> Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10, k,
-          nBits = 4, nTables = 8, dim = 64),
-        "pq(m=8,k=16,r=8)" -> Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k,
-          m = 8, kCodes = 16, refine = 8, dim = 64),
-        "ivfpq(np=16)" -> Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k,
-          nprobe = 16, m = 8, kCodes = 16, refine = 8, dim = 64))) {
+    // `focus` mode: the short IVF+PQ shortlist that is practical at sf0.1
+    // (the full grid is a sf0.01 tool)
+    val focus = args.length > 1 && args(1) == "focus"
+    val focusSweeps: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      (for ((np, kc, r) <- Seq((16, 16, 16), (16, 64, 16), (16, 256, 16),
+          (32, 64, 16), (32, 256, 16), (16, 256, 32))) yield
+        s"ivfpq(np=$np,k=$kc,r=$r)" -> Similarity.ivfpqTopK(emb, "vec_id",
+          "embedding", _ < 10, k, nprobe = np, m = 8, kCodes = kc,
+          refine = r, dim = 64)) :+
+      ("pq(m=8,k=16,r=8)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
+        _ < 10, k, m = 8, kCodes = 16, refine = 8, dim = 64)) :+
+      ("pq(m=8,k=256,r=16)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
+        _ < 10, k, m = 8, kCodes = 256, refine = 16, dim = 64))
+    val fullSweeps: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "ivf(np=16)" -> Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k, nprobe = 16),
+      "lsh(4,8)" -> Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10, k,
+        nBits = 4, nTables = 8, dim = 64),
+      "pq(m=8,k=16,r=8)" -> Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k,
+        m = 8, kCodes = 16, refine = 8, dim = 64)) ++
+      (for (np <- Seq(4, 8, 16); r <- Seq(8, 16)) yield
+        s"ivfpq(np=$np,r=$r)" -> Similarity.ivfpqTopK(emb, "vec_id", "embedding",
+          _ < 10, k, nprobe = np, m = 8, kCodes = 16, refine = r, dim = 64)) ++
+      (for ((m, kc) <- Seq((8, 64), (8, 256), (16, 64)); r <- Seq(8, 16)) yield
+        s"pq(m=$m,k=$kc,r=$r)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
+          _ < 10, k, m = m, kCodes = kc, refine = r, dim = 64)) ++
+      (for ((m, kc) <- Seq((8, 64), (8, 256)); np <- Seq(8, 16); r <- Seq(8, 16)) yield
+        s"ivfpq(np=$np,m=$m,k=$kc,r=$r)" -> Similarity.ivfpqTopK(emb, "vec_id",
+          "embedding", _ < 10, k, nprobe = np, m = m, kCodes = kc, refine = r,
+          dim = 64))
+    val sweeps = if (focus) focusSweeps else fullSweeps
+    for ((name, ann) <- sweeps) {
       val perProbe = Similarity.annHits(ann, exact)
         .orderBy("pid").collect()
-      println(s"== $name (k=$k, dir=$dir)")
+      val mean = perProbe.map(_.getLong(1)).sum.toDouble / (perProbe.length * k)
+      println(f"== $name (k=$k, dir=$dir) mean=$mean%.3f")
       perProbe.foreach(r => println(s"  pid=${r.getLong(0)} recall=${r.getLong(1)}/$k"))
     }
     spark.stop()
