@@ -1,0 +1,209 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Builder tool (NOT part of the engine): generate a synthetic dataset with
+  * the fixture tables' exact schemas and distribution shapes at an
+  * arbitrary scale factor, so data-dependent contracts (ANN recall floors,
+  * LSH band volumes, CC round bounds, simhash fan-out) can be probed at
+  * 10–100× the driver's gates without touching the read-only fixtures.
+  *
+  * Deterministic by construction — every column is a pure function of the
+  * row id through xxhash64/md5 (no rand(): reruns, partitionings, and
+  * engines agree). Each table lands as ONE parquet file named
+  * `<out>/<table>.parquet` (written via a temp dir, part-file moved) so
+  * both `Tables.load` and the DuckDB side of tools/check.py read it the
+  * same way they read the fixtures. Timestamps are written µs-precision
+  * NTZ, the type the fixture parquet decodes to on both engines.
+  *
+  * Usage: runMain graft.tools.GenData <sf> <outDir>
+  */
+object GenData {
+  /** Uniform double in [0,1) from (seed, id) — 6 decimal digits, exact. */
+  private def u(seed: String, id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(lit(seed), id), lit(1000000L)).cast("double") / 1e6
+
+  private def pick(seed: String, id: org.apache.spark.sql.Column,
+                   values: Seq[String]) =
+    element_at(array(values.map(lit): _*),
+      (pmod(xxhash64(lit(seed), id), lit(values.size.toLong)) + 1).cast("int"))
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("1.0").toDouble
+    val out = Paths.get(if (args.length > 1) args(1) else s"/tmp/sf$sf")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(out)
+
+    def n(base: Long): Long = math.max(1L, (base * sf).toLong)
+    def ids(rows: Long) = spark.range(rows).toDF("id")
+
+    // µs NTZ timestamp: epoch µs → naive timestamp (session tz UTC)
+    def ntz(epochUs: org.apache.spark.sql.Column) =
+      timestamp_micros(epochUs).cast(TimestampNTZType)
+
+    val nations = 25
+    // region/nation are tiny and fixed — build them literally
+    import spark.implicits._
+    val regionDf = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+      (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+    val nationDf = (0 until nations).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+
+    val customer = ids(n(150000)).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(xxhash64(lit("cnat"), col("id")), lit(nations.toLong)).cast("int")
+        .as("c_nationkey"),
+      round(u("cbal", col("id")) * 11000 - 1000, 2).as("c_acctbal"),
+      pick("cseg", col("id"), Seq("BUILDING", "MACHINERY", "FURNITURE",
+        "HOUSEHOLD", "AUTOMOBILE")).as("c_mktsegment"))
+
+    val supplier = ids(n(10000)).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(xxhash64(lit("snat"), col("id")), lit(nations.toLong)).cast("int")
+        .as("s_nationkey"),
+      round(u("sbal", col("id")) * 11000 - 1000, 2).as("s_acctbal"))
+
+    val part = ids(n(200000)).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ",
+        pick("padj", col("id"), Seq("small", "large", "red", "blue", "green",
+          "shiny", "old", "new")),
+        pick("pnoun", col("id"), Seq("ring", "widget", "bolt", "gear",
+          "valve", "wheel", "pin", "cog"))).as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(xxhash64(lit("pbr"), col("id")), lit(25L)) + 1).cast("string"))
+        .as("p_brand"),
+      pick("ptyp", col("id"), Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+        "SMALL", "STANDARD")).as("p_type"),
+      (pmod(xxhash64(lit("psz"), col("id")), lit(50L)) + 1).cast("int")
+        .as("p_size"),
+      round(lit(900.0) + u("prp", col("id")) * 100, 1).as("p_retailprice"))
+
+    val nCust = n(150000)
+    val day = 86400000000L // µs
+    val epoch1995 = 788918400000000L // 1995-01-01 UTC in epoch µs
+    val orders = ids(n(1500000)).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(lit("ocust"), col("id")), lit(nCust)).as("o_custkey"),
+      pick("ost", col("id"), Seq("P", "O", "F")).as("o_orderstatus"),
+      round(u("otp", col("id")) * 250000 + 1000, 2).as("o_totalprice"),
+      ntz(lit(epoch1995) +
+        pmod(xxhash64(lit("odt"), col("id")), lit(2400L)) * day)
+        .as("o_orderdate"),
+      pick("opr", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+
+    val nOrd = n(1500000)
+    val nPart = n(200000)
+    val nSupp = n(10000)
+    val lineitem = ids(n(6000000)).select(
+      pmod(xxhash64(lit("lok"), col("id")), lit(nOrd)).as("l_orderkey"),
+      pmod(xxhash64(lit("lpk"), col("id")), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(lit("lsk"), col("id")), lit(nSupp)).as("l_suppkey"),
+      (pmod(xxhash64(lit("lln"), col("id")), lit(7L)) + 1).cast("int")
+        .as("l_linenumber"),
+      (pmod(xxhash64(lit("lq"), col("id")), lit(50L)) + 1).cast("double")
+        .as("l_quantity"),
+      round(u("lep", col("id")) * 100000 + 900, 2).as("l_extendedprice"),
+      (pmod(xxhash64(lit("ld"), col("id")), lit(11L)).cast("double") / 100)
+        .as("l_discount"),
+      (pmod(xxhash64(lit("lt"), col("id")), lit(9L)).cast("double") / 100)
+        .as("l_tax"),
+      pick("lrf", col("id"), Seq("A", "N", "R")).as("l_returnflag"),
+      pick("lls", col("id"), Seq("O", "F")).as("l_linestatus"),
+      ntz(lit(epoch1995) +
+        (pmod(xxhash64(lit("lsd"), col("id")), lit(2500L)) + 1) * day)
+        .as("l_shipdate"))
+
+    val nUsers = math.max(10L, nCust / 10)
+    val epoch2024 = 1704067200000000L // 2024-01-01 UTC in epoch µs
+    val nEvents = n(1000000)
+    val span = 30L * day
+    val events = ids(nEvents).select(
+      col("id").as("event_id"),
+      // ~evenly spaced over 30 days with per-row jitter, like the fixture
+      ntz(lit(epoch2024) + col("id") * (span / nEvents) +
+        pmod(xxhash64(lit("ejit"), col("id")), lit(span / nEvents)))
+        .as("ts"),
+      pmod(xxhash64(lit("eu"), col("id")), lit(nUsers)).as("user_id"),
+      pick("eet", col("id"), Seq("click", "view", "purchase", "signup",
+        "error")).as("event_type"),
+      round(u("ev", col("id")) * 490 + 0.01, 2).as("value"),
+      format_string("{\"k\": %d}",
+        pmod(xxhash64(lit("ek"), col("id")), lit(100L))).as("props"))
+
+    // documents: word-salad text over the fixture's small OLAP vocabulary;
+    // docs are unique (the fixture has no exact dups) but share heavy
+    // word overlap, which is what exercises the shingle/minhash families
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "sort", "join", "group",
+      "filter", "index", "shard", "query", "plan", "cost", "disk", "page",
+      "cache", "stats", "tuple", "block", "write", "read", "window", "a")
+    val nDocs = n(50000)
+    val docWords = transform(
+      sequence(lit(0),
+        (pmod(xxhash64(lit("dlen"), col("id")), lit(60L)) + 10).cast("int")),
+      j => element_at(array(vocab.map(lit): _*),
+        (pmod(xxhash64(lit("dw"), col("id"), j), lit(vocab.size.toLong)) + 1)
+          .cast("int")))
+    val documents = ids(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", docWords).as("text"),
+      pick("dlang", pmod(xxhash64(lit("dl2"), col("id")), lit(100L)),
+        Seq.fill(44)("en") ++ Seq.fill(15)("zh") ++ Seq.fill(15)("es") ++
+          Seq.fill(14)("de") ++ Seq.fill(12)("fr")).as("lang"),
+      concat(lit("src"),
+        pmod(xxhash64(lit("dsrc"), col("id")), lit(20L)).cast("string"))
+        .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // embeddings: 64-dim, weakly label-clustered like the fixture (intra
+    // cosine-to-centroid ≈ 0.16): noise uniform in [-0.5,0.5) plus a
+    // small label-dependent offset on every dim
+    val embDim = 64
+    val emb = transform(sequence(lit(0), lit(embDim - 1)), j =>
+      ((pmod(xxhash64(lit("ex"), col("id"), j), lit(1000000L))
+        .cast("double") / 1e6 - 0.5) +
+        (pmod(xxhash64(lit("ec"), col("id") % 10, j), lit(1000L))
+          .cast("double") / 1e3 - 0.5) * 0.15).cast("float"))
+    val embeddings = ids(nDocs).select(
+      col("id").as("vec_id"),
+      emb.as("embedding"),
+      (col("id") % 10).cast("int").as("label"))
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> regionDf, "nation" -> nationDf, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+    tables.foreach { case (name, df) =>
+      val tmp = Files.createTempDirectory("gen_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part1 = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part1, out.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      deleteRec(Paths.get(tmp))
+      println(s"wrote ${out.resolve(s"$name.parquet")}")
+    }
+    spark.stop()
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRec(c))
+    Files.deleteIfExists(p)
+  }
+}
