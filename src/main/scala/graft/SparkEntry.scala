@@ -187,6 +187,36 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ── SQL front door: the TPC-H Q3 shape (3-table join, filtered fact,
+    //    top-10 revenue) submitted as TEXT through spark.sql over
+    //    Tables.registerAll's temp views — the declared proof that the
+    //    whole surface is reachable without the DataFrame API. Revenue is
+    //    the integer-exact cents×basis-points product (DECIMAL(19,0)²
+    //    partials, order-independent), ranked on the exact integer before
+    //    the one double finish ─────────────────────────────────────────────
+    "q_sql_q3" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(rev AS DOUBLE) / 10000 AS DOUBLE) AS revenue,
+               n_items
+        FROM (
+          SELECT o.o_orderkey, o.o_orderpriority,
+                 sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(19,0)) *
+                     CAST(round((1 - l.l_discount) * 100) AS DECIMAL(19,0)))
+                   AS rev,
+                 CAST(count(*) AS BIGINT) AS n_items
+          FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY o.o_orderkey, o.o_orderpriority
+        )
+        ORDER BY rev DESC, o_orderkey LIMIT 10""")
+    }),
+
     // ── fact ⋈ broadcast-dim aggregate over the part dimension ──────────
     "q_brand_volume" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1416,6 +1446,15 @@ object SparkEntry {
       Dedup.clusterSizes(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("size")),
 
+    // ── §2.9 X97: k-core peel over the LSH candidate graph — the dense
+    //    dup region (k=2 survivors of iterated degree peeling), with
+    //    within-core degrees; fixed 8-round unroll on both engines,
+    //    KCoreSpec asserts the fixture converges well inside it ──────────
+    "q_kcore" -> ((s, dir) =>
+      Dedup.kCore(Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text"),
+        k = 2, rounds = 8)
+        .orderBy("node")),
+
     // ── §2.9 X81d: duplicated-byte accounting per group — where does a
     //    dedup pass pay for itself. Run on the event log (at-least-once
     //    delivery → repeated identical payloads per type); the fixture
@@ -1565,6 +1604,29 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "start_ep")
+    }),
+
+    // ── §2.8: STREAM-STREAM watermarked interval join, oracle-checked
+    //    end to end — view→click pairs of the same user within 1 h, both
+    //    sides watermarked with the join condition bounding event time in
+    //    BOTH directions (the state-boundedness requirement for an
+    //    unbounded inner join). Inner-join results emit immediately in
+    //    append mode, so the final table equals the batch interval join
+    //    (q_event_correlate's oracle) exactly ──────────────────────────────
+    "q_stream_join" -> ((s, dir) => {
+      val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
+      val ev = Tables.loadStream(s, dir, "events")
+      val q = graft.streaming.EventStreams
+        .correlate(ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "click"), withinSec = 3600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("a_id", "b_id")
     }),
 
     // ── §2.8: custom-state sessionization (flatMapGroupsWithState),
@@ -1786,6 +1848,28 @@ object SparkEntry {
            ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
            ('region.parquet'), ('supplier.parquet')) AS t(name)
          ORDER BY name""",
+    // the same text modulo dialect: the engine ranks and limits on the
+    // exact integer rev before the single double finish, so the top-10
+    // cut can never flip on a float ulp
+    "q_sql_q3" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(CAST(rev AS DOUBLE) / 10000 AS DOUBLE) AS revenue,
+                n_items
+         FROM (
+           SELECT o.o_orderkey, o.o_orderpriority,
+                  sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(19,0)) *
+                      CAST(round((1 - l.l_discount) * 100) AS DECIMAL(19,0)))
+                    AS rev,
+                  CAST(count(*) AS BIGINT) AS n_items
+           FROM customer c
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01'
+             AND l.l_shipdate > TIMESTAMP '1998-01-01'
+           GROUP BY o.o_orderkey, o.o_orderpriority
+         )
+         ORDER BY rev DESC, o_orderkey LIMIT 10""",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
@@ -3804,6 +3888,17 @@ object SparkEntry {
          SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_clusters,
                 CAST(sum(sz) AS BIGINT) AS n_docs
          FROM szs GROUP BY sz ORDER BY size""",
+    // k-core: 8 unrolled peel rounds (each drops nodes of degree < k and
+    // their edges) over the LSH candidate graph — peeling is monotone, so
+    // the fixed unroll equals the engine's early-exit loop at any state
+    // past convergence (KCoreSpec asserts convergence on the fixture).
+    "q_kcore" ->
+      s"""WITH $lshCandSql,
+         e0 AS (SELECT da, db FROM cand),
+         ${(1 to 8).map(kCoreRoundSql(_, k = 2)).mkString(",\n         ")}
+         SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM (SELECT da x FROM e8 UNION ALL SELECT db x FROM e8)
+         GROUP BY x ORDER BY node""",
     // Duplicated-byte accounting over the event log: identical payloads
     // share their length, so min(length) on the oracle side equals the
     // engine's per-group pick (character length on both engines).
@@ -4004,6 +4099,17 @@ object SparkEntry {
                 CAST(end_ep AS BIGINT) end_ep,
                 CAST(n_events AS BIGINT) n_events
          FROM g ORDER BY user_id, start_ep""",
+    // stream-stream inner interval join == the batch interval join
+    // (q_event_correlate's oracle shape, view→click within 1 h)
+    "q_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ep
+                    FROM events)
+         SELECT v.user_id, v.event_id AS a_id, c.event_id AS b_id,
+                c.ep - v.ep AS gap_us
+         FROM e v JOIN e c ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.ep > v.ep AND c.ep <= v.ep + 3600000000
+         ORDER BY a_id, b_id""",
     // the q_sessionize gaps-and-islands chain, minus each user's last
     // (still-open) session — exactly what the state machine withholds
     "q_stateful_sessions" ->
@@ -4254,6 +4360,21 @@ object SparkEntry {
                    FROM sig, unnest(range(0,4)) bb(b)),
          cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)"""
+
+  /** One unrolled k-core peel round (Dedup.kCore's recurrence) as a
+    * DuckDB CTE pair: survivors n{i} (degree ≥ k in e{i-1}), then the
+    * induced edge set e{i}. MATERIALIZED is load-bearing: each round
+    * references its predecessor 3×, so DuckDB's default CTE inlining
+    * would expand e8 into 3⁸ copies of the whole LSH chain (observed as
+    * thousands of parquet re-opens); materializing makes the unroll
+    * linear, the same shape as the engine's per-round persist. */
+  private def kCoreRoundSql(i: Int, k: Int): String =
+    s"""n$i AS MATERIALIZED (SELECT x FROM (SELECT da x FROM e${i - 1}
+                  UNION ALL SELECT db x FROM e${i - 1})
+                GROUP BY x HAVING count(*) >= $k),
+         e$i AS MATERIALIZED (SELECT da, db FROM e${i - 1}
+                 WHERE da IN (SELECT x FROM n$i)
+                   AND db IN (SELECT x FROM n$i))"""
 
   /** One unrolled fixed-point PageRank iteration (Dedup.pageRank's
     * integer recurrence) as a DuckDB CTE: it{i} from it{i-1}. */

@@ -406,6 +406,67 @@ object Dedup {
     *
     * Returns (node, pr) — pr the scaled integer rank.
     */
+  /** X97 — k-core peel: nodes of the `rounds`-round k-core of an
+    * undirected pair graph, with their within-core degrees. Each round
+    * drops every node whose degree is below k and every edge touching
+    * one, the classic peeling that isolates the DENSE region of a dup
+    * graph — a template/boilerplate family survives a k=2..3 core while
+    * incidental near-dup pairs fall away, so the core is the "worth a
+    * human look" set dup triage actually wants (complementing
+    * [[clusterSizes]]' CC view, which merges dense and stringy clusters
+    * alike).
+    *
+    * Peeling is monotone: once the edge set reaches a fixpoint every
+    * further round is a no-op, so a FIXED round count is exact whenever
+    * it suffices to converge (the declared query's spec asserts
+    * convergence on the fixture) and a well-defined bounded relaxation
+    * when it does not — the property that lets the DuckDB oracle replay
+    * the same computation as `rounds` unrolled CTE pairs.
+    *
+    * Scale shape: each round is one degree aggregation (map-side
+    * partials over the edge frame) and two left-semi joins — O(E)
+    * shuffle per round, no driver state beyond the per-round edge count
+    * (which also powers the early exit). Per-round persist with
+    * predecessor unpersist cuts lineage exactly like
+    * [[connectedComponents]]; k-core converges in ≤ peel-depth rounds,
+    * which for real dup graphs is single digits.
+    *
+    * Returns (node, degree) — every node of the surviving edge set and
+    * its degree there, both engine-exact integers.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8,
+            aCol: String = "da", bCol: String = "db"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k, rounds=$rounds must be positive")
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var nEdges = edges.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("x")
+      val next = edges
+        .join(keep.withColumnRenamed("x", "u").hint("shuffle_hash"), Seq("u"),
+          "left_semi")
+        .join(keep.withColumnRenamed("x", "v").hint("shuffle_hash"), Seq("v"),
+          "left_semi")
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count() // materialize BEFORE dropping the parent
+      edges.unpersist()
+      edges = next
+      converged = nNext == nEdges // fixpoint: every later round is a no-op
+      nEdges = nNext
+      r += 1
+    }
+    val out = edges.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
+    out
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000000000L): DataFrame = {
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))

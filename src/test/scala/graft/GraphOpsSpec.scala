@@ -153,4 +153,33 @@ class GraphOpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == Map("s1" -> (1L, 2L, 6L), "s2" -> (1L, 1L, 4L)))
   }
+
+  test("kCore: peels a tail chain off a triangle, keeps the dense region") {
+    import spark.implicits._
+    // triangle {1,2,3} + a pendant chain 3-4-5 + an isolated edge 6-7:
+    // the 2-core is exactly the triangle (chain and edge peel away)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("da", "db")
+    val core = Dedup.kCore(edges, k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 on the same graph: nothing survives (triangle degrees are 2)
+    assert(Dedup.kCore(edges, k = 3, rounds = 8).isEmpty)
+  }
+
+  test("q_kcore fixture converges inside the declared 8-round unroll") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+      .persist()
+    def run(rounds: Int) = Dedup.kCore(pairs, k = 2, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at7 = run(7)
+    val at8 = run(8)
+    pairs.unpersist()
+    // fixpoint before the unroll ends ⇒ the fixed 8-round oracle is the
+    // exact k-core, not a truncation
+    assert(at7 == at8, "fixture did not converge within 7 rounds")
+    // every survivor has within-core degree ≥ k — the defining property
+    assert(at8.forall(_._2 >= 2L))
+  }
 }
