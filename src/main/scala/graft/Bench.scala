@@ -85,9 +85,9 @@ object Bench {
           math.rint(Similarity.annHits(ann, brute)
             .agg(avg(col("hits") / 5.0)).head.getDouble(0) * 1000) / 1000
         val rPq = recall(Similarity.pqTopK(emb, "vec_id", "embedding",
-          _ < 10, k = 5, m = 8, kCodes = 256, refine = 16, dim = 64))
+          _ < 10, k = 5, m = 8, kCodes = 64, refine = 16, dim = 64))
         val rIvfpq = recall(Similarity.ivfpqTopK(emb, "vec_id", "embedding",
-          _ < 10, k = 5, nprobe = 32, m = 8, kCodes = 256, refine = 16,
+          _ < 10, k = 5, nprobe = 32, m = 8, kCodes = 64, refine = 16,
           dim = 64))
         brute.unpersist()
         println(s"""{"metric":"ann_recall","pq":$rPq,"ivfpq":$rIvfpq,"floor":0.6,"sf":"$sfDir"}""")

@@ -659,13 +659,16 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.probeCoverage(
-          // 8-bit codebooks (kCodes=256, the FAISS-standard width) +
-          // refine=16: the r9 AnnRecall calibration measured recall@5 =
-          // 1.0/1.0/0.90 at sf0.001/0.01/0.1 vs 0.76/0.58/0.28 for the
-          // old (kCodes=16, refine=8) — recall is scale-dependent and the
-          // old defaults sank below the floor by sf0.1
+          // 6-bit codebooks (kCodes=64) + refine=16: the r9 AnnRecall
+          // calibration measured recall@5 = 1.0/0.90/0.80 at
+          // sf0.001/0.01/0.1 vs 0.76/0.58/0.28 for the old
+          // (kCodes=16, refine=8) — recall is scale-dependent and the old
+          // defaults sank below the floor by sf0.1. 64 beats 256 as the
+          // default: recall within 0.1 of the 8-bit fit at every scale,
+          // 4× less fit/encode work, and 8×6=48 bits still PACK into the
+          // one-long code column (the shift-and-mask codegen ADC path)
           Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
-            m = 8, kCodes = 256, refine = 16, dim = 64),
+            m = 8, kCodes = 64, refine = 16, dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
           k = 5)
         .orderBy("pid")
@@ -677,12 +680,13 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.probeCoverage(
-          // nprobe=32 + 8-bit codebooks + refine=16: measured recall@5 =
-          // 0.90/0.90/0.82 at sf0.001/0.01/0.1 (old np=16/kCodes=16/r=8
-          // defaults: 0.70→0.48 by sf0.1) — see AnnRecall + the bench
-          // loop's per-round recall gate
+          // nprobe=32 + 6-bit codebooks + refine=16: measured recall@5 =
+          // 0.88/0.88/0.74 at sf0.001/0.01/0.1 (old np=16/kCodes=16/r=8
+          // defaults: 0.70→0.48 by sf0.1); kCodes=64 keeps the packed
+          // codegen ADC — see AnnRecall + the bench loop's per-round
+          // recall gate
           Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
-            nprobe = 32, m = 8, kCodes = 256, refine = 16, dim = 64),
+            nprobe = 32, m = 8, kCodes = 64, refine = 16, dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
           k = 5)
         .orderBy("pid")

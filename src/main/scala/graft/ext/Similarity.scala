@@ -406,45 +406,62 @@ object Similarity {
         s => slice(nvd, s * lit(sub) + lit(1), lit(sub)))).as(Seq("s", "sv")))
 
     // seeds: first kCodes sub-vectors per subspace in hash order — same
-    // deterministic, corpus-size-independent draw as the IVF centroids
+    // deterministic, corpus-size-independent draw as the IVF centroids.
+    // Collected IMMEDIATELY (bounded m × kCodes × sub artifact): the fit
+    // loop re-emits the current codebook as a plan literal each round, so
+    // Lloyd assignment is a map-side argmin inside codegen (kCodes l2
+    // evals per sub-vector, pqEncode's own shape) — never the former
+    // corpus × kCodes broadcast join whose (s, nid, ARRAY) re-group key
+    // forced a sort-based aggregation (at kCodes=256 that join carried
+    // 256× the corpus and one sorted task ground for minutes at sf1)
     val wSeed = Window.partitionBy(col("s"))
       .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
-    var codebook = subvecs
+    val seeded = subvecs
       .withColumn("r", row_number().over(wSeed))
       .where(col("r") <= kCodes)
       .select(col("s"), (col("r") - 1).as("code"), col("sv").as("cw"))
-    for (_ <- 0 until lloydIters) {
-      // assign each sub-vector to its L2-nearest codeword of its subspace
-      val assigned = subvecs.join(broadcast(codebook), Seq("s"))
-        .withColumn("d2", l2(col("sv"), col("cw")))
-        .groupBy(col("s"), col("nid"), col("sv"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-      // Lloyd step in DECIMAL (bit-deterministic across partitionings);
-      // a codeword that lost every assignment keeps its old value so the
-      // codebook stays dense — the literal below indexes it positionally
-      val means = assigned
-        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("s"), col("code"), col("pos"))
-        .agg(avg(col("v").cast(DecimalType(38, 12))).as("mv"))
-        .groupBy(col("s"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
-        .select(col("s"), col("code"),
-          transform(col("pm"), x => x.getField("mv").cast(DoubleType)).as("ncw"))
-      codebook = codebook.join(means, Seq("s", "code"), "left")
-        .select(col("s"), col("code"), coalesce(col("ncw"), col("cw")).as("cw"))
-    }
-    // fitted model → driver: every subspace seeds one row per corpus
-    // vector, so the clamp min(kCodes, |corpus|) is uniform across
-    // subspaces — verified below
-    val fitted = codebook.orderBy("s", "code").collect()
-    val kEff = fitted.count(_.getInt(0) == 0)
+      .orderBy("s", "code").collect()
+    val kEff = seeded.count(_.getInt(0) == 0)
     require(kEff >= 1, "PQ codebook fit: empty corpus")
-    (0 until m).map { s =>
-      val rows = fitted.filter(_.getInt(0) == s)
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val rows = seeded.filter(_.getInt(0) == s)
+      // every subspace seeds one row per corpus vector, so the clamp
+      // min(kCodes, |corpus|) is uniform across subspaces
       require(rows.length == kEff,
         s"subspace $s has ${rows.length} codewords, expected $kEff")
       rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2))
     }
+    for (_ <- 0 until lloydIters) {
+      val cbLit = typedLit(cb)
+      // nearest codeword of this row's subspace: distance array, then
+      // FIRST position of the min — the same (d2, code) lexicographic
+      // tiebreak as a min_by (struct-field access inside higher-order
+      // lambdas loses aliases, hence the positional spelling)
+      val cwS = element_at(cbLit, col("s") + 1)
+      val dists = transform(cwS, cw => l2(col("sv"), cw))
+      // Lloyd step in DECIMAL (bit-deterministic across partitionings):
+      // one hash aggregation on scalar keys, map-side partials
+      val means = subvecs
+        .select(col("s"), col("sv"), dists.as("ds"))
+        .select(col("s"),
+          (array_position(col("ds"), array_min(col("ds"))) - 1)
+            .cast("int").as("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(38, 12))).as("mv"))
+        .collect() // bounded: ≤ m × kCodes × sub rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          r.getDecimal(3).doubleValue())
+        .toMap
+      // a codeword that lost every assignment keeps its old value so the
+      // codebook stays dense — consumers index the literal positionally
+      cb = cb.zipWithIndex.map { case (words, s) =>
+        words.zipWithIndex.map { case (old, c) =>
+          old.indices.map(p => means.getOrElse((s, c, p), old(p)))
+        }
+      }
+    }
+    cb
   }
 
   /** Bits per packed sub-code: ceil(log2(kCodes)). */

@@ -34,7 +34,11 @@ object AnnRecall {
       ("pq(m=8,k=16,r=8)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
         _ < 10, k, m = 8, kCodes = 16, refine = 8, dim = 64)) :+
       ("pq(m=8,k=256,r=16)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
-        _ < 10, k, m = 8, kCodes = 256, refine = 16, dim = 64))
+        _ < 10, k, m = 8, kCodes = 256, refine = 16, dim = 64)) :+
+      ("pq(m=8,k=64,r=16)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
+        _ < 10, k, m = 8, kCodes = 64, refine = 16, dim = 64)) :+
+      ("pq(m=8,k=64,r=24)" -> Similarity.pqTopK(emb, "vec_id", "embedding",
+        _ < 10, k, m = 8, kCodes = 64, refine = 24, dim = 64))
     val fullSweeps: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "ivf(np=16)" -> Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10, k, nprobe = 16),
       "lsh(4,8)" -> Similarity.signLshTopK(emb, "vec_id", "embedding", _ < 10, k,
