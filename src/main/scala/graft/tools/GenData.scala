@@ -183,20 +183,38 @@ object GenData {
       emb.as("embedding"),
       (col("id") % 10).cast("int").as("label"))
 
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "region" -> regionDf, "nation" -> nationDf, "customer" -> customer,
-      "supplier" -> supplier, "part" -> part, "orders" -> orders,
-      "lineitem" -> lineitem, "events" -> events,
-      "documents" -> documents, "embeddings" -> embeddings)
-    tables.foreach { case (name, df) =>
-      val tmp = Files.createTempDirectory("gen_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part1 = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part1, out.resolve(s"$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      deleteRec(Paths.get(tmp))
-      println(s"wrote ${out.resolve(s"$name.parquet")}")
+    // the AT-SCALE table shape is a DIRECTORY of parquet (what
+    // Tables.load plans per-file splits over — fixtures are the
+    // single-file degenerate case): one file per ~200k narrow fact rows /
+    // ~8k document-weight rows (text + embeddings explode 10–100× in the
+    // first map stage, so their per-file row target is lower), so every
+    // scan stage actually parallelizes instead of planning one split per
+    // sub-128MB single file. Hash-partitioned on the first column so
+    // file contents are deterministic, not round-robin.
+    val tables: Seq[(String, DataFrame, Long)] = Seq(
+      ("region", regionDf, 1L), ("nation", nationDf, 1L),
+      ("customer", customer, n(150000) / 200000), ("supplier", supplier, 1L),
+      ("part", part, n(200000) / 200000), ("orders", orders, n(1500000) / 200000),
+      ("lineitem", lineitem, n(6000000) / 200000),
+      ("events", events, nEvents / 200000),
+      ("documents", documents, nDocs / 8000),
+      ("embeddings", embeddings, nDocs / 8000))
+    tables.foreach { case (name, df, files) =>
+      val nFiles = math.max(1L, files).toInt
+      val target = out.resolve(s"$name.parquet")
+      if (nFiles == 1) {
+        val tmp = Files.createTempDirectory("gen_").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part1 = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        deleteRec(target)
+        Files.move(part1, target, StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(Paths.get(tmp))
+      } else {
+        df.repartition(nFiles, col(df.columns.head))
+          .write.mode("overwrite").parquet(target.toString)
+      }
+      println(s"wrote $target ($nFiles files)")
     }
     spark.stop()
   }

@@ -39,7 +39,10 @@ def main():
     con = duckdb.connect()
     for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # fixture tables are single files; at-scale (GenData) tables are
+        # directories of part files — read whichever shape this is
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
