@@ -1717,6 +1717,13 @@ object SparkEntry {
         Seq("event_type", "day"), "user_id", k = 5, l = 2)
         .orderBy("event_type", "day")),
 
+    // ── §2.9 X99: t-closeness audit — per-group sensitive-distribution
+    //    TVD vs global, exact integer mass over the common denominator ────
+    "q_t_closeness" -> ((s, dir) =>
+      Analytics.tCloseness(t(s, dir, "events"), Seq("event_type"), "user_id",
+        t = 0.02)
+        .orderBy("event_type")),
+
     // ── §2.9 X89: incremental aggregate maintenance — base state ⊎ delta
     //    state == full recompute (the oracle IS the full recompute) ───────
     "q_incremental_agg" -> ((s, dir) => {
@@ -4265,6 +4272,35 @@ object SparkEntry {
                      ELSE round(CAST(integ AS DOUBLE)
                                 / CAST(span_us AS DOUBLE), 6) END AS twap
          FROM g ORDER BY key""",
+    // t-closeness: the same integer TVD construction — products kept
+    // DECIMAL(19,0)×DECIMAL(19,0), absent-value mass in closed form,
+    // one rounded double division at the very end
+    "q_t_closeness" ->
+      """WITH c AS (SELECT event_type g, user_id v, count(*) ngv
+                    FROM events GROUP BY 1, 2),
+         gt AS (SELECT g, sum(ngv) ng FROM c GROUP BY 1),
+         vt AS (SELECT v, sum(ngv) nv FROM c GROUP BY 1),
+         tt AS (SELECT sum(ngv) nn FROM c),
+         j AS (SELECT c.g,
+                 sum(abs(CAST(c.ngv AS DECIMAL(19,0)) * CAST(tt.nn AS DECIMAL(19,0))
+                   - CAST(vt.nv AS DECIMAL(19,0)) * CAST(gt.ng AS DECIMAL(19,0))))
+                   AS present,
+                 sum(CAST(vt.nv AS DECIMAL(19,0)) * CAST(gt.ng AS DECIMAL(19,0)))
+                   AS covered,
+                 min(gt.ng) AS ng, min(tt.nn) AS nn
+               FROM c JOIN vt ON vt.v = c.v JOIN gt ON gt.g = c.g
+                 CROSS JOIN tt
+               GROUP BY c.g),
+         f AS (SELECT g, ng,
+                 round(CAST(present + (CAST(ng AS DECIMAL(19,0))
+                       * CAST(nn AS DECIMAL(19,0)) - covered) AS DOUBLE)
+                   / (CAST(CAST(ng AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+                       AS DOUBLE) * 2), 6) AS tvd
+               FROM j)
+         SELECT g AS event_type, CAST(ng AS BIGINT) AS n, tvd,
+                CAST(CASE WHEN tvd > 0.02 THEN 1 ELSE 0 END AS BIGINT)
+                  AS t_risk
+         FROM f ORDER BY event_type""",
     "q_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                 CAST(count(*) AS BIGINT) n,

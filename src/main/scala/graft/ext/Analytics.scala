@@ -631,6 +631,59 @@ object Analytics {
       .withColumn("k_risk", (col("n") < k).cast("int").cast(LongType))
       .withColumn("l_risk", (col("n_sensitive") < l).cast("int").cast(LongType))
 
+  /** X99 — t-closeness audit: per quasi-identifier group, the total
+    * variation distance between the group's sensitive-value distribution
+    * and the global one — the third rung of the release-privacy ladder
+    * (k-anonymity bounds group SIZE, l-diversity bounds value COUNT,
+    * t-closeness bounds what the group's value MIX itself reveals; TVD is
+    * the standard instantiation for categorical sensitive attributes).
+    *
+    * All mass terms are exact integers over the common denominator
+    * n_g·N: TVD = Σ_v |n_gv·N − n_v·n_g| / (2·n_g·N), with the absent
+    * values' share folded in CLOSED FORM (Σ_{v∉g} n_v·n_g = N·n_g −
+    * Σ_{v∈g} n_v·n_g) so nothing ever expands the groups × values cross
+    * product. Products are width-stable DECIMAL(19,0)×DECIMAL(19,0),
+    * sums DECIMAL(38,0) (order-independent), and the single float op is
+    * one pinned rounded division — the X91 discipline.
+    *
+    * Scale shape: one (quasi, value)-keyed count aggregation (map-side
+    * partials) collapses the input; everything after runs on that count
+    * frame — two small rollups broadcast back, one more |counts|-sized
+    * aggregation. Output |QI groups| rows.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double = 0.2): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val prod = (a: Column, b: Column) => a.cast(d19) * b.cast(d19)
+    val qs = quasiCols.map(col)
+    val cnt = df
+      .where(col(sensitiveCol).isNotNull &&
+        quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__ngv"))
+    val grpTot = cnt.groupBy(qs: _*)
+      .agg(sum(col("__ngv")).cast(LongType).as("__ng"))
+    val valTot = cnt.groupBy(col("__v"))
+      .agg(sum(col("__ngv")).cast(LongType).as("__nv"))
+    val tot = cnt.agg(sum(col("__ngv")).cast(LongType).as("__N"))
+    cnt
+      .join(broadcast(valTot), Seq("__v"))
+      .join(broadcast(grpTot), quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qs: _*)
+      .agg(
+        sum(abs(prod(col("__ngv"), col("__N")) -
+          prod(col("__nv"), col("__ng")))).as("__present"),
+        sum(prod(col("__nv"), col("__ng"))).as("__covered"),
+        first(col("__ng")).as("__g"), first(col("__N")).as("__t"))
+      .select(qs ++ Seq(
+        col("__g").as("n"),
+        round((col("__present") + (prod(col("__g"), col("__t")) -
+            col("__covered"))).cast(DoubleType) /
+          (prod(col("__g"), col("__t")).cast(DoubleType) * 2), 6).as("tvd")): _*)
+      .withColumn("t_risk", (col("tvd") > t).cast("int").cast(LongType))
+  }
+
   /** X89a — per-key aggregate state: (n, DECIMAL(38,6) sum) per key, the
     * mergeable partial an incremental pipeline persists between batches.
     * The value goes through double → DECIMAL (shortest-repr rounding,

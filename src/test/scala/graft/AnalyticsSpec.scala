@@ -247,4 +247,25 @@ class AnalyticsSpec extends AnyFunSuite {
       1L -> (("a", 2L, 3L)), 2L -> (("a", 1L, 3L)), 3L -> (("a", 3L, 3L)),
       4L -> (("b", 1L, 1L))))
   }
+
+  test("tCloseness: TVD exact on a hand-computed fixture; absent values counted") {
+    import spark.implicits._
+    // group A: {x:2, y:2} (p = .5/.5); group B: {x:4} (p = 1/0)
+    // global: x 6/8, y 2/8. TVD(A) = (|.5-.75| + |.5-.25|)/... = .25
+    // TVD(B) = (|1-.75| + |0-.25|)/2 · 2 = .25 — y ABSENT from B, the
+    // closed-form fold must still charge its mass
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"))
+      .toDF("grp", "v")
+    val got = Analytics.tCloseness(rows, Seq("grp"), "v", t = 0.24)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map("A" -> (4L, 0.25, 1L), "B" -> (4L, 0.25, 1L)))
+    // identical-distribution group has TVD 0 and no risk
+    val uni = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("grp", "v")
+    val g2 = Analytics.tCloseness(uni, Seq("grp"), "v", t = 0.24)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(g2 == Map("A" -> ((0.0, 0L)), "B" -> ((0.0, 0L))))
+  }
 }
