@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, NfcNormalize}
+import graft.functions.{DotProduct, HilbertIndex, NfcNormalize}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (works under spark-submit
@@ -50,7 +50,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[NfcNormalize].getName, null, "graft_nfc"),
     (children: Seq[Expression]) => NfcNormalize(children.head): Expression)
 
-  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry, nfcEntry)
+  private val hilbertEntry = (
+    new FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, null, "graft_hilbert"),
+    (children: Seq[Expression]) => HilbertIndex(children.head, children(1),
+      children(2)): Expression)
+
+  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry,
+    nfcEntry, hilbertEntry)
 
   /** Idempotently register the engine functions on an existing session —
     * for sessions built without `spark.sql.extensions` (e.g. a host

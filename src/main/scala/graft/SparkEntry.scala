@@ -1754,6 +1754,26 @@ object SparkEntry {
     // ── §2.9 / SURVEY §2 layout: Z-order locality audit — per-curve-
     //    bucket 2-D bounding boxes proving BOTH dimensions stay narrow
     //    (the data-skipping property linear clustering lacks) ─────────────
+    // ── §2.9 X100: Hilbert-curve layout audit — the locality-preserving
+    //    sibling of the z-order audit, keyed by the native codegen
+    //    graft_hilbert expression (consecutive cells always grid-adjacent,
+    //    so 2-column range scans touch fewer clustered buckets) ───────────
+    "q_hilbert_stats" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      val ev = t(s, dir, "events").select(
+        pmod(col("event_id"), lit(4096)).cast(LongType).as("x"),
+        pmod(col("user_id"), lit(4096)).cast(LongType).as("y"))
+      ev.withColumn("h",
+          call_function("graft_hilbert", col("x"), col("y"), lit(12)))
+        .withColumn("bucket", shiftright(col("h"), 14).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy("bucket")
+    }),
+
     "q_zorder_stats" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         pmod(col("event_id"), lit(4096)).cast(LongType).as("x"),
@@ -4338,6 +4358,23 @@ object SparkEntry {
                 CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
                   AS is_current
          FROM v ORDER BY key, valid_from""",
+    // the xy2d bit-plane walk replayed as 12 unrolled MATERIALIZED CTE
+    // levels (kCore's discipline — each level references its predecessor
+    // several times, so inlining would blow up exponentially), original
+    // coordinates carried alongside the rotating state for the stats
+    "q_hilbert_stats" ->
+      s"""WITH h0 AS MATERIALIZED (
+           SELECT event_id % 4096 AS x, user_id % 4096 AS y,
+                  event_id % 4096 AS ox, user_id % 4096 AS oy,
+                  CAST(0 AS BIGINT) AS d
+           FROM events),
+         ${(0 until 12).map(hilbertLevelSql(_, 12)).mkString(",\n         ")}
+         SELECT CAST(d // 16384 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(min(ox) AS BIGINT) min_x, CAST(max(ox) AS BIGINT) max_x,
+                CAST(min(oy) AS BIGINT) min_y, CAST(max(oy) AS BIGINT) max_y,
+                CAST(min(d) AS BIGINT) min_h, CAST(max(d) AS BIGINT) max_h
+         FROM h12 GROUP BY 1 ORDER BY bucket""",
     // bit-interleave replayed as integer divide/mod arithmetic (x on odd
     // bits, y on even — Layout.zValue's convention)
     "q_zorder_stats" ->
@@ -4400,6 +4437,34 @@ object SparkEntry {
                    FROM sig, unnest(range(0,4)) bb(b)),
          cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)"""
+
+  /** One unrolled Hilbert xy2d bit-plane level (HilbertIndex.xy2d's loop
+    * body at s = 2^(bits-1-i)) as a DuckDB CTE: h{i+1} from h{i}. The
+    * quadrant factor (3·rx)⊕ry and the ry=0 reflect-and-swap rotation are
+    * spelled as CASEs over the bit tests. The rotation drives x/y
+    * NEGATIVE mid-walk and the JVM side reads their bits in two's
+    * complement (`v & s`), so the SQL bit test must be the floor-mod form
+    * `((v % 2s) + 2s) % 2s ≥ s` — a plain `(v // s) % 2` inherits the
+    * dividend's sign and diverges on exactly those rows. */
+  private def hilbertLevelSql(i: Int, bits: Int): String = {
+    val s = 1L << (bits - 1 - i)
+    val m = 2 * s
+    def bit(v: String) =
+      s"CASE WHEN (($v % $m) + $m) % $m >= $s THEN 1 ELSE 0 END"
+    s"""h${i + 1} AS MATERIALIZED (
+           SELECT ox, oy,
+             d + ${s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+                                  WHEN rx = 1 THEN 3
+                                  WHEN ry = 1 THEN 1 ELSE 0 END) AS d,
+             CASE WHEN ry = 0 THEN
+               (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+             ELSE x END AS x,
+             CASE WHEN ry = 0 THEN
+               (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+             ELSE y END AS y
+           FROM (SELECT ox, oy, d, x, y,
+                   ${bit("x")} AS rx, ${bit("y")} AS ry FROM h$i))"""
+  }
 
   /** One unrolled k-core peel round (Dedup.kCore's recurrence) as a
     * DuckDB CTE pair: survivors n{i} (degree ≥ k in e{i-1}), then the

@@ -135,6 +135,14 @@ object Layout {
   val numericFmt: Column => Column =
     c => format_string("%018.4f", c.cast("double"))
 
+  /** Hilbert-curve index of two bucket numbers — the locality-preserving
+    * alternative to [[zValue]] (consecutive indices are always
+    * grid-adjacent; the Z curve jumps at power-of-two seams). Backed by
+    * the native codegen `graft_hilbert` expression; the session must have
+    * the engine functions registered (`GraftExtensions.ensure`). */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column =
+    call_function("graft_hilbert", a, b, lit(bits))
+
   /** Interleave the low `bits` bits of two bucket numbers (a gets the odd
     * positions). Pure integer shifts — stays in codegen. */
   def zValue(a: Column, b: Column, bits: Int): Column =
