@@ -1918,14 +1918,14 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
     "q_dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b))
          SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
@@ -1937,21 +1937,21 @@ object SparkEntry {
       """WITH RECURSIVE ex AS (SELECT md5(text) h, min(doc_id) keeper FROM documents GROUP BY 1),
          dk AS (SELECT d.doc_id, e.keeper FROM documents d JOIN ex e ON md5(d.text) = e.h),
          sv AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT keeper FROM ex)),
-         toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t FROM sv),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t FROM sv),
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         trif AS (SELECT * FROM tri WHERE sh IN (
+         trif AS MATERIALIZED (SELECT * FROM tri WHERE sh IN (
                     SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
-         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
-         inter AS (SELECT da, db, count(*) i FROM cand
+         sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
+         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
                    JOIN trif a ON a.doc_id = da
                    JOIN trif c ON c.doc_id = db AND c.sh = a.sh
                    GROUP BY 1, 2),
@@ -1971,17 +1971,17 @@ object SparkEntry {
     // reachability minima computed by a recursive CTE (label set per node
     // is its component's ids — finite, so UNION-distinct terminates).
     "q_dedup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
          e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
          reach(n, l) AS (
@@ -1993,17 +1993,17 @@ object SparkEntry {
     // the X1g recursive-CC chain composed with the X3 quality chain;
     // argmax on the ROUNDED quality with doc id tiebreak
     "q_canonical_docs" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
          e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
          reach(n, l) AS (
@@ -2038,17 +2038,17 @@ object SparkEntry {
     // Same LSH candidate CTEs as q_dedup_minhash, plus bounded-prefix
     // Levenshtein verification (DuckDB's levenshtein = the classic DP).
     "q_edit_distance" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)
          SELECT da, db,
                 CAST(levenshtein(substr(ta.text,1,80), substr(tb.text,1,80)) AS BIGINT) edit_dist
@@ -2125,7 +2125,7 @@ object SparkEntry {
     // Same md5 mask rule, lag-based run starts, running sentinel count,
     // and ordered string_agg (NULL pieces skip on both engines).
     "q_span_corrupt" ->
-      """WITH toks AS (SELECT doc_id,
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
                   regexp_split_to_array(trim(lower(text)), ' +') t
            FROM documents),
          p0 AS (SELECT doc_id, i, t[i+1] AS tok
@@ -2244,7 +2244,7 @@ object SparkEntry {
     // Positional unnest(range) replays the hit positions; DuckDB slices
     // are 1-based inclusive and clamp at the ends like Spark's slice.
     "q_concordance" ->
-      """WITH toks AS (SELECT doc_id,
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
                   regexp_split_to_array(trim(lower(text)), ' +') t
            FROM documents),
          hits AS (SELECT doc_id, i, t
@@ -2272,7 +2272,7 @@ object SparkEntry {
                       row_number() OVER (ORDER BY n DESC, md5(token), token)
                         AS token_id
                FROM f QUALIFY token_id <= 50),
-         toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                   FROM documents),
          p AS (SELECT doc_id, i, t[i+1] AS token
                FROM toks, unnest(range(0, len(t))) r(i)
@@ -2428,7 +2428,7 @@ object SparkEntry {
                   FROM lt),
          rtok AS (SELECT DISTINCT id, unnest(regexp_split_to_array(nm, ' +')) tok
                   FROM rt),
-         cand AS (SELECT DISTINCT a.id da, b.id db
+         cand AS MATERIALIZED (SELECT DISTINCT a.id da, b.id db
                   FROM ltok a JOIN rtok b USING (tok) WHERE a.id <> b.id),
          scored AS (SELECT da, db,
              len(list_intersect(regexp_split_to_array(la.nm, ' +'),
@@ -2703,14 +2703,14 @@ object SparkEntry {
          SELECT da, db, CAST(hh AS BIGINT) hamming FROM ham
          WHERE hh <= 7 ORDER BY da, db""",
     "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
          tri0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         tri AS (SELECT * FROM tri0 WHERE sh IN (
+         tri AS MATERIALIZED (SELECT * FROM tri0 WHERE sh IN (
                    SELECT sh FROM tri0 GROUP BY sh HAVING count(*) <= 100)),
-         sz AS (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
-         inter AS (SELECT a.doc_id da, c.doc_id db, count(*) i
+         sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
+         inter AS MATERIALIZED (SELECT a.doc_id da, c.doc_id db, count(*) i
                    FROM tri a JOIN tri c ON a.sh = c.sh AND c.doc_id > a.doc_id
                    GROUP BY 1,2)
          SELECT da, db, jaccard FROM (
@@ -2970,7 +2970,7 @@ object SparkEntry {
          pix AS (SELECT doc_id,
                         ascii(substr(text, CAST(j AS INT), 1)) // 16 AS bucket
                  FROM documents, unnest(range(1, strlen(text)+1)) r(j)),
-         cnt AS (SELECT doc_id, bucket, count(*) c FROM pix GROUP BY 1, 2),
+         cnt AS MATERIALIZED (SELECT doc_id, bucket, count(*) c FROM pix GROUP BY 1, 2),
          pad AS (SELECT doc_id, 0 AS bucket,
                         48 * greatest(1, CAST(ceil(n / 48.0) AS BIGINT)) - n
                           AS c
@@ -3325,9 +3325,9 @@ object SparkEntry {
                 length(chunk) AS n_chars
          FROM c ORDER BY doc_id, chunk_no""",
     "q_repetition" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
-         tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
          agg AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT sh) AS n_uniq
                  FROM tri GROUP BY 1)
@@ -3356,17 +3356,17 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id, text,
                        ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
                      FROM documents),
-         ttoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         ttoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM b WHERE bucket >= 10),
-         ttri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         ttri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM ttoks, unnest(range(1, len(t)-1)) r(i)),
-         btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         btoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM b WHERE bucket < 10),
-         btri AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         btri AS MATERIALIZED (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM btoks, unnest(range(1, len(t)-1)) r(i)),
          ov AS (SELECT doc_id, count(*) AS n_overlap FROM ttri
                 WHERE sh IN (SELECT sh FROM btri) GROUP BY 1),
-         sz AS (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
+         sz AS MATERIALIZED (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
          SELECT sz.doc_id, n_shingles,
                 coalesce(n_overlap, 0) AS n_overlap,
                 coalesce(n_overlap, 0) >= 20 AS contaminated
@@ -3379,17 +3379,17 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id, text,
                        ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
                      FROM documents),
-         ttoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         ttoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM b WHERE bucket >= 15),
-         ttri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         ttri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM ttoks, unnest(range(1, len(t)-1)) r(i)),
-         btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         btoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM b WHERE bucket < 15),
-         btri AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         btri AS MATERIALIZED (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM btoks, unnest(range(1, len(t)-1)) r(i)),
          ov AS (SELECT doc_id, count(*) AS n_overlap FROM ttri
                 WHERE sh IN (SELECT sh FROM btri) GROUP BY 1),
-         sz AS (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
+         sz AS MATERIALIZED (SELECT doc_id, count(*) AS n_shingles FROM ttri GROUP BY 1)
          SELECT sz.doc_id, n_shingles,
                 coalesce(n_overlap, 0) AS n_overlap,
                 coalesce(n_overlap, 0) >= 20 AS contaminated
@@ -3505,35 +3505,35 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, text,
                        ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
                      FROM documents),
-         ltoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         ltoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM d WHERE bucket >= 50),
-         ltri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         ltri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
-         rtoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         rtoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM d WHERE bucket < 50),
-         rtri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         rtri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
-         lmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         lmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                  FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         lsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
-         lbands AS (SELECT doc_id, b,
+         lsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
+         lbands AS MATERIALIZED (SELECT doc_id, b,
                            md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                     FROM lsig, unnest(range(0,4)) bb(b)),
-         rmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         rmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                  FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         rsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
-         rbands AS (SELECT doc_id, b,
+         rsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
+         rbands AS MATERIALIZED (SELECT doc_id, b,
                            md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                     FROM rsig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
                   JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
-         ltrif AS (SELECT * FROM ltri WHERE sh IN (
+         ltrif AS MATERIALIZED (SELECT * FROM ltri WHERE sh IN (
                      SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
-         rtrif AS (SELECT * FROM rtri WHERE sh IN (
+         rtrif AS MATERIALIZED (SELECT * FROM rtri WHERE sh IN (
                      SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
-         lsz AS (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
-         rsz AS (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
-         inter AS (SELECT da, db, count(*) i FROM cand
+         lsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
+         rsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
+         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
                    JOIN ltrif a ON a.doc_id = da
                    JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
                    GROUP BY 1, 2)
@@ -3567,7 +3567,7 @@ object SparkEntry {
     // Corpus bigram LM: adjacent-token pair counts, per-head continuation
     // mass, top-3 continuations per head (count desc, token asc).
     "q_bigram_lm" ->
-      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
          bg AS (SELECT t[i] AS w1, t[i+1] AS w2
                 FROM toks, unnest(range(1, len(t))) r(i)),
@@ -3583,7 +3583,7 @@ object SparkEntry {
     // with q_dedup_verified); docs without a partner report 0.
     "q_dup_degree" ->
       s"""WITH $verifiedPairsSql,
-         deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+         deg AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
                    (SELECT da AS doc_id FROM vp
                     UNION ALL SELECT db FROM vp)
                  GROUP BY 1)
@@ -3641,7 +3641,7 @@ object SparkEntry {
          ta AS (SELECT grp, count(*) n_tokens,
                        count(DISTINCT tok) n_distinct_tokens
                 FROM tok WHERE length(tok) > 0 GROUP BY 1),
-         tri AS (SELECT grp, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT grp, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM base, unnest(range(1, len(t)-1)) r(i)),
          ra AS (SELECT grp, count(*) n_trigrams,
                        count(DISTINCT sh) n_distinct_trigrams
@@ -3662,39 +3662,39 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, text,
                        ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
                      FROM documents),
-         ltoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         ltoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM d WHERE bucket < 20),
-         ltri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         ltri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
-         rtoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+         rtoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                    FROM d WHERE bucket >= 20),
-         rtri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         rtri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                   FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
-         lmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         lmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                  FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         lsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
-         lbands AS (SELECT doc_id, b,
+         lsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
+         lbands AS MATERIALIZED (SELECT doc_id, b,
                            md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                     FROM lsig, unnest(range(0,4)) bb(b)),
-         rmh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         rmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                  FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         rsig AS (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
-         rbands AS (SELECT doc_id, b,
+         rsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
+         rbands AS MATERIALIZED (SELECT doc_id, b,
                            md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                     FROM rsig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
                   JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
-         ltrif AS (SELECT * FROM ltri WHERE sh IN (
+         ltrif AS MATERIALIZED (SELECT * FROM ltri WHERE sh IN (
                      SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
-         rtrif AS (SELECT * FROM rtri WHERE sh IN (
+         rtrif AS MATERIALIZED (SELECT * FROM rtri WHERE sh IN (
                      SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
-         lsz AS (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
-         rsz AS (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
-         inter AS (SELECT da, db, count(*) i FROM cand
+         lsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
+         rsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
+         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
                    JOIN ltrif a ON a.doc_id = da
                    JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
                    GROUP BY 1, 2),
-         vp AS (SELECT da, db, jaccard FROM (
+         vp AS MATERIALIZED (SELECT da, db, jaccard FROM (
                   SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
                   FROM inter JOIN lsz la ON la.doc_id = da
                        JOIN rsz rb ON rb.doc_id = db)
@@ -3813,7 +3813,7 @@ object SparkEntry {
     // Skip-gram pairs: lateral position ranges give each token its ±2
     // context window; integer counts + marginals (PMI pieces).
     "q_skipgram" ->
-      """WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
          p AS (SELECT t[i] AS a, t[j] AS b
                FROM toks,
@@ -3855,7 +3855,7 @@ object SparkEntry {
     // Bigram-LM novelty: corpus bigram counts joined back per occurrence;
     // docs with < 2 tokens report all-zero.
     "q_lm_novelty" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),
          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
                 FROM toks, unnest(range(1, len(t))) r(i)),
@@ -3885,10 +3885,10 @@ object SparkEntry {
     // promotion ≡ the Spark side's DECIMAL(38,0) partials.
     "q_pagerank" ->
       s"""WITH $lshCandSql,
-         edges AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
-         deg AS (SELECT s, count(*) dg FROM edges GROUP BY s),
-         cnt AS (SELECT count(*) nn FROM deg),
-         it0 AS (SELECT s AS n, 1000000000000 // (SELECT nn FROM cnt) AS r
+         edges AS MATERIALIZED (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         deg AS MATERIALIZED (SELECT s, count(*) dg FROM edges GROUP BY s),
+         cnt AS MATERIALIZED (SELECT count(*) nn FROM deg),
+         it0 AS MATERIALIZED (SELECT s AS n, 1000000000000 // (SELECT nn FROM cnt) AS r
                  FROM deg),
          ${(1 to 5).map(pageRankIterSql).mkString(",\n         ")}
          SELECT n AS node, CAST(r AS BIGINT) AS pr FROM it5
@@ -4394,26 +4394,26 @@ object SparkEntry {
     * ends in `vp(da, db, jaccard)`. Used by q_dedup_verified and
     * q_split_leakage so the two oracles cannot drift apart. */
   private val verifiedPairsSql =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+    """toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         trif AS (SELECT * FROM tri WHERE sh IN (
+         trif AS MATERIALIZED (SELECT * FROM tri WHERE sh IN (
                     SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 100)),
-         sz AS (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
-         inter AS (SELECT da, db, count(*) i FROM cand
+         sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM trif GROUP BY 1),
+         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
                    JOIN trif a ON a.doc_id = da
                    JOIN trif c ON c.doc_id = db AND c.sh = a.sh
                    GROUP BY 1, 2),
-         vp AS (SELECT da, db, jaccard FROM (
+         vp AS MATERIALIZED (SELECT da, db, jaccard FROM (
                   SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
                   FROM inter JOIN sz sa ON sa.doc_id = da
                        JOIN sz sb ON sb.doc_id = db)
@@ -4425,17 +4425,17 @@ object SparkEntry {
     * consumers. Same chain as q_dedup_minhash's inline copy; used by the
     * X81 graph-operator oracles so they cannot drift apart. */
   private val lshCandSql =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+    """toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                FROM documents),
-         tri AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
                    FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
                   ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)"""
 
   /** One unrolled Hilbert xy2d bit-plane level (HilbertIndex.xy2d's loop
@@ -4484,7 +4484,7 @@ object SparkEntry {
   /** One unrolled fixed-point PageRank iteration (Dedup.pageRank's
     * integer recurrence) as a DuckDB CTE: it{i} from it{i-1}. */
   private def pageRankIterSql(i: Int): String =
-    s"""it$i AS (SELECT e.d AS n,
+    s"""it$i AS MATERIALIZED (SELECT e.d AS n,
            (15 * (1000000000000 // (SELECT nn FROM cnt))
             + 85 * sum(p.r // dg.dg)) // 100 AS r
          FROM edges e JOIN it${i - 1} p ON p.n = e.s

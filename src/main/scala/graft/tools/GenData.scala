@@ -170,14 +170,22 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("long"))
 
     // embeddings: 64-dim, weakly label-clustered like the fixture (intra
-    // cosine-to-centroid ≈ 0.16): noise uniform in [-0.5,0.5) plus a
-    // small label-dependent offset on every dim
+    // cosine-to-centroid ≈ 0.16): integer noise in [-32,32) plus an
+    // integer label offset in [-8,8), divided ONCE by 64 — every value is
+    // a dyadic k/2^6 (exact in float AND terminating within 6 decimal
+    // digits), so the decimal-rendered contracts can never hit a
+    // cross-engine rounding tie: centroid sums terminate at 6 digits
+    // (scale-6 render exact), pairwise products at 12 (scale-12 render
+    // exact), and k=0 gives +0.0 (no negative zero for Spark's float
+    // normalization to disagree with DuckDB about). The first sf1 sweep
+    // caught all three hazards with free-mantissa floats
+    // (q_class_centroids / q_gram_matrix 1-ulp tie flips,
+    // q_explode_replicas -0.0).
     val embDim = 64
     val emb = transform(sequence(lit(0), lit(embDim - 1)), j =>
-      ((pmod(xxhash64(lit("ex"), col("id"), j), lit(1000000L))
-        .cast("double") / 1e6 - 0.5) +
-        (pmod(xxhash64(lit("ec"), col("id") % 10, j), lit(1000L))
-          .cast("double") / 1e3 - 0.5) * 0.15).cast("float"))
+      (((pmod(xxhash64(lit("ex"), col("id"), j), lit(64L)) - 32) +
+        (pmod(xxhash64(lit("ec"), col("id") % 10, j), lit(16L)) - 8))
+        .cast("double") / 64.0).cast("float"))
     val embeddings = ids(nDocs).select(
       col("id").as("vec_id"),
       emb.as("embedding"),
