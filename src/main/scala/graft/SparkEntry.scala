@@ -1286,6 +1286,14 @@ object SparkEntry {
       TextOps.bigramLm(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("w1", "rank")),
 
+    // ── §2.9 X102: per-doc bigram novelty — share of bigram occurrences
+    //    that are corpus-rare (count <= 2); the perplexity-filter stand-in
+    //    with exact integers + one pinned division ─────────────────────────
+    "q_bigram_novelty" -> ((s, dir) =>
+      TextOps.bigramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        rareMax = 2)
+        .orderBy("doc_id")),
+
     // ── §2.9 X42: near-dup graph degree — per-doc partner counts over the
     //    MinHash-verified pair graph (degree 0 for clean docs) ─────────────
     "q_dup_degree" -> ((s, dir) => {
@@ -1590,8 +1598,10 @@ object SparkEntry {
     // ── §2.8: STREAMING gap-sessionization via the native session_window,
     //    oracle-checked end to end — sessions merge while events arrive
     //    within the 30 min gap (window end = last event + gap; an event at
-    //    exactly prev+gap starts a NEW session — [start, end) overlap
-    //    semantics); complete mode re-emits every session, so the final
+    //    EXACTLY prev+gap still MERGES — Spark's merge test is inclusive,
+    //    start <= currentEnd, proven by the sf1 sweep where 24 exact-1800s
+    //    ties split under a >= oracle); complete mode re-emits every
+    //    session, so the final
     //    table equals the batch gaps-and-islands exactly. Timestamps are
     //    second-truncated BEFORE the window so sub-second precision can't
     //    flip a boundary between engines (the q_sessionize discipline) ─────
@@ -1631,6 +1641,31 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy("a_id", "b_id")
+    }),
+
+    // ── §2.8: STREAM-STATIC broadcast enrichment join, oracle-checked
+    //    end to end — each micro-batch of the event stream joins the
+    //    customer→nation dimension (broadcast: the dim is cluster-small,
+    //    the stream unbounded) and rolls up counts per (nation,
+    //    event_type); complete mode + order-independent counts make the
+    //    final table equal the batch join+group on any micro-batch split ──
+    "q_stream_enrich" -> ((s, dir) => {
+      val name = s"graft_stream_enrich_${streamSeq.incrementAndGet()}"
+      val dim = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val q = graft.streaming.EventStreams
+        .enrichedCounts(Tables.loadStream(s, dir, "events"), dim,
+          "user_id", "c_custkey", "n_name")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("n_name", "event_type")
     }),
 
     // ── §2.8: custom-state sessionization (flatMapGroupsWithState),
@@ -1723,6 +1758,13 @@ object SparkEntry {
       Analytics.tCloseness(t(s, dir, "events"), Seq("event_type"), "user_id",
         t = 0.02)
         .orderBy("event_type")),
+
+    // ── §2.9 X101: domain-mixture rebalance weights — per source, the
+    //    char-weighted corpus share and the uniform-target sampling
+    //    weight; exact integer counts, two pinned 6-dp divisions ──────────
+    "q_domain_mix" -> ((s, dir) =>
+      Analytics.domainMix(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("domain")),
 
     // ── §2.9 X89: incremental aggregate maintenance — base state ⊎ delta
     //    state == full recompute (the oracle IS the full recompute) ───────
@@ -2694,11 +2736,20 @@ object SparkEntry {
                   sum(cnt * (2 * (CAST(floor((strpos('0123456789abcdef',
                       substr(h, CAST(j//4 AS INT)+1, 1)) - 1) / pow(2, j%4)) AS BIGINT) % 2) - 1)) s
                 FROM bits GROUP BY 1,2),
-         ch AS (SELECT doc_id, j // 8 AS b,
+         ch AS MATERIALIZED (SELECT doc_id, j // 8 AS b,
                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) c
                 FROM b2 GROUP BY 1, 2),
-         ham AS (SELECT a.doc_id da, c.doc_id db, sum(bit_count(xor(a.c, c.c))) hh
-                 FROM ch a JOIN ch c ON a.b = c.b AND c.doc_id > a.doc_id
+         -- banded candidates, not all pairs: hamming <= 7 over 8 byte
+         -- bands pigeonholes at least one IDENTICAL band, so joining on
+         -- (band, value) loses nothing and stays bucket-confined — the
+         -- all-pairs spelling is corpus^2 and unrunnable at sf1 (50k docs
+         -- -> 10^10 join rows spilled >76 GB before this rewrite)
+         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db
+                  FROM ch a JOIN ch c ON a.b = c.b AND a.c = c.c
+                    AND c.doc_id > a.doc_id),
+         ham AS (SELECT da, db, sum(bit_count(xor(x.c, y.c))) hh
+                 FROM cand JOIN ch x ON x.doc_id = da
+                   JOIN ch y ON y.doc_id = db AND y.b = x.b
                  GROUP BY 1, 2)
          SELECT da, db, CAST(hh AS BIGINT) hamming FROM ham
          WHERE hh <= 7 ORDER BY da, db""",
@@ -3579,6 +3630,25 @@ object SparkEntry {
                FROM c)
          SELECT w1, w2, n, n_w1, rank FROM r WHERE rank <= 3
          ORDER BY w1, rank""",
+    // Per-doc rare-bigram share: exact integer occurrence masses, one
+    // pinned 6-dp division; pd is referenced twice -> MATERIALIZED
+    "q_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), ' +') tk
+                    FROM documents),
+         bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                FROM t, unnest(range(1, len(tk))) r(i)
+                WHERE len(tk) >= 2),
+         pd AS MATERIALIZED (SELECT doc_id, w1, w2, count(*) m
+                             FROM bg GROUP BY 1, 2, 3),
+         g AS (SELECT w1, w2, sum(m) n FROM pd GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN n <= 2 THEN m ELSE 0 END) AS BIGINT)
+                  AS n_rare,
+                round(CAST(sum(CASE WHEN n <= 2 THEN m ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(m) AS DOUBLE), 6) AS novelty
+         FROM pd JOIN g USING (w1, w2) GROUP BY doc_id
+         ORDER BY doc_id""",
     // Near-dup graph degree over the MinHash-verified pairs (vp CTE shared
     // with q_dedup_verified); docs without a partner report 0.
     "q_dup_degree" ->
@@ -4106,10 +4176,12 @@ object SparkEntry {
                FROM e, unnest(range(0, 4)) r(k))
          SELECT win_ts, event_type, CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY win_ts, event_type""",
-    // session_window semantics in SQL: a new session starts when the gap
-    // REACHES 1800 s (windows are [start, end) — exactly-gap does not
-    // merge, unlike q_sessionize's strictly-greater rule), and the session
-    // end is the LAST event + gap; complete mode emits open tails too
+    // session_window semantics in SQL: a new session starts only when the
+    // gap EXCEEDS 1800 s — Spark's merge test is inclusive (start <=
+    // currentEnd), so an exactly-1800s follower still merges (same
+    // strictly-greater rule as q_sessionize; sf1 sweep: 24 exact ties
+    // split under >= and diverged). Session end is the LAST event + gap;
+    // complete mode emits open tails too
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
                            CAST(epoch(date_trunc('second', ts)) AS BIGINT) ep
@@ -4117,7 +4189,7 @@ object SparkEntry {
          l AS (SELECT user_id, event_id, ep, lag(ep) OVER
                  (PARTITION BY user_id ORDER BY ep, event_id) prev FROM e),
          f AS (SELECT user_id, event_id, ep,
-                      CASE WHEN prev IS NULL OR ep - prev >= 1800
+                      CASE WHEN prev IS NULL OR ep - prev > 1800
                            THEN 1 ELSE 0 END is_new FROM l),
          s AS (SELECT user_id, ep,
                       CAST(sum(is_new) OVER (PARTITION BY user_id
@@ -4141,6 +4213,13 @@ object SparkEntry {
            AND v.event_type = 'view' AND c.event_type = 'click'
            AND c.ep > v.ep AND c.ep <= v.ep + 3600000000
          ORDER BY a_id, b_id""",
+    // stream-static broadcast enrich == the batch join + rollup
+    "q_stream_enrich" ->
+      """SELECT n_name, e.event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2 ORDER BY n_name, event_type""",
     // the q_sessionize gaps-and-islands chain, minus each user's last
     // (still-open) session — exactly what the state machine withholds
     "q_stateful_sessions" ->
@@ -4321,6 +4400,21 @@ object SparkEntry {
                 CAST(CASE WHEN tvd > 0.02 THEN 1 ELSE 0 END AS BIGINT)
                   AS t_risk
          FROM f ORDER BY event_type""",
+    // exact integer counts; share and uniform-target weight are each one
+    // pinned IEEE division + 6-dp round (the X91 finish discipline)
+    "q_domain_mix" ->
+      """WITH per AS (SELECT source AS domain,
+                             CAST(count(*) AS BIGINT) n_docs,
+                             CAST(sum(n_chars) AS BIGINT) n_units
+                      FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_units) AS BIGINT) total_units,
+                        CAST(count(*) AS BIGINT) n_domains FROM per)
+         SELECT domain, n_docs, n_units,
+                round(CAST(n_units AS DOUBLE) / CAST(total_units AS DOUBLE),
+                      6) AS share,
+                round(CAST(total_units AS DOUBLE) /
+                      CAST(n_domains * n_units AS DOUBLE), 6) AS weight
+         FROM per, tot ORDER BY domain""",
     "q_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                 CAST(count(*) AS BIGINT) n,

@@ -747,4 +747,38 @@ object Analytics {
         col("valid_to").isNull.cast("int").cast(LongType))
       .drop("__prev")
   }
+
+  /** X101 — target-mixture rebalance weights (domain balancing): per
+    * domain (source, language, crawl, …) the corpus share by a SIZE
+    * column and the sampling weight that would rebalance the corpus to a
+    * UNIFORM target mixture — the training-data curation step that stops
+    * one over-crawled domain from dominating the token budget (the
+    * DoReMi/Pile-style domain-reweighting front end; weight > 1 means
+    * up-sample, < 1 means down-sample).
+    *
+    * share = units_d / total and weight = target/actual =
+    * total / (|domains| · units_d) are each ONE correctly-rounded IEEE
+    * division of exact integer counts (the X91 finish discipline), so
+    * both engines hold identical doubles before the pinned 6-dp round.
+    *
+    * Scale shape: one map-side-partial count/sum aggregation collapses
+    * the corpus to |domains| rows; the grand total is a broadcast ≤1-row
+    * frame (literal-attach crossJoin). Output |domains| rows — corpus-
+    * size-independent.
+    */
+  def domainMix(df: DataFrame, domainCol: String, sizeCol: String): DataFrame = {
+    val per = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast(LongType)).as("units"))
+    val tot = per.agg(sum(col("units")).as("total_units"),
+      count(lit(1)).as("n_domains"))
+    per.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"),
+        col("units").cast(LongType).as("n_units"),
+        round(col("units").cast(DoubleType) /
+          col("total_units").cast(DoubleType), 6).as("share"),
+        round(col("total_units").cast(DoubleType) /
+          (col("n_domains") * col("units")).cast(DoubleType), 6).as("weight"))
+  }
 }

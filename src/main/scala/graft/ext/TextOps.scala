@@ -817,6 +817,51 @@ object TextOps {
       .where(col("rank") <= topK)
   }
 
+  /** Per-document bigram novelty — the share of a document's bigram
+    * OCCURRENCES whose corpus-wide bigram count is at most `rareMax`:
+    * the second-order cousin of [[oovRate]] (token-level) and the
+    * count-based stand-in for LM perplexity filtering (a doc full of
+    * corpus-rare continuations is boilerplate-free but also the first
+    * place OCR garbage and spam show up — both tails get reviewed).
+    * Emitted as exact integers (n_bigrams, n_rare) plus ONE pinned 6-dp
+    * division, so the oracle replays it bit-exactly — no log-probability
+    * sums, whose libm `ln` is not cross-engine reproducible.
+    *
+    * Scale shape: bigram extraction is a map-side transform+explode (no
+    * positional self-join); (doc, bigram) multiplicities aggregate with
+    * map-side partials (doc id spreads the stop-bigram hubs), the global
+    * count frame derives from a second corpus-keyed aggregation, and the
+    * per-doc score joins the two on the bigram key — a shuffle hash join
+    * whose probe side streams, so a web-scale "of the" hub splits under
+    * AQE skew handling instead of gathering on one task (a window over
+    * the bigram key would NOT — WindowExec can't split a group). The
+    * extraction lineage is deliberately recomputed for the global count
+    * (two map passes) rather than persisting a corpus-sized frame.
+    */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String,
+                    rareMax: Long = 2): DataFrame = {
+    val perDoc = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), " +
+          "(x, i) -> named_struct('w1', x, 'w2', element_at(__t, i + 2)))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val global = perDoc.groupBy("w1", "w2").agg(sum(col("m")).as("n"))
+    perDoc.join(global, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("nb"),
+        sum(when(col("n") <= rareMax, col("m")).otherwise(lit(0L))).as("nr"))
+      .select(col(idCol),
+        col("nb").cast(LongType).as("n_bigrams"),
+        col("nr").cast(LongType).as("n_rare"),
+        round(col("nr").cast(DoubleType) / col("nb").cast(DoubleType), 6)
+          .as("novelty"))
+  }
+
   /** Vocabulary construction — the TOKENIZER-BUILDING step: every token's
     * corpus count `n` and document frequency `df`, with a deterministic
     * integer `token_id` assigned in (count desc, md5(token), token) order

@@ -109,4 +109,19 @@ object EventStreams {
     docs.select(md5(col(textCol)).as("h"), col(idCol))
       .groupBy("h")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Stream-static enrichment join + rollup — the remaining streaming join
+    * form next to [[correlate]]'s stream-stream: each micro-batch of the
+    * event stream joins a STATIC dimension (broadcast — the dim is
+    * cluster-small while the stream is unbounded, so shuffling the stream
+    * to meet it would be the scale error), then rolls up counts per
+    * (dim attribute, event_type). Stateless join + streaming aggregation:
+    * counts are arrival-order-independent, so the complete-mode final
+    * table equals the batch join+group exactly on any micro-batch split.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, eventKey: String,
+                     dimKey: String, dimAttr: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -118,6 +118,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream pairs (${got.size}) must equal batch pairs (${want.size})")
   }
 
+  test("stream-static broadcast enrich counts == batch join + rollup") {
+    val dir = tmp("graft_stream_enrich2_")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val dim = Tables.load(spark, TestSpark.sfDir, "customer")
+      .join(Tables.load(spark, TestSpark.sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+    val q = EventStreams.enrichedCounts(stream, dim,
+        "user_id", "c_custkey", "n_name").writeStream
+      .format("memory").queryName("enrich_counts_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_enrich2_"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("enrich_counts_stream")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per content hash") {
     import spark.implicits._
     val dir = tmp("graft_stream_dedup_")

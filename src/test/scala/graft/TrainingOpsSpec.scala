@@ -250,6 +250,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(t1.length == 1 && t1.head.getString(1) == "a")
   }
 
+  test("bigramNovelty: rare-occurrence share, multiplicity, short-doc cut") {
+    val docs = Seq(
+      (1L, "the cat sat"),       // "the cat" 3×, "cat sat" 3× — both common
+      (2L, "the cat sat"),
+      (3L, "the cat sat"),
+      (4L, "the cat zig zag"),   // "the cat" common; "cat zig","zig zag" rare
+      (5L, "zz qq zz qq"),       // "zz qq" 2× in ONE doc (corpus n=2 -> rare),
+                                 // "qq zz" 1× rare — all 3 occurrences rare
+      (6L, "one")).              // single token — no bigram, no output row
+      toDF("doc_id", "text")
+    val got = TextOps.bigramNovelty(docs, "doc_id", "text", rareMax = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0), (3L, 2L, 0L, 0.0),
+      (4L, 3L, 2L, 0.666667),
+      (5L, 3L, 3L, 1.0)))
+  }
+
+  test("domainMix: shares sum to 1, uniform-target weights rebalance") {
+    val docs = Seq(
+      (1L, "a", 600L), (2L, "a", 200L),   // domain a: 800 units
+      (3L, "b", 150L), (4L, "b", 50L))    // domain b: 200 units
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.ext.Analytics.domainMix(docs, "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // share = units/total; weight = total/(n_domains*units): a down, b up
+    assert(got == Set(
+      ("a", 2L, 800L, 0.8, 0.625),
+      ("b", 2L, 200L, 0.2, 2.5)))
+    // rebalanced mass is uniform: weight*units equal across domains
+    val w = got.map(r => r._5 * r._3)
+    assert(w.size == 1 && math.abs(w.head - 500.0) < 1e-9)
+  }
+
   test("dedupDelta: exact wins, near-dup picks best match, rest are new") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
