@@ -367,6 +367,23 @@ object SparkEntry {
         .withColumn("s", col("s").cast("string"))
         .orderBy("label", "dim")),
 
+    // ── §2.9 X103: Johnson–Lindenstrauss sign projection — 64→8 dims via
+    //    an md5-parity ±1 matrix in plan literals; exact dyadic sums, one
+    //    pinned √outDim division + 6-dp round ─────────────────────────────
+    "q_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+        .orderBy("vec_id", "j")),
+
+    // ── §2.9 X104: dominant eigenvector by 6-round integer power
+    //    iteration over the quantized Gram — one corpus pass builds the
+    //    exact integer G (bounded artifact), the d-dim iteration is pure
+    //    integer arithmetic, finish = one pinned Rayleigh division ────────
+    "q_power_iter" -> ((s, dir) =>
+      Similarity.powerIteration(t(s, dir, "embeddings"), "embedding",
+        inDim = 64)
+        .orderBy("d")),
+
     // ── §2.9 X78: embedding Gram matrix — upper-triangle second-moment
     //    DECIMAL sums, row-local pair expansion collapsing into map-side
     //    partials; the PCA/whitening seed artifact ───────────────────────
@@ -2271,6 +2288,48 @@ object SparkEntry {
     // is one IEEE double op so both engines hold the same dyadic, and
     // the VARCHAR hop pins shortest-repr rounding in every engine
     // version (see q_quantize_int8).
+    // Integer power iteration replayed as 6 unrolled MATERIALIZED CTE
+    // rounds over the same quantized integer Gram; HUGEINT carries the
+    // products, `//` floors like the engine's BigInt floorDiv, and the
+    // Rayleigh finish is one correctly-rounded division + 6-dp round
+    "q_power_iter" ->
+      s"""WITH g AS MATERIALIZED (
+           SELECT i, j,
+                  sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 256)
+                        AS BIGINT)
+                    * CAST(round(CAST(embedding[j+1] AS DOUBLE) * 256)
+                        AS BIGINT)) AS g
+           FROM embeddings,
+                unnest(range(0, 64)) a(i), unnest(range(0, 64)) b(j)
+           GROUP BY 1, 2),
+         x0 AS (SELECT i AS d, CAST(1000000 + i AS HUGEINT) AS x
+                FROM unnest(range(0, 64)) t(i)),
+         ${(1 to 6).map(powerIterRoundSql).mkString(",\n         ")},
+         num AS (SELECT sum(a.x * g.g * b.x) AS v
+                 FROM g JOIN x6 a ON g.i = a.d JOIN x6 b ON g.j = b.d),
+         den AS (SELECT sum(x * x) * 65536 AS v FROM x6)
+         SELECT d, CAST(x AS BIGINT) AS x,
+                CASE WHEN den.v = 0 THEN 0.0
+                     ELSE round(CAST(num.v AS DOUBLE)
+                                / CAST(den.v AS DOUBLE), 6) END AS eig
+         FROM x6, num, den ORDER BY d""",
+    // JL sign projection: the ±1 matrix is replayed from md5 PARITY of
+    // "j_d" (first hex digit even -> +1), the same derivation the engine
+    // bakes into plan literals; dyadic terms sum exactly in any order,
+    // then one pinned /sqrt(8) + 6-dp round
+    "q_jl_project" ->
+      """WITH p AS (SELECT vec_id, j, d, CAST(embedding[d+1] AS DOUBLE) x
+                    FROM embeddings,
+                         unnest(range(0, 8)) jj(j),
+                         unnest(range(0, 64)) dd(d)),
+         s AS (SELECT vec_id, j,
+                      sum(CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(j || '_' || d), 1, 1)) - 1) % 2 = 0
+                           THEN x ELSE -x END) AS t
+               FROM p GROUP BY 1, 2)
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+                round(t / sqrt(8), 6) AS y
+         FROM s ORDER BY vec_id, j""",
     "q_gram_matrix" ->
       """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
                 CAST(CAST(sum(CAST(CAST(CAST(embedding[i+1] AS DOUBLE)
@@ -4584,6 +4643,17 @@ object SparkEntry {
          FROM edges e JOIN it${i - 1} p ON p.n = e.s
               JOIN deg dg ON dg.s = e.s
          GROUP BY e.d)"""
+
+  /** One unrolled integer power-iteration round (Similarity.
+    * powerIteration's recurrence) as DuckDB CTEs: y/norm/x level i from
+    * x(i-1). Integer `//` TRUNCATES toward zero — exactly BigInt `/` on
+    * the engine side; materialization is load-bearing (X97 rule). */
+  private def powerIterRoundSql(i: Int): String =
+    s"""py$i AS MATERIALIZED (SELECT g.i AS d, sum(g.g * x${i - 1}.x) AS y
+           FROM g JOIN x${i - 1} ON g.j = x${i - 1}.d GROUP BY g.i),
+         pn$i AS (SELECT greatest(max(abs(y)) // 1000000, 1) AS dn
+                  FROM py$i),
+         x$i AS MATERIALIZED (SELECT d, y // dn AS x FROM py$i, pn$i)"""
 
   /** DuckDB-dialect SQL for Sampling.hashBucket(key, mod) — the 32-bit
     * value of the first 8 md5 hex digits mod `mod`, spelled as digit

@@ -107,6 +107,124 @@ object Similarity {
             .cast(LongType)).as("q"),
         col("__mx").cast(DecimalType(38, 6)).as("scale"))
 
+  /** X103 — Johnson–Lindenstrauss sign projection: reduce each embedding
+    * to `outDim` coordinates y_j = (Σ_d s(j,d)·x_d) / √outDim with a
+    * dense ±1 (Achlioptas/Rademacher) matrix — the cheap dimensionality
+    * cut in front of ANN indexing and dedup clustering (pairwise
+    * distances are preserved in expectation; the ±1 matrix needs no
+    * float random projection and keeps the sum EXACT on dyadic inputs).
+    *
+    * The sign matrix is pinned to md5 PARITY — s(j,d) = +1 iff the first
+    * hex digit of md5("j_d") is even — computed driver-side into plan
+    * literals (outDim·dim coefficients, the bounded-fit-artifact rule)
+    * and replayed verbatim in SQL by the oracle, the established
+    * md5-determinism discipline (no rand(), no seed drift). Each ±x_d
+    * term is an exact double (fixture floats are dyadic), so the 64-term
+    * sum is exact in ANY association order; the finish is one
+    * correctly-rounded division by √outDim (IEEE sqrt is exact-rounded
+    * in both engines) and the pinned 6-dp round.
+    *
+    * Scale shape: a pure map-side projection — per row, `outDim` literal-
+    * coefficient sums inside whole-stage codegen; no shuffle, no state.
+    * Output long-form (vec_id, j, y): N·outDim rows.
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDim: Int = 8): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    def sign(j: Int, d: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    val parts = (0 until outDim).map { j =>
+      val s = (0 until inDim).map { d =>
+        val x = element_at(col("__e"), d + 1).cast(DoubleType)
+        if (sign(j, d) > 0) x else -x
+      }.reduce(_ + _)
+      struct(lit(j.toLong).as("j"), s.as("s"))
+    }
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("__e"))
+      .select(col("vec_id"), explode(array(parts: _*)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"),
+        round(col("p.s") / lit(scale), 6).as("y"))
+  }
+
+  /** X104 — dominant eigenvector of the embedding second-moment (Gram)
+    * matrix by fixed-round power iteration — the first principal
+    * direction of the corpus (uncentred PCA): spectral embedding-drift
+    * monitoring, whitening seeds, and the one-dimension summary a
+    * centroid can't give (X70 is the mean; this is the spread's axis).
+    *
+    * Exactness: coordinates quantize ONCE to `qScale` fixed point (the
+    * X94 micro-unit discipline — round is half-away-from-zero in both
+    * engines), making the Gram an exact INTEGER matrix G (PSD by
+    * construction: it is the Gram of the quantized vectors). The
+    * iteration then runs in pure integer arithmetic — y = G·x,
+    * x' = y intdiv max(⌊max|y|/xScale⌋, 1) — so every round is
+    * engine-replayable bit-exactly (integer division TRUNCATES toward
+    * zero in both engines: DuckDB's integer `//` and BigInt `/` — NOT
+    * floor; a floorDiv here diverges by one on every negative
+    * component); the single float finish is
+    * the Rayleigh quotient xᵀGx / (xᵀx·qScale²): two exact integers,
+    * one correctly-rounded division, one pinned 6-dp round.
+    *
+    * Scale shape: ONE corpus pass builds G via the X78 row-local
+    * upper-triangle expansion collapsing into map-side partials
+    * (DECIMAL(38,0) sums of row-local long products — order-independent,
+    * overflow-safe); the d(d+1)/2-row result is a bounded fit artifact
+    * (the IVF-centroid rule) collected to the driver, where the
+    * `rounds`-step d-dimensional iteration is O(rounds·d²) integer work
+    * in BigInt — corpus-size-independent. Output d rows.
+    *
+    * The oracle replays the iteration as `rounds` unrolled MATERIALIZED
+    * CTE levels over the same integer Gram (the X97 k-core discipline —
+    * materialization load-bearing against exponential inlining).
+    */
+  def powerIteration(emb: DataFrame, vecCol: String, inDim: Int,
+                     rounds: Int = 6, qScale: Int = 256,
+                     xScale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && inDim >= 1 && qScale >= 1 && xScale >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = lit(qScale.toDouble)
+    val upper = emb.select(col(vecCol).as("__e"))
+      .select(col("__e"), posexplode(col("__e")).as(Seq("i", "__vi")))
+      .select(col("i"), col("__vi"),
+        posexplode(slice(col("__e"), col("i") + 1,
+          size(col("__e")) - col("i"))).as(Seq("__jr", "__vj")))
+      .select(col("i"), (col("i") + col("__jr")).as("j"),
+        (round(col("__vi").cast(DoubleType) * q).cast(LongType) *
+          round(col("__vj").cast(DoubleType) * q).cast(LongType)).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("g"))
+    val G = Array.ofDim[BigInt](inDim, inDim)
+    for (i <- 0 until inDim; j <- 0 until inDim) G(i)(j) = BigInt(0)
+    upper.collect().foreach { r =>   // ≤ d(d+1)/2 rows — bounded artifact
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val g = BigInt(r.getDecimal(2).toBigInteger)
+      G(i)(j) = g
+      G(j)(i) = g
+    }
+    var x = Array.tabulate(inDim)(i => BigInt(xScale + i))
+    for (_ <- 1 to rounds) {
+      val y = Array.tabulate(inDim)(i =>
+        (0 until inDim).map(j => G(i)(j) * x(j)).sum)
+      val mx = y.map(_.abs).max
+      val denom = (mx / xScale).max(BigInt(1))
+      x = y.map(_ / denom)   // BigInt / truncates toward zero == DuckDB //
+    }
+    val num = (for (i <- 0 until inDim; j <- 0 until inDim)
+      yield x(i) * G(i)(j) * x(j)).sum
+    val den = x.map(v => v * v).sum * (BigInt(qScale) * BigInt(qScale))
+    val eig =
+      if (den.signum == 0) 0.0
+      else BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until inDim).map(i => (i.toLong, x(i).toLong, eig))
+      .toDF("d", "x", "eig")
+  }
+
   /** X78 — embedding Gram matrix (uncentred second-moment sums): per
     * upper-triangle dimension pair (i ≤ j) the DECIMAL(38,12) sum of
     * vᵢ·vⱼ plus the vector count — the PCA / whitening seed artifact

@@ -130,4 +130,59 @@ class SignLshSpec extends AnyFunSuite {
     assert(meanTrue > 0 && meanIvf >= 0.6 * meanTrue,
       s"mean IVF top-1 sim $meanIvf too far below true $meanTrue")
   }
+
+  test("jlProject: matches an independent md5-parity reimplementation; zero is fixed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.25f, -0.5f, 1.0f, 0.125f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity
+      .jlProject(emb, "vec_id", "embedding", inDim = 4, outDim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    def sign(j: Int, d: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+    }
+    val want = (for {
+      (id, v) <- rows
+      j <- 0 until 2
+    } yield {
+      val s = (0 until 4).map(d => sign(j, d) * v(d).toDouble).sum
+      val y = BigDecimal(s / math.sqrt(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, j.toLong, y)
+    }).toSet
+    assert(got == want)
+    // the zero vector projects to exactly zero in every output dim
+    assert(got.filter(_._1 == 3L).forall(_._3 == 0.0))
+  }
+
+  test("powerIteration: recovers a planted dominant axis, Rayleigh in its gap") {
+    import spark.implicits._
+    // 40 vectors hugging axis 1 (amplitude 2), light noise on axes 0/2/3:
+    // the top eigenvector of the second moment must point along dim 1.
+    val rows = (0 until 40).map { k =>
+      val main = if (k % 2 == 0) 2.0f else -2.0f
+      (k.toLong, Array(0.1f * (k % 3), main, 0.05f * (k % 5), 0.1f))
+    }
+    val got = graft.ext.Similarity
+      .powerIteration(rows.toDF("vec_id", "embedding"), "embedding",
+        inDim = 4, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val xs = got.map(_._2)
+    assert(math.abs(xs(1)) == xs.map(math.abs).max,
+      s"dominant component must be dim 1: ${xs.mkString(",")}")
+    // Rayleigh quotient sits between the planted axis power and the trace
+    val eig = got.head._3
+    val vecs = rows.map(_._2)
+    val planted = vecs.map(v => v(1).toDouble * v(1)).sum
+    val trace = vecs.flatMap(_.map(x => x.toDouble * x)).sum
+    assert(eig >= planted * 0.99 && eig <= trace * 1.01,
+      s"eig=$eig outside [$planted, $trace]")
+  }
 }
