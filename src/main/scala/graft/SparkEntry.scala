@@ -598,6 +598,21 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ── §2.9 X105: leakage-safe split — md5 bucket drawn from the CC
+    //    component label, so cross-split dup pairs are zero by
+    //    construction (the fix for what q_split_leakage measures) ─────────
+    "q_leak_safe_split" -> ((s, dir) =>
+      Dedup.leakSafeSplit(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── §2.9 X106: cross-source duplication matrix — verified near-dup
+    //    pairs rolled up per unordered source pair; diagonal = within-
+    //    source dup pressure, off-diagonal = contamination flow ───────────
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceDup(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+        .orderBy("source_a", "source_b")),
+
     // ── §2.9 X1h: the COMPLETE dedup pipeline — exact dedup → LSH-verified
     //    near-dup pairs among survivors → connected components → canonical
     //    doc per input document (keep rows where doc_id == canonical) ─────
@@ -2845,6 +2860,33 @@ object SparkEntry {
          FROM vp JOIN sp sa ON sa.doc_id = vp.da
                  JOIN sp sb ON sb.doc_id = vp.db
          WHERE sa.split <> sb.split ORDER BY a, b""",
+    // Split bucket drawn from the CC component label (min reachable id,
+    // the engine's converged CC labeling) instead of the per-doc group —
+    // every near-dup pair shares a component, hence a split
+    "q_leak_safe_split" ->
+      s"""WITH RECURSIVE $lshCandSql,
+         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
+         reach(n, l) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
+         comp AS (SELECT n, min(l) c FROM reach GROUP BY n)
+         SELECT n AS doc_id, CAST(c AS BIGINT) AS component,
+                CASE WHEN ${bucketSql("CAST(c AS VARCHAR)")} < 80
+                       THEN 'train'
+                     WHEN ${bucketSql("CAST(c AS VARCHAR)")} < 90
+                       THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM comp ORDER BY doc_id""",
+    // Verified near-dup pairs rolled up per unordered source pair
+    "q_source_overlap" ->
+      s"""WITH $verifiedPairsSql,
+         j AS (SELECT least(a.source, b.source) AS source_a,
+                      greatest(a.source, b.source) AS source_b
+               FROM vp JOIN documents a ON a.doc_id = vp.da
+                       JOIN documents b ON b.doc_id = vp.db)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM j GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "q_cosine_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
                            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

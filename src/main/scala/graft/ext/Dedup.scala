@@ -376,6 +376,63 @@ object Dedup {
         sum(col("__n") - 1).cast("long").as("n_removable"),
         sum((col("__n") - 1) * col("__c")).cast("long").as("wasted_chars"))
 
+  /** X105 — leakage-safe train/valid/test split: assign every document
+    * the split of its near-dup CLUSTER, not its own id — the fix for
+    * what X25b's `splitLeakage` measures. A naive per-doc (or per-group)
+    * hash split puts near-duplicates of a training document into the
+    * eval set, silently inflating benchmark scores; drawing the md5
+    * bucket from the connected-component label instead makes cross-split
+    * dup pairs ZERO BY CONSTRUCTION (every pair is an edge; both ends
+    * share a component, hence a split — `SplitSpec` pins the
+    * splitLeakage-of-leakSafeSplit == 0 differential).
+    *
+    * Scale shape: X1c LSH candidates → X1g adaptive pointer-doubling CC
+    * (never corpus²), then one deterministic md5 bucket of the component
+    * label per doc — the split adds NO shuffle beyond the CC it reuses.
+    * Singleton docs are their own component: they split like a plain
+    * hash split.
+    */
+  def leakSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                    splits: Seq[(String, Int)] =
+                      Seq(("train", 80), ("valid", 10), ("test", 10)),
+                    k: Int = 16, bands: Int = 4): DataFrame =
+    Sampling.splitAssign(
+        connectedComponents(
+          docs.select(col(idCol).as("doc_id")),
+          minHashLsh(docs, idCol, textCol, k, bands)),
+        "component", splits)
+      .select(col("doc_id"), col("component").cast("long").as("component"),
+        col("split"))
+
+  /** X106 — cross-source duplication matrix: how much each pair of
+    * sources (crawls, dumps, vendors) overlaps at the near-dup level —
+    * the number a curation team reads to decide which acquisition is
+    * redundant and where contamination flows between corpus slices
+    * (X81d's dupMass is within-group exact copies; this is BETWEEN
+    * groups, verified near-dups). Symmetric: pairs roll up under the
+    * (least, greatest) source ordering, so the matrix is upper-
+    * triangular with the diagonal holding within-source dup pressure.
+    *
+    * Scale shape: the X1b verified-pair frame is output-bounded (banded
+    * LSH + df cap — never corpus²); two id-keyed joins attach sources
+    * (the planner broadcasts whichever side is small — at web scale the
+    * pair frame, orders below the corpus), one |sources|²-bounded count
+    * aggregation with map-side partials.
+    */
+  def crossSourceDup(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, threshold: Double = 0.3,
+                     maxDf: Int = 100): DataFrame = {
+    val src = docs.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    minHashVerified(docs, idCol, textCol, threshold, maxDf = maxDf)
+      .join(src.select(col("__sid").as("da"), col("__src").as("__sa")),
+        Seq("da"))
+      .join(src.select(col("__sid").as("db"), col("__src").as("__sb")),
+        Seq("db"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** X81 — PageRank over an undirected pair graph (near-dup candidates,
     * record-linkage matches, co-occurrence edges) in DETERMINISTIC FIXED
     * POINT: ranks are integers scaled by 10¹², every step is integer
