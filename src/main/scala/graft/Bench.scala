@@ -65,16 +65,17 @@ object Bench {
     // between the three passes can (tight spread = plan, wide = machine)
     val passTotals = passes.map(p => ms3(p.map { case (_, (_, t)) => t }.sum))
       .mkString("[", ",", "]")
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passTotals,"queries":$qs,"sf":"$sfDir"}"""
-    println(full)
     // ANN recall gate (full-suite runs only): the PQ tiers' hashed oracle
     // certifies probe completeness, not quality — their recall floors live
     // in specs at fixture scale. Recall is DATA- and SCALE-dependent
     // (kCodes=16 defaults sank 0.76→0.28 from sf0.001 to sf0.1), so the
-    // bench loop re-measures both declared tiers at ITS scale every round
-    // and reports against the floor — asserted, not hashed.
-    if (args.isEmpty) {
+    // bench loop re-measures both declared tiers at ITS scale every round.
+    // A breach is recorded in the bench JSON itself ("ann_recall_ok":
+    // false) AND fails the process with a nonzero exit — a regression
+    // must be visible to automation that never greps free-text output.
+    // A gate that cannot RUN (rGate = None) is reported but does not
+    // fail the bench: absence of a measurement is not a measured breach.
+    val rGate: Option[(Double, Double)] = if (args.isEmpty) {
       try {
         import graft.ext.Similarity
         import org.apache.spark.sql.functions.{avg, col}
@@ -90,12 +91,23 @@ object Bench {
           _ < 10, k = 5, nprobe = 32, m = 8, kCodes = 64, refine = 16,
           dim = 64))
         brute.unpersist()
-        println(s"""{"metric":"ann_recall","pq":$rPq,"ivfpq":$rIvfpq,"floor":0.6,"sf":"$sfDir"}""")
-        if (rPq < 0.6 || rIvfpq < 0.6)
-          println(s"ANN RECALL BELOW FLOOR: pq=$rPq ivfpq=$rIvfpq < 0.6")
+        Some((rPq, rIvfpq))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall gate failed: ${e.getMessage}")
+        None
       }
+    } else None
+    val recallOk = rGate.forall { case (p, i) => p >= 0.6 && i >= 0.6 }
+    val gateJson = rGate.map { case (p, i) =>
+      s""","ann_recall":{"pq":$p,"ivfpq":$i,"floor":0.6,"ok":$recallOk}"""
+    }.getOrElse("")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passTotals$gateJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    rGate.foreach { case (rPq, rIvfpq) =>
+      println(s"""{"metric":"ann_recall","pq":$rPq,"ivfpq":$rIvfpq,"floor":0.6,"ok":$recallOk,"sf":"$sfDir"}""")
+      if (!recallOk)
+        println(s"ANN RECALL BELOW FLOOR: pq=$rPq ivfpq=$rIvfpq < 0.6")
     }
     // Short machine-parseable summary LAST: the full line above overflows
     // the driver's 2000-char tail once the suite passed ~60 queries (its
@@ -115,5 +127,8 @@ object Bench {
       }
     }
     spark.stop()
+    // after all records are written/printed: a measured recall breach
+    // fails the process so CI-style automation cannot miss it
+    if (!recallOk) sys.exit(1)
   }
 }

@@ -173,9 +173,33 @@ object SparkEntry {
           CoreOps.shardTableName("shard", col("id")).as("shard_name"))
         .orderBy("id")),
 
-    // ── §2.1 S1/S2: recursive file listing (NameNode walk analog) ───────
-    "q_file_listing" -> ((s, dir) =>
-      CoreOps.fileListing(s, dir).select("name").orderBy("name")),
+    // ── §2.1 S1/S2: recursive file listing (NameNode walk analog),
+    //    certified LAYOUT-INDEPENDENTLY: the walk discovers every data
+    //    file under the root (single-file fixture tables AND directory-
+    //    of-parts GenData tables), the discovered splits are then
+    //    actually SCANNED per table and the row counts compared against
+    //    the oracle's count(*) over the registered views — a part file
+    //    the walk misses flips the count. Collecting the discovered
+    //    (table, path) pairs is bounded file METADATA, the same set
+    //    InMemoryFileIndex holds on the driver for planning any scan. ────
+    "q_file_listing" -> ((s, dir) => {
+      import s.implicits._
+      val root = dir.stripSuffix("/")
+      val data = CoreOps.fileListing(s, dir)
+        .where(col("name").endsWith(".parquet") &&
+          !col("name").startsWith(".") && !col("name").startsWith("_"))
+        .withColumn("table_name",
+          regexp_replace(
+            regexp_extract(col("path"),
+              java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
+            "\\.parquet$", ""))
+      val byTable = data.select("table_name", "path").as[(String, String)]
+        .collect().groupBy(_._1).toSeq.sortBy(_._1)
+      val counts = byTable.map { case (tbl, ps) =>
+        (tbl, s.read.parquet(ps.map(_._2).toIndexedSeq: _*).count())
+      }
+      counts.toDF("table_name", "n_rows").orderBy("table_name")
+    }),
 
     // ── headline agg: TPC-H Q1-style pricing summary (bench flagship) ───
     "q1_pricing" -> ((s, dir) =>
@@ -778,10 +802,25 @@ object SparkEntry {
     // ── §2.9: multimodal feature extraction over REAL decoded units —
     //    each doc routed to its dispatch format's real codec (WAV/BMP/
     //    PNG/JPEG/GIF), features (unit count, first unit, mod-997
-    //    checksum) computed from the DECODED stream, not the raw payload ──
+    //    checksum) computed from the DECODED stream, not the raw payload.
+    //    Empty docs are filtered (no container to synthesize — same rule
+    //    as q_media_frames) and the ASCII fixture contract (byte i ==
+    //    ascii(char i), the oracle's spelling) is a CHECKED invariant:
+    //    a non-ASCII doc would make text bytes ≠ per-char ascii() and is
+    //    rejected loudly rather than silently hash-diverging ──────────────
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Media.decodeFeatures(t(s, dir, "documents"), "doc_id", "text")
+      Media.decodeFeatures(
+          t(s, dir, "documents")
+            .where(length(col("text")) > 0)
+            // assert_true yields NULL on success (filter passes) and
+            // THROWS on a non-ASCII doc; living inside the Filter keeps
+            // it from being pruned the way a dropped column would be
+            .where(assert_true(
+              length(col("text")) === octet_length(col("text")),
+              lit("q_media_features requires ASCII text (oracle contract)"))
+              .isNull),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1947,12 +1986,24 @@ object SparkEntry {
                             + CAST('18446744073709551616' AS DECIMAL(21,0)) END AS uid
            FROM orders
          ) ORDER BY id""",
+    // Layout-independent: the engine walks the directory tree, scans the
+    // discovered splits per table, and reports row counts; the oracle
+    // recomputes count(*) over the registered views. Green whether a
+    // table is one fixture file or a GenData directory of part files —
+    // and a part file the walk missed would flip the count.
     "q_file_listing" ->
-      """SELECT name FROM (VALUES ('customer.parquet'), ('documents.parquet'),
-           ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
-           ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
-           ('region.parquet'), ('supplier.parquet')) AS t(name)
-         ORDER BY name""",
+      """SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (
+           SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+           UNION ALL SELECT 'documents', count(*) FROM documents
+           UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+           UNION ALL SELECT 'events', count(*) FROM events
+           UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+           UNION ALL SELECT 'nation', count(*) FROM nation
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'part', count(*) FROM part
+           UNION ALL SELECT 'region', count(*) FROM region
+           UNION ALL SELECT 'supplier', count(*) FROM supplier
+         ) ORDER BY table_name""",
     // the same text modulo dialect: the engine ranks and limits on the
     // exact integer rev before the single double finish, so the top-10
     // cut can never flip on a float ulp
@@ -2305,8 +2356,11 @@ object SparkEntry {
     // version (see q_quantize_int8).
     // Integer power iteration replayed as 6 unrolled MATERIALIZED CTE
     // rounds over the same quantized integer Gram; HUGEINT carries the
-    // products, `//` floors like the engine's BigInt floorDiv, and the
-    // Rayleigh finish is one correctly-rounded division + 6-dp round
+    // products, `//` TRUNCATES toward zero (-7//2 = -3) exactly like the
+    // engine's truncating BigInt `/` — do NOT change either side to a
+    // flooring division, it diverges on negative components (see
+    // powerIterRoundSql's docstring) — and the Rayleigh finish is one
+    // correctly-rounded division + 6-dp round
     "q_power_iter" ->
       s"""WITH g AS MATERIALIZED (
            SELECT i, j,

@@ -519,8 +519,15 @@ object Dedup {
       nEdges = nNext
       r += 1
     }
+    // Materialize the (node, degree) output eagerly (bounded: ≤ 2·|V|
+    // rows of the surviving core) so the edge frame can be RELEASED here
+    // — without this, a long-lived driver session accumulates one cached
+    // edge frame per kCore invocation. localCheckpoint cuts the k-round
+    // join lineage; its blocks are ContextCleaner-managed.
     val out = edges.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
+      .localCheckpoint(true)
+    edges.unpersist()
     out
   }
 

@@ -75,6 +75,7 @@ object CoreOps {
     var level = 0
     val levelSizes = Seq.newBuilder[Int]
     var fileRdds = List.empty[org.apache.spark.rdd.RDD[FileEntry]]
+    var persisted = List.empty[org.apache.spark.rdd.RDD[FileEntry]]
     val wide = parallelism * 4 // enough dirs that a recursive walk balances
     while (frontier.nonEmpty && frontier.size < wide && level < maxBfsLevels) {
       levelSizes += frontier.size
@@ -91,6 +92,7 @@ object CoreOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontier = lvl.filter(_.isDir).map(_.path).collect().toSeq
       fileRdds ::= lvl.filter(!_.isDir)
+      persisted ::= lvl
       level += 1
     }
     if (frontier.nonEmpty) {
@@ -106,8 +108,15 @@ object CoreOps {
           }
         }
     }
+    // Materialize the union eagerly (file METADATA rows — the same scale
+    // InMemoryFileIndex would hold on the driver, kept distributed here)
+    // so every per-level RDD can be RELEASED now instead of living in the
+    // result's lineage until driver GC. localCheckpoint blocks are
+    // ContextCleaner-managed once the caller drops the frame.
     val df = fileRdds.foldLeft(rootDf)((acc, r) =>
       acc.union(spark.createDataset(r).toDF()))
+      .localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
     (df, levelSizes.result())
   }
 
