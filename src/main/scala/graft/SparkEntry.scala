@@ -241,6 +241,30 @@ object SparkEntry {
         ORDER BY rev DESC, o_orderkey LIMIT 10""")
     }),
 
+    // ── SQL front door #2: the EXTENSION surface reached as pure SQL
+    //    text — graft_dot (native codegen dot product) and graft_hilbert
+    //    (native codegen curve index) resolved by the SparkSessionExtensions
+    //    registration, not the DataFrame call_function path. The dot runs
+    //    over round(x*256)-quantized doubles (q_power_iter's proven
+    //    quantization): integer-valued products ≤ 2^30 summed 64-deep stay
+    //    exact in IEEE double in ANY order, so the BIGINT cast is
+    //    partitioning-independent and the oracle can replay it as integer
+    //    arithmetic ─────────────────────────────────────────────────────────
+    "q_sql_graft_fn" -> ((s, dir) => {
+      graft.GraftExtensions.ensure(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT vec_id,
+               CAST(graft_dot(
+                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 256) AS DOUBLE)),
+                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 256) AS DOUBLE)))
+                 AS BIGINT) AS qnorm2,
+               graft_hilbert(CAST(vec_id % 64 AS BIGINT),
+                             CAST(label % 64 AS BIGINT), 6) AS h
+        FROM embeddings
+        ORDER BY vec_id""")
+    }),
+
     // ── fact ⋈ broadcast-dim aggregate over the part dimension ──────────
     "q_brand_volume" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -835,6 +859,18 @@ object SparkEntry {
           frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_no"),
           lower(hex(col("frame"))).as("frame"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
+    // ── §2.9: pixel-true VIDEO decode — MJPEG-in-MP4: real JPEG frames
+    //    muxed into a real ISO-BMFF container, keyframes demuxed via the
+    //    sample tables, pixels decoded per keyframe by the real JDK codec,
+    //    verified by geometry + the bounded-reconstruction-error verdict
+    //    (the q_media_jpeg contract, now per VIDEO keyframe) ──────────────
+    "q_media_video" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Media.mjpegVideoDecode(t(s, dir, "documents"), "doc_id", "text",
+          width = 16, frameBytes = 64, stride = 2)
         .orderBy("doc_id", "frame_no")
     }),
 
@@ -2004,6 +2040,28 @@ object SparkEntry {
            UNION ALL SELECT 'region', count(*) FROM region
            UNION ALL SELECT 'supplier', count(*) FROM supplier
          ) ORDER BY table_name""",
+    // graft_dot replayed as integer arithmetic over the same round(x*256)
+    // quantization (exact — products ≤ 2^30, 64-deep sums ≤ 2^36);
+    // graft_hilbert replayed as the 6-level unrolled xy2d walk (the same
+    // MATERIALIZED-CTE discipline as q_hilbert_stats, here with ox
+    // carrying vec_id so the walk joins back to its row)
+    "q_sql_graft_fn" ->
+      s"""WITH q AS MATERIALIZED (
+           SELECT vec_id,
+                  sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 256) AS BIGINT)
+                    * CAST(round(CAST(embedding[i+1] AS DOUBLE) * 256) AS BIGINT))
+                    AS qnorm2
+           FROM embeddings, unnest(range(0, len(embedding))) r(i)
+           GROUP BY 1),
+         h0 AS MATERIALIZED (
+           SELECT vec_id AS ox, 0 AS oy,
+                  vec_id % 64 AS x, label % 64 AS y, CAST(0 AS BIGINT) AS d
+           FROM embeddings),
+         ${(0 until 6).map(hilbertLevelSql(_, 6)).mkString(",\n         ")}
+         SELECT q.vec_id, CAST(q.qnorm2 AS BIGINT) AS qnorm2,
+                CAST(h6.d AS BIGINT) AS h
+         FROM q JOIN h6 ON h6.ox = q.vec_id
+         ORDER BY vec_id""",
     // the same text modulo dialect: the engine ranks and limits on the
     // exact integer rev before the single double finish, so the top-10
     // cut can never flip on a float ulp
@@ -3148,6 +3206,20 @@ object SparkEntry {
     "q_media_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
                 lower(hex(encode(substr(text, CAST(i*64+1 AS INT), 64)))) AS frame
+         FROM documents,
+              unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
+         WHERE i % 2 = 0 AND strlen(text) > 0
+         ORDER BY doc_id, frame_no""",
+    // MJPEG-in-MP4 pixel decode: keyframes at the stss stride (even frame
+    // indices), geometry fixed by construction (16×4 = 64 zero-padded gray
+    // pixels per frame), and the lossy tier's verification value is the
+    // engine-side bounded-reconstruction-error verdict (q_media_jpeg's
+    // contract) — a broken demux, wrong payload, or broken pixel decode
+    // flips lossy_ok to 0 and hash-diverges.
+    "q_media_video" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+                CAST(16 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+                CAST(64 AS BIGINT) AS n_pixels, CAST(1 AS BIGINT) AS lossy_ok
          FROM documents,
               unnest(range(0, CAST(greatest(ceil(strlen(text)/64.0), 1) AS BIGINT))) t(i)
          WHERE i % 2 = 0 AND strlen(text) > 0

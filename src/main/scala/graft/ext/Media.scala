@@ -25,11 +25,15 @@ case class MediaItem(doc_id: Long, media: Array[Byte], format: String, n_bytes: 
   *    muxes/demuxes genuine ISO-BMFF, resolving keyframe byte ranges from
   *    the stsz/stsc/stco/stss sample tables (`MediaCodecs.encodeMp4` /
   *    `mp4SyncSamples`) — the 100 TB keyframe-sampling shape.
-  *  - Only compressed-video PIXEL decode (H.264 and friends) has no JVM
-  *    codec — the honest ecosystem limit. Everything around that slot is
-  *    real: feature extraction ([[decodeFeatures]]) runs over genuinely
-  *    decoded units, and frame sampling ([[mp4FramePayloads]]) reads
-  *    keyframe bytes back out of a real container demux.
+  *  - Compressed-video PIXEL decode is REAL for intra-frame video:
+  *    [[mjpegVideoDecode]] muxes genuine JPEG frames into a genuine MP4
+  *    and decodes pixels per demuxed keyframe (MJPEG-in-MP4 — the
+  *    pipeline composed entirely of codecs the engine owns). Only
+  *    INTER-frame codecs (H.264 P/B-frames and friends) remain outside a
+  *    zero-dependency JVM — the narrowed ecosystem limit. Feature
+  *    extraction ([[decodeFeatures]]) runs over genuinely decoded units,
+  *    and frame sampling ([[mp4FramePayloads]]) reads keyframe bytes back
+  *    out of a real container demux.
   * The Spark-side plumbing — binary schema, partition-batched execution,
   * feature schema — is identical across tiers and oracle-tested.
   */
@@ -406,6 +410,69 @@ object Media {
         }
       }
       .toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** REAL pixel-true VIDEO decode — an MJPEG-in-MP4 pipeline built
+    * entirely from codecs the engine already owns: each document's bytes
+    * become a sequence of `frameBytes`-pixel grayscale frames, every
+    * frame is REALLY encoded as baseline JPEG ([[JpegCodec.encodeGray]],
+    * the same JDK codec oracle-verified by q_media_jpeg), the JPEG
+    * payloads are REALLY muxed into a single-track ISO-BMFF container
+    * ([[MediaCodecs.encodeMp4]], oracle-verified by q_media_mp4), and the
+    * read side then does what a 100 TB video pipeline does: demux the
+    * keyframe byte ranges from the stsz/stsc/stco/stss sample tables and
+    * run the EXPENSIVE pixel decode only on those sampled keyframes —
+    * every decoded pixel travels the full container+codec path.
+    *
+    * Output per (doc, keyframe): decoded geometry from the JPEG header,
+    * decoded pixel count, and `lossy_ok` — the bounded mean-absolute-
+    * reconstruction-error verdict against the pre-encode frame
+    * (q_media_jpeg's verification contract: a zeroed/shuffled/cropped
+    * decode blows the bound, genuine DCT quantization error does not).
+    *
+    * This retires the former "compressed-video pixel decode has no JVM
+    * codec" stub for INTRA-frame video: only inter-frame codecs (H.264
+    * P/B-frames and friends) remain outside a zero-dependency JVM.
+    */
+  def mjpegVideoDecode(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int = 16, frameBytes: Int = 64,
+                       stride: Int = 2, errBound: Double = 32.0)
+                      (implicit spark: SparkSession): DataFrame = {
+    require(width > 0 && frameBytes % width == 0 && stride > 0,
+      s"frameBytes=$frameBytes must be a multiple of width=$width")
+    import spark.implicits._
+    val height = frameBytes / width
+    docs.select(col(idCol).cast(LongType).as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val n = bytes.length
+            val nFrames = (n + frameBytes - 1) / frameBytes
+            // pre-encode gray frames (zero-padded to full geometry) kept
+            // for the reconstruction-error verdict
+            val grays = Array.tabulate(nFrames) { j =>
+              val f = new Array[Byte](frameBytes)
+              val len = math.min(frameBytes, n - j * frameBytes)
+              System.arraycopy(bytes, j * frameBytes, f, 0, len)
+              f
+            }
+            val jpegs = grays.map(JpegCodec.encodeGray(width, height, _))
+            val mp4 = MediaCodecs.encodeMp4(jpegs, syncEvery = stride)
+            MediaCodecs.mp4SyncSamples(mp4).iterator.map {
+              case (idx, payload) =>
+                val (dw, dh, decoded) = JpegCodec.decodeGray(payload)
+                val ok = dw == width && dh == height &&
+                  JpegCodec.meanAbsError(grays(idx), decoded) <= errBound
+                (id, idx.toLong, dw.toLong, dh.toLong, decoded.length.toLong,
+                  if (ok) 1L else 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "n_pixels", "lossy_ok")
   }
 
   /** Mixed-format decode DISPATCH — the multimodal column as it actually
