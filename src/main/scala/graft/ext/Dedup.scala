@@ -492,7 +492,18 @@ object Dedup {
     * its degree there, both engine-exact integers.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 8,
-            aCol: String = "da", bCol: String = "db"): DataFrame = {
+            aCol: String = "da", bCol: String = "db"): DataFrame =
+    kCoreWithRounds(pairs, k, rounds, aCol, bCol)._1
+
+  /** [[kCore]] plus the number of peel rounds actually run before the
+    * fixpoint (== measured peel depth when it converges under `rounds`) —
+    * the observable that calibrates the `rounds = 8` contract constant:
+    * specs assert measured ≤ rounds − 2 headroom, and tools.GraphDepth
+    * records it at scale (SCALING.md). Package-private like
+    * [[connectedComponentsWithRounds]]. */
+  private[graft] def kCoreWithRounds(
+      pairs: DataFrame, k: Int, rounds: Int = 8,
+      aCol: String = "da", bCol: String = "db"): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, s"k=$k, rounds=$rounds must be positive")
     val spark = pairs.sparkSession
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -528,7 +539,10 @@ object Dedup {
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("degree"))
       .localCheckpoint(true)
     edges.unpersist()
-    out
+    // converged in round r means round r was the first NO-OP round: the
+    // peel DEPTH (rounds that removed something) is r − 1; an unconverged
+    // run reports the cap itself (caller must treat that as "≥ rounds")
+    (out, if (converged) r - 1 else r)
   }
 
   def pageRank(edges: DataFrame, iterations: Int = 5,

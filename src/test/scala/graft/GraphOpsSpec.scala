@@ -182,4 +182,23 @@ class GraphOpsSpec extends AnyFunSuite {
     // every survivor has within-core degree ≥ k — the defining property
     assert(at8.forall(_._2 >= 2L))
   }
+
+  test("iteration constants carry measured headroom: peel/CC depth <= constant - 2") {
+    // tools.GraphDepth measured the REAL dup-graph fixpoint depths at
+    // sf0.01 / sf0.1 / GenData sf1: peel depth 1, CC rounds 2 at every
+    // scale (SCALING.md). This pins the same headroom rule on the fixture
+    // so a graph-shape change that eats the margin fails HERE, two rounds
+    // before it would truncate the 8-round kCore unroll or the CC cap.
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text").persist()
+    val (_, peel) = Dedup.kCoreWithRounds(pairs, k = 2, rounds = 64)
+    val (_, ccRounds) = Dedup.connectedComponentsWithRounds(
+      docs.select("doc_id"), pairs, maxIter = 40)
+    pairs.unpersist()
+    assert(peel <= 8 - 2,
+      s"measured peel depth $peel leaves <2 rounds of headroom under the 8-round contract")
+    assert(ccRounds <= 7 - 2,
+      s"measured CC rounds $ccRounds leave <2 rounds of headroom under the 7-round pin")
+    info(s"measured peel depth $peel (contract 8), CC rounds $ccRounds (pin 7)")
+  }
 }

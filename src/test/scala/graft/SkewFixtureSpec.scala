@@ -107,6 +107,93 @@ class SkewFixtureSpec extends AnyFunSuite {
     assert(s3.subsetOf(s10), "tightening the cap must not resurrect rows")
   }
 
+  test("AQE skew join MEASURED: max per-task shuffle-read stays bounded after the split") {
+    // PlanSpec pins the `skew=true` plan marker; this is the RUNTIME half
+    // of the claim (q_bigram_novelty's "AQE can split a stop-bigram hub"):
+    // run the hub join both ways and measure actual per-task shuffle-read
+    // records through a SparkListener. Without the split one task reads
+    // the whole hub; with it, no task may read more than a bounded slice.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+    def measureMaxTaskRecords(body: => Unit): Long = {
+      val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val r = m.shuffleReadMetrics.recordsRead
+            maxRec.getAndUpdate(c => math.max(c, r))
+            seen.incrementAndGet()
+          }
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        body
+        // the listener bus is async: poll until the event stream drains
+        // (stable for 600ms) instead of a blind sleep
+        var prev = -1L; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(200); waited += 200
+          val cur = maxRec.get * 1000003 + seen.get
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        maxRec.get
+      } finally sc.removeSparkListener(listener)
+    }
+
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.shuffle.partitions", "16")
+      // fat rows so the hub partition dwarfs the 8KB threshold; the
+      // round-robin repartition spreads the hub over 32 MAP outputs —
+      // AQE's skew split works at map-chunk granularity, so a hub that
+      // lives in one map partition (range data is contiguous) could not
+      // be subdivided no matter the advisory size
+      val fact = skewed.repartition(32).withColumn("pad",
+        concat_ws("", (0 until 4).map(i =>
+          md5(concat(lit(i), col("id").cast("string")))): _*))
+      val dim = spark.range(201).toDF("key").withColumn("attr", col("key") * 7)
+
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val maxNaive = measureMaxTaskRecords {
+        assert(fact.join(dim, "key").collect().length == N)
+      }
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val maxSplit = measureMaxTaskRecords {
+        assert(fact.join(dim, "key").collect().length == N)
+      }
+      // naive: some task reads the whole hub (3000 rows; other keys hash
+      // alongside it, so >= HUB). split: no task may read more than half
+      // the hub - the measured per-task bound the 100 TB claim rests on.
+      assert(maxNaive >= HUB,
+        s"fixture failed to concentrate the hub on one task: $maxNaive")
+      assert(maxSplit <= HUB / 2,
+        s"AQE split left a task reading $maxSplit records (hub=$HUB, naive=$maxNaive)")
+      info(s"max per-task shuffle-read records: naive=$maxNaive skew-split=$maxSplit")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("orientByDegree: wedge mass bounded on a mid-id power-law hub") {
     // star around vertex 500 (id mid-order, degree 999 — the id-ordered
     // orientation's worst case) plus rim edges closing triangles

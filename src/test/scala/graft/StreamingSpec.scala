@@ -333,4 +333,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered == Set((1L, "a")),
       s"retry after recovery must converge: $recovered")
   }
+
+  // ── measured STATE BOUNDS (the SURVEY §2.8 scale contract) ────────────
+  /** Long-tailed fixture: 24 hours of events, one parquet FILE per 2-hour
+    * slice with strictly increasing mod-times, so the file source admits
+    * slices in event-time order (`maxFilesPerTrigger=1` → one slice per
+    * micro-batch) and the watermark genuinely ADVANCES and EVICTS between
+    * batches — the thing a single-batch AvailableNow run can never show.
+    * Per hour: 5 users × 3 events (minutes 0/10/20 — the 40-minute idle
+    * tail closes each hour's session against the 30-minute gap) × 2 event
+    * types = 30 rows/hour, 720 total. */
+  private lazy val longTail: (String, Long) = {
+    import spark.implicits._
+    val dirF = Files.createTempDirectory("graft_state_src_").toFile
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for {
+      h <- 0 until 24; m <- Seq(0, 10, 20); u <- 0 until 5
+      t <- Seq("view", "click")
+    } yield ((h * 10000 + m * 100 + u * 2 + (if (t == "view") 0 else 1)).toLong,
+      u.toLong, t, 1.0,
+      new java.sql.Timestamp(baseMs + h * 3600000L + m * 60000L))
+    val df = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    for (sl <- 0 until 12) {
+      val stage = Files.createTempDirectory("graft_state_slice_").toString
+      df.where(col("ts") >= new java.sql.Timestamp(baseMs + sl * 7200000L) &&
+          col("ts") < new java.sql.Timestamp(baseMs + (sl + 1) * 7200000L))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dirF, f"slice$sl%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(baseMs + sl * 60000L))
+    }
+    (dirF.toString, rows.size.toLong)
+  }
+
+  /** (max, final, maxMemBytes) of per-batch total state rows across the
+    * run's StateOperatorProgress records. */
+  private def stateStats(
+      q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
+    val progs = q.recentProgress.toSeq
+    val rows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val mem = progs.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+    val nonEmpty = rows.filter(_ > 0)
+    (if (nonEmpty.isEmpty) 0L else nonEmpty.max,
+      if (nonEmpty.isEmpty) 0L else nonEmpty.last,
+      if (mem.isEmpty) 0L else mem.max)
+  }
+
+  test("stream-stream join / sessions / dedup state is bounded by the " +
+      "watermark horizon, not by stream length") {
+    val (dir, total) = longTail
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, ts TIMESTAMP")
+    def src() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def run(name: String, out: DataFrame): (Long, Long, Long) = {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmp("graft_ckpt_state_"))
+        .start()
+      q.awaitTermination()
+      stateStats(q)
+    }
+
+    // interval join: each side retains ≤ within(1h)+watermark(2h) plus one
+    // 2h admission slice of rows — ≤ 5h/side = 75 rows/side vs 360
+    // arriving per side. Bound asserted with 2× headroom; the "not stream
+    // length" clause is max ≪ total.
+    val ev = src()
+    val (jMax, jLast, jMem) = run("state_join",
+      EventStreams.correlate(ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "click"), withinSec = 3600L))
+    assert(jMax > 0, "join progress must record state")
+    assert(jMax <= 300, s"join state rows $jMax exceed the horizon bound")
+    assert(jMax < total / 2, s"join state $jMax grew with stream length $total")
+
+    // session window: open sessions only — ≤ users × (horizon / hourly
+    // session) ≈ 5×3, far under the 720 inputs
+    val (sMax, sLast, sMem) = run("state_sess", EventStreams.sessions(src()))
+    assert(sMax > 0 && sMax <= 100,
+      s"session state rows $sMax exceed the open-session bound")
+
+    // dedup: one row per distinct hash inside the 2h watermark + slice —
+    // ≤ ~4h×30 rows vs 720 distinct hashes total
+    val (dMax, dLast, dMem) = run("state_dedup",
+      EventStreams.dedupStream(
+        src().withColumn("text", concat(lit("t"), col("event_id"))),
+        "event_id", "text", "ts", watermark = "2 hours"))
+    assert(dMax > 0 && dMax <= 300,
+      s"dedup state rows $dMax exceed the horizon bound")
+    assert(dMax < total / 2, s"dedup state $dMax grew with stream length $total")
+
+    info(s"state rows (max/final): join $jMax/$jLast, sessions $sMax/$sLast, " +
+      s"dedup $dMax/$dLast; mem bytes max: join $jMem, sessions $sMem, dedup $dMem")
+  }
 }
