@@ -85,10 +85,13 @@ object Bench {
         def recall(ann: org.apache.spark.sql.DataFrame): Double =
           math.rint(Similarity.annHits(ann, brute)
             .agg(avg(col("hits") / 5.0)).head.getDouble(0) * 1000) / 1000
+        // same corpus-adaptive refine as the declared queries — the gate
+        // must measure the configuration users actually get at ITS scale
+        val refine = Similarity.scaledRefine(emb.count())
         val rPq = recall(Similarity.pqTopK(emb, "vec_id", "embedding",
-          _ < 10, k = 5, m = 8, kCodes = 64, refine = 16, dim = 64))
+          _ < 10, k = 5, m = 8, kCodes = 64, refine = refine, dim = 64))
         val rIvfpq = recall(Similarity.ivfpqTopK(emb, "vec_id", "embedding",
-          _ < 10, k = 5, nprobe = 32, m = 8, kCodes = 64, refine = 16,
+          _ < 10, k = 5, nprobe = 32, m = 8, kCodes = 64, refine = refine,
           dim = 64))
         brute.unpersist()
         Some((rPq, rIvfpq))

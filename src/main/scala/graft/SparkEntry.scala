@@ -688,7 +688,13 @@ object SparkEntry {
     //    (max lower-id cosine ≥ τ — exactly SQL-replayable): removed_flat
     //    is a real data column the oracle recomputes, and subset_ok pins
     //    cluster-confined removal ⊆ flat removal (a cluster-mate witness
-    //    is also a global witness). ─────────────────────────────────────
+    //    is also a global witness). COST NOTE: the flat reference is
+    //    DELIBERATELY all-pairs (n² dots — 355 s at sf1's 50k vectors,
+    //    the slowest declared query there) because it is the brute-force
+    //    DIFFERENTIAL the bucketed operator is audited against, the same
+    //    verification-path rule as ngramJaccard; the production operator
+    //    is semanticDedup's IVF-bucketed prune, and a 100 TB deploy runs
+    //    this audit on a sampled sub-corpus, not per-ingest. ────────────
     "q_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val sd = Similarity.semanticDedup(emb, "vec_id", "embedding",
@@ -746,9 +752,14 @@ object SparkEntry {
           // defaults sank below the floor by sf0.1. 64 beats 256 as the
           // default: recall within 0.1 of the 8-bit fit at every scale,
           // 4× less fit/encode work, and 8×6=48 bits still PACK into the
-          // one-long code column (the shift-and-mask codegen ADC path)
+          // one-long code column (the shift-and-mask codegen ADC path).
+          // refine is CORPUS-ADAPTIVE (scaledRefine): fixed refine=16
+          // measured 0.38 recall at sf1's 50k vectors — the re-ranked
+          // fraction must track corpus size (≤sf0.1 fixtures unchanged,
+          // floor 16; the probe-coverage hash is refine-independent)
           Similarity.pqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
-            m = 8, kCodes = 64, refine = 16, dim = 64),
+            m = 8, kCodes = 64,
+            refine = Similarity.scaledRefine(emb.count()), dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
           k = 5)
         .orderBy("pid")
@@ -764,9 +775,11 @@ object SparkEntry {
           // 0.88/0.88/0.74 at sf0.001/0.01/0.1 (old np=16/kCodes=16/r=8
           // defaults: 0.70→0.48 by sf0.1); kCodes=64 keeps the packed
           // codegen ADC — see AnnRecall + the bench loop's per-round
-          // recall gate
+          // recall gate. refine corpus-adaptive like q_ann_pq (fixture
+          // configs ≤sf0.1 bit-unchanged under the floor)
           Similarity.ivfpqTopK(emb, "vec_id", "embedding", _ < 10, k = 5,
-            nprobe = 32, m = 8, kCodes = 64, refine = 16, dim = 64),
+            nprobe = 32, m = 8, kCodes = 64,
+            refine = Similarity.scaledRefine(emb.count()), dim = 64),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
           k = 5)
         .orderBy("pid")
@@ -2929,16 +2942,33 @@ object SparkEntry {
          -- bands pigeonholes at least one IDENTICAL band, so joining on
          -- (band, value) loses nothing and stays bucket-confined — the
          -- all-pairs spelling is corpus^2 and unrunnable at sf1 (50k docs
-         -- -> 10^10 join rows spilled >76 GB before this rewrite)
-         cand AS (SELECT DISTINCT a.doc_id da, c.doc_id db
-                  FROM ch a JOIN ch c ON a.b = c.b AND a.c = c.c
-                    AND c.doc_id > a.doc_id),
-         ham AS (SELECT da, db, sum(bit_count(xor(x.c, y.c))) hh
-                 FROM cand JOIN ch x ON x.doc_id = da
-                   JOIN ch y ON y.doc_id = db AND y.b = x.b
-                 GROUP BY 1, 2)
+         -- -> 10^10 join rows spilled >76 GB before this rewrite).
+         -- The full signature travels WITH each band row, packed into two
+         -- 32-bit halves (one BIGINT would overflow SIGNED int64 at band
+         -- 7), so hamming is one inline bit_count(xor) per matched row
+         -- and the filter runs BEFORE the distinct: no join-back to ch
+         -- (x8 band fanout) and no 10^8-row DISTINCT of an 8.6k-doc hot
+         -- band bucket — the r10 sf1 probe caught the old spelling
+         -- grinding >35 min at >100 GB; this one streams in ~47 s
+         packed AS MATERIALIZED (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN b < 4
+                       THEN c * CAST(pow(2, 8*b) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) lo,
+                  CAST(sum(CASE WHEN b >= 4
+                       THEN c * CAST(pow(2, 8*(b-4)) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) hi
+           FROM ch GROUP BY 1),
+         sig AS MATERIALIZED (
+           SELECT ch.doc_id, ch.b, ch.c, packed.lo, packed.hi
+           FROM ch JOIN packed USING (doc_id)),
+         ham AS (SELECT DISTINCT a.doc_id da, c.doc_id db,
+                        bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) hh
+                 FROM sig a JOIN sig c ON a.b = c.b AND a.c = c.c
+                   AND c.doc_id > a.doc_id
+                 WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 7)
          SELECT da, db, CAST(hh AS BIGINT) hamming FROM ham
-         WHERE hh <= 7 ORDER BY da, db""",
+         ORDER BY da, db""",
     "q_ngram_jaccard" ->
       """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                        FROM documents),

@@ -670,6 +670,21 @@ object Similarity {
     * both the ADC scan and the ranking window to the probes' nprobe IVF
     * buckets.
     */
+  /** Corpus-adaptive exact-re-rank depth for the PQ tiers. PQ recall at
+    * FIXED refine decays as the corpus grows (the r10 sf1 probe measured
+    * the sf0.1-calibrated refine=16 config falling 0.80→0.38 recall@5 at
+    * 50k vectors): with kCodes pinned at 64 by the 6-bit packed-codegen
+    * ADC path, the surviving scale lever is how many ADC-ranked
+    * candidates get the EXACT re-rank. Holding candidates ∝ corpus keeps
+    * the re-ranked fraction constant — re-rank cost is probes × k ×
+    * refine exact dots, still microscopic next to the ADC scan it sits
+    * on. The floor keeps every ≤sf0.1 fixture configuration bit-identical
+    * to the r9-calibrated refine=16; the cap bounds the per-probe ranking
+    * window at any corpus size (past it, grow nCentroids/nprobe instead —
+    * the IVF side of the composition). */
+  def scaledRefine(corpusRows: Long, floor: Int = 16, cap: Int = 512): Int =
+    math.min(cap, math.max(floor, (corpusRows / 400L).toInt))
+
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              probePred: Column => Column, k: Int,
              m: Int = 8, kCodes: Int = 16, lloydIters: Int = 1,

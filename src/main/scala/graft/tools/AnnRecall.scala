@@ -55,7 +55,21 @@ object AnnRecall {
         s"ivfpq(np=$np,m=$m,k=$kc,r=$r)" -> Similarity.ivfpqTopK(emb, "vec_id",
           "embedding", _ < 10, k, nprobe = np, m = m, kCodes = kc, refine = r,
           dim = 64))
-    val sweeps = if (focus) focusSweeps else fullSweeps
+    // `scaled` mode: exactly the DECLARED tier configurations (kCodes=64,
+    // corpus-adaptive refine) — what q_ann_pq / q_ann_ivfpq and the bench
+    // recall gate actually run at this directory's scale
+    val scaled = args.length > 1 && args(1) == "scaled"
+    val scaledSweeps: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+      val r = Similarity.scaledRefine(emb.count())
+      Seq(
+        s"pq(m=8,k=64,r=$r,scaled)" -> Similarity.pqTopK(emb, "vec_id",
+          "embedding", _ < 10, k, m = 8, kCodes = 64, refine = r, dim = 64),
+        s"ivfpq(np=32,k=64,r=$r,scaled)" -> Similarity.ivfpqTopK(emb,
+          "vec_id", "embedding", _ < 10, k, nprobe = 32, m = 8, kCodes = 64,
+          refine = r, dim = 64))
+    }
+    val sweeps =
+      if (scaled) scaledSweeps else if (focus) focusSweeps else fullSweeps
     for ((name, ann) <- sweeps) {
       val perProbe = Similarity.annHits(ann, exact)
         .orderBy("pid").collect()
