@@ -1285,6 +1285,34 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ── §2.9 X107: bucketed co-located join — both sides written bucketed
+    //    by the join key (the layout shuffle paid ONCE at write), then the
+    //    merge join AND the per-key aggregate run with ZERO data-path
+    //    Exchange: the bucketing IS the partitioning for both (PlanSpec
+    //    pins it; the only Exchange left is the oracle's final ORDER BY).
+    //    The 100 TB shape for repeated large⋈large joins ───────────────────
+    "q_bucket_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucket_")
+        .toString
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bucket_li")
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$wh/ord")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bucket_ord")
+      s.table("graft_bucket_li")
+        .join(s.table("graft_bucket_ord").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        // quantities are integer-valued (TESTDATA.md) — cast-then-sum is
+        // exact and order-independent, no DECIMAL needed
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── §2.9: event correlation (interval self-join) — view→click pairs
     //    within 1 hour per user; equi-join on user_id, window residual ─────
     "q_event_correlate" -> ((s, dir) =>
@@ -3501,6 +3529,13 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the oracle is the PLAIN join — the bucketed layout round-trip must be
+    // invisible in results (only the plan changes: zero data-path Exchange)
+    "q_bucket_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_event_correlate" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ep
                     FROM events)

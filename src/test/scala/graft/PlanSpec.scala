@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bucket_join's declared plan has zero data-path Exchange") {
+    // The DECLARED query (X107), not just the capability: after the
+    // bucketed writes, the merge join and the per-key aggregate both ride
+    // the bucket partitioning — the only Exchange left is the oracle's
+    // final ORDER BY (rangepartitioning). A hashpartitioning Exchange
+    // anywhere means the layout stopped paying for itself.
+    val df = SparkEntry.queries("q_bucket_join")(spark, TestSpark.sfDir)
+    val plan = physical(df)
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle on the data path:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("top-k per group plans a WindowGroupLimit (partial top-k before shuffle)") {
     // rank <= k is pushed below the shuffle as WindowGroupLimitExec
     // (partial mode) — each map task keeps only k rows per group, so the
