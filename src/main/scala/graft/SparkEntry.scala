@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -728,6 +729,25 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X110: PERSISTED IVF index — build once to parquet (bounded
+    //    centroid model + hive-partitioned inverted lists), then probe the
+    //    LOADED index with static partition pruning confining the scan to
+    //    the probed buckets (PlanSpec pins the pruned partition count).
+    //    Ranking math = ivfTopK, so the full-recall contract carries over ─
+    "q_ann_persist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_")
+        .toString
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+        nCentroids = 64, lloydIters = 1)
+      Similarity.recallArtifact(
+          Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", path, k = 5, nprobe = 16),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X2d: sign-LSH bucketed ANN — same deterministic recall
     //    artifact as q_ann_ivf (OR-amplified 8×4-bit signatures) ──────────
     "q_ann_lsh" -> ((s, dir) => {
@@ -1101,6 +1121,46 @@ object SparkEntry {
       eng.sync(1L, src.select("shard_id").distinct(), src, Some(stats))
       src.unpersist()
       store.shards.orderBy("shard_id")
+    }),
+
+    // ── §2.9 X108: DSIR importance scores (Xie et al. 2023) — rank every
+    //    document by how target-like its hashed-token distribution is
+    //    (target = the 'de' slice), then keep the top 5 per source: the
+    //    distribution-matching data-selection pass. All-integer bucket
+    //    weights (no ln — libm-dependent ulps would flip adjacent ranks);
+    //    |buckets|-row weight table broadcast; WindowGroupLimit keeps the
+    //    per-source rank partial ─────────────────────────────────────────
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = Sampling.dsirScore(docs, "doc_id", "text",
+        col("lang") === "de", buckets = 64)
+      val w = Window.partitionBy("source")
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+      scores.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("source"), col("rnk").cast(LongType).as("rnk"),
+          col("doc_id"), col("n_tokens"), col("dsir_score"))
+        .orderBy("source", "rnk")
+    }),
+
+    // ── §2.9 X109: preference-pair construction (the DPO/RLHF data
+    //    shape) — per source, the i-th most lexically-diverse document
+    //    paired with the i-th least, i ≤ 5; margin ≥ 0 and chosen ≠
+    //    rejected by the 2i ≤ n guard. Integer diversity key
+    //    (distinct·10⁶ div total — no ratio ulps); both rank filters plan
+    //    WindowGroupLimit partials ──────────────────────────────────────
+    "q_dpo_pairs" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      val scored = tok.groupBy("source", "doc_id")
+        .agg(countDistinct(col("tok")).as("d"), count(lit(1)).as("n"))
+        .select(col("source"), col("doc_id"),
+          expr("(d * 1000000L) div n").as("lex_score"))
+      Sampling.preferencePairs(scored, "source", "doc_id", "lex_score", 5)
+        .orderBy("source", "pair_id")
     }),
 
     // ── §2.9: training-mixture stratified sample — per-language rates,
@@ -3215,6 +3275,13 @@ object SparkEntry {
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // the persisted index probes with ivfTopK's math at the same
+    // (nCentroids=64, nprobe=16) configuration — the parquet round-trip
+    // of the model is bit-exact, so q_ann_ivf's full-recall frame holds
+    "q_ann_persist" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     // compressed tiers hash the probe-completeness frame only; recall
     // is spec-asserted (quantization recall is data-dependent — the
     // cms_ok discipline; see Similarity.probeCoverage)
@@ -3609,6 +3676,63 @@ object SparkEntry {
                 CAST(sum(k) AS BIGINT) AS sum_k,
                 min(k) AS min_k, max(k) AS max_k
          FROM v GROUP BY event_type ORDER BY event_type""",
+    // DSIR replay: same md5 token buckets, same add-one-smoothed integer
+    // weight w_b = (p_b·10⁶) // q_b (all operands positive — truncation ≡
+    // floor in both engines; normalizers dropped as rank-invariant, see
+    // Sampling.dsirScore), same Σ n·w score. md5 materialized ONCE per
+    // token row (bucketOfHexSql) — the digit arithmetic would otherwise
+    // recompute it 8× over millions of rows at sf1.
+    "q_dsir_sample" ->
+      s"""WITH tok AS MATERIALIZED (
+            SELECT doc_id, tgt, md5(tok) AS h
+            FROM (SELECT doc_id, lang = 'de' AS tgt,
+                         unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0),
+          db AS MATERIALIZED (
+            SELECT doc_id, tgt, ${bucketOfHexSql("h", 64)} AS bucket,
+                   count(*) AS n
+            FROM tok GROUP BY 1, 2, 3),
+          bw AS (SELECT bucket,
+                        CAST((sum(CASE WHEN tgt THEN n ELSE 0 END) + 1)
+                               * 1000000 // (sum(n) + 1) AS BIGINT) AS w
+                 FROM db GROUP BY 1),
+          sc AS (SELECT doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
+                        CAST(sum(db.n * bw.w) AS BIGINT) AS dsir_score
+                 FROM db JOIN bw USING (bucket) GROUP BY 1),
+          r AS (SELECT d.source, sc.doc_id, sc.n_tokens, sc.dsir_score,
+                       row_number() OVER (PARTITION BY d.source
+                         ORDER BY sc.dsir_score DESC, sc.doc_id) AS rnk
+                FROM sc JOIN documents d USING (doc_id))
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens,
+                 dsir_score
+          FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
+    // preference pairs: i-th best ⋈ i-th worst per source under the
+    // integer lexical-diversity key; the bottom rank uses the MIRRORED
+    // tie-break (s ASC, doc_id DESC) so it is exactly the reversed top
+    // order, and 2i ≤ n keeps the ends from crossing (margin ≥ 0,
+    // chosen ≠ rejected by construction)
+    "q_dpo_pairs" ->
+      """WITH sc AS (
+           SELECT source, doc_id,
+                  CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT) AS s
+           FROM (SELECT source, doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+                 FROM documents)
+           WHERE length(tok) > 0 GROUP BY 1, 2),
+         r AS (SELECT source, doc_id, s,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY s DESC, doc_id ASC) AS rt,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY s ASC, doc_id DESC) AS rb,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM sc)
+         SELECT c.source, CAST(c.rt AS BIGINT) AS pair_id,
+                c.doc_id AS chosen_id, w.doc_id AS rejected_id,
+                c.s - w.s AS margin
+         FROM r c JOIN r w ON c.source = w.source AND c.rt = w.rb
+         WHERE c.rt <= 5 AND c.rt * 2 <= c.n
+         ORDER BY c.source, pair_id""",
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${bucketSql("CAST(doc_id AS VARCHAR)")} <
@@ -4892,8 +5016,14 @@ object SparkEntry {
     * value of the first 8 md5 hex digits mod `mod`, spelled as digit
     * arithmetic because DuckDB v1.0 has no conv(). */
   private def bucketSql(key: String, mod: Int = 100): String =
+    bucketOfHexSql(s"md5($key)", mod)
+
+  /** Same 8-hex-digit bucket arithmetic over an ALREADY-computed md5 hex
+    * column — lets an oracle materialize `md5(tok) AS h` once instead of
+    * re-hashing per digit when the keyed rows number in the millions. */
+  private def bucketOfHexSql(hex: String, mod: Int): String =
     (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5($key),${i + 1},1))-1)" +
+      s"(strpos('0123456789abcdef', substr($hex,${i + 1},1))-1)" +
         (if (i < 7) s" * ${1L << (4 * (7 - i))}" else ""))
       .mkString("((", " + ", s") % $mod)")
 

@@ -666,4 +666,118 @@ object Sampling {
     }._1
     df.withColumn("split", assignment)
   }
+
+  /** Preference-pair construction for alignment training (the DPO /
+    * RLHF-style data shape: per prompt-group, a CHOSEN and a REJECTED
+    * response with chosen strictly-not-worse): within each group, rank
+    * documents by `scoreCol` and pair the i-th best with the i-th worst,
+    * i = 1..k. Pair i exists only while 2i ≤ |group| — the two ends have
+    * not crossed — which also guarantees chosen ≠ rejected and
+    * margin = chosen − rejected ≥ 0 by construction.
+    *
+    * Determinism: the descending rank breaks ties (score DESC, id ASC)
+    * and the ascending rank with the MIRRORED key (score ASC, id DESC),
+    * so the bottom order is exactly the reversed top order and the pair
+    * set is a pure function of the data. `scoreCol` should be an integer
+    * key (the corpus discipline — ratio scores enter as a·SCALE div b).
+    *
+    * Scale shape: both rank filters are rank ≤ k, so each plans a
+    * WindowGroupLimit — every map task keeps at most k rows per group
+    * BEFORE the shuffle; the group-size frame is one count aggregation;
+    * the final equi-join keys on (group, i) with ≤ k rows per group per
+    * side. No stage carries more than k·|groups| rows past its shuffle. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .where(col(scoreCol).isNotNull && col(idCol).isNotNull)
+    val top = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val bot = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val chosen = slim
+      .withColumn("pair_id", row_number().over(top).cast(LongType))
+      .where(col("pair_id") <= k)
+      .select(col(groupCol), col("pair_id"),
+        col(idCol).as("chosen_id"), col(scoreCol).as("__cs"))
+    val rejected = slim
+      .withColumn("pair_id", row_number().over(bot).cast(LongType))
+      .where(col("pair_id") <= k)
+      .select(col(groupCol), col("pair_id"),
+        col(idCol).as("rejected_id"), col(scoreCol).as("__rs"))
+    val sizes = slim.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    chosen.join(rejected, Seq(groupCol, "pair_id"))
+      .join(sizes, groupCol)
+      .where(col("pair_id") * 2 <= col("__n"))
+      .select(col(groupCol), col("pair_id"), col("chosen_id"),
+        col("rejected_id"), (col("__cs") - col("__rs")).as("margin"))
+  }
+
+  /** DSIR-style importance score for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each document by how much its hashed-token distribution looks
+    * like a TARGET slice of the corpus relative to the corpus at large,
+    * so a top-score resample shifts the training mixture toward the
+    * target domain without a trained classifier.
+    *
+    * The published method buckets n-gram features into a small hashed
+    * space, estimates target (p) and raw (q) bucket probabilities, and
+    * weights each document by its importance under p vs q. This engine
+    * keeps the estimator EXACT and engine-replayable:
+    *
+    *   - feature = md5 bucket of each whitespace token ([[hashBucket]] —
+    *     the corpus-pipeline hash discipline, never `hash()`'s
+    *     murmur3 whose seed is engine-private);
+    *   - bucket weight w_b = (p_b · SCALE) intdiv q_b with add-one
+    *     smoothed counts — all-integer, so both engines truncate
+    *     identically (operands are positive: truncation = floor). The
+    *     p/q normalizers (total target / corpus tokens) are DROPPED:
+    *     they are bucket-independent constants, so per-document ranking
+    *     is unchanged and the arithmetic stays in BIGINT range
+    *     (p_b·SCALE ≤ 10⁶·|target tokens|; at the ~10¹³-token scale
+    *     where that would overflow, lift the product to DECIMAL(38,0) —
+    *     the weight table is |buckets| rows either way);
+    *   - document score = Σ_b n_db · w_b, a map-side partial aggregation
+    *     after a BROADCAST join of the |buckets|-row weight table.
+    *
+    * Log-free on purpose: the published estimator sums log-ratios, but
+    * ln's last-ulp behavior is libm-dependent and would flip adjacent
+    * ranks between engines; the linear-ratio sum preserves the "more
+    * target-like tokens → higher score" ordering the resample consumes
+    * while staying bit-exact. No stage is corpus×corpus: one explode,
+    * one (doc,bucket) aggregation, one |buckets|-row aggregation, one
+    * broadcast join — the 100 TB shape.
+    *
+    * Documents with no tokens have no feature mass and are absent from
+    * the output (they carry no evidence either way; a selection that
+    * wants them applies its length filter first, as X67 does).
+    *
+    * Output: one row per document with token count and score. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 64,
+                scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, s"positive buckets/scale: $buckets/$scale")
+    val tok = docs
+      .select(col(idCol), isTarget.cast("boolean").as("__target"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      .select(col(idCol), col("__target"),
+        hashBucket(col("__tok"), buckets).as("bucket"))
+    // one shuffle keyed (doc, bucket); the target flag is functionally
+    // dependent on the doc id, so carrying it in the key adds no groups
+    val perDocBucket = tok
+      .groupBy(col(idCol), col("__target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // |buckets|-row weight table: add-one smoothed target/corpus counts
+    val weights = perDocBucket.groupBy("bucket")
+      .agg((sum(when(col("__target"), col("n")).otherwise(0L)) + 1L).as("p"),
+        (sum(col("n")) + 1L).as("q"))
+      .select(col("bucket"),
+        expr(s"(p * ${scale}L) div q").as("w"))
+    perDocBucket.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("w")).as("dsir_score"))
+  }
 }

@@ -843,6 +843,92 @@ object Similarity {
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** X110 — PERSISTED IVF index, the build-once / probe-many split the
+    * in-query tiers (ivfTopK and friends) deliberately do not have: at
+    * 100 TB the index build is a scheduled job and query batches arrive
+    * later, against an index they must not re-fit.
+    *
+    * Layout on disk:
+    *   - `path/centroids`: the fitted model (cid, cv, cn) — nCentroids
+    *     rows, one file; doubles round-trip parquet bit-exactly, so a
+    *     probe against the loaded index is bit-identical to one against
+    *     the in-query fit.
+    *   - `path/index`: the inverted lists as a HIVE-PARTITIONED table,
+    *     one directory per bucket (`bucket=c<cid>`). The bucket value is
+    *     written as a 'c'-prefixed STRING on purpose: partition-column
+    *     type inference would otherwise read small cids as INT and large
+    *     ones as BIGINT, and the resulting cast around the partition
+    *     column can defeat pruning — a string value is inferred
+    *     identically at every scale.
+    *
+    * Probing reads the bounded centroid table, ranks buckets per probe,
+    * and then — the point of the layout — filters the index scan with the
+    * probe batch's DISTINCT bucket list (bounded by min(nCentroids,
+    * nprobe·|batch|) values, collected as plan metadata exactly like the
+    * centroid literal): Spark turns that into static PARTITION PRUNING,
+    * so the scan lists and reads only the probed directories —
+    * nprobe/nCentroids of the corpus index per typical batch, enforced in
+    * PlanSpec via the scan's partition count. Ranking math is ivfTopK's,
+    * so recall is the calibrated IVF recall unchanged. */
+  def ivfIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCentroids: Int = 64,
+                    lloydIters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val fitted = fitIvfCentroids(corpus, nCentroids, lloydIters)
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    // fit once, re-emit as a literal (the ivfTopK discipline), then
+    // persist the literal — one file, nCentroids rows
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.join(broadcast(cent), lit(true))
+      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .groupBy(col("nid"), col("nv"), col("nn"))
+      .agg(nearestCentroid(col("csim")).as("cid"))
+      .select(col("nid"), col("nv"), col("nn"),
+        concat(lit("c"), col("cid")).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** Probe a [[ivfIndexBuild]] index: top-k per probe, scanning only the
+    * probed buckets' partitions (see the layout note above). */
+  def ivfIndexProbe(probes0: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int, nprobe: Int = 3): DataFrame = {
+    val spark = probes0.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")
+    val wProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probeBuckets = probes.join(broadcast(cent), lit(true))
+      .withColumn("csim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("pid"), col("pv"), col("pn"),
+        concat(lit("c"), col("cid")).as("bucket"))
+    // the probe batch's bucket list: bounded by min(nCentroids,
+    // nprobe·|batch|) STRINGS — plan metadata, same bounded-collect class
+    // as the centroid literal, never corpus data. probeBuckets is cheap
+    // (|batch| × nCentroids map work against a broadcast literal), so the
+    // one recompute beats leaving a persist behind in a long-lived driver.
+    val buckets = probeBuckets.select("bucket").distinct()
+      .collect().map(_.getString(0)).sorted
+    val index = spark.read.parquet(s"$path/index")
+      .where(col("bucket").isin(buckets.toSeq: _*))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probeBuckets).join(index, Seq("bucket"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** IVF + PQ composed ANN — the corpus-scale tier (the public design
     * behind Faiss's IndexIVFPQ): the IVF coarse quantizer confines WHICH
     * vectors are scanned (each probe reads only its `nprobe` of

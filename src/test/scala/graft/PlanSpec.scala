@@ -110,6 +110,21 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_ann_persist's index scan is partition-pruned to the probed buckets") {
+    // The point of the persisted-index layout (X110): the probe's scan of
+    // path/index must carry a STATIC PartitionFilters entry on the bucket
+    // column (the probe batch's bounded bucket list), so only the probed
+    // inverted-list directories are listed and read — nprobe/nCentroids
+    // of the index, not all of it.
+    val df = SparkEntry.queries("q_ann_persist")(spark, TestSpark.sfDir)
+    val plan = physical(df)
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"index scan must be partition-pruned on bucket:\n$plan")
+    assert(plan.contains("INSET c") || plan.contains("IN (c"),
+      s"bucket pruning must enumerate the probed buckets:\n$plan")
+    assert(df.count() === 10)
+  }
+
   test("top-k per group plans a WindowGroupLimit (partial top-k before shuffle)") {
     // rank <= k is pushed below the shuffle as WindowGroupLimitExec
     // (partial mode) — each map task keeps only k rows per group, so the
