@@ -748,6 +748,27 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X111: INCREMENTAL index maintenance — build the persisted
+    //    index on half the corpus, APPEND the other half against the
+    //    frozen model (no re-fit, no rewrite of existing lists), then
+    //    probe: neighbors from BOTH halves must surface. The ingest-batch
+    //    lifecycle of a 100 TB embedding index between scheduled rebuilds ─
+    "q_ann_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfapp_")
+        .toString
+      Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
+      Similarity.ivfIndexAppend(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      Similarity.recallArtifact(
+          Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", path, k = 5, nprobe = 16),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X2d: sign-LSH bucketed ANN — same deterministic recall
     //    artifact as q_ann_ivf (OR-amplified 8×4-bit signatures) ──────────
     "q_ann_lsh" -> ((s, dir) => {
@@ -3279,6 +3300,13 @@ object SparkEntry {
     // (nCentroids=64, nprobe=16) configuration — the parquet round-trip
     // of the model is bit-exact, so q_ann_ivf's full-recall frame holds
     "q_ann_persist" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // append-path probe keeps full recall: the model is fit on the even
+    // half only, but nprobe=16 of 64 buckets holds the contract at every
+    // tested scale (same calibration margin as q_ann_ivf)
+    "q_ann_append" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",

@@ -882,13 +882,38 @@ object Similarity {
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToModel(corpus, cent)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** Nearest-bucket assignment of prepared vectors against a (bounded,
+    * already-literal) centroid frame — shared by the index build and the
+    * incremental append so the two can never disagree on the layout. */
+  private def assignToModel(corpus: DataFrame, cent: DataFrame): DataFrame =
     corpus.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .groupBy(col("nid"), col("nv"), col("nn"))
       .agg(nearestCentroid(col("csim")).as("cid"))
       .select(col("nid"), col("nv"), col("nn"),
         concat(lit("c"), col("cid")).as("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index")
+
+  /** Append a delta batch to a [[ivfIndexBuild]] index WITHOUT re-fitting:
+    * the new vectors are assigned to the EXISTING persisted model and
+    * appended to the partitioned inverted lists — the standard incremental
+    * maintenance of an IVF index (the model only moves at the next
+    * scheduled rebuild; Lloyd re-fits per ingest batch would also make the
+    * index layout ingest-order-dependent). One bounded model read, one
+    * map-side assignment pass over the delta, an APPEND write that touches
+    * only the delta's buckets — no existing data is read or rewritten. */
+  def ivfIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = delta.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/index")
   }
 
   /** Probe a [[ivfIndexBuild]] index: top-k per probe, scanning only the

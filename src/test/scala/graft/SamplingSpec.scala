@@ -372,4 +372,68 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids(1, 2).subsetOf(ids(51, 100)) &&
       ids(51, 100).subsetOf(ids(81, 100)))
   }
+
+  test("preferencePairs: invariants, crossing guard, degenerate groups") {
+    import spark.implicits._
+    // group a: 5 docs, distinct scores → 2 pairs (2·3 > 5 stops pair 3)
+    // group b: 2 docs               → exactly 1 pair
+    // group c: 1 doc                → no pair (2·1 > 1)
+    // group d: 4 docs, ALL scores equal → pairs exist, margin 0, ends
+    //          distinct via the mirrored tie-break
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 40L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("a", 5L, 10L),
+      ("b", 10L, 7L), ("b", 11L, 3L),
+      ("c", 20L, 5L),
+      ("d", 30L, 9L), ("d", 31L, 9L), ("d", 32L, 9L), ("d", 33L, 9L)
+    ).toDF("g", "id", "s")
+    val out = Sampling.preferencePairs(df, "g", "id", "s", k = 5)
+      .orderBy("g", "pair_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.count(_._1 == "a") == 2 && out.count(_._1 == "b") == 1 &&
+      out.count(_._1 == "c") == 0 && out.count(_._1 == "d") == 2,
+      s"pair counts off: ${out.mkString(", ")}")
+    assert(out.forall(p => p._3 != p._4), "chosen must differ from rejected")
+    assert(out.forall(_._5 >= 0L), "margin must be non-negative")
+    // group a pair 1 = (best, worst); pair 2 = (2nd best, 2nd worst)
+    assert(out.filter(_._1 == "a").toSeq ==
+      Seq(("a", 1L, 1L, 5L, 40L), ("a", 2L, 2L, 4L, 20L)))
+    // all-tied group d: top order id ASC, bottom order id DESC
+    assert(out.filter(_._1 == "d").toSeq ==
+      Seq(("d", 1L, 30L, 33L, 0L), ("d", 2L, 31L, 32L, 0L)))
+    // layout independence
+    val again = Sampling.preferencePairs(df.repartition(7), "g", "id", "s", 5)
+      .orderBy("g", "pair_id").collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == out.toSeq, "pairs must not depend on layout")
+  }
+
+  test("dsirScore: target-token affinity orders docs; layout-independent") {
+    import spark.implicits._
+    // target docs use token x; background uses y; doc 5 mixes.
+    // With 2 buckets the x/y tokens land in distinct md5 buckets for
+    // this fixture (verified below) — x's bucket gets a high weight.
+    val df = Seq(
+      (1L, "x x x", true), (2L, "x x", true),
+      (3L, "y y y", false), (4L, "y y y y", false),
+      (5L, "x y", false), (6L, "", false)
+    ).toDF("id", "text", "tgt")
+    val out = Sampling.dsirScore(df, "id", "text", col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the empty doc has no feature mass → absent
+    assert(!out.contains(6L), "token-free docs carry no score")
+    assert(out(1L)._1 == 3 && out(5L)._1 == 2, "n_tokens must be exact")
+    // per-token affinity: pure-x docs score strictly higher per token
+    // than pure-y docs; the mixed doc lands strictly between
+    def perTok(id: Long) = out(id)._2.toDouble / out(id)._1
+    assert(perTok(1L) == perTok(2L), "same mix ⇒ same per-token score")
+    assert(perTok(1L) > perTok(5L) && perTok(5L) > perTok(3L),
+      s"target affinity must order x > mixed > y: ${out.mkString(", ")}")
+    assert(perTok(3L) == perTok(4L))
+    val again = Sampling.dsirScore(df.repartition(5), "id", "text",
+      col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out, "scores must not depend on layout")
+  }
 }

@@ -185,4 +185,50 @@ class SignLshSpec extends AnyFunSuite {
     assert(eig >= planted * 0.99 && eig <= trace * 1.01,
       s"eig=$eig outside [$planted, $trace]")
   }
+
+  test("persisted IVF index: probe ≡ in-query IVF; append never rewrites") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec_")
+      .toString
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+      nCentroids = 64, lloydIters = 1)
+    // bit-identical to the in-query tier at the same configuration: the
+    // model round-trips parquet exactly, the ranking math is shared
+    val persisted = Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", path, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2))
+    val inQuery = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 10,
+      k = 5, nCentroids = 64, nprobe = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(persisted.toSeq == inQuery.toSeq,
+      "persisted probe must equal the in-query IVF tier bit-for-bit")
+
+    // incremental append: existing list files are never read or rewritten
+    val path2 = java.nio.file.Files.createTempDirectory("graft_idx_spec2_")
+      .toString
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", path2,
+      nCentroids = 64, lloydIters = 1)
+    def files(p: String): Set[String] = {
+      val base = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(base)
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        s.forEach(f => if (f.toString.endsWith(".parquet"))
+          out += base.relativize(f).toString)
+        out.toSet
+      } finally s.close()
+    }
+    val before = files(s"$path2/index")
+    Similarity.ivfIndexAppend(odds, "vec_id", "embedding", path2)
+    val after = files(s"$path2/index")
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"append must only add files: before=${before.size} after=${after.size}")
+    // and the appended index holds the whole corpus exactly once
+    val n = spark.read.parquet(s"$path2/index").count()
+    assert(n == emb.count(), s"index rows $n != corpus ${emb.count()}")
+  }
 }
