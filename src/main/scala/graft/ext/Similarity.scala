@@ -888,7 +888,16 @@ object Similarity {
 
   /** Nearest-bucket assignment of prepared vectors against a (bounded,
     * already-literal) centroid frame — shared by the index build and the
-    * incremental append so the two can never disagree on the layout. */
+    * incremental append so the two can never disagree on the layout.
+    *
+    * The hash repartition on `bucket` before the partitioned write is the
+    * small-files guard: without it every write task emits a file into
+    * EVERY bucket directory it saw — tasks × nCentroids files (at 1000
+    * executors: ~64k files per ingest, the classic partitioned-write
+    * explosion). Clustered by bucket, each directory receives exactly
+    * the tasks that own that bucket (≤ ceil(nCentroids/shuffle
+    * partitions)+1 per bucket per batch) — one bounded extra shuffle at
+    * WRITE time, the side that amortizes over every probe. */
   private def assignToModel(corpus: DataFrame, cent: DataFrame): DataFrame =
     corpus.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
@@ -896,6 +905,7 @@ object Similarity {
       .agg(nearestCentroid(col("csim")).as("cid"))
       .select(col("nid"), col("nv"), col("nn"),
         concat(lit("c"), col("cid")).as("bucket"))
+      .repartition(col("bucket"))
 
   /** Append a delta batch to a [[ivfIndexBuild]] index WITHOUT re-fitting:
     * the new vectors are assigned to the EXISTING persisted model and
