@@ -769,6 +769,31 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.8 + §2.9 X112: STREAMING index ingest — the embedding stream
+    //    appends to the persisted index per micro-batch against the frozen
+    //    model (foreachBatch → ivfIndexAppend); after the stream drains,
+    //    probing across built + streamed halves keeps full recall. The
+    //    continuous-ANN-ingest lifecycle between scheduled rebuilds ───────
+    "q_stream_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfstr_")
+        .toString
+      Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
+      val q = graft.streaming.StreamingIndexIngest.start(
+        Tables.loadStream(s, dir, "embeddings")
+          .where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path,
+        java.nio.file.Files.createTempDirectory("graft_ckpt_idx_").toString)
+      q.awaitTermination()
+      Similarity.recallArtifact(
+          Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", path, k = 5, nprobe = 16),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X2d: sign-LSH bucketed ANN — same deterministic recall
     //    artifact as q_ann_ivf (OR-amplified 8×4-bit signatures) ──────────
     "q_ann_lsh" -> ((s, dir) => {
@@ -3307,6 +3332,13 @@ object SparkEntry {
     // half only, but nprobe=16 of 64 buckets holds the contract at every
     // tested scale (same calibration margin as q_ann_ivf)
     "q_ann_append" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // streamed ingest lands the same rows in the same buckets as the
+    // batch append (assignment is stateless per row against the frozen
+    // model), so the probe contract is q_ann_append's unchanged
+    "q_stream_index" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Similarity
+
+/** Continuous ANN index ingest — the streaming twin of the incremental
+  * append (X111/X112): each micro-batch of newly-arrived embeddings is
+  * assigned to the FROZEN persisted centroid model and appended to the
+  * hive-partitioned inverted lists (`Similarity.ivfIndexAppend`), so the
+  * searchable index trails the embedding stream by one trigger interval
+  * between scheduled model rebuilds.
+  *
+  * Why foreachBatch and not a streaming aggregation: the index write is a
+  * BATCH sink contract (partitioned parquet append touching only the
+  * batch's buckets) and the assignment is stateless per row — there is no
+  * streaming state to manage, so the correct shape is the micro-batch
+  * boundary Structured Streaming already provides. The checkpoint makes
+  * restarts safe at the batch level: a replayed batch re-appends its rows
+  * (at-least-once, like every file-append sink); the probe math is
+  * duplicate-tolerant for ranking (a duplicated neighbor occupies adjacent
+  * ranks) and a scheduled rebuild compacts exactly.
+  *
+  * `Trigger.AvailableNow` = "index whatever has arrived, then stop" (the
+  * cron-driven ingest); a processing-time trigger makes it continuous.
+  */
+object StreamingIndexIngest {
+  def start(deltas: DataFrame, idCol: String, vecCol: String, path: String,
+            checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfIndexAppend(batch, idCol, vecCol, path)
+        ()
+      }
+      .start()
+}
