@@ -429,4 +429,56 @@ class StreamingSpec extends AnyFunSuite {
     info(s"state rows (max/final): join $jMax/$jLast, sessions $sMax/$sLast, " +
       s"dedup $dMax/$dLast; mem bytes max: join $jMem, sessions $sMem, dedup $dMem")
   }
+
+  test("streaming index ingest: multi-batch appends converge to the batch append") {
+    import graft.ext.Similarity
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+
+    // the delta stream arrives as THREE files → maxFilesPerTrigger=1
+    // forces three genuine micro-batches, each appended separately
+    val deltaDir = tmp("graft_idx_stream_src_")
+    odds.where(col("vec_id") % 3 === 1).write.parquet(s"$deltaDir/f1")
+    odds.where(col("vec_id") % 3 === 0).write.parquet(s"$deltaDir/f2")
+    odds.where(col("vec_id") % 3 === 2).write.parquet(s"$deltaDir/f3")
+
+    val streamed = tmp("graft_idx_streamed_")
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", streamed,
+      nCentroids = 64, lloydIters = 1)
+    val filesBefore = spark.read.parquet(s"$streamed/index").inputFiles.toSet
+    val q = graft.streaming.StreamingIndexIngest.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$deltaDir/*"),
+      "vec_id", "embedding", streamed, tmp("graft_ckpt_idxspec_"))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected ≥3 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+
+    // reference: the one-shot batch append
+    val batched = tmp("graft_idx_batched_")
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", batched,
+      nCentroids = 64, lloydIters = 1)
+    Similarity.ivfIndexAppend(odds, "vec_id", "embedding", batched)
+
+    // identical CONTENT: same (vector, bucket) assignment set — batch
+    // boundaries must not move any vector to a different inverted list
+    def assignments(p: String) =
+      spark.read.parquet(s"$p/index").select("nid", "bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(assignments(streamed) == assignments(batched),
+      "streamed assignment set must equal the batch append's")
+    // built files untouched; probes over both indexes agree exactly
+    assert(filesBefore.subsetOf(
+      spark.read.parquet(s"$streamed/index").inputFiles.toSet),
+      "streaming append must not rewrite built files")
+    def probe(p: String) =
+      Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", p, k = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(probe(streamed) == probe(batched),
+      "probe results must not depend on ingest batching")
+  }
 }
