@@ -125,6 +125,35 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() === 10)
   }
 
+  test("q_dpo_pairs: both rank filters plan WindowGroupLimit; k-row sides broadcast") {
+    // X109's scale claim: the top AND bottom rank ≤ k filters each plan a
+    // partial+final WindowGroupLimit pair (≥4 nodes), so no stage carries
+    // more than k rows per group past its shuffle; the (group, i) join of
+    // the two k-bounded sides is a broadcast, never a sort-merge of the
+    // corpus.
+    val df = SparkEntry.queries("q_dpo_pairs")(spark, TestSpark.sfDir)
+    val plan = physical(df).split("== Initial Plan ==").head
+    val wgl = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(wgl >= 4, s"expected ≥4 WindowGroupLimit nodes, got $wgl:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-bounded pair join must broadcast:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q_dsir_sample: weight table broadcasts; per-source top-k is partial") {
+    // X108's scale claim: the |buckets|-row weight table joins back onto
+    // the (doc,bucket) partials as a BROADCAST (no corpus-sized shuffle
+    // for the weighting), and the final top-5-per-source rank plans a
+    // WindowGroupLimit partial.
+    val df = SparkEntry.queries("q_dsir_sample")(spark, TestSpark.sfDir)
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight-table join must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-source top-k must plan a WindowGroupLimit:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("top-k per group plans a WindowGroupLimit (partial top-k before shuffle)") {
     // rank <= k is pushed below the shuffle as WindowGroupLimitExec
     // (partial mode) — each map task keeps only k rows per group, so the
