@@ -1376,6 +1376,38 @@ object SparkEntry {
       store.changes(0L, 1L).orderBy("change", "shard_id")
     }),
 
+    // ── §3.3: catalog RETENTION + TIME TRAVEL end to end — three committed
+    //    versions, vacuum drops the oldest (reads of it degrade to empty,
+    //    the Delta-VACUUM contract), rollback flips the pointer O(1); the
+    //    per-version reads certify immutable history + the vacuum boundary ─
+    "q_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ttv_").toString
+      val store = new MetaStore(s, root)
+      val ord = t(s, dir, "orders")
+      def shardsOf(pred: Column) = ord.where(pred)
+        .select(lit(1L).as("table_id"), col("o_orderkey").as("shard_id"),
+          lit("f").as("storage"),
+          lit(null).cast(StringType).as("min_value"),
+          lit(null).cast(StringType).as("max_value"))
+      def placementsOf(pred: Column) = ord.where(pred)
+        .select(col("o_orderkey").as("shard_id"), lit(1L).as("shard_length"),
+          lit("host0").as("hostname"))
+      store.commit(shardsOf(col("o_orderstatus") === "F"),
+        placementsOf(col("o_orderstatus") === "F"))             // v0
+      store.commit(shardsOf(col("o_orderpriority") === "1-URGENT"),
+        placementsOf(col("o_orderpriority") === "1-URGENT"))    // v1
+      store.commit(shardsOf(lit(true)), placementsOf(lit(true))) // v2
+      store.vacuum(keepLast = 1)  // drops v0 (head-1 and head survive)
+      store.rollback(1L)          // O(1) pointer flip, history untouched
+      val cur = store.currentVersion
+      // three catalog-sized counts — bounded metadata actions, the same
+      // class as the sync engine's guard probes
+      val rows = (0L to 2L).map(v =>
+        (v, store.shardsAt(v).count(), v == cur))
+      import s.implicits._
+      rows.toDF("version", "n_shards", "is_current").orderBy("version")
+    }),
+
     // ── skew handling: salted equi-join must EQUAL the plain join — the
     //    oracle is the unsalted SQL join, so any salt/replication slip
     //    (dropped row, double count) hash-mismatches ────────────────────────
@@ -3650,6 +3682,19 @@ object SparkEntry {
          SELECT CAST(1 AS BIGINT) AS table_id, shard_id, 'removed' AS change
          FROM a WHERE shard_id NOT IN (SELECT shard_id FROM b)
          ORDER BY change, shard_id""",
+    // retention + time travel: v0 vacuumed → reads as EMPTY (0 rows);
+    // v1 = the URGENT snapshot and current after the rollback; v2 = the
+    // full snapshot, preserved above the rolled-back pointer
+    "q_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_shards,
+                FALSE AS is_current
+         UNION ALL
+         SELECT CAST(1 AS BIGINT),
+                (SELECT count(*) FROM orders
+                 WHERE o_orderpriority = '1-URGENT'), TRUE
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM orders), FALSE
+         ORDER BY version""",
     // the oracle is the PLAIN join — salting must be invisible in results
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
