@@ -1209,6 +1209,20 @@ object SparkEntry {
         .orderBy("source", "pair_id")
     }),
 
+    // ── §2.9 X108b: DSIR importance RESAMPLING end to end — the published
+    //    method's second half: the integer importance scores become order-
+    //    sampling weights (u52/score priority, single IEEE division) and a
+    //    fixed 100-doc budget is drawn ∝ score. Composition of X108 and
+    //    the X45 weighted sampler; proves the selection pipeline COMPOSES ─
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = Sampling.dsirScore(docs, "doc_id", "text",
+        col("lang") === "de", buckets = 64)
+      Sampling.weightedSample(scores, "doc_id", col("dsir_score"), 100)
+        .select(col("doc_id"), col("n_tokens"), col("dsir_score"))
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9: training-mixture stratified sample — per-language rates,
     //    md5-bucket selection (nested, reproducible, engine-replayable) ────
     "q_stratified_sample" -> ((s, dir) =>
@@ -3838,6 +3852,34 @@ object SparkEntry {
          FROM r c JOIN r w ON c.source = w.source AND c.rt = w.rb
          WHERE c.rt <= 5 AND c.rt * 2 <= c.n
          ORDER BY c.source, pair_id""",
+    // DSIR resample replay: the q_dsir_sample score chain, then the
+    // weighted-sample priority u52(doc_id)/score — one IEEE division both
+    // engines round identically (u52 is exactly representable in binary64)
+    "q_dsir_resample" ->
+      s"""WITH tok AS MATERIALIZED (
+            SELECT doc_id, tgt, md5(tok) AS h
+            FROM (SELECT doc_id, lang = 'de' AS tgt,
+                         unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0),
+          db AS MATERIALIZED (
+            SELECT doc_id, tgt, ${bucketOfHexSql("h", 64)} AS bucket,
+                   count(*) AS n
+            FROM tok GROUP BY 1, 2, 3),
+          bw AS (SELECT bucket,
+                        CAST((sum(CASE WHEN tgt THEN n ELSE 0 END) + 1)
+                               * 1000000 // (sum(n) + 1) AS BIGINT) AS w
+                 FROM db GROUP BY 1),
+          sc AS (SELECT doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
+                        CAST(sum(db.n * bw.w) AS BIGINT) AS dsir_score
+                 FROM db JOIN bw USING (bucket) GROUP BY 1),
+          r AS (SELECT doc_id, n_tokens, dsir_score,
+                       CAST(${u52Sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                         / CAST(dsir_score AS DOUBLE) AS pri
+                FROM sc WHERE dsir_score > 0 AND doc_id IS NOT NULL)
+          SELECT doc_id, n_tokens, dsir_score FROM
+            (SELECT * FROM r ORDER BY pri ASC, doc_id ASC LIMIT 100)
+          ORDER BY doc_id""",
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${bucketSql("CAST(doc_id AS VARCHAR)")} <
