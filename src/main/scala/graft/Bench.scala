@@ -100,17 +100,23 @@ object Bench {
         None
       }
     } else None
-    val recallOk = rGate.forall { case (p, i) => p >= 0.6 && i >= 0.6 }
+    // floor override (SPARK_GRAFT_RECALL_FLOOR) exists so the nonzero-exit
+    // path itself is testable: setting the floor above 1.0 forces a breach
+    // without touching the index math — `Bench q1_pricing` stays exempt
+    // (gate runs on full-suite passes only)
+    val floor = sys.env.get("SPARK_GRAFT_RECALL_FLOOR")
+      .map(_.toDouble).getOrElse(0.6)
+    val recallOk = rGate.forall { case (p, i) => p >= floor && i >= floor }
     val gateJson = rGate.map { case (p, i) =>
-      s""","ann_recall":{"pq":$p,"ivfpq":$i,"floor":0.6,"ok":$recallOk}"""
+      s""","ann_recall":{"pq":$p,"ivfpq":$i,"floor":$floor,"ok":$recallOk}"""
     }.getOrElse("")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passTotals$gateJson,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     rGate.foreach { case (rPq, rIvfpq) =>
-      println(s"""{"metric":"ann_recall","pq":$rPq,"ivfpq":$rIvfpq,"floor":0.6,"ok":$recallOk,"sf":"$sfDir"}""")
+      println(s"""{"metric":"ann_recall","pq":$rPq,"ivfpq":$rIvfpq,"floor":$floor,"ok":$recallOk,"sf":"$sfDir"}""")
       if (!recallOk)
-        println(s"ANN RECALL BELOW FLOOR: pq=$rPq ivfpq=$rIvfpq < 0.6")
+        println(s"ANN RECALL BELOW FLOOR: pq=$rPq ivfpq=$rIvfpq < $floor")
     }
     // Short machine-parseable summary LAST: the full line above overflows
     // the driver's 2000-char tail once the suite passed ~60 queries (its

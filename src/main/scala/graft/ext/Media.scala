@@ -475,6 +475,39 @@ object Media {
       .toDF("doc_id", "frame_no", "width", "height", "n_pixels", "lossy_ok")
   }
 
+  /** H.264/AVC GEOMETRY tier — the bounded metadata slice of inter-frame
+    * video that IS parseable without a codec: per document, a baseline
+    * SPS NAL is synthesized for a doc-derived geometry (even, mostly
+    * non-multiple-of-16 → the macroblock-align + crop-window path real
+    * encoders emit), wrapped in a real `avcC` record, and parsed back by
+    * the INDEPENDENT Exp-Golomb field walk ([[MediaCodecs
+    * .decodeAvccGeometry]]) — emulation-prevention bytes inserted and
+    * stripped for real on both sides. The decoded profile/level/width/
+    * height are the output columns, so any disagreement between the bit
+    * writer and the bit reader (crop arithmetic, golomb coding,
+    * alignment) hash-diverges against the oracle's arithmetic
+    * recomputation. PIXEL decode of P/B-frames stays out of scope
+    * (no zero-dependency JVM codec); this tier is what a 100 TB video
+    * pipeline runs on every asset anyway — geometry triage before the
+    * expensive decode is scheduled. */
+  def avcGeometry(docs: DataFrame, idCol: String)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("value"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 2 * (80 + java.lang.Math.floorMod(id, 131L).toInt)
+          val h = 2 * (45 + java.lang.Math.floorMod(id, 97L).toInt)
+          val avcc = MediaCodecs.encodeAvcc(MediaCodecs.encodeAvcSps(w, h))
+          val info = MediaCodecs.decodeAvccGeometry(avcc)
+          (id, info.profileIdc.toLong, info.levelIdc.toLong,
+            info.width.toLong, info.height.toLong)
+        }
+      }
+      .toDF("doc_id", "profile_idc", "level_idc", "width", "height")
+  }
+
   /** Mixed-format decode DISPATCH — the multimodal column as it actually
     * appears at corpus scale: one opaque binary column whose rows carry
     * different formats, routed to the right decoder by a format tag.

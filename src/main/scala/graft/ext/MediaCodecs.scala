@@ -1082,4 +1082,232 @@ object MediaCodecs {
     }
     GifInfo(w, h, sum)
   }
+
+  // ─────────────────── H.264/AVC SPS geometry (keyframe metadata tier) ──
+  // The bounded slice of H.264 that IS decodable without a zero-dependency
+  // JVM codec: the sequence parameter set carried in every AVC config
+  // record (ISO 14496-15 `avcC`) encodes the stream geometry in
+  // Exp-Golomb-coded macroblock counts plus a cropping window. Parsing it
+  // gives real width/height/profile/level for inter-frame video whose
+  // PIXELS remain out of scope (Rec. ITU-T H.264 §7.3.2.1.1). The writer
+  // and reader are independent implementations (bit-writer vs bit-reader
+  // with its own field walk), so a round trip is a genuine differential,
+  // and both sides speak real emulation-prevention (00 00 0x → 00 00 03
+  // 0x), not a naive bit copy.
+
+  case class AvcInfo(profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+
+  private def avcFail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"AVC: $msg")
+
+  /** MSB-first bit writer with unsigned Exp-Golomb (ue) support. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      require(n >= 1 && n <= 31 && v >= 0 && (n == 31 || v < (1 << n)))
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1)
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val cw = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(cw)
+      if (len > 1) u(0, len - 1)
+      u(cw, len)
+    }
+    /** rbsp_trailing_bits: stop bit + zero-align, then the byte array. */
+    def finishRbsp(): Array[Byte] = {
+      u(1, 1)
+      if (nBits > 0) { cur <<= (8 - nBits); buf += cur.toByte; cur = 0; nBits = 0 }
+      buf.toArray
+    }
+  }
+
+  /** MSB-first bit reader with ue/se and hard bounds (a truncated or
+    * adversarial SPS fails, never loops or over-reads). */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      require(n >= 1 && n <= 31)
+      if (pos + n > bytes.length * 8) avcFail("SPS truncated")
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v = (v << 1) | ((bytes(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 30) avcFail("Exp-Golomb code too long")
+      }
+      if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Insert emulation-prevention bytes: any 00 00 followed by 00..03
+    * becomes 00 00 03 xx (Rec. H.264 §7.4.1.1). */
+  private def ebspOf(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros == 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** Strip emulation-prevention bytes (the inverse of [[ebspOf]]). */
+  private def rbspOf(ebsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val b = ebsp(i)
+      if (zeros == 2 && b == 3 && i + 1 < ebsp.length &&
+          (ebsp(i + 1) & 0xff) <= 3) {
+        zeros = 0 // emulation-prevention byte: skip
+      } else {
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Encode a baseline-profile SPS NAL for a frame-coded 4:2:0 stream of
+    * the given geometry. Width/height must be positive and EVEN (the
+    * 4:2:0 crop unit is 2 pixels); non-multiples of 16 are expressed the
+    * way real encoders do it — macroblock-aligned size + cropping window. */
+  def encodeAvcSps(width: Int, height: Int,
+                   profileIdc: Int = 66, levelIdc: Int = 30): Array[Byte] = {
+    if (width <= 0 || height <= 0 || width % 2 != 0 || height % 2 != 0)
+      avcFail(s"geometry must be positive and even: ${width}x$height")
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    val w = new BitWriter
+    w.u(profileIdc, 8) // profile_idc
+    w.u(0, 8) // constraint flags + reserved_zero_2bits
+    w.u(levelIdc, 8) // level_idc
+    w.ue(0) // seq_parameter_set_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0) // pic_order_cnt_type = 0
+    w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue(mbW - 1) // pic_width_in_mbs_minus1
+    w.ue(mbH - 1) // pic_height_in_map_units_minus1
+    w.u(1, 1) // frame_mbs_only_flag
+    w.u(0, 1) // direct_8x8_inference_flag
+    val cropR = (mbW * 16 - width) / 2 // crop units of SubWidthC = 2
+    val cropB = (mbH * 16 - height) / 2 // frame 4:2:0: SubHeightC = 2
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1) // frame_cropping_flag
+      w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present_flag
+    Array[Byte](0x67.toByte) ++ ebspOf(w.finishRbsp()) // nal_ref_idc=3, type=7
+  }
+
+  /** Wrap an SPS NAL in an AVCDecoderConfigurationRecord (`avcC`,
+    * ISO 14496-15 §5.2.4.1) — the form geometry metadata actually ships
+    * in inside an MP4 `stsd` entry. */
+  def encodeAvcc(spsNal: Array[Byte]): Array[Byte] = {
+    if (spsNal.length < 4 || (spsNal(0) & 0x1f) != 7) avcFail("not an SPS NAL")
+    if (spsNal.length > 0xffff) avcFail("SPS too long")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out += 1 // configurationVersion
+    out += spsNal(1) // AVCProfileIndication
+    out += spsNal(2) // profile_compatibility
+    out += spsNal(3) // AVCLevelIndication
+    out += 0xff.toByte // reserved(6)=1s + lengthSizeMinusOne=3
+    out += 0xe1.toByte // reserved(3)=1s + numOfSequenceParameterSets=1
+    out += ((spsNal.length >> 8) & 0xff).toByte
+    out += (spsNal.length & 0xff).toByte
+    out ++= spsNal
+    out += 0 // numOfPictureParameterSets
+    out.toArray
+  }
+
+  /** Parse the FIRST SPS of an avcC record and return the stream
+    * geometry. Independent of the encoder: its own field walk over the
+    * full §7.3.2.1.1 syntax including the high-profile chroma branch and
+    * pic_order_cnt_type 1, with hard failures on truncation, scaling
+    * lists, and over-long codes. */
+  def decodeAvccGeometry(avcc: Array[Byte]): AvcInfo = {
+    if (avcc.length < 8) avcFail("avcC truncated")
+    if (avcc(0) != 1) avcFail(s"bad configurationVersion ${avcc(0)}")
+    if ((avcc(5) & 0x1f) < 1) avcFail("no SPS in avcC")
+    val spsLen = ((avcc(6) & 0xff) << 8) | (avcc(7) & 0xff)
+    if (spsLen < 4) avcFail("SPS too short")
+    if (8 + spsLen > avcc.length) avcFail("SPS length beyond record")
+    val nal = java.util.Arrays.copyOfRange(avcc, 8, 8 + spsLen)
+    if ((nal(0) & 0x1f) != 7) avcFail("first parameter set is not an SPS")
+    val r = new BitReader(rbspOf(java.util.Arrays.copyOfRange(nal, 1, nal.length)))
+    val profileIdc = r.u(8)
+    r.u(8) // constraint flags + reserved
+    val levelIdc = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaFormatIdc = 1 // default for non-high profiles (4:2:0)
+    var separateColourPlane = 0
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profileIdc)) {
+      chromaFormatIdc = r.ue()
+      if (chromaFormatIdc == 3) separateColourPlane = r.u(1)
+      r.ue() // bit_depth_luma_minus8
+      r.ue() // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) == 1) avcFail("seq_scaling_matrix unsupported")
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    else if (pocType == 1) {
+      r.u(1); r.se(); r.se()
+      val n = r.ue()
+      if (n > 255) avcFail("num_ref_frames_in_pic_order_cnt_cycle too large")
+      var i = 0
+      while (i < n) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val mbW = r.ue() + 1
+    val mapH = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    var (cl, cr, ct, cb) = (0, 0, 0, 0)
+    if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    val chromaArrayType = if (separateColourPlane == 1) 0 else chromaFormatIdc
+    val (subW, subH) = chromaArrayType match {
+      case 0 => (1, 1) // monochrome / separate planes: luma-sample units
+      case 1 => (2, 2) // 4:2:0
+      case 2 => (2, 1) // 4:2:2
+      case 3 => (1, 1) // 4:4:4
+      case c => avcFail(s"bad chroma_format_idc $c")
+    }
+    val cropX = subW
+    val cropY = subH * (2 - frameMbsOnly)
+    val width = mbW * 16 - cropX * (cl + cr)
+    val height = (2 - frameMbsOnly) * mapH * 16 - cropY * (ct + cb)
+    if (width <= 0 || height <= 0) avcFail(s"crop exceeds frame: ${width}x$height")
+    AvcInfo(profileIdc, levelIdc, width, height)
+  }
 }

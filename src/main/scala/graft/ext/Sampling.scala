@@ -769,12 +769,19 @@ object Sampling {
     val perDocBucket = tok
       .groupBy(col(idCol), col("__target"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    // |buckets|-row weight table: add-one smoothed target/corpus counts
+    // |buckets|-row weight table: add-one smoothed target/corpus counts.
+    // The weight numerator is computed in DECIMAL(38,0) unconditionally:
+    // plain Long `p * scale` silently wraps (non-ANSI) once the target
+    // slice passes ~9.2e12 tokens, and the table is |buckets| rows so the
+    // decimal costs nothing. `div` on decimals is still the exact
+    // integral divide, returned as the same BIGINT the score sum expects.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val weights = perDocBucket.groupBy("bucket")
-      .agg((sum(when(col("__target"), col("n")).otherwise(0L)) + 1L).as("p"),
-        (sum(col("n")) + 1L).as("q"))
+      .agg((sum(when(col("__target"), col("n")).otherwise(0L)) + 1L)
+          .cast(dec).as("p"),
+        (sum(col("n")) + 1L).cast(dec).as("q"))
       .select(col("bucket"),
-        expr(s"(p * ${scale}L) div q").as("w"))
+        expr(s"(p * ${scale}L) div q").cast("long").as("w"))
     perDocBucket.join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_tokens"),

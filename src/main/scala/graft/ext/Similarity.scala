@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -297,6 +297,32 @@ object Similarity {
       .withColumn("sim", round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
       .where(col("sim") >= threshold)
       .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
+  }
+
+  /** Flat greedy-removal audit over a PROBE SUBSET: one row per probe id
+    * with `removed_flat` = ∃ lower-id corpus vector with cosine ≥
+    * `threshold` — the brute-force differential [[semanticDedup]] is
+    * audited against, restricted to a caller-chosen probe set so its cost
+    * is O(|probes|·n) dot products, never corpus². Callers pass a
+    * DETERMINISTIC probe predicate (the md5 hash-sample discipline of
+    * `Sampling.hashBucket`) so the audit is oracle-replayable and its
+    * cost is a fixed, tunable fraction of one corpus scan. The probe
+    * side is the (bounded) broadcast; the corpus side stays distributed,
+    * so the shape survives any corpus size at fixed sample budget. */
+  def flatRemovalFlags(emb: DataFrame, idCol: String, vecCol: String,
+                       probePred: Column => Column,
+                       threshold: Double): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol, "bid", "bv", "bn")
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol,
+      "id", "av", "an")
+    val hit = broadcast(probes).join(corpus, col("bid") < col("id"))
+      .withColumn("sim",
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("rf", lit(true))
+    probes.select(col("id")).join(hit, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rf"), lit(false)).as("removed_flat"))
   }
 
   /** Deterministic recall artifact for an ANN result vs the exact top-k —
@@ -924,6 +950,103 @@ object Similarity {
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
       .write.partitionBy("bucket").mode("append").parquet(s"$path/index")
+  }
+
+  /** IDEMPOTENT append — the exactly-once twin of [[ivfIndexAppend]] for
+    * replayable callers (the streaming ingest's foreachBatch): the batch
+    * is assigned and written to a staging directory keyed by the caller's
+    * replay `token` (overwrite — a replay of the same token rebuilds the
+    * same staging content), any index files a PREVIOUS attempt of this
+    * token published are deleted, and the staged files are then MOVED
+    * into the bucket directories under `<token>-` prefixed names. Final
+    * state per token = exactly the files of its last successful attempt,
+    * whatever the crash point: mid-move leftovers are removed by the
+    * delete pass of the retry. The per-call overhead vs the plain append
+    * is one bounded directory listing (≤ nCentroids bucket dirs) and one
+    * rename per staged file — no data is rewritten. */
+  def ivfIndexAppendIdempotent(delta: DataFrame, idCol: String,
+                               vecCol: String, path: String,
+                               token: String): Unit = {
+    require(token.matches("[0-9A-Za-z_-]+"), s"unsafe token: $token")
+    val spark = delta.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(s"$path/stage/$token")
+    val indexDir = new org.apache.hadoop.fs.Path(s"$path/index")
+    val fs = staging.getFileSystem(conf)
+    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(staging.toString)
+    // retract any files a previous attempt of this token published
+    if (fs.exists(indexDir)) {
+      fs.listStatus(indexDir).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith(s"$token-"))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    }
+    // publish: move staged part files under token-prefixed names
+    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+      val target = new org.apache.hadoop.fs.Path(indexDir, d.getPath.getName)
+      fs.mkdirs(target)
+      fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          val dst = new org.apache.hadoop.fs.Path(target,
+            s"$token-${f.getPath.getName}")
+          require(fs.rename(f.getPath, dst), s"publish failed: $dst")
+        }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Compact a [[ivfIndexBuild]] index's inverted lists WITHOUT touching
+    * the model: every [[ivfIndexAppend]] / streaming-ingest micro-batch
+    * leaves one small file per touched bucket directory, so a long-running
+    * ingest accumulates files until probe-time scan planning (footer
+    * reads, task setup) dominates — the named "scheduled rebuild" step of
+    * the index lifecycle. The rows are read back, re-clustered by bucket
+    * (hash repartition on the partition column — each directory then
+    * receives its rows from exactly the tasks owning that bucket, the
+    * assignToModel small-files guard applied to the whole index), written
+    * to a sibling staging directory, and swapped in with two renames —
+    * the same last-writer-wins directory swap the MetaStore commit uses;
+    * a concurrent reader holding the old listing keeps reading the old
+    * files until the delete. Bucket membership is NOT recomputed — the
+    * frozen model stays authoritative, so probes return bit-identical
+    * results before and after (pinned by q_ann_compact and the
+    * SignLshSpec file inventory). Returns (filesBefore, filesAfter).
+    *
+    * At 100 TB this is one shuffle of index-sized (not corpus-sized)
+    * data, scheduled off the ingest path; a mega-bucket beyond one
+    * task's comfort is the same AQE-skew case as any hash repartition. */
+  def ivfIndexCompact(spark: SparkSession, path: String): (Int, Int) = {
+    val indexPath = s"$path/index"
+    val hp = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = countFiles(hp)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/index.compact.tmp")
+    val retired = new org.apache.hadoop.fs.Path(s"$path/index.retired.tmp")
+    fs.delete(staged, true); fs.delete(retired, true)
+    spark.read.parquet(indexPath)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(staged.toString)
+    require(fs.rename(hp, retired), s"compact: cannot retire $indexPath")
+    require(fs.rename(staged, hp), s"compact: cannot publish $staged")
+    fs.delete(retired, true)
+    (before, countFiles(hp))
   }
 
   /** Probe a [[ivfIndexBuild]] index: top-k per probe, scanning only the

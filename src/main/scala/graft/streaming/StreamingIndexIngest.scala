@@ -16,11 +16,12 @@ import graft.ext.Similarity
   * BATCH sink contract (partitioned parquet append touching only the
   * batch's buckets) and the assignment is stateless per row — there is no
   * streaming state to manage, so the correct shape is the micro-batch
-  * boundary Structured Streaming already provides. The checkpoint makes
-  * restarts safe at the batch level: a replayed batch re-appends its rows
-  * (at-least-once, like every file-append sink); the probe math is
-  * duplicate-tolerant for ranking (a duplicated neighbor occupies adjacent
-  * ranks) and a scheduled rebuild compacts exactly.
+  * boundary Structured Streaming already provides. The checkpoint plus the
+  * batchId-keyed idempotent append make restarts EXACTLY-ONCE: a replayed
+  * batch overwrites its own token-prefixed files rather than re-appending
+  * (`Similarity.ivfIndexAppendIdempotent`), so a crash-replay can never
+  * park duplicate vectors in adjacent top-k ranks while waiting for the
+  * next scheduled rebuild (`ivfIndexCompact`).
   *
   * `Trigger.AvailableNow` = "index whatever has arrived, then stop" (the
   * cron-driven ingest); a processing-time trigger makes it continuous.
@@ -32,9 +33,10 @@ object StreamingIndexIngest {
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          Similarity.ivfIndexAppend(batch, idCol, vecCol, path)
+          Similarity.ivfIndexAppendIdempotent(batch, idCol, vecCol, path,
+            s"b$batchId")
         ()
       }
       .start()

@@ -20,7 +20,20 @@ import org.apache.spark.sql.types.TimestampNTZType
   * same way they read the fixtures. Timestamps are written µs-precision
   * NTZ, the type the fixture parquet decodes to on both engines.
   *
-  * Usage: runMain graft.tools.GenData <sf> <outDir>
+  * Usage: runMain graft.tools.GenData <sf> <outDir> [skew]
+  *
+  * The optional third arg `skew` generates the POWER-LAW variant the
+  * uniform tables cannot probe: hub users own double-digit percentages
+  * of events (u⁴-mapped ids), one hot document source (u²-mapped), a
+  * mega near-dup document cluster (10 % of docs are one 3-template
+  * family), a hot lineitem order key (5 % of the fact on one key), and
+  * a dense embedding cluster (10 % of vectors inside one tight ball —
+  * one overloaded IVF bucket / SemDeDup cluster). Every declared oracle
+  * contract is layout- and distribution-independent, so the same
+  * check.py hash compare certifies correctness under skew; the point of
+  * the variant is to measure the skew-path claims (AQE splits,
+  * two-phase rank, wedge bounds, Σnᵢ² cluster confinement) on data that
+  * actually has the skew.
   */
 object GenData {
   /** Uniform double in [0,1) from (seed, id) — 6 decimal digits, exact. */
@@ -35,6 +48,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("1.0").toDouble
     val out = Paths.get(if (args.length > 1) args(1) else s"/tmp/sf$sf")
+    val skew = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,8 +122,14 @@ object GenData {
     val nOrd = n(1500000)
     val nPart = n(200000)
     val nSupp = n(10000)
+    // skew: 5% of the fact lands on ONE order key — the AQE skew-join case
+    val lokBase = pmod(xxhash64(lit("lok"), col("id")), lit(nOrd))
+    val lok =
+      if (skew) when(pmod(xxhash64(lit("lhot"), col("id")), lit(20L)) === 0,
+        lit(0L)).otherwise(lokBase)
+      else lokBase
     val lineitem = ids(n(6000000)).select(
-      pmod(xxhash64(lit("lok"), col("id")), lit(nOrd)).as("l_orderkey"),
+      lok.as("l_orderkey"),
       pmod(xxhash64(lit("lpk"), col("id")), lit(nPart)).as("l_partkey"),
       pmod(xxhash64(lit("lsk"), col("id")), lit(nSupp)).as("l_suppkey"),
       (pmod(xxhash64(lit("lln"), col("id")), lit(7L)) + 1).cast("int")
@@ -131,13 +151,21 @@ object GenData {
     val epoch2024 = 1704067200000000L // 2024-01-01 UTC in epoch µs
     val nEvents = n(1000000)
     val span = 30L * day
+    // skew: u⁴-mapped user ids — user 0 alone owns ~(1/nUsers)^(1/4)
+    // (≈13% at sf1's 15k users) of ALL events; the hub-user case for
+    // sessionization / windows / per-user aggs
+    val euBase = pmod(xxhash64(lit("eu"), col("id")), lit(nUsers))
+    val eu =
+      if (skew) floor(lit(nUsers.toDouble) *
+        pow(u("eu", col("id")), lit(4.0))).cast("long")
+      else euBase
     val events = ids(nEvents).select(
       col("id").as("event_id"),
       // ~evenly spaced over 30 days with per-row jitter, like the fixture
       ntz(lit(epoch2024) + col("id") * (span / nEvents) +
         pmod(xxhash64(lit("ejit"), col("id")), lit(span / nEvents)))
         .as("ts"),
-      pmod(xxhash64(lit("eu"), col("id")), lit(nUsers)).as("user_id"),
+      eu.as("user_id"),
       pick("eet", col("id"), Seq("click", "view", "purchase", "signup",
         "error")).as("event_type"),
       round(u("ev", col("id")) * 490 + 0.01, 2).as("value"),
@@ -158,15 +186,37 @@ object GenData {
       j => element_at(array(vocab.map(lit): _*),
         (pmod(xxhash64(lit("dw"), col("id"), j), lit(vocab.size.toLong)) + 1)
           .cast("int")))
+    // skew: a MEGA near-dup family — 10% of docs are one of 3 boilerplate
+    // templates with a single varying word, the shape a crawl's cookie
+    // banners / licence headers produce: one giant LSH band bucket, one
+    // giant connected component, a hot shingle vocabulary
+    val boiler = concat(
+      lit("cache plan query scan table index merge sort join group " +
+        "filter window batch shard block page disk read write stats " +
+        "tuple value row key agg cost fast slow part hash template "),
+      element_at(array(lit("alpha"), lit("beta"), lit("gamma")),
+        (pmod(xxhash64(lit("btpl"), col("id")), lit(3L)) + 1).cast("int")),
+      lit(" "),
+      element_at(array(vocab.map(lit): _*),
+        (pmod(xxhash64(lit("bvar"), col("id")), lit(vocab.size.toLong)) + 1)
+          .cast("int")))
+    val docText =
+      if (skew) when(pmod(xxhash64(lit("bsel"), col("id")), lit(10L)) === 0,
+        boiler).otherwise(concat_ws(" ", docWords))
+      else concat_ws(" ", docWords)
+    // skew: u²-mapped source — src0 carries ~22% of the corpus
+    val dsrcBase = pmod(xxhash64(lit("dsrc"), col("id")), lit(20L))
+    val dsrc =
+      if (skew) floor(lit(20.0) * pow(u("dsrc", col("id")), lit(2.0)))
+        .cast("long")
+      else dsrcBase
     val documents = ids(nDocs).select(
       col("id").as("doc_id"),
-      concat_ws(" ", docWords).as("text"),
+      docText.as("text"),
       pick("dlang", pmod(xxhash64(lit("dl2"), col("id")), lit(100L)),
         Seq.fill(44)("en") ++ Seq.fill(15)("zh") ++ Seq.fill(15)("es") ++
           Seq.fill(14)("de") ++ Seq.fill(12)("fr")).as("lang"),
-      concat(lit("src"),
-        pmod(xxhash64(lit("dsrc"), col("id")), lit(20L)).cast("string"))
-        .as("source"))
+      concat(lit("src"), dsrc.cast("string")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
     // embeddings: 64-dim, weakly label-clustered like the fixture (intra
@@ -182,9 +232,20 @@ object GenData {
     // (q_class_centroids / q_gram_matrix 1-ulp tie flips,
     // q_explode_replicas -0.0).
     val embDim = 64
+    // skew: 10% of vectors collapse into ONE tight ball (noise ±2/64
+    // around the label-0 offset instead of ±32/64) — one overloaded IVF
+    // bucket, one giant SemDeDup cluster, an embedding near-dup hub.
+    // Values stay dyadic k/64 so the no-ulp rendering discipline holds.
+    val inBall =
+      if (skew) pmod(xxhash64(lit("eball"), col("id")), lit(10L)) === 0
+      else lit(false)
     val emb = transform(sequence(lit(0), lit(embDim - 1)), j =>
-      (((pmod(xxhash64(lit("ex"), col("id"), j), lit(64L)) - 32) +
-        (pmod(xxhash64(lit("ec"), col("id") % 10, j), lit(16L)) - 8))
+      (when(inBall,
+        (pmod(xxhash64(lit("exb"), col("id"), j), lit(4L)) - 2) +
+          (pmod(xxhash64(lit("ec"), lit(0L), j), lit(16L)) - 8))
+        .otherwise(
+          (pmod(xxhash64(lit("ex"), col("id"), j), lit(64L)) - 32) +
+            (pmod(xxhash64(lit("ec"), col("id") % 10, j), lit(16L)) - 8))
         .cast("double") / 64.0).cast("float"))
     val embeddings = ids(nDocs).select(
       col("id").as("vec_id"),

@@ -231,4 +231,41 @@ class SignLshSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$path2/index").count()
     assert(n == emb.count(), s"index rows $n != corpus ${emb.count()}")
   }
+
+  test("index compaction: fewer files, identical probe; idempotent append replays exactly-once") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_cmp_")
+      .toString
+    Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
+    // two idempotent appends under distinct tokens, then a REPLAY of the
+    // second token: the replay must retract its prior files, not add to
+    // them — row count stays exactly one copy of the corpus
+    val b1 = emb.where(col("vec_id") % 4 === 1)
+    val b3 = emb.where(col("vec_id") % 4 === 3)
+    Similarity.ivfIndexAppendIdempotent(b1, "vec_id", "embedding", path, "b1")
+    Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path, "b3")
+    Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path, "b3")
+    val nRows = spark.read.parquet(s"$path/index").count()
+    assert(nRows == emb.count(),
+      s"replayed token must not duplicate: $nRows != ${emb.count()}")
+
+    val probeBefore = Similarity.ivfIndexProbe(
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path,
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
+    assert(f1 < f0, s"compaction must reduce file count: $f0 -> $f1")
+    // post-compaction content: same rows, bit-identical probe
+    val nAfter = spark.read.parquet(s"$path/index").count()
+    assert(nAfter == emb.count(), s"compaction lost rows: $nAfter")
+    val probeAfter = Similarity.ivfIndexProbe(
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path,
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    assert(probeAfter == probeBefore,
+      "probe must be bit-identical across compaction")
+  }
 }
