@@ -792,8 +792,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfcmp_")
         .toString
+      // 32 buckets (not the persist/append queries' 64): compaction's
+      // contract is file-count + probe-identity, which holds at any
+      // width, and halving the directory tree halves the build/append/
+      // rewrite I/O of what is by construction the most write-heavy
+      // declared query; nprobe=16 of 32 covers MORE of the corpus than
+      // the sibling queries' 16 of 64, so the recall half only gains
       Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
+        "vec_id", "embedding", path, nCentroids = 32, lloydIters = 1)
       Seq(1L, 3L).foreach { r =>
         Similarity.ivfIndexAppend(emb.where(col("vec_id") % 4 === r),
           "vec_id", "embedding", path)

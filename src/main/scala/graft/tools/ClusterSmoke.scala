@@ -17,7 +17,13 @@ import graft.SparkEntry
   * (q_ann_ivf), a mapPartitions codec (q_media_avc), and a streaming
   * query (q_stream_dedup). Usage:
   *
-  *   sbt "runMain graft.tools.ClusterSmoke /root/testdata/sf0.01"
+  *   SPARK_SCALA_VERSION=2.13 \
+  *     sbt "runMain graft.tools.ClusterSmoke /root/testdata/sf0.01"
+  *
+  * (SPARK_SCALA_VERSION must be exported: local-cluster inherits
+  * SPARK_TESTING semantics, under which the executor launcher probes
+  * SPARK_HOME source-build directories instead of jars/ and dies with
+  * "Cannot find any build directories" unless the version is pinned.)
   *
   * Prints one JSON line per query plus a final summary; exits nonzero on
   * any failure so automation can gate on it. Results are recorded in

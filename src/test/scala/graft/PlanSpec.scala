@@ -512,4 +512,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       s"sliding windows must not plan a join:\n$plan")
   }
+
+  test("q_file_listing job count is independent of table count") {
+    // the per-table counts used to run one sequential count() job per
+    // discovered table (10k-table catalog = 10k driver round trips); now
+    // one union scan grouped by _metadata.file_path covers every table.
+    // Budget: the BFS walk is depth-bounded (≤1 job per directory level
+    // on this layout), plus one path-collect job, plus ONE count job —
+    // with AQE stage jobs, anything ≤8 proves the per-table loop is gone
+    // (5 tables alone would add 5; a 10k-table catalog would add 10k).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = SparkEntry.queries("q_file_listing")(spark, TestSpark.sfDir)
+        .collect()
+      // listener delivery is async; all jobs have ENDED (collect returned),
+      // the starts just need to drain — bounded poll, no private API
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var seen = -1
+      while (seen != jobs.get() && System.nanoTime() < deadline) {
+        seen = jobs.get(); Thread.sleep(100)
+      }
+      assert(out.length >= 5, "fixture has at least 5 tables")
+      assert(jobs.get() <= 8,
+        s"file-listing must not run per-table jobs: ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
