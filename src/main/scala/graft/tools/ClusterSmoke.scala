@@ -46,8 +46,14 @@ object ClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val slice = Seq("q1_pricing", "q_sync_apply", "q_dedup_minhash",
-      "q_ann_ivf", "q_media_avc", "q_stream_dedup")
+    // default: one query per execution shape; `--all` runs the ENTIRE
+    // declared surface under the forked executors (the full
+    // multi-process certification — every closure, codegen Expression,
+    // and streaming state path crosses a real JVM boundary)
+    val slice =
+      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else Seq("q1_pricing", "q_sync_apply", "q_dedup_minhash",
+        "q_ann_ivf", "q_media_avc", "q_stream_dedup")
     var failed = 0
     val results = slice.map { name =>
       val t0 = System.nanoTime()
