@@ -879,13 +879,26 @@ object Similarity {
     *     rows, one file; doubles round-trip parquet bit-exactly, so a
     *     probe against the loaded index is bit-identical to one against
     *     the in-query fit.
-    *   - `path/index`: the inverted lists as a HIVE-PARTITIONED table,
-    *     one directory per bucket (`bucket=c<cid>`). The bucket value is
-    *     written as a 'c'-prefixed STRING on purpose: partition-column
-    *     type inference would otherwise read small cids as INT and large
-    *     ones as BIGINT, and the resulting cast around the partition
-    *     column can defeat pruning — a string value is inferred
-    *     identically at every scale.
+    *   - `path/index.v<N>`: the inverted lists as a HIVE-PARTITIONED
+    *     table, one directory per bucket (`bucket=c<cid>`). The bucket
+    *     value is written as a 'c'-prefixed STRING on purpose:
+    *     partition-column type inference would otherwise read small cids
+    *     as INT and large ones as BIGINT, and the resulting cast around
+    *     the partition column can defeat pruning — a string value is
+    *     inferred identically at every scale.
+    *   - `path/index.ptr`: a one-line pointer naming the CURRENT
+    *     `index.v<N>` directory — the MetaStore `_current` discipline
+    *     (`MetaStore.scala:71,404`) applied to the index: a writer that
+    *     replaces the lists (compaction) publishes a fully-written
+    *     sibling version and flips this pointer with a single-file
+    *     overwrite, so a reader resolves either the old version or the
+    *     new one — never a missing or half-renamed directory. Readers
+    *     resolve through [[ivfIndexDataDir]]; a pre-pointer layout
+    *     (`path/index`) still resolves for compatibility.
+    *   - `path/tokens/<token>`: zero-byte COMMIT MARKERS for the
+    *     idempotent append — the durable memory that a replay token fully
+    *     published, which survives compaction renaming its files (see
+    *     [[ivfIndexAppendIdempotent]]).
     *
     * Probing reads the bounded centroid table, ranks buckets per probe,
     * and then — the point of the layout — filters the index scan with the
@@ -900,6 +913,7 @@ object Similarity {
                     path: String, nCentroids: Int = 64,
                     lloydIters: Int = 1): Unit = {
     val spark = emb.sparkSession
+    val fs = hfs(spark, path)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
     val fitted = fitIvfCentroids(corpus, nCentroids, lloydIters)
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
@@ -908,8 +922,59 @@ object Similarity {
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a (re)build resets the WHOLE index lifecycle: prior list versions,
+    // the pointer, in-flight staging, and token markers all describe the
+    // old model's lists and must not leak into the new one
+    indexVersionDirs(fs, path).foreach(p => fs.delete(p, true))
+    Seq("index.ptr", "stage", "tokens")
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
     assignToModel(corpus, cent)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index.v0")
+    writeIndexPointer(fs, path, "index.v0")
+  }
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the CURRENT inverted-lists directory of a persisted index:
+    * the `index.ptr` pointer names it; a pointer-less layout (an index
+    * written before versioning, or hand-assembled in a test) falls back
+    * to the legacy `path/index`. One bounded pointer read — resolution
+    * happens once per probe/append, and the retention rule (compaction
+    * keeps the immediately-previous version, see [[ivfIndexCompact]])
+    * guarantees the resolved directory outlives any scan planned
+    * against it for one full compaction cycle. */
+  def ivfIndexDataDir(spark: SparkSession, path: String): String = {
+    val fs = hfs(spark, path)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/index.ptr")
+    if (!fs.exists(ptr)) s"$path/index"
+    else {
+      val in = fs.open(ptr)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s"$path/$name"
+    }
+  }
+
+  /** Single-file-overwrite pointer flip — the MetaStore commit's publish
+    * step (`MetaStore.scala:404`): the version directory is already fully
+    * written when this runs, so the flip is the atomic commit point. */
+  private def writeIndexPointer(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, name: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.ptr"), true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Every inverted-lists directory under `path`: the legacy unversioned
+    * `index` plus any `index.v<N>`. */
+  private def indexVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName == "index" || p.getName.matches("index\\.v\\d+"))
   }
 
   /** Nearest-bucket assignment of prepared vectors against a (bounded,
@@ -949,7 +1014,8 @@ object Similarity {
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
-      .write.partitionBy("bucket").mode("append").parquet(s"$path/index")
+      .write.partitionBy("bucket").mode("append")
+      .parquet(ivfIndexDataDir(spark, path))
   }
 
   /** IDEMPOTENT append — the exactly-once twin of [[ivfIndexAppend]] for
@@ -963,20 +1029,45 @@ object Similarity {
     * whatever the crash point: mid-move leftovers are removed by the
     * delete pass of the retry. The per-call overhead vs the plain append
     * is one bounded directory listing (≤ nCentroids bucket dirs) and one
-    * rename per staged file — no data is rewritten. */
+    * rename per staged file — no data is rewritten.
+    *
+    * The COMMIT MARKER (`path/tokens/<token>`, created after the last
+    * rename, before the staging delete) is what keeps replays safe
+    * ACROSS COMPACTION: [[ivfIndexCompact]] rewrites the lists as plain
+    * part files, erasing the token prefixes the retract pass looks for —
+    * without the marker, a post-compaction replay would find nothing to
+    * retract and re-append the whole batch. With it, a replay of a
+    * committed token is a pure no-op (it only sweeps leftover staging
+    * from a crash after the marker). The crash matrix:
+    *   - crash before any publish rename → no marker, staging present;
+    *     replay retracts nothing, re-publishes. Compaction REFUSES while
+    *     the unmarked staging exists, so it can never bake in a partial.
+    *   - crash mid-publish → same: marker absent implies staging still
+    *     present (staging is deleted only after the marker), so the
+    *     retract pass still sees every published prefix and compaction
+    *     still refuses.
+    *   - crash after marker → token is durable; replay no-ops, and
+    *     compaction just sweeps the leftover staging directory. */
   def ivfIndexAppendIdempotent(delta: DataFrame, idCol: String,
                                vecCol: String, path: String,
                                token: String): Unit = {
     require(token.matches("[0-9A-Za-z_-]+"), s"unsafe token: $token")
     val spark = delta.sparkSession
     graft.GraftExtensions.ensure(spark)
+    val fs = hfs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/stage/$token")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/$token")
+    if (fs.exists(marker)) {
+      // this token fully published in a prior attempt (possibly already
+      // compacted into plain part files) — the replay is a no-op except
+      // for sweeping staging left by a crash after the marker write
+      fs.delete(staging, true)
+      return
+    }
     val centDf = spark.read.parquet(s"$path/centroids")
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val staging = new org.apache.hadoop.fs.Path(s"$path/stage/$token")
-    val indexDir = new org.apache.hadoop.fs.Path(s"$path/index")
-    val fs = staging.getFileSystem(conf)
+    val indexDir = new org.apache.hadoop.fs.Path(ivfIndexDataDir(spark, path))
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
@@ -1000,6 +1091,9 @@ object Similarity {
           require(fs.rename(f.getPath, dst), s"publish failed: $dst")
         }
     }
+    // commit point: from here a replay of this token is a no-op
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.create(marker, true).close()
     fs.delete(staging, true)
   }
 
@@ -1011,22 +1105,59 @@ object Similarity {
     * the index lifecycle. The rows are read back, re-clustered by bucket
     * (hash repartition on the partition column — each directory then
     * receives its rows from exactly the tasks owning that bucket, the
-    * assignToModel small-files guard applied to the whole index), written
-    * to a sibling staging directory, and swapped in with two renames —
-    * the same last-writer-wins directory swap the MetaStore commit uses;
-    * a concurrent reader holding the old listing keeps reading the old
-    * files until the delete. Bucket membership is NOT recomputed — the
-    * frozen model stays authoritative, so probes return bit-identical
-    * results before and after (pinned by q_ann_compact and the
-    * SignLshSpec file inventory). Returns (filesBefore, filesAfter).
+    * assignToModel small-files guard applied to the whole index), and
+    * PUBLISHED as a fresh `index.v<N+1>` directory committed by flipping
+    * the `index.ptr` pointer — the MetaStore version-pointer discipline
+    * (`MetaStore.scala:272`), not a directory rename: the current index
+    * path resolves at EVERY instant to a fully-written directory (old or
+    * new, never absent), and a crash anywhere before the flip leaves the
+    * old version current with only an orphan staging dir to overwrite on
+    * retry. After the flip, versions OLDER than the immediate predecessor
+    * are vacuumed; keeping exactly one retired version means a reader
+    * that resolved the pointer just before the flip keeps its files for
+    * a full compaction cycle (the retention contract probes rely on).
+    * Bucket membership is NOT recomputed — the frozen model stays
+    * authoritative, so probes return bit-identical results before and
+    * after (pinned by q_ann_compact and the SignLshSpec file inventory).
+    * Returns (filesBefore, filesAfter).
+    *
+    * Compaction REFUSES to run while `path/stage` holds a token directory
+    * without its commit marker: that is an idempotent append in flight
+    * (or crashed mid-publish), and folding its half-published,
+    * token-prefixed files into plain part files would strand rows the
+    * replay's retract pass could no longer find — the replay would then
+    * re-append and duplicate the batch. Marked leftovers (crash after
+    * the commit marker) are just swept. Mutators (append, compact) are
+    * externally serialized — one writer at a time, the streaming ingest's
+    * per-query ordering — while probes need no coordination at all.
     *
     * At 100 TB this is one shuffle of index-sized (not corpus-sized)
     * data, scheduled off the ingest path; a mega-bucket beyond one
     * task's comfort is the same AQE-skew case as any hash repartition. */
-  def ivfIndexCompact(spark: SparkSession, path: String): (Int, Int) = {
-    val indexPath = s"$path/index"
-    val hp = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def ivfIndexCompact(spark: SparkSession, path: String): (Int, Int) =
+    ivfIndexCompact(spark, path, crashBeforeFlip = false)
+
+  /** `crashBeforeFlip` is the crash-injection seam for the spec: stop
+    * after the new version is fully staged but BEFORE the pointer flip —
+    * exactly the widest crash window — so the test can assert the index
+    * still resolves to the old version and a retried compaction recovers. */
+  private[graft] def ivfIndexCompact(spark: SparkSession, path: String,
+                                     crashBeforeFlip: Boolean): (Int, Int) = {
+    val fs = hfs(spark, path)
+    // refuse while an UNCOMMITTED append is in flight or crashed; sweep
+    // staging of tokens that did commit (crash after the marker write)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/stage")
+    if (fs.exists(stage)) {
+      fs.listStatus(stage).foreach { d =>
+        val tok = d.getPath.getName
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tokens/$tok")))
+          fs.delete(d.getPath, true)
+        else throw new IllegalStateException(
+          s"compact refused: append token '$tok' is staged at $path/stage " +
+            "without a commit marker (in flight or crashed mid-publish) — " +
+            "replay it to completion or remove the staging directory first")
+      }
+    }
     def countFiles(p: org.apache.hadoop.fs.Path): Int = {
       val it = fs.listFiles(p, true)
       var n = 0
@@ -1035,18 +1166,29 @@ object Similarity {
       }
       n
     }
-    val before = countFiles(hp)
-    val staged = new org.apache.hadoop.fs.Path(s"$path/index.compact.tmp")
-    val retired = new org.apache.hadoop.fs.Path(s"$path/index.retired.tmp")
-    fs.delete(staged, true); fs.delete(retired, true)
-    spark.read.parquet(indexPath)
+    val current = ivfIndexDataDir(spark, path)
+    val curName = current.substring(current.lastIndexOf('/') + 1)
+    val before = countFiles(new org.apache.hadoop.fs.Path(current))
+    // next version = 1 past the highest EVER staged (not the pointer's):
+    // a crashed compaction's orphan dir is overwritten, never republished
+    val maxV = indexVersionDirs(fs, path).map(_.getName)
+      .collect { case n if n.startsWith("index.v") =>
+        n.stripPrefix("index.v").toLong }
+      .foldLeft(-1L)(math.max)
+    val next = s"index.v${maxV + 1}"
+    spark.read.parquet(current)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(staged.toString)
-    require(fs.rename(hp, retired), s"compact: cannot retire $indexPath")
-    require(fs.rename(staged, hp), s"compact: cannot publish $staged")
-    fs.delete(retired, true)
-    (before, countFiles(hp))
+      .parquet(s"$path/$next")
+    if (crashBeforeFlip) return (before, -1)
+    writeIndexPointer(fs, path, next)
+    // vacuum everything but the new current and its immediate predecessor
+    indexVersionDirs(fs, path)
+      .filter(p => p.getName != next && p.getName != curName)
+      .foreach(p => fs.delete(p, true))
+    // token markers stay: the compacted files no longer carry prefixes,
+    // so the markers are the only memory keeping committed replays no-ops
+    (before, countFiles(new org.apache.hadoop.fs.Path(s"$path/$next")))
   }
 
   /** Probe a [[ivfIndexBuild]] index: top-k per probe, scanning only the
@@ -1074,7 +1216,7 @@ object Similarity {
     // one recompute beats leaving a persist behind in a long-lived driver.
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getString(0)).sorted
-    val index = spark.read.parquet(s"$path/index")
+    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
       .where(col("bucket").isin(buckets.toSeq: _*))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("sim").desc, col("nid").asc)

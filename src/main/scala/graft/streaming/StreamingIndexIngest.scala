@@ -18,10 +18,15 @@ import graft.ext.Similarity
   * streaming state to manage, so the correct shape is the micro-batch
   * boundary Structured Streaming already provides. The checkpoint plus the
   * batchId-keyed idempotent append make restarts EXACTLY-ONCE: a replayed
-  * batch overwrites its own token-prefixed files rather than re-appending
-  * (`Similarity.ivfIndexAppendIdempotent`), so a crash-replay can never
-  * park duplicate vectors in adjacent top-k ranks while waiting for the
-  * next scheduled rebuild (`ivfIndexCompact`).
+  * batch either retracts and re-publishes its own token-prefixed files
+  * (crash before the token's commit marker) or no-ops entirely (marker
+  * present — `Similarity.ivfIndexAppendIdempotent`), so a crash-replay can
+  * never park duplicate vectors in adjacent top-k ranks. The commit
+  * markers make this hold even when a scheduled `ivfIndexCompact` runs
+  * between the crash and the replay (compaction erases the file prefixes
+  * but not the markers, and refuses to run over an unmarked in-flight
+  * batch); StreamingSpec pins the whole matrix with an injected
+  * crash-after-publish, restart-from-checkpoint run.
   *
   * `Trigger.AvailableNow` = "index whatever has arrived, then stop" (the
   * cron-driven ingest); a processing-time trigger makes it continuous.

@@ -222,13 +222,14 @@ class SignLshSpec extends AnyFunSuite {
         out.toSet
       } finally s.close()
     }
-    val before = files(s"$path2/index")
+    val idx2 = Similarity.ivfIndexDataDir(spark, path2)
+    val before = files(idx2)
     Similarity.ivfIndexAppend(odds, "vec_id", "embedding", path2)
-    val after = files(s"$path2/index")
+    val after = files(idx2)
     assert(before.subsetOf(after) && after.size > before.size,
       s"append must only add files: before=${before.size} after=${after.size}")
     // and the appended index holds the whole corpus exactly once
-    val n = spark.read.parquet(s"$path2/index").count()
+    val n = spark.read.parquet(idx2).count()
     assert(n == emb.count(), s"index rows $n != corpus ${emb.count()}")
   }
 
@@ -246,7 +247,8 @@ class SignLshSpec extends AnyFunSuite {
     Similarity.ivfIndexAppendIdempotent(b1, "vec_id", "embedding", path, "b1")
     Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path, "b3")
     Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path, "b3")
-    val nRows = spark.read.parquet(s"$path/index").count()
+    val nRows = spark.read.parquet(
+      Similarity.ivfIndexDataDir(spark, path)).count()
     assert(nRows == emb.count(),
       s"replayed token must not duplicate: $nRows != ${emb.count()}")
 
@@ -258,7 +260,8 @@ class SignLshSpec extends AnyFunSuite {
     val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
     assert(f1 < f0, s"compaction must reduce file count: $f0 -> $f1")
     // post-compaction content: same rows, bit-identical probe
-    val nAfter = spark.read.parquet(s"$path/index").count()
+    val nAfter = spark.read.parquet(
+      Similarity.ivfIndexDataDir(spark, path)).count()
     assert(nAfter == emb.count(), s"compaction lost rows: $nAfter")
     val probeAfter = Similarity.ivfIndexProbe(
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path,
@@ -267,5 +270,87 @@ class SignLshSpec extends AnyFunSuite {
         r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
     assert(probeAfter == probeBefore,
       "probe must be bit-identical across compaction")
+  }
+
+  test("compaction publishes via pointer flip: the crash window serves the " +
+      "old index (never ENOENT), retention keeps a pre-flip reader's files, " +
+      "and a post-compaction token replay stays exactly-once") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_ptr_")
+      .toString
+    Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
+    Similarity.ivfIndexAppendIdempotent(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, "b1")
+
+    def probe() = Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val expected = probe()
+
+    // a reader that resolved the pointer (and listed files) BEFORE the flip
+    val resolvedBefore = Similarity.ivfIndexDataDir(spark, path)
+    val listedBefore = spark.read.parquet(resolvedBefore).inputFiles.toSet
+    assert(listedBefore.nonEmpty)
+
+    // crash-inject in the widest window: new version fully staged, flip
+    // never happens — the pointer must still name the OLD version and a
+    // probe must read it unchanged (old-or-new, never a missing path)
+    Similarity.ivfIndexCompact(spark, path, crashBeforeFlip = true)
+    assert(Similarity.ivfIndexDataDir(spark, path) == resolvedBefore,
+      "pre-flip crash must leave the old version current")
+    assert(probe() == expected, "crash-window probe must see the old index")
+
+    // retried compaction recovers: pointer flips to a fresh version
+    val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
+    assert(f1 < f0, s"compaction must reduce file count: $f0 -> $f1")
+    val resolvedAfter = Similarity.ivfIndexDataDir(spark, path)
+    assert(resolvedAfter != resolvedBefore,
+      "the pointer must name the new version after the flip")
+    assert(probe() == expected, "probe must be bit-identical across compaction")
+    // retention: every file a pre-flip reader listed still exists — an
+    // in-flight scan keeps reading the retired version for a full cycle
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(listedBefore.forall(f =>
+        fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "the immediately-previous version must survive the vacuum")
+
+    // replay the committed token AFTER compaction: its file prefixes are
+    // gone (compaction wrote plain part files), so only the commit marker
+    // keeps the replay a no-op — exactly one corpus copy must remain
+    Similarity.ivfIndexAppendIdempotent(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, "b1")
+    val n = spark.read.parquet(Similarity.ivfIndexDataDir(spark, path)).count()
+    assert(n == emb.count(),
+      s"post-compaction replay must not duplicate: $n != ${emb.count()}")
+    assert(probe() == expected,
+      "post-compaction replay must leave the index unchanged")
+  }
+
+  test("compaction refuses an unmarked in-flight append and sweeps " +
+      "committed staging leftovers") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_ref_")
+      .toString
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+      nCentroids = 16, lloydIters = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture the crashed-mid-publish state: staging exists, no marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/stage/bX/bucket=c0"))
+    val e = intercept[IllegalStateException](
+      Similarity.ivfIndexCompact(spark, path))
+    assert(e.getMessage.contains("bX"),
+      s"refusal must name the in-flight token: ${e.getMessage}")
+    // the same state WITH a commit marker is post-commit garbage: the
+    // compaction proceeds and sweeps it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/bX"), true).close()
+    val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
+    assert(f1 <= f0 && f1 > 0, s"compaction must publish: $f0 -> $f1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stage/bX")),
+      "committed staging leftovers must be swept by compaction")
   }
 }

@@ -446,7 +446,8 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = tmp("graft_idx_streamed_")
     Similarity.ivfIndexBuild(evens, "vec_id", "embedding", streamed,
       nCentroids = 64, lloydIters = 1)
-    val filesBefore = spark.read.parquet(s"$streamed/index").inputFiles.toSet
+    def idx(p: String) = Similarity.ivfIndexDataDir(spark, p)
+    val filesBefore = spark.read.parquet(idx(streamed)).inputFiles.toSet
     val q = graft.streaming.StreamingIndexIngest.start(
       spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$deltaDir/*"),
@@ -465,13 +466,13 @@ class StreamingSpec extends AnyFunSuite {
     // identical CONTENT: same (vector, bucket) assignment set — batch
     // boundaries must not move any vector to a different inverted list
     def assignments(p: String) =
-      spark.read.parquet(s"$p/index").select("nid", "bucket")
+      spark.read.parquet(idx(p)).select("nid", "bucket")
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(assignments(streamed) == assignments(batched),
       "streamed assignment set must equal the batch append's")
     // built files untouched; probes over both indexes agree exactly
     assert(filesBefore.subsetOf(
-      spark.read.parquet(s"$streamed/index").inputFiles.toSet),
+      spark.read.parquet(idx(streamed)).inputFiles.toSet),
       "streaming append must not rewrite built files")
     def probe(p: String) =
       Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
@@ -480,5 +481,78 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(x => (x._1, x._2)).toSeq
     assert(probe(streamed) == probe(batched),
       "probe results must not depend on ingest batching")
+  }
+
+  test("streaming index ingest: crash AFTER a batch publishes but BEFORE " +
+      "its checkpoint commit, then restart — the replay is exactly-once") {
+    import graft.ext.Similarity
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+
+    // three files → maxFilesPerTrigger=1 → three micro-batches
+    val deltaDir = tmp("graft_idx_crash_src_")
+    odds.where(col("vec_id") % 3 === 1).write.parquet(s"$deltaDir/f1")
+    odds.where(col("vec_id") % 3 === 0).write.parquet(s"$deltaDir/f2")
+    odds.where(col("vec_id") % 3 === 2).write.parquet(s"$deltaDir/f3")
+    def deltas = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$deltaDir/*")
+
+    val path = tmp("graft_idx_crash_")
+    val ckpt = tmp("graft_ckpt_crash_")
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", path,
+      nCentroids = 64, lloydIters = 1)
+
+    // run the REAL ingest shape but kill the query in the worst window:
+    // batch 1's idempotent append has fully published (marker written)
+    // when the injected failure aborts the epoch, so the checkpoint never
+    // records batch 1 and the restart MUST replay it against an index
+    // that already contains it
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = deltas.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfIndexAppendIdempotent(batch, "vec_id", "embedding",
+            path, s"b$batchId")
+        if (batchId == 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected crash: publish done, checkpoint commit lost")
+        ()
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination())
+    assert(crashed.get(), "the injected crash must have fired")
+
+    // restart from the SAME checkpoint through the production entry point
+    val q2 = graft.streaming.StreamingIndexIngest.start(
+      deltas, "vec_id", "embedding", path, ckpt)
+    q2.awaitTermination()
+
+    // reference: an uninterrupted run over the same deltas
+    val clean = tmp("graft_idx_clean_")
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", clean,
+      nCentroids = 64, lloydIters = 1)
+    val qc = graft.streaming.StreamingIndexIngest.start(
+      deltas, "vec_id", "embedding", clean, tmp("graft_ckpt_clean_"))
+    qc.awaitTermination()
+
+    // exactly-once: same assignment multiset (so same row count — no
+    // duplicate vectors from the replayed batch), identical probes
+    def assignments(p: String) =
+      spark.read.parquet(Similarity.ivfIndexDataDir(spark, p))
+        .select("nid", "bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(assignments(path) == assignments(clean),
+      "crash-replay must converge to the uninterrupted run's index")
+    def probe(p: String) =
+      Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", p, k = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(probe(path) == probe(clean),
+      "probes must be identical after a crash-replay")
   }
 }
