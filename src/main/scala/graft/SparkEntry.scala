@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -201,14 +201,33 @@ object SparkEntry {
       // column is requested, so the heterogeneous per-table schemas
       // never meet: each file contributes bare row counts from its own
       // footer/pages, no data column is resolved across tables.
+      //
+      // The collect is FILE METADATA, not data: its row count equals the
+      // catalog's file count — the same driver-resident set Spark's own
+      // InMemoryFileIndex holds to plan any multi-path scan. At a
+      // multi-million-file catalog the LISTING itself is what must
+      // shard; the distributed walk producing `data` (CoreOps.scala's
+      // frontier expansion) is that escape hatch — feed its output
+      // through a manifest table instead of a driver collect.
       val paths = data.select("path").as[String].collect().sorted
-      s.read.parquet(paths.toIndexedSeq: _*)
-        .select(regexp_replace(
-            regexp_extract(col("_metadata.file_path"),
-              java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
-            "\\.parquet$", "").as("table_name"))
-        .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
-        .orderBy("table_name")
+      if (paths.isEmpty) {
+        // an empty catalog must yield an empty result, not a
+        // cannot-infer-schema failure from a zero-path reader
+        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("table_name", StringType),
+            StructField("n_rows", LongType, nullable = false))))
+      } else {
+        // _metadata.file_path is a URI: decode it so a file name needing
+        // URI escaping (spaces etc.) yields the same table_name the
+        // filesystem listing derived
+        s.read.parquet(paths.toIndexedSeq: _*)
+          .select(regexp_replace(
+              regexp_extract(url_decode(col("_metadata.file_path")),
+                java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
+              "\\.parquet$", "").as("table_name"))
+          .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
+          .orderBy("table_name")
+      }
     }),
 
     // ── headline agg: TPC-H Q1-style pricing summary (bench flagship) ───

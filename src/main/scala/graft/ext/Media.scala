@@ -1,12 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-/** One media item: opaque binary payload + typed metadata (SURVEY §2.9
-  * multimodal columns). */
-case class MediaItem(doc_id: Long, media: Array[Byte], format: String, n_bytes: Long)
 
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video travel as
   * opaque `binary` columns with typed metadata; decode / feature-extract
@@ -38,21 +34,6 @@ case class MediaItem(doc_id: Long, media: Array[Byte], format: String, n_bytes: 
   * feature schema — is identical across tiers and oracle-tested.
   */
 object Media {
-
-  /** Attach a binary payload column: text bytes as the stand-in payload
-    * (real pipelines read image bytes via `spark.read.format("binaryFile")`
-    * which yields exactly this shape: path, length, content binary).
-    */
-  def asMedia(docs: DataFrame, idCol: String, textCol: String)
-             (implicit spark: SparkSession): Dataset[MediaItem] = {
-    import spark.implicits._
-    docs.select(
-      col(idCol).as("doc_id"),
-      col(textCol).cast(BinaryType).as("media"),
-      lit("text/plain").as("format"),
-      octet_length(col(textCol)).cast(LongType).as("n_bytes"))
-      .as[MediaItem]
-  }
 
   /** REAL per-format feature extraction — the mapInPandas-shaped decode
     * stage computed over genuinely DECODED units, not raw payload bytes.
@@ -572,38 +553,4 @@ object Media {
       .toDF("doc_id", "format", "geom1", "geom2", "feature")
   }
 
-  /** Resize STUB: payload → fixed-budget payload. A real pipeline decodes,
-    * scales, re-encodes per partition; the stub keeps a deterministic
-    * byte-budget prefix so schema/plumbing (binary in, binary out, metadata
-    * updated) is testable. Declarative truncation — no UDF.
-    */
-  def resizeStub(items: Dataset[MediaItem], maxBytes: Int)
-                (implicit spark: SparkSession): Dataset[MediaItem] = {
-    import spark.implicits._
-    items.toDF()
-      .withColumn("media",
-        when(octet_length(col("media")) > maxBytes,
-          expr(s"substring(media, 1, $maxBytes)")).otherwise(col("media")))
-      .withColumn("n_bytes", octet_length(col("media")).cast(LongType))
-      .as[MediaItem]
-  }
-
-  /** Declarative binary-explode frame splitter — unit plumbing only (the
-    * declared frame-sampling query rides the REAL container demux,
-    * [[mp4FramePayloads]]). Kept because the shape — binary explode with
-    * positional metadata, rows ∝ payload size, zero UDFs — is the
-    * codegen-friendly fallback when payloads arrive pre-demuxed.
-    */
-  def frameSample(items: Dataset[MediaItem], frameBytes: Int, stride: Int)
-                 (implicit spark: SparkSession): DataFrame = {
-    require(frameBytes > 0 && stride > 0)
-    items.toDF()
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(
-                sequence(0, CAST(greatest(ceil(n_bytes / ${frameBytes.toLong}) - 1, 0) AS INT)),
-                i -> substring(media, i * $frameBytes + 1, $frameBytes))"""))
-          .as(Seq("frame_no", "frame")))
-      .where(col("frame_no") % stride === 0)
-  }
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.Media
 import graft.ops.CoreOps
 import graft.sources.ShardTables
 
@@ -123,26 +122,6 @@ class OpsExtraSpec extends AnyFunSuite {
          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id
          WHERE a.vec_id < 3 ORDER BY a.vec_id""").collect()
     assert(sim.length == 3 && sim.forall(r => r.getDouble(1) > 0))
-  }
-
-  test("media resize and frame sampling plumbing") {
-    implicit val s: SparkSession = spark
-    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(50)
-    val items = Media.asMedia(docs, "doc_id", "text")
-
-    val resized = Media.resizeStub(items, maxBytes = 100)
-    assert(resized.collect().forall(m => m.n_bytes <= 100 && m.media.length <= 100))
-
-    val frames = Media.frameSample(items, frameBytes = 64, stride = 2)
-    val byDoc = frames.groupBy("doc_id").count()
-      .join(items.toDF().select(col("doc_id"), col("n_bytes")), "doc_id")
-    // every stride-th 64-byte frame: count == ceil(ceil(n/64) / 2)
-    val bad = byDoc.where(col("count") =!=
-      ceil(ceil(col("n_bytes") / 64.0) / 2.0).cast("long"))
-    assert(bad.isEmpty, "frame count must match ceil(ceil(bytes/64)/stride)")
-    // frames are ≤ 64 bytes and non-empty
-    assert(frames.where(octet_length(col("frame")) > 64
-      || octet_length(col("frame")) === 0).isEmpty)
   }
 
   test("rebalancePlan: applying the plan balances exactly; plan is minimal") {
