@@ -2401,19 +2401,35 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
+    // Banded per DISTINCT text, not per doc: the MinHash signature is a
+    // pure function of the text, so shingling/hashing/banding runs once
+    // per distinct text (the engine's own trick) and doc pairs are then
+    // expanded from per-text doc lists — a duplicate-heavy corpus (the
+    // skewed-sf1 boilerplate clique: 93 distinct texts x ~54 copies)
+    // costs the oracle |distinct texts| banding work plus a cheap unnest
+    // cross product, instead of going quadratic in the clique. A text
+    // trivially agrees with itself on every band, hence tb >= ta: same-
+    // text doc pairs are always candidates, exactly like the engine's.
     "q_dedup_minhash" ->
-      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                       FROM documents),
-         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      """WITH dt AS MATERIALIZED (SELECT text, min(doc_id) tid, list(doc_id) docs
+                     FROM documents GROUP BY text),
+         toks AS MATERIALIZED (SELECT tid, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM dt),
+         tri AS MATERIALIZED (SELECT DISTINCT tid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         mh AS MATERIALIZED (SELECT tid, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS MATERIALIZED (SELECT doc_id, b,
+         sig AS MATERIALIZED (SELECT tid, list(m ORDER BY k) sig FROM mh GROUP BY 1),
+         bands AS MATERIALIZED (SELECT tid, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b))
-         SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
-         ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id
+                   FROM sig, unnest(range(0,4)) bb(b)),
+         tcand AS MATERIALIZED (SELECT DISTINCT a.tid ta, c.tid tb FROM bands a JOIN bands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.tid >= a.tid)
+         SELECT DISTINCT least(x.da, y.db) da, greatest(x.da, y.db) db
+         FROM tcand
+         JOIN (SELECT tid, unnest(docs) da FROM dt) x ON x.tid = ta
+         JOIN (SELECT tid, unnest(docs) db FROM dt) y ON y.tid = tb
+         WHERE x.da <> y.db
          ORDER BY da, db""",
     // The q_dedup_verified CTE chain over the exact-dedup survivors, then
     // component labels via recursive CTE, then doc → keeper → canonical.

@@ -19,6 +19,8 @@ import graft.SparkEntry
   *
   *   SPARK_SCALA_VERSION=2.13 \
   *     sbt "runMain graft.tools.ClusterSmoke /root/testdata/sf0.01"
+  *   # full surface: ... ClusterSmoke <sfDir> --all
+  *   # data-volume tier at sf0.1/sf1: ... ClusterSmoke <sfDir> --heavy --mem=4096
   *
   * (SPARK_SCALA_VERSION must be exported: local-cluster inherits
   * SPARK_TESTING semantics, under which the executor launcher probes
@@ -32,10 +34,16 @@ import graft.SparkEntry
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // executor memory (MiB): 2048 suffices at sf0.01; the sf0.1/sf1
+    // heavy-tier runs need real shuffle/broadcast headroom per JVM
+    val memMb = args.collectFirst {
+      case a if a.startsWith("--mem=") => a.stripPrefix("--mem=").toInt
+    }.getOrElse(2048)
+    val master = s"local-cluster[2,4,$memMb]"
     val classesDir = new java.io.File("target/scala-2.13/classes")
       .getAbsolutePath
     val spark = SparkSession.builder()
-      .master("local-cluster[2,4,2048]")
+      .master(master)
       // the forked Executor JVMs know SPARK_HOME's jars but not this
       // project's classes — without this every closure referencing graft
       // code dies with ClassNotFoundException
@@ -49,9 +57,22 @@ object ClusterSmoke {
     // default: one query per execution shape; `--all` runs the ENTIRE
     // declared surface under the forked executors (the full
     // multi-process certification — every closure, codegen Expression,
-    // and streaming state path crosses a real JVM boundary)
+    // and streaming state path crosses a real JVM boundary);
+    // `--heavy` is the data-volume tier for sf0.1/sf1 runs — the
+    // queries whose executor-memory pressure, shuffle spill, and
+    // broadcast traffic actually exercise a real JVM boundary: the full
+    // ANN index lifecycle (build/append/compact/probe + composed
+    // IVFPQ), the dedup pipeline and its LSH/verify tiers, both sync
+    // lifecycles, the semantic-dedup audit, and the stateful streams
     val slice =
       if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.contains("--heavy"))
+        Seq("q_ann_persist", "q_ann_append", "q_ann_compact",
+          "q_ann_ivfpq", "q_stream_index",
+          "q_dedup_pipeline", "q_dedup_minhash", "q_dedup_verified",
+          "q_semdedup", "q_ngram_jaccard",
+          "q_sync_apply", "q_stream_sync",
+          "q_stream_dedup", "q_stateful_sessions")
       else Seq("q1_pricing", "q_sync_apply", "q_dedup_minhash",
         "q_ann_ivf", "q_media_avc", "q_stream_dedup")
     var failed = 0
@@ -74,11 +95,17 @@ object ClusterSmoke {
       println(line)
       line
     }
-    println(s"""{"metric":"cluster_smoke","master":"local-cluster[2,4,2048]","sf":"$sfDir","n":${slice.size},"failed":$failed}""")
+    val summary = s"""{"metric":"cluster_smoke","master":"$master","sf":"$sfDir","n":${slice.size},"failed":$failed}"""
+    println(summary)
     try {
-      val p = java.nio.file.Paths.get("bench_local/cluster_smoke.json")
+      val tag =
+        if (args.contains("--heavy"))
+          "_heavy_" + sfDir.replaceAll(".*/", "")
+        else ""
+      val p = java.nio.file.Paths.get(s"bench_local/cluster_smoke$tag.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, results.mkString("[", ",\n", "]\n"))
+      java.nio.file.Files.writeString(p,
+        (results :+ summary).mkString("[", ",\n", "]\n"))
     } catch { case _: Throwable => () }
     spark.stop()
     if (failed > 0) sys.exit(1)
