@@ -2401,36 +2401,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
-    // Banded per DISTINCT text, not per doc: the MinHash signature is a
-    // pure function of the text, so shingling/hashing/banding runs once
-    // per distinct text (the engine's own trick) and doc pairs are then
-    // expanded from per-text doc lists — a duplicate-heavy corpus (the
-    // skewed-sf1 boilerplate clique: 93 distinct texts x ~54 copies)
-    // costs the oracle |distinct texts| banding work plus a cheap unnest
-    // cross product, instead of going quadratic in the clique. A text
-    // trivially agrees with itself on every band, hence tb >= ta: same-
-    // text doc pairs are always candidates, exactly like the engine's.
+    // The shared text-grouped LSH chain (see lshCandSql: banded once per
+    // DISTINCT text, doc pairs expanded from per-text doc lists — the
+    // rewrite that keeps the oracle tractable inside the skewed-sf1
+    // boilerplate clique).
     "q_dedup_minhash" ->
-      """WITH dt AS MATERIALIZED (SELECT text, min(doc_id) tid, list(doc_id) docs
-                     FROM documents GROUP BY text),
-         toks AS MATERIALIZED (SELECT tid, regexp_split_to_array(trim(lower(text)), ' +') t
-                       FROM dt),
-         tri AS MATERIALIZED (SELECT DISTINCT tid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS MATERIALIZED (SELECT tid, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS MATERIALIZED (SELECT tid, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS MATERIALIZED (SELECT tid, b,
-                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b)),
-         tcand AS MATERIALIZED (SELECT DISTINCT a.tid ta, c.tid tb FROM bands a JOIN bands c
-                  ON a.bh = c.bh AND a.b = c.b AND c.tid >= a.tid)
-         SELECT DISTINCT least(x.da, y.db) da, greatest(x.da, y.db) db
-         FROM tcand
-         JOIN (SELECT tid, unnest(docs) da FROM dt) x ON x.tid = ta
-         JOIN (SELECT tid, unnest(docs) db FROM dt) y ON y.tid = tb
-         WHERE x.da <> y.db
-         ORDER BY da, db""",
+      s"""WITH $lshCandSql
+         SELECT da, db FROM cand ORDER BY da, db""",
     // The q_dedup_verified CTE chain over the exact-dedup survivors, then
     // component labels via recursive CTE, then doc → keeper → canonical.
     "q_dedup_pipeline" ->
@@ -2467,50 +2444,21 @@ object SparkEntry {
          comp AS (SELECT n, min(l) c FROM reach GROUP BY 1)
          SELECT dk.doc_id, comp.c AS canonical FROM dk
          JOIN comp ON dk.keeper = comp.n ORDER BY doc_id""",
-    // Same LSH candidate CTEs as q_dedup_minhash; the component labels are
-    // reachability minima computed by a recursive CTE (label set per node
-    // is its component's ids — finite, so UNION-distinct terminates).
+    // Same LSH candidate CTEs as q_dedup_minhash (shared lshCandSql); the
+    // component labels are reachability minima computed by a recursive
+    // CTE at TEXT level (textCompSql — label sets stay linear in distinct
+    // texts, where the per-doc spelling is quadratic in the clique).
     "q_dedup_components" ->
-      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                       FROM documents),
-         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS MATERIALIZED (SELECT doc_id, b,
-                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
-                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
-         reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n)
-         SELECT n AS doc_id, min(l) AS component FROM reach
-         GROUP BY n ORDER BY doc_id""",
+      s"""WITH RECURSIVE $lshCandSql,
+         $textCompSql
+         SELECT doc_id, c AS component FROM comp ORDER BY doc_id""",
     // the X1g recursive-CC chain composed with the X3 quality chain;
-    // argmax on the ROUNDED quality with doc id tiebreak
+    // argmax on the ROUNDED quality with doc id tiebreak. CC at TEXT
+    // level (shared lshCandSql + textCompSql).
     "q_canonical_docs" ->
-      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                       FROM documents),
-         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                 FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS MATERIALIZED (SELECT doc_id, b,
-                          md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
-                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id),
-         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
-         reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
-         comp AS (SELECT n AS doc_id, min(l) AS component FROM reach GROUP BY n),
+      s"""WITH RECURSIVE $lshCandSql,
+         $textCompSql,
+         dcomp AS (SELECT doc_id, c AS component FROM comp),
          qq AS (SELECT doc_id, lower(text) t,
                        CAST(length(text) AS DOUBLE) len,
                        ' ' || lower(text) || ' ' p,
@@ -2525,8 +2473,8 @@ object SparkEntry {
          qs AS (SELECT doc_id,
                        round(alpha*0.5 + (1-space)*0.3 + least(stop*10, 1.0)*0.2, 6) AS quality
                 FROM c2),
-         j AS (SELECT comp.component, comp.doc_id, qs.quality
-               FROM comp JOIN qs USING (doc_id)),
+         j AS (SELECT dcomp.component, dcomp.doc_id, qs.quality
+               FROM dcomp JOIN qs USING (doc_id)),
          rr AS (SELECT component, doc_id, quality,
                        row_number() OVER (PARTITION BY component
                          ORDER BY quality DESC, doc_id) rk,
@@ -3308,16 +3256,13 @@ object SparkEntry {
          WHERE sa.split <> sb.split ORDER BY a, b""",
     // Split bucket drawn from the CC component label (min reachable id,
     // the engine's converged CC labeling) instead of the per-doc group —
-    // every near-dup pair shares a component, hence a split
+    // every near-dup pair shares a component, hence a split. Components
+    // run at TEXT level (textCompSql) so the recursion stays linear in
+    // distinct texts inside the skewed-sf1 clique.
     "q_leak_safe_split" ->
       s"""WITH RECURSIVE $lshCandSql,
-         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
-         reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
-         comp AS (SELECT n, min(l) c FROM reach GROUP BY n)
-         SELECT n AS doc_id, CAST(c AS BIGINT) AS component,
+         $textCompSql
+         SELECT doc_id, CAST(c AS BIGINT) AS component,
                 CASE WHEN ${bucketSql("CAST(c AS VARCHAR)")} < 80
                        THEN 'train'
                      WHEN ${bucketSql("CAST(c AS VARCHAR)")} < 90
@@ -4669,27 +4614,28 @@ object SparkEntry {
          SELECT n AS node, CAST(r AS BIGINT) AS pr FROM it5
          ORDER BY pr DESC, node""",
     // MinHash Jaccard estimation: agreeing signature components per LSH
-    // candidate pair, integer numerator out of k=16.
+    // candidate pair, integer numerator out of k=16. Signature agreement
+    // is a pure function of the two TEXTS, so it is computed once per
+    // candidate text pair and expanded to doc pairs (identical-text
+    // pairs agree on all 16 components, exactly the per-doc value).
     "q_jaccard_est" ->
       s"""WITH $lshCandSql,
-         est AS (SELECT c.da, c.db,
-                        sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) n_eq
-                 FROM cand c JOIN mh a ON a.doc_id = c.da
-                      JOIN mh b ON b.doc_id = c.db AND b.k = a.k
-                 GROUP BY c.da, c.db)
-         SELECT da, db, CAST(n_eq AS BIGINT) AS n_eq,
-                CAST(16 AS BIGINT) AS k
-         FROM est ORDER BY da, db""",
+         test AS (SELECT ta, tb,
+                         sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) n_eq
+                  FROM tcand JOIN tmh a ON a.tid = ta
+                       JOIN tmh b ON b.tid = tb AND b.k = a.k
+                  GROUP BY ta, tb)
+         SELECT DISTINCT least(x.doc_id, y.doc_id) AS da,
+                greatest(x.doc_id, y.doc_id) AS db,
+                CAST(n_eq AS BIGINT) AS n_eq, CAST(16 AS BIGINT) AS k
+         FROM test JOIN dd x ON x.tid = ta JOIN dd y ON y.tid = tb
+         WHERE x.doc_id <> y.doc_id
+         ORDER BY da, db""",
     // Cluster sizes: the q_dedup_components reachability labels rolled up
-    // to (size -> n_clusters, n_docs).
+    // to (size -> n_clusters, n_docs); text-level recursion (textCompSql).
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE $lshCandSql,
-         e AS (SELECT da s, db d FROM cand UNION ALL SELECT db, da FROM cand),
-         reach(n, l) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.n),
-         comp AS (SELECT n, min(l) c FROM reach GROUP BY n),
+         $textCompSql,
          szs AS (SELECT c, count(*) sz FROM comp GROUP BY c)
          SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_clusters,
                 CAST(sum(sz) AS BIGINT) AS n_docs
@@ -5219,23 +5165,69 @@ object SparkEntry {
                 WHERE jaccard >= 0.3)"""
 
   /** Shared DuckDB CTE chain replicating
-    * `Dedup.minHashLsh(docs, "doc_id", "text")` (k=16, bands=4); ends in
-    * `cand(da, db)` and also exposes `mh(doc_id, k, m)` for signature
-    * consumers. Same chain as q_dedup_minhash's inline copy; used by the
-    * X81 graph-operator oracles so they cannot drift apart. */
+    * `Dedup.minHashLsh(docs, "doc_id", "text")` (k=16, bands=4), banded
+    * per DISTINCT text: the MinHash signature is a pure function of the
+    * text, so shingling, the 16 minhashes, and the banding run once per
+    * distinct text (`tid` = the text's min doc_id — the engine's own
+    * trick, spelled in SQL) and the doc-level candidate frame expands
+    * from the per-text doc lists afterwards. On a duplicate-heavy corpus
+    * (the skewed-sf1 boilerplate clique: 93 distinct texts x ~54 copies)
+    * this keeps the oracle linear in the corpus plus the true pair mass,
+    * instead of re-banding every clique member. A text trivially agrees
+    * with itself on every band, hence `tb >= ta`: identical-text doc
+    * pairs are always candidates, exactly the per-doc semantics. Ends in
+    * `cand(da, db)` (da < db, DISTINCT) and exposes the text-level frames
+    * `dt(text, tid, docs)`, `dd(tid, doc_id)`, `tmh(tid, k, m)`,
+    * `tbands(tid, b, bh)`, `tcand(ta, tb)` for consumers that can stay
+    * text-level (components, signature agreement). Used by
+    * q_dedup_minhash and the X81 graph-operator oracles so they cannot
+    * drift apart. */
   private val lshCandSql =
-    """toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-               FROM documents),
-         tri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    """dt AS MATERIALIZED (SELECT text, min(doc_id) tid, list(doc_id) docs
+                FROM documents GROUP BY text),
+         dd AS MATERIALIZED (SELECT tid, unnest(docs) doc_id FROM dt),
+         toks AS MATERIALIZED (SELECT tid, regexp_split_to_array(trim(lower(text)), ' +') t
+                 FROM dt),
+         tri AS MATERIALIZED (SELECT DISTINCT tid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
-         mh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+         tmh AS MATERIALIZED (SELECT tid, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
                 FROM tri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM mh GROUP BY 1),
-         bands AS MATERIALIZED (SELECT doc_id, b,
+         tsig AS MATERIALIZED (SELECT tid, list(m ORDER BY k) sig FROM tmh GROUP BY 1),
+         tbands AS MATERIALIZED (SELECT tid, b,
                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                   FROM sig, unnest(range(0,4)) bb(b)),
-         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM bands a JOIN bands c
-                  ON a.bh = c.bh AND a.b = c.b AND c.doc_id > a.doc_id)"""
+                   FROM tsig, unnest(range(0,4)) bb(b)),
+         tcand AS MATERIALIZED (SELECT DISTINCT a.tid ta, c.tid tb FROM tbands a JOIN tbands c
+                  ON a.bh = c.bh AND a.b = c.b AND c.tid >= a.tid),
+         cand AS MATERIALIZED (SELECT DISTINCT least(x.doc_id, y.doc_id) da,
+                          greatest(x.doc_id, y.doc_id) db
+                  FROM tcand JOIN dd x ON x.tid = ta JOIN dd y ON y.tid = tb
+                  WHERE x.doc_id <> y.doc_id)"""
+
+  /** Text-level connected components over the LSH candidate graph,
+    * expanded to per-doc labels; requires [[lshCandSql]]'s CTEs in scope
+    * and ends in `comp(doc_id, c)`. The recursion runs over TEXT nodes
+    * (`tcand` minus self-loops), which keeps the label-propagation
+    * frontier linear in distinct texts — the per-doc spelling is
+    * O(edges x component size) and never finishes inside the skewed-sf1
+    * clique. Docs of a banded text inherit the text component's min tid
+    * (= the component's min doc_id, since tid is each text's min doc and
+    * identical-text docs are always connected); docs whose text produced
+    * no bands (under 3 tokens) were never candidates, so they stay
+    * singletons labeled by their own doc_id. */
+  private val textCompSql =
+    """te AS (SELECT ta s, tb d FROM tcand WHERE ta <> tb
+               UNION ALL SELECT tb, ta FROM tcand WHERE ta <> tb),
+         treach(n, l) AS (
+           SELECT tid, tid FROM dt
+           UNION
+           SELECT te.d, r.l FROM treach r JOIN te ON te.s = r.n),
+         tcomp AS (SELECT n, min(l) c FROM treach GROUP BY n),
+         banded AS (SELECT DISTINCT tid FROM tbands),
+         comp AS (SELECT d.doc_id,
+                    CASE WHEN b.tid IS NOT NULL THEN tc.c
+                         ELSE d.doc_id END AS c
+                  FROM dd d LEFT JOIN banded b ON b.tid = d.tid
+                            LEFT JOIN tcomp tc ON tc.n = d.tid)"""
 
   /** One unrolled Hilbert xy2d bit-plane level (HilbertIndex.xy2d's loop
     * body at s = 2^(bits-1-i)) as a DuckDB CTE: h{i+1} from h{i}. The
