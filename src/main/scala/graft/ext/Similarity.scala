@@ -1047,7 +1047,13 @@ object Similarity {
     *     retract pass still sees every published prefix and compaction
     *     still refuses.
     *   - crash after marker → token is durable; replay no-ops, and
-    *     compaction just sweeps the leftover staging directory. */
+    *     compaction just sweeps the leftover staging directory.
+    * Marker growth: one zero-byte file per ingest batch — the same rate
+    * as the streaming checkpoint's own offsets log. A replay can only
+    * arrive for the checkpoint's last uncommitted batch, so markers
+    * older than the checkpoint's retained batches are prunable with the
+    * same retention policy as the checkpoint cleanup; they are kept here
+    * because correctness never requires deleting them. */
   def ivfIndexAppendIdempotent(delta: DataFrame, idCol: String,
                                vecCol: String, path: String,
                                token: String): Unit = {
