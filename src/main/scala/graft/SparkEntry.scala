@@ -850,6 +850,45 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X111c: INDEX DELETE — the takedown step that closes the
+    //    lifecycle: build on evens, append odds, then RETRACT 20% of the
+    //    corpus (vec_id % 10 < 2) from the persisted lists BY ID, touching
+    //    only the buckets that held them. The declared artifact pins the
+    //    whole contract per probe: no retracted id remains in the index
+    //    (require on an engine-side count), no retracted id surfaces as a
+    //    neighbor (no_deleted_neighbor), and the probe still finds a true
+    //    neighbor of the SURVIVING corpus (found_true_neighbor vs brute
+    //    force over survivors) ───────────────────────────────────────────
+    "q_ann_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfdel_")
+        .toString
+      Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, nCentroids = 32, lloydIters = 1)
+      Similarity.ivfIndexAppend(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      Similarity.ivfIndexDeleteIdempotent(
+        emb.where(col("vec_id") % 10 < 2).select("vec_id"),
+        "vec_id", path, "d1")
+      val leftover = s.read.parquet(Similarity.ivfIndexDataDir(s, path))
+        .where(col("nid") % 10 < 2).count()
+      require(leftover == 0,
+        s"retracted ids must leave the index ($leftover rows remain)")
+      val ann = Similarity.ivfIndexProbe(
+        emb.where(col("vec_id") < 10 && col("vec_id") % 10 >= 2),
+        "vec_id", "embedding", path, k = 5, nprobe = 16)
+      val noDel = ann.groupBy("pid")
+        .agg((sum(when(col("nid") % 10 < 2, 1).otherwise(0)) === 0)
+          .as("no_deleted_neighbor"))
+      Similarity.recallArtifact(ann,
+          Similarity.bruteForceTopK(emb.where(col("vec_id") % 10 >= 2),
+            "vec_id", "embedding", _ < 10, k = 5), k = 5)
+        .join(noDel, Seq("pid"))
+        .select(col("pid"), col("k"), col("found_true_neighbor"),
+          col("no_deleted_neighbor"))
+        .orderBy("pid")
+    }),
+
     // ── §2.8 + §2.9 X112: STREAMING index ingest — the embedding stream
     //    appends to the persisted index per micro-batch against the frozen
     //    model (foreachBatch → ivfIndexAppend); after the stream drains,
@@ -3460,6 +3499,15 @@ object SparkEntry {
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
                 TRUE AS found_true_neighbor, TRUE AS same_after_compact
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    // deletion retracts exactly the named ids: every surviving probe
+    // keeps a true neighbor of the SURVIVING corpus and never sees a
+    // retracted id as a neighbor (the engine additionally require()s the
+    // retracted rows are physically gone from the inverted lists)
+    "q_ann_delete" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor, TRUE AS no_deleted_neighbor
+         FROM embeddings WHERE vec_id < 10 AND vec_id % 10 >= 2
+         ORDER BY pid""",
     // streamed ingest lands the same rows in the same buckets as the
     // batch append (assignment is stateless per row against the frozen
     // model), so the probe contract is q_ann_append's unchanged

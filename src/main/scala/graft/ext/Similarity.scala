@@ -926,7 +926,7 @@ object Similarity {
     // the pointer, in-flight staging, and token markers all describe the
     // old model's lists and must not leak into the new one
     indexVersionDirs(fs, path).foreach(p => fs.delete(p, true))
-    Seq("index.ptr", "stage", "tokens")
+    Seq("index.ptr", "stage", "delstage", "tokens")
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
     assignToModel(corpus, cent)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index.v0")
@@ -1103,6 +1103,104 @@ object Similarity {
     fs.delete(staging, true)
   }
 
+  /** X111c — DELETE vectors from a persisted IVF index by id: the
+    * takedown / right-to-be-forgotten step that closes the index
+    * lifecycle (build → append → streamed ingest → compact → DELETE).
+    * Only the buckets actually holding deleted ids are rewritten — the
+    * model is untouched (membership of the SURVIVORS never changes, so
+    * probes are unaffected except that retracted neighbors vanish) and
+    * unaffected bucket directories are never read twice or written.
+    *
+    * Shape: one map-side broadcast SEMI join over the index locates the
+    * affected buckets (deletes carry ids, not vectors, so bucket
+    * membership must be looked up — at 100 TB either maintain an
+    * (nid → bucket) projection beside the index or pass the takedown
+    * batch's vectors through the model instead; both make this lookup
+    * O(batch)); one partition-PRUNED anti-join scan rebuilds just those
+    * buckets' survivor rows.
+    *
+    * Exactly-once via the append's token discipline, inverted: staged
+    * survivor files are MOVED IN under `del<token>-` prefixes BEFORE the
+    * retired originals are deleted (add-then-remove — a crash can leave
+    * transient duplicates of survivor rows, never lose them), and the
+    * `dropDuplicates(nid)` in the rebuild repairs exactly those torn
+    * duplicates on replay (nid is unique in a consistent index; the
+    * extra dedup shuffle is bounded by the affected buckets). A replay
+    * of a committed token no-ops on its marker; [[ivfIndexCompact]]
+    * refuses to run over an unmarked in-flight delete exactly as it does
+    * for appends. Deletion is idempotent BY CONTENT (a filter), so even
+    * a compaction-then-replay interleaving converges: the replay re-scans,
+    * finds the ids (or none), and repairs. Mutators (append/delete/
+    * compact) are externally serialized; a probe overlapping a delete
+    * may transiently see a retracted row — the same eventual visibility
+    * as a probe overlapping an append's partial publish. */
+  def ivfIndexDeleteIdempotent(ids: DataFrame, idCol: String, path: String,
+                               token: String): Unit = {
+    require(token.matches("[0-9A-Za-z_-]+"), s"unsafe token: $token")
+    val spark = ids.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val fs = hfs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/delstage/$token")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/del-$token")
+    if (fs.exists(marker)) {
+      fs.delete(staging, true)
+      return
+    }
+    val del = broadcast(
+      ids.select(col(idCol).cast(LongType).as("del_id")).distinct())
+    val idx = ivfIndexDataDir(spark, path)
+    val affected = spark.read.parquet(idx)
+      .join(del, col("nid") === col("del_id"), "left_semi")
+      .select("bucket").distinct()
+      .collect().map(_.getString(0)).sorted // bounded by nCentroids
+    if (affected.nonEmpty) {
+      val kept = spark.read.parquet(idx)
+        .where(col("bucket").isin(affected.toSeq: _*))
+        .join(del, col("nid") === col("del_id"), "left_anti")
+        .dropDuplicates("nid") // repairs torn duplicates from a crashed attempt
+        .repartition(col("bucket"))
+      kept.write.partitionBy("bucket").mode("overwrite")
+        .parquet(staging.toString)
+      val prefix = s"del$token-"
+      affected.foreach { b =>
+        val target = new org.apache.hadoop.fs.Path(s"$idx/bucket=$b")
+        // retract files a previous attempt of this token published
+        if (fs.exists(target)) {
+          fs.listStatus(target)
+            .filter(_.getPath.getName.startsWith(prefix))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+        // snapshot the originals (everything not ours), move the staged
+        // survivors in, THEN delete the snapshot — add-then-remove
+        val snapshot =
+          if (fs.exists(target))
+            fs.listStatus(target).map(_.getPath)
+              .filter(p => p.getName.endsWith(".parquet") &&
+                !p.getName.startsWith(prefix))
+          else Array.empty[org.apache.hadoop.fs.Path]
+        val stagedBucket =
+          new org.apache.hadoop.fs.Path(s"$staging/bucket=$b")
+        if (fs.exists(stagedBucket)) {
+          fs.mkdirs(target)
+          fs.listStatus(stagedBucket)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .foreach { f =>
+              val dst = new org.apache.hadoop.fs.Path(target,
+                s"$prefix${f.getPath.getName}")
+              require(fs.rename(f.getPath, dst), s"delete publish failed: $dst")
+            }
+        }
+        // a bucket whose every row was deleted stages nothing — the
+        // snapshot delete below empties it, which is the correct state
+        snapshot.foreach(p => fs.delete(p, false))
+      }
+    }
+    // commit point: from here a replay of this token is a no-op
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
   /** Compact a [[ivfIndexBuild]] index's inverted lists WITHOUT touching
     * the model: every [[ivfIndexAppend]] / streaming-ingest micro-batch
     * leaves one small file per touched bucket directory, so a long-running
@@ -1150,20 +1248,27 @@ object Similarity {
   private[graft] def ivfIndexCompact(spark: SparkSession, path: String,
                                      crashBeforeFlip: Boolean): (Int, Int) = {
     val fs = hfs(spark, path)
-    // refuse while an UNCOMMITTED append is in flight or crashed; sweep
-    // staging of tokens that did commit (crash after the marker write)
-    val stage = new org.apache.hadoop.fs.Path(s"$path/stage")
-    if (fs.exists(stage)) {
-      fs.listStatus(stage).foreach { d =>
-        val tok = d.getPath.getName
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tokens/$tok")))
-          fs.delete(d.getPath, true)
-        else throw new IllegalStateException(
-          s"compact refused: append token '$tok' is staged at $path/stage " +
-            "without a commit marker (in flight or crashed mid-publish) — " +
-            "replay it to completion or remove the staging directory first")
+    // refuse while an UNCOMMITTED append or delete is in flight or
+    // crashed; sweep staging of tokens that did commit (crash after the
+    // marker write)
+    def gateStaging(dir: String, markerOf: String => String,
+                    kind: String): Unit = {
+      val st = new org.apache.hadoop.fs.Path(s"$path/$dir")
+      if (fs.exists(st)) {
+        fs.listStatus(st).foreach { d =>
+          val tok = d.getPath.getName
+          if (fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/tokens/${markerOf(tok)}")))
+            fs.delete(d.getPath, true)
+          else throw new IllegalStateException(
+            s"compact refused: $kind token '$tok' is staged at $path/$dir " +
+              "without a commit marker (in flight or crashed mid-publish) — " +
+              "replay it to completion or remove the staging directory first")
+        }
       }
     }
+    gateStaging("stage", identity, "append")
+    gateStaging("delstage", t => s"del-$t", "delete")
     def countFiles(p: org.apache.hadoop.fs.Path): Int = {
       val it = fs.listFiles(p, true)
       var n = 0

@@ -329,6 +329,110 @@ class SignLshSpec extends AnyFunSuite {
       "post-compaction replay must leave the index unchanged")
   }
 
+  test("index delete: retracts ids from only the affected buckets, " +
+      "replays exactly-once, repairs a torn state, empties a whole " +
+      "bucket, and compaction gates on an unmarked in-flight delete") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_del_")
+      .toString
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+      nCentroids = 16, lloydIters = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = Similarity.ivfIndexDataDir(spark, path)
+    def assignments(): Map[Long, String] =
+      spark.read.parquet(idx).select("nid", "bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName ->
+            fs.listStatus(d.getPath).map(_.getPath.getName)
+              .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    val beforeAssign = assignments()
+    val beforeFiles = bucketFiles()
+
+    val del = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    val affectedExpected =
+      delIds.map(i => s"bucket=${beforeAssign(i)}")
+    Similarity.ivfIndexDeleteIdempotent(del, "vec_id", path, "t1")
+
+    val afterAssign = assignments()
+    assert(delIds.forall(i => !afterAssign.contains(i)),
+      "retracted ids must leave the index")
+    assert(afterAssign == beforeAssign -- delIds,
+      "survivors must keep their exact bucket assignment")
+    val afterFiles = bucketFiles()
+    val changed = beforeFiles.keySet.filter(b =>
+      beforeFiles(b) != afterFiles.getOrElse(b, Set.empty))
+    assert(changed == affectedExpected,
+      s"only the buckets holding retracted ids may change: " +
+        s"changed=$changed expected=$affectedExpected")
+
+    // committed replay: byte-level no-op
+    Similarity.ivfIndexDeleteIdempotent(del, "vec_id", path, "t1")
+    assert(bucketFiles() == afterFiles, "committed replay must be a no-op")
+
+    // torn state: duplicate one affected bucket's file under an original
+    // name (what a crash between move-in and snapshot-delete leaves) —
+    // the next delete touching that bucket must repair it via the
+    // dropDuplicates(nid) rebuild
+    val tornBucket = affectedExpected.head
+    val tornDir = new org.apache.hadoop.fs.Path(s"$idx/$tornBucket")
+    val srcFile = fs.listStatus(tornDir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcFile, fs,
+      new org.apache.hadoop.fs.Path(tornDir, "part-torn-copy.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val tornVal = tornBucket.stripPrefix("bucket=")
+    val nextVictim = afterAssign.collectFirst {
+      case (nid, b) if b == tornVal => nid }.get
+    import spark.implicits._
+    Similarity.ivfIndexDeleteIdempotent(
+      Seq(nextVictim).toDF("vec_id"), "vec_id", path, "t2")
+    val healed = spark.read.parquet(idx).select("nid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(healed.distinct.size == healed.size,
+      "the rebuild must repair torn duplicates")
+    assert(healed.toSet == afterAssign.keySet - nextVictim,
+      "the torn-state repair must also apply the new retraction")
+
+    // empty a whole bucket: every remaining id of one bucket
+    val byBucket = spark.read.parquet(idx).select("nid", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (bVal, members) = byBucket.groupBy(_._2).head match {
+      case (b, rows) => (b, rows.map(_._1).toSeq)
+    }
+    Similarity.ivfIndexDeleteIdempotent(
+      members.toDF("vec_id"), "vec_id", path, "t3")
+    val left = spark.read.parquet(idx).select("nid", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!left.exists(_._2 == bVal), "the emptied bucket must hold no rows")
+    assert(left.length == byBucket.length - members.size,
+      "other buckets must be untouched by the full-bucket delete")
+
+    // compaction gates on an unmarked in-flight delete, sweeps marked ones
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/delstage/tX/bucket=c0"))
+    val e = intercept[IllegalStateException](
+      Similarity.ivfIndexCompact(spark, path))
+    assert(e.getMessage.contains("tX") && e.getMessage.contains("delete"),
+      s"refusal must name the in-flight delete token: ${e.getMessage}")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/del-tX"), true)
+      .close()
+    Similarity.ivfIndexCompact(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/delstage/tX")),
+      "committed delete staging leftovers must be swept by compaction")
+    // post-compaction content: survivors only, exactly once
+    val finalIds = spark.read.parquet(Similarity.ivfIndexDataDir(spark, path))
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    assert(finalIds.distinct.size == finalIds.size)
+    assert(finalIds.toSet == left.map(_._1).toSet,
+      "compaction must preserve the post-delete membership exactly")
+  }
+
   test("compaction refuses an unmarked in-flight append and sweeps " +
       "committed staging leftovers") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
