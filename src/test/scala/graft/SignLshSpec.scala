@@ -433,6 +433,58 @@ class SignLshSpec extends AnyFunSuite {
       "compaction must preserve the post-delete membership exactly")
   }
 
+  test("legacy pointer-less index layout (pre-versioning on-disk state) " +
+      "still probes, appends, deletes, and upgrades via compaction") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    // manufacture the LEGACY layout an r11 build left on disk: lists at
+    // $path/index, centroids beside them, NO index.ptr — by building
+    // normally and downgrading the directory by hand
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_legacy_")
+      .toString
+    Similarity.ivfIndexBuild(evens, "vec_id", "embedding", path,
+      nCentroids = 16, lloydIters = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/index.v0"),
+      new org.apache.hadoop.fs.Path(s"$path/index")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/index.ptr"), false)
+    assert(Similarity.ivfIndexDataDir(spark, path) == s"$path/index",
+      "a pointer-less layout must resolve to the legacy directory")
+
+    // probe + append + idempotent append + delete all work on it
+    def probe() = Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(probe().nonEmpty)
+    Similarity.ivfIndexAppend(odds.where(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", path)
+    Similarity.ivfIndexAppendIdempotent(odds.where(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", path, "leg1")
+    val n = spark.read.parquet(Similarity.ivfIndexDataDir(spark, path)).count()
+    assert(n == emb.count(), s"legacy appends must land: $n != ${emb.count()}")
+    import spark.implicits._
+    Similarity.ivfIndexDeleteIdempotent(Seq(0L, 2L).toDF("vec_id"),
+      "vec_id", path, "legdel")
+    assert(spark.read.parquet(Similarity.ivfIndexDataDir(spark, path))
+      .where(col("nid").isin(0L, 2L)).count() == 0)
+
+    // compaction UPGRADES the layout: publishes index.v0 + pointer, keeps
+    // the legacy dir as the retained predecessor, probe unchanged
+    val beforeProbe = probe()
+    val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
+    assert(f1 < f0)
+    val resolved = Similarity.ivfIndexDataDir(spark, path)
+    assert(resolved.endsWith("/index.v0"),
+      s"compaction must upgrade a legacy layout to versioned: $resolved")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/index")),
+      "the legacy directory is the retained predecessor for one cycle")
+    assert(probe() == beforeProbe,
+      "probe must be bit-identical across the layout upgrade")
+  }
+
   test("compaction refuses an unmarked in-flight append and sweeps " +
       "committed staging leftovers") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
