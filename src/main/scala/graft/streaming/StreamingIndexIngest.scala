@@ -45,4 +45,27 @@ object StreamingIndexIngest {
         ()
       }
       .start()
+
+  /** Streaming RETRACTION — the delete twin of [[start]] (X112b), closing
+    * the streaming side of the index lifecycle: each micro-batch of
+    * takedown ids is retracted from the persisted lists via the
+    * token-idempotent delete, so a crash-replay is exactly-once by the
+    * same commit-marker discipline. Tokens are batchId-keyed in a
+    * namespace disjoint from the ingest's (`d<batchId>` markers land as
+    * `del-d<batchId>` vs the appends' `b<batchId>`), so one index can be
+    * fed and retracted by two checkpointed streams — serialized by the
+    * caller, the single-mutator contract every index mutation shares. */
+  def startRetract(ids: DataFrame, idCol: String, path: String,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfIndexDeleteIdempotent(batch, idCol, path,
+            s"d$batchId")
+        ()
+      }
+      .start()
 }

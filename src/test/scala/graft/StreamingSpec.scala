@@ -555,4 +555,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(probe(path) == probe(clean),
       "probes must be identical after a crash-replay")
   }
+
+  test("streaming index retraction: multi-batch takedown converges to the " +
+      "batch delete, and a crash-replay after a published batch is " +
+      "exactly-once") {
+    import graft.ext.Similarity
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val victims = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+
+    // three id files -> maxFilesPerTrigger=1 -> three retraction batches
+    val idsDir = tmp("graft_idx_retract_src_")
+    victims.where(col("vec_id") % 3 === 0).write.parquet(s"$idsDir/f1")
+    victims.where(col("vec_id") % 3 === 1).write.parquet(s"$idsDir/f2")
+    victims.where(col("vec_id") % 3 === 2).write.parquet(s"$idsDir/f3")
+    def ids = spark.readStream.schema(victims.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$idsDir/*")
+
+    def freshIndex(prefix: String): String = {
+      val p = tmp(prefix)
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", p,
+        nCentroids = 16, lloydIters = 1)
+      p
+    }
+    def members(p: String): Seq[(Long, String)] =
+      spark.read.parquet(Similarity.ivfIndexDataDir(spark, p))
+        .select("nid", "bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    // reference: the one-shot batch delete
+    val batched = freshIndex("graft_idx_retract_batch_")
+    Similarity.ivfIndexDeleteIdempotent(victims, "vec_id", batched, "all")
+
+    // streamed retraction with an injected crash AFTER batch 1 published
+    // its delete (marker written) but BEFORE the checkpoint committed —
+    // the restart must replay the batch as a no-op
+    val streamed = freshIndex("graft_idx_retract_stream_")
+    val ckpt = tmp("graft_ckpt_retract_")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = ids.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfIndexDeleteIdempotent(batch, "vec_id", streamed,
+            s"d$batchId")
+        if (batchId == 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected crash: retraction published, checkpoint commit lost")
+        ()
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination())
+    assert(crashed.get(), "the injected crash must have fired")
+    val q2 = graft.streaming.StreamingIndexIngest.startRetract(
+      ids, "vec_id", streamed, ckpt)
+    q2.awaitTermination()
+
+    assert(members(streamed) == members(batched),
+      "streamed retraction must converge to the batch delete exactly")
+    val delIds = victims.collect().map(_.getLong(0)).toSet
+    assert(members(streamed).forall(m => !delIds.contains(m._1)),
+      "no retracted id may remain after the stream drains")
+  }
 }
