@@ -217,12 +217,18 @@ object SparkEntry {
           StructType(Seq(StructField("table_name", StringType),
             StructField("n_rows", LongType, nullable = false))))
       } else {
-        // _metadata.file_path is a URI: decode it so a file name needing
-        // URI escaping (spaces etc.) yields the same table_name the
-        // filesystem listing derived
+        // _metadata.file_path is a PERCENT-ENCODED URI (SparkPath keeps
+        // it url-encoded: a space is %20, a literal '%' is %25), so only
+        // percent-escapes may be decoded. url_decode alone applies
+        // x-www-form-urlencoded semantics — a literal '+' in a file name
+        // (legal in a path, never encoded) would decode to a space — so
+        // '+' is re-escaped to %2B first, making the composition a pure
+        // percent-decoder that matches the filesystem listing's raw names
         s.read.parquet(paths.toIndexedSeq: _*)
           .select(regexp_replace(
-              regexp_extract(url_decode(col("_metadata.file_path")),
+              regexp_extract(
+                url_decode(regexp_replace(
+                  col("_metadata.file_path"), "\\+", "%2B")),
                 java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
               "\\.parquet$", "").as("table_name"))
           .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
@@ -886,6 +892,55 @@ object SparkEntry {
         .join(noDel, Seq("pid"))
         .select(col("pid"), col("k"), col("found_true_neighbor"),
           col("no_deleted_neighbor"))
+        .orderBy("pid")
+    }),
+
+    // ── §2.9 X110b: STAGED ATOMIC REBUILD — the "scheduled rebuild" the
+    //    frozen-model lifecycle defers to: after an initial build plus an
+    //    ingest batch, the model is RE-FIT over the full corpus at a new
+    //    width, staged as sibling `centroids.v<N>`/`index.v<N>` versions,
+    //    and published with the one atomic pointer flip (old index stays
+    //    probeable through any pre-flip crash — SignLshSpec pins the
+    //    crash window). The engine require()s the lifecycle facts a SQL
+    //    oracle can't see: a NEW version is current, the predecessor pair
+    //    survives the vacuum (in-flight-reader retention), the replay
+    //    markers are reset, and the rebuilt lists hold the corpus exactly
+    //    once. nprobe = nCentroids on the probe: coverage is total, so
+    //    the top-k is exact cosine and found_true_neighbor is a
+    //    deterministic contract, not a calibration (the pruned-probe
+    //    contract is q_ann_persist's; this query pins the PUBLISH) ───────
+    "q_ann_rebuild" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfreb_")
+        .toString
+      Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, nCentroids = 32, lloydIters = 1)
+      Similarity.ivfIndexAppendIdempotent(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path, "ingest1")
+      val listsBefore = Similarity.ivfIndexDataDir(s, path)
+      val centBefore = Similarity.ivfCentroidsDir(s, path)
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+        nCentroids = 16, lloydIters = 1)
+      val listsAfter = Similarity.ivfIndexDataDir(s, path)
+      require(listsAfter != listsBefore,
+        "rebuild must publish a fresh lists version")
+      require(Similarity.ivfCentroidsDir(s, path) != centBefore,
+        "rebuild must publish a fresh model version")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(listsBefore)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(centBefore)),
+        "the predecessor pair must survive the rebuild's vacuum")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tokens")),
+        "a published rebuild resets the replay-token namespace")
+      val nIdx = s.read.parquet(listsAfter).count()
+      require(nIdx == emb.count(),
+        s"rebuilt lists must hold the corpus exactly once ($nIdx)")
+      Similarity.recallArtifact(
+          Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", path, k = 5, nprobe = 16),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
         .orderBy("pid")
     }),
 
@@ -3508,6 +3563,13 @@ object SparkEntry {
                 TRUE AS found_true_neighbor, TRUE AS no_deleted_neighbor
          FROM embeddings WHERE vec_id < 10 AND vec_id % 10 >= 2
          ORDER BY pid""",
+    // the rebuild's probe runs at nprobe = nCentroids (total coverage →
+    // exact cosine top-k), so full recall is deterministic; the staged
+    // atomic-publish facts are engine-side require()s the SQL can't see
+    "q_ann_rebuild" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k,
+                TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     // streamed ingest lands the same rows in the same buckets as the
     // batch append (assignment is stateless per row against the frozen
     // model), so the probe contract is q_ann_append's unchanged

@@ -875,10 +875,13 @@ object Similarity {
     * later, against an index they must not re-fit.
     *
     * Layout on disk:
-    *   - `path/centroids`: the fitted model (cid, cv, cn) — nCentroids
-    *     rows, one file; doubles round-trip parquet bit-exactly, so a
-    *     probe against the loaded index is bit-identical to one against
-    *     the in-query fit.
+    *   - `path/centroids.v<N>`: the fitted model (cid, cv, cn) —
+    *     nCentroids rows, one file; doubles round-trip parquet
+    *     bit-exactly, so a probe against the loaded index is
+    *     bit-identical to one against the in-query fit. Versioned so a
+    *     REBUILD can stage the new model beside the old and publish both
+    *     halves with one pointer flip; a pre-versioning flat
+    *     `path/centroids` still resolves (see [[ivfCentroidsDir]]).
     *   - `path/index.v<N>`: the inverted lists as a HIVE-PARTITIONED
     *     table, one directory per bucket (`bucket=c<cid>`). The bucket
     *     value is written as a 'c'-prefixed STRING on purpose:
@@ -886,19 +889,31 @@ object Similarity {
     *     as INT and large ones as BIGINT, and the resulting cast around
     *     the partition column can defeat pruning — a string value is
     *     inferred identically at every scale.
-    *   - `path/index.ptr`: a one-line pointer naming the CURRENT
-    *     `index.v<N>` directory — the MetaStore `_current` discipline
-    *     (`MetaStore.scala:71,404`) applied to the index: a writer that
-    *     replaces the lists (compaction) publishes a fully-written
-    *     sibling version and flips this pointer with a single-file
-    *     overwrite, so a reader resolves either the old version or the
-    *     new one — never a missing or half-renamed directory. Readers
-    *     resolve through [[ivfIndexDataDir]]; a pre-pointer layout
-    *     (`path/index`) still resolves for compatibility.
-    *   - `path/tokens/<token>`: zero-byte COMMIT MARKERS for the
-    *     idempotent append — the durable memory that a replay token fully
-    *     published, which survives compaction renaming its files (see
-    *     [[ivfIndexAppendIdempotent]]).
+    *   - `path/index.ptr`: a pointer file naming the CURRENT lists
+    *     directory (line 1) and centroid directory (line 2; absent in a
+    *     pre-versioning pointer ⇒ flat `centroids`) — the MetaStore
+    *     `_current` discipline (`MetaStore.scala:71,404`) applied to the
+    *     index: a writer that replaces lists (compaction) or the whole
+    *     model (rebuild) publishes fully-written sibling versions and
+    *     flips this pointer by writing `index.ptr.tmp` and RENAMING it
+    *     over `index.ptr` — an atomic replace on HDFS and POSIX, so a
+    *     reader at any instant opens either the old pointer or the new
+    *     one, never a missing/truncated file (a plain overwrite-create
+    *     deletes-then-writes on HDFS, leaving exactly that window).
+    *     Readers resolve through [[ivfIndexDataDir]], which additionally
+    *     falls back to the highest staged `index.v<N>` if the pointer is
+    *     unreadable on a filesystem without atomic rename-over; a
+    *     pre-pointer layout (`path/index`) still resolves last.
+    *   - `path/tokens/append/<token>`, `path/tokens/delete/<token>`:
+    *     zero-byte COMMIT MARKERS for the idempotent append/delete — the
+    *     durable memory that a replay token fully published, which
+    *     survives compaction renaming its files (see
+    *     [[ivfIndexAppendIdempotent]]). Append and delete live in
+    *     DISJOINT subdirectories, and their published index files carry
+    *     `A.<token>-` / `D.<token>-` prefixes — the `.` separator cannot
+    *     appear in a token (`[0-9A-Za-z_-]+`), so no append token can
+    *     forge a delete token's file prefix or marker (or vice versa),
+    *     closing the replay-cross-talk hole a shared flat namespace had.
     *
     * Probing reads the bounded centroid table, ranks buckets per probe,
     * and then — the point of the layout — filters the index scan with the
@@ -911,7 +926,35 @@ object Similarity {
     * so recall is the calibrated IVF recall unchanged. */
   def ivfIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
                     path: String, nCentroids: Int = 64,
-                    lloydIters: Int = 1): Unit = {
+                    lloydIters: Int = 1): Unit =
+    ivfIndexBuild(emb, idCol, vecCol, path, nCentroids, lloydIters,
+      crashBeforeFlip = false)
+
+  /** A (RE)BUILD is staged exactly like a compaction: the new model and
+    * its lists are fully written as `centroids.v<N>` / `index.v<N>`
+    * SIBLINGS of the current index, then both are published with the one
+    * atomic pointer flip — a crash anywhere before the flip leaves the
+    * old index current and fully probeable (the round-12 build deleted
+    * old state FIRST, so a mid-rebuild crash left nothing resolvable).
+    * After the flip the old lifecycle is vacuumed: the immediately
+    * previous lists+centroids pair is RETAINED for one cycle (the same
+    * reader-retention contract compaction honors), everything older goes,
+    * and `stage`/`delstage`/`tokens` are wiped because in-flight staging
+    * and replay markers describe the OLD model's lists.
+    *
+    * Streaming-checkpoint contract: wiping `tokens` means a streaming
+    * ingest/retract checkpoint that predates the rebuild MUST be reset
+    * (fresh checkpoint directory) — its committed batches are not in the
+    * rebuilt lists and their markers are gone, so a replay from the old
+    * checkpoint would re-append them as fresh data (correct for the new
+    * index only if the source still serves those batches exactly once —
+    * which a reset checkpoint re-reading the source guarantees).
+    * `crashBeforeFlip` is the spec's crash-injection seam: stop after
+    * both halves are staged but before the flip — the widest window. */
+  private[graft] def ivfIndexBuild(emb: DataFrame, idCol: String,
+                                   vecCol: String, path: String,
+                                   nCentroids: Int, lloydIters: Int,
+                                   crashBeforeFlip: Boolean): Unit = {
     val spark = emb.sparkSession
     val fs = hfs(spark, path)
     val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
@@ -921,50 +964,139 @@ object Similarity {
     // persist the literal — one file, nCentroids rows
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
-    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // a (re)build resets the WHOLE index lifecycle: prior list versions,
-    // the pointer, in-flight staging, and token markers all describe the
-    // old model's lists and must not leak into the new one
-    indexVersionDirs(fs, path).foreach(p => fs.delete(p, true))
-    Seq("index.ptr", "stage", "delstage", "tokens")
-      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
+    // next version = 1 past the highest EVER staged on either half, so a
+    // crashed rebuild's orphan is superseded, never republished
+    val next = (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path))
+      .map(_.getName)
+      .collect { case n if n.contains(".v") =>
+        n.substring(n.lastIndexOf(".v") + 2).toLong }
+      .foldLeft(-1L)(math.max) + 1
+    val (curLists, curCent) =
+      (ivfIndexDataDir(spark, path), ivfCentroidsDir(spark, path))
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids.v$next")
     assignToModel(corpus, cent)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/index.v0")
-    writeIndexPointer(fs, path, "index.v0")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/index.v$next")
+    if (crashBeforeFlip) return
+    writeIndexPointer(fs, path, s"index.v$next", s"centroids.v$next")
+    // vacuum the old lifecycle, retaining the immediate predecessor pair
+    val keep = Set(s"index.v$next", s"centroids.v$next",
+      curLists.substring(curLists.lastIndexOf('/') + 1),
+      curCent.substring(curCent.lastIndexOf('/') + 1))
+    (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path))
+      .filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+    Seq("stage", "delstage", "tokens")
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
   }
 
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read `index.ptr` → (lists dir name, centroids dir name). `None` when
+    * the pointer is absent, empty, or transiently unreadable after
+    * retries. The data rename itself is atomic on HDFS/POSIX, but the
+    * LOCAL ChecksumFileSystem renames the `.crc` sidecar as a SECOND
+    * operation, so a reader racing a flip can open the new pointer
+    * against the old checksum (ChecksumException) — a bounded retry
+    * lands on a consistent pair; only then does resolution fall down the
+    * ladder. A one-line pre-versioning pointer resolves its centroid
+    * half to the flat legacy `centroids`. */
+  private def readIndexPointer(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Option[(String, String)] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/index.ptr")
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      try {
+        val in = fs.open(ptr)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).filter(_.nonEmpty).toList
+          finally in.close()
+        lines match {
+          case l :: c :: _ => return Some((l, c))
+          case l :: Nil    => return Some((l, "centroids"))
+          case Nil         => () // torn mid-flip on a non-atomic FS: retry
+        }
+      } catch {
+        case _: java.io.FileNotFoundException if attempt >= 3 => return None
+        case _: java.io.FileNotFoundException                 => ()
+        case _: org.apache.hadoop.fs.ChecksumException        => ()
+      }
+    }
+    None
+  }
+
   /** Resolve the CURRENT inverted-lists directory of a persisted index:
-    * the `index.ptr` pointer names it; a pointer-less layout (an index
-    * written before versioning, or hand-assembled in a test) falls back
-    * to the legacy `path/index`. One bounded pointer read — resolution
-    * happens once per probe/append, and the retention rule (compaction
-    * keeps the immediately-previous version, see [[ivfIndexCompact]])
-    * guarantees the resolved directory outlives any scan planned
-    * against it for one full compaction cycle. */
+    * the `index.ptr` pointer names it. If the pointer is unreadable
+    * (never the case mid-flip on HDFS/POSIX — the flip is a rename-over —
+    * but possible on an object store without atomic rename, or after a
+    * crash that orphaned a fully-staged version), the HIGHEST staged
+    * `index.v<N>` resolves instead: by construction every staged version
+    * is fully written before anything else happens, and the highest one
+    * is either the current (pointer lost post-flip) or a superset-staged
+    * sibling about to become current. A fully pointer-less pre-versioning
+    * layout falls back to the legacy `path/index` last. One bounded
+    * pointer read — resolution happens once per probe/append, and the
+    * retention rule (compaction and rebuild keep the immediately-previous
+    * version, see [[ivfIndexCompact]]) guarantees the resolved directory
+    * outlives any scan planned against it for one full cycle. */
   def ivfIndexDataDir(spark: SparkSession, path: String): String = {
     val fs = hfs(spark, path)
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/index.ptr")
-    if (!fs.exists(ptr)) s"$path/index"
-    else {
-      val in = fs.open(ptr)
-      val name =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      s"$path/$name"
+    readIndexPointer(fs, path) match {
+      case Some((lists, _)) => s"$path/$lists"
+      case None =>
+        val staged = indexVersionDirs(fs, path).map(_.getName)
+          .collect { case n if n.startsWith("index.v") =>
+            n.stripPrefix("index.v").toLong }
+        if (staged.nonEmpty) s"$path/index.v${staged.max}"
+        else s"$path/index"
     }
   }
 
-  /** Single-file-overwrite pointer flip — the MetaStore commit's publish
-    * step (`MetaStore.scala:404`): the version directory is already fully
-    * written when this runs, so the flip is the atomic commit point. */
-  private def writeIndexPointer(fs: org.apache.hadoop.fs.FileSystem,
-                                path: String, name: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/index.ptr"), true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
+  /** Resolve the CURRENT centroid directory — the pointer's second line;
+    * same fallback ladder as [[ivfIndexDataDir]] (highest staged
+    * `centroids.v<N>`, then the flat legacy `centroids`). */
+  def ivfCentroidsDir(spark: SparkSession, path: String): String = {
+    val fs = hfs(spark, path)
+    readIndexPointer(fs, path) match {
+      case Some((_, cent)) => s"$path/$cent"
+      case None =>
+        val staged = centroidVersionDirs(fs, path).map(_.getName)
+          .collect { case n if n.startsWith("centroids.v") =>
+            n.stripPrefix("centroids.v").toLong }
+        if (staged.nonEmpty) s"$path/centroids.v${staged.max}"
+        else s"$path/centroids"
+    }
+  }
+
+  /** ATOMIC pointer flip — the MetaStore commit's publish step
+    * (`MetaStore.scala:404`) done as write-temp + rename-over: `rename`
+    * replaces the destination in one filesystem operation on HDFS and
+    * POSIX, so a concurrent reader opens the old pointer or the new one,
+    * never a missing/truncated file (`fs.create(…, overwrite=true)`
+    * would delete-then-write on HDFS — exactly the window the round-12
+    * advisory flagged). Both staged directories are already fully
+    * written when this runs, so the rename is the commit point. */
+  private[graft] def writeIndexPointer(fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String, listsName: String,
+                                       centName: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/index.ptr.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/index.ptr")
+    val out = fs.create(tmp, true)
+    try out.write(s"$listsName\n$centName\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      // FileSystem.rename refuses an existing destination on some
+      // implementations (HDFS included) — FileContext's OVERWRITE rename
+      // is the atomic replace those expose
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, fs.getConf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Every inverted-lists directory under `path`: the legacy unversioned
@@ -975,6 +1107,18 @@ object Similarity {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(p => p.getName == "index" || p.getName.matches("index\\.v\\d+"))
+  }
+
+  /** Every centroid directory under `path`: the legacy flat `centroids`
+    * plus any `centroids.v<N>`. */
+  private def centroidVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName == "centroids" ||
+        p.getName.matches("centroids\\.v\\d+"))
   }
 
   /** Nearest-bucket assignment of prepared vectors against a (bounded,
@@ -1010,7 +1154,7 @@ object Similarity {
                      path: String): Unit = {
     val spark = delta.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val centDf = spark.read.parquet(s"$path/centroids")
+    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
@@ -1031,7 +1175,7 @@ object Similarity {
     * is one bounded directory listing (≤ nCentroids bucket dirs) and one
     * rename per staged file — no data is rewritten.
     *
-    * The COMMIT MARKER (`path/tokens/<token>`, created after the last
+    * The COMMIT MARKER (`path/tokens/append/<token>`, created after the last
     * rename, before the staging delete) is what keeps replays safe
     * ACROSS COMPACTION: [[ivfIndexCompact]] rewrites the lists as plain
     * part files, erasing the token prefixes the retract pass looks for —
@@ -1062,7 +1206,7 @@ object Similarity {
     graft.GraftExtensions.ensure(spark)
     val fs = hfs(spark, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/stage/$token")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/$token")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/append/$token")
     if (fs.exists(marker)) {
       // this token fully published in a prior attempt (possibly already
       // compacted into plain part files) — the replay is a no-op except
@@ -1070,18 +1214,20 @@ object Similarity {
       fs.delete(staging, true)
       return
     }
-    val centDf = spark.read.parquet(s"$path/centroids")
+    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     val indexDir = new org.apache.hadoop.fs.Path(ivfIndexDataDir(spark, path))
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
-    // retract any files a previous attempt of this token published
+    // retract any files a previous attempt of this token published; the
+    // `A.` prefix is unforgeable by other tokens ('.' is outside the
+    // token alphabet), so this can never sweep a delete's survivor files
     if (fs.exists(indexDir)) {
       fs.listStatus(indexDir).filter(_.isDirectory).foreach { d =>
         fs.listStatus(d.getPath)
-          .filter(_.getPath.getName.startsWith(s"$token-"))
+          .filter(_.getPath.getName.startsWith(s"A.$token-"))
           .foreach(f => fs.delete(f.getPath, false))
       }
     }
@@ -1093,12 +1239,12 @@ object Similarity {
         .filter(_.getPath.getName.startsWith("part-"))
         .foreach { f =>
           val dst = new org.apache.hadoop.fs.Path(target,
-            s"$token-${f.getPath.getName}")
+            s"A.$token-${f.getPath.getName}")
           require(fs.rename(f.getPath, dst), s"publish failed: $dst")
         }
     }
     // commit point: from here a replay of this token is a no-op
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens/append"))
     fs.create(marker, true).close()
     fs.delete(staging, true)
   }
@@ -1120,7 +1266,7 @@ object Similarity {
     * buckets' survivor rows.
     *
     * Exactly-once via the append's token discipline, inverted: staged
-    * survivor files are MOVED IN under `del<token>-` prefixes BEFORE the
+    * survivor files are MOVED IN under `D.<token>-` prefixes BEFORE the
     * retired originals are deleted (add-then-remove — a crash can leave
     * transient duplicates of survivor rows, never lose them), and the
     * `dropDuplicates(nid)` in the rebuild repairs exactly those torn
@@ -1141,7 +1287,7 @@ object Similarity {
     graft.GraftExtensions.ensure(spark)
     val fs = hfs(spark, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/delstage/$token")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/del-$token")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/delete/$token")
     if (fs.exists(marker)) {
       fs.delete(staging, true)
       return
@@ -1161,7 +1307,7 @@ object Similarity {
         .repartition(col("bucket"))
       kept.write.partitionBy("bucket").mode("overwrite")
         .parquet(staging.toString)
-      val prefix = s"del$token-"
+      val prefix = s"D.$token-"
       affected.foreach { b =>
         val target = new org.apache.hadoop.fs.Path(s"$idx/bucket=$b")
         // retract files a previous attempt of this token published
@@ -1196,7 +1342,7 @@ object Similarity {
       }
     }
     // commit point: from here a replay of this token is a no-op
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens/delete"))
     fs.create(marker, true).close()
     fs.delete(staging, true)
   }
@@ -1267,8 +1413,8 @@ object Similarity {
         }
       }
     }
-    gateStaging("stage", identity, "append")
-    gateStaging("delstage", t => s"del-$t", "delete")
+    gateStaging("stage", t => s"append/$t", "append")
+    gateStaging("delstage", t => s"delete/$t", "delete")
     def countFiles(p: org.apache.hadoop.fs.Path): Int = {
       val it = fs.listFiles(p, true)
       var n = 0
@@ -1279,9 +1425,12 @@ object Similarity {
     }
     val current = ivfIndexDataDir(spark, path)
     val curName = current.substring(current.lastIndexOf('/') + 1)
+    val curCent = ivfCentroidsDir(spark, path)
     val before = countFiles(new org.apache.hadoop.fs.Path(current))
     // next version = 1 past the highest EVER staged (not the pointer's):
-    // a crashed compaction's orphan dir is overwritten, never republished
+    // a crashed compaction's orphan dir is SUPERSEDED by this higher
+    // number (the retry never republishes it) and swept by the post-flip
+    // vacuum below once a later compaction succeeds
     val maxV = indexVersionDirs(fs, path).map(_.getName)
       .collect { case n if n.startsWith("index.v") =>
         n.stripPrefix("index.v").toLong }
@@ -1292,7 +1441,10 @@ object Similarity {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/$next")
     if (crashBeforeFlip) return (before, -1)
-    writeIndexPointer(fs, path, next)
+    // the model is untouched: the flip re-publishes the CURRENT centroid
+    // directory name alongside the new lists
+    writeIndexPointer(fs, path, next,
+      curCent.substring(curCent.lastIndexOf('/') + 1))
     // vacuum everything but the new current and its immediate predecessor
     indexVersionDirs(fs, path)
       .filter(p => p.getName != next && p.getName != curName)
@@ -1308,7 +1460,7 @@ object Similarity {
                     path: String, k: Int, nprobe: Int = 3): DataFrame = {
     val spark = probes0.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val centDf = spark.read.parquet(s"$path/centroids")
+    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")

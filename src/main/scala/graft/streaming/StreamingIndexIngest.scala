@@ -50,11 +50,13 @@ object StreamingIndexIngest {
     * the streaming side of the index lifecycle: each micro-batch of
     * takedown ids is retracted from the persisted lists via the
     * token-idempotent delete, so a crash-replay is exactly-once by the
-    * same commit-marker discipline. Tokens are batchId-keyed in a
-    * namespace disjoint from the ingest's (`d<batchId>` markers land as
-    * `del-d<batchId>` vs the appends' `b<batchId>`), so one index can be
-    * fed and retracted by two checkpointed streams — serialized by the
-    * caller, the single-mutator contract every index mutation shares. */
+    * same commit-marker discipline. Append and delete tokens live in
+    * structurally disjoint namespaces (`tokens/append/` vs
+    * `tokens/delete/` markers, `A.<token>-` vs `D.<token>-` file
+    * prefixes), so one index can be fed and retracted by two
+    * checkpointed streams — the `b`/`d` batchId prefixes here are just
+    * readability; serialization between the two streams is the caller's
+    * single-mutator contract every index mutation shares. */
   def startRetract(ids: DataFrame, idCol: String, path: String,
                    checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

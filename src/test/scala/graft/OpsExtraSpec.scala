@@ -95,6 +95,25 @@ class OpsExtraSpec extends AnyFunSuite {
       s"frontier should grow 2 → 160 before the recursive walk, saw $levels")
   }
 
+  test("file listing derives table names verbatim for files needing URI " +
+      "escaping ('+', space)") {
+    // _metadata.file_path is percent-encoded; q_file_listing decodes it.
+    // The round-12 advisory: url_decode alone is x-www-form-urlencoded,
+    // so a literal '+' (legal in a path, never encoded by SparkPath)
+    // decoded to a space — 'a+b' was reported as 'a b'. The fix
+    // re-escapes '+' to %2B first, making the decode percent-only.
+    val root = java.nio.file.Files.createTempDirectory("graft_oddnames_")
+      .toString
+    import spark.implicits._
+    Seq(1L, 2L).toDF("v").write.parquet(s"$root/a+b.parquet")
+    Seq(3L).toDF("v").write.parquet(s"$root/sp ace.parquet")
+    Seq(4L, 5L, 6L).toDF("v").write.parquet(s"$root/plain.parquet")
+    val out = SparkEntry.queries("q_file_listing")(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a+b" -> 2L, "sp ace" -> 1L, "plain" -> 3L),
+      s"special-character file names must round-trip verbatim: $out")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_quantity")

@@ -419,8 +419,8 @@ class SignLshSpec extends AnyFunSuite {
       Similarity.ivfIndexCompact(spark, path))
     assert(e.getMessage.contains("tX") && e.getMessage.contains("delete"),
       s"refusal must name the in-flight delete token: ${e.getMessage}")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/del-tX"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens/delete"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/delete/tX"), true)
       .close()
     Similarity.ivfIndexCompact(spark, path)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/delstage/tX")),
@@ -439,8 +439,8 @@ class SignLshSpec extends AnyFunSuite {
     val evens = emb.where(col("vec_id") % 2 === 0)
     val odds = emb.where(col("vec_id") % 2 === 1)
     // manufacture the LEGACY layout an r11 build left on disk: lists at
-    // $path/index, centroids beside them, NO index.ptr — by building
-    // normally and downgrading the directory by hand
+    // $path/index, a FLAT centroids dir beside them, NO index.ptr — by
+    // building normally and downgrading the directory by hand
     val path = java.nio.file.Files.createTempDirectory("graft_idx_legacy_")
       .toString
     Similarity.ivfIndexBuild(evens, "vec_id", "embedding", path,
@@ -449,9 +449,13 @@ class SignLshSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/index.v0"),
       new org.apache.hadoop.fs.Path(s"$path/index")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/centroids.v0"),
+      new org.apache.hadoop.fs.Path(s"$path/centroids")))
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/index.ptr"), false)
     assert(Similarity.ivfIndexDataDir(spark, path) == s"$path/index",
       "a pointer-less layout must resolve to the legacy directory")
+    assert(Similarity.ivfCentroidsDir(spark, path) == s"$path/centroids",
+      "a pointer-less layout must resolve the flat centroids directory")
 
     // probe + append + idempotent append + delete all work on it
     def probe() = Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
@@ -502,11 +506,165 @@ class SignLshSpec extends AnyFunSuite {
       s"refusal must name the in-flight token: ${e.getMessage}")
     // the same state WITH a commit marker is post-commit garbage: the
     // compaction proceeds and sweeps it
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/bX"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens/append"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/tokens/append/bX"), true)
+      .close()
     val (f0, f1) = Similarity.ivfIndexCompact(spark, path)
     assert(f1 <= f0 && f1 > 0, s"compaction must publish: $f0 -> $f1")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stage/bX")),
       "committed staging leftovers must be swept by compaction")
+  }
+
+  test("pointer flip is atomic under a concurrent reader, and resolution " +
+      "falls back to the highest staged version when the pointer is lost") {
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_flip_")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/index.v1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/index.v2"))
+    Similarity.writeIndexPointer(fs, path, "index.v1", "centroids.v1")
+
+    // hammer the flip from a writer thread while this thread resolves:
+    // with the tmp+rename-over flip (never create-overwrite), a reader at
+    // ANY instant must see one of the two published versions — never the
+    // legacy fallback a missing/truncated pointer would produce, and
+    // never an exception from an open() racing a delete. 400 flips is
+    // thousands of interleaved reads on a 32-way box.
+    val valid = Set(s"$path/index.v1", s"$path/index.v2")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (i < 400) {
+          val v = if (i % 2 == 0) "index.v2" else "index.v1"
+          Similarity.writeIndexPointer(fs, path, v,
+            v.replace("index", "centroids"))
+          i += 1
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+      finally stop.set(true)
+    })
+    writer.start()
+    var reads = 0
+    while (!stop.get()) {
+      val resolved = Similarity.ivfIndexDataDir(spark, path)
+      assert(valid(resolved),
+        s"reader observed a torn/missing pointer after $reads reads: $resolved")
+      reads += 1
+    }
+    writer.join()
+    assert(writerErr.get() == null, s"flip failed: ${writerErr.get()}")
+    assert(reads > 0, "the reader must have raced at least one flip")
+
+    // lost-pointer ladder: an EMPTY pointer and an ABSENT pointer both
+    // resolve to the highest staged version, not the legacy dir
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/index.ptr")
+    fs.create(ptr, true).close()
+    assert(Similarity.ivfIndexDataDir(spark, path) == s"$path/index.v2",
+      "an empty pointer must resolve to the highest staged version")
+    fs.delete(ptr, false)
+    assert(Similarity.ivfIndexDataDir(spark, path) == s"$path/index.v2",
+      "an absent pointer must resolve to the highest staged version")
+    // and only a layout with no versions at all resolves to the legacy dir
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/index.v1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/index.v2"), true)
+    assert(Similarity.ivfIndexDataDir(spark, path) == s"$path/index")
+  }
+
+  test("a rebuild is staged: a crash before the flip leaves the old index " +
+      "fully probeable, and the retry publishes the new model atomically") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_reb_")
+      .toString
+    Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 16, lloydIters = 1)
+    Similarity.ivfIndexAppendIdempotent(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, "b1")
+    def probe() = Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", path, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val expected = probe()
+    val listsBefore = Similarity.ivfIndexDataDir(spark, path)
+    val centBefore = Similarity.ivfCentroidsDir(spark, path)
+
+    // crash-inject the REBUILD in its widest window: new model and lists
+    // fully staged, flip never happens — the old pair must stay current
+    // and a probe must be bit-identical (the round-12 build deleted old
+    // state first, leaving nothing resolvable across this window)
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+      nCentroids = 8, lloydIters = 1, crashBeforeFlip = true)
+    assert(Similarity.ivfIndexDataDir(spark, path) == listsBefore &&
+        Similarity.ivfCentroidsDir(spark, path) == centBefore,
+      "a crashed rebuild must leave the old index current")
+    assert(probe() == expected, "crash-window probe must see the old index")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/tokens/append/b1")),
+      "a crashed rebuild must not wipe the old lifecycle's markers")
+
+    // the retried rebuild publishes: full corpus under the NEW model,
+    // old lifecycle vacuumed (markers gone — the documented
+    // fresh-streaming-checkpoint contract), predecessor pair retained
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
+      nCentroids = 8, lloydIters = 1)
+    val listsAfter = Similarity.ivfIndexDataDir(spark, path)
+    assert(listsAfter != listsBefore, "the retry must publish a new version")
+    assert(spark.read.parquet(listsAfter).count() == emb.count())
+    assert(probe().nonEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tokens")),
+      "a published rebuild resets the token namespace")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(listsBefore)),
+      "the immediately-previous lists survive the rebuild's vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(centBefore)),
+      "the immediately-previous centroids survive the rebuild's vacuum")
+  }
+
+  test("append and delete replay tokens cannot cross-talk: an append " +
+      "token shaped like a delete token replays without touching the " +
+      "delete's survivors or its commit marker") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_tok_")
+      .toString
+    Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = 16, lloydIters = 1)
+    import spark.implicits._
+    // the round-12 advisory's collision: delete token "1" publishes
+    // survivor files that, under the old flat prefixes, an append token
+    // "del1" would retract on replay (its retract pass looked for
+    // "del1-"); and append token "del-1" would share the old "del-1"
+    // marker with delete token "1", turning the delete's commit into a
+    // silent no-op for that append. The disjoint tokens/append|delete
+    // namespaces + A./D. prefixes make both impossible.
+    Similarity.ivfIndexDeleteIdempotent(Seq(0L, 14L).toDF("vec_id"),
+      "vec_id", path, "1")
+    val afterDelete = spark.read.parquet(
+      Similarity.ivfIndexDataDir(spark, path)).count()
+    val b1 = emb.where(col("vec_id") % 4 === 1)
+    val b3 = emb.where(col("vec_id") % 4 === 3)
+    Similarity.ivfIndexAppendIdempotent(b1, "vec_id", "embedding", path,
+      "del1")
+    Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path,
+      "del-1")
+    val n1 = spark.read.parquet(
+      Similarity.ivfIndexDataDir(spark, path)).count()
+    assert(n1 == afterDelete + b1.count() + b3.count(),
+      "both appends must land exactly once beside the delete")
+    // replay all three tokens — every replay must be a no-op
+    Similarity.ivfIndexAppendIdempotent(b1, "vec_id", "embedding", path,
+      "del1")
+    Similarity.ivfIndexAppendIdempotent(b3, "vec_id", "embedding", path,
+      "del-1")
+    Similarity.ivfIndexDeleteIdempotent(Seq(0L, 14L).toDF("vec_id"),
+      "vec_id", path, "1")
+    val n2 = spark.read.parquet(
+      Similarity.ivfIndexDataDir(spark, path)).count()
+    assert(n2 == n1, s"replays must be no-ops: $n1 -> $n2")
+    assert(spark.read.parquet(Similarity.ivfIndexDataDir(spark, path))
+        .where(col("nid").isin(0L, 14L)).count() == 0,
+      "the delete's retraction must survive every replay")
   }
 }
