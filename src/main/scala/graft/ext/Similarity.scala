@@ -766,35 +766,80 @@ object Similarity {
     * the windowed form shuffles the full |corpus| × nCentroids expansion
     * to rank it; max_by collapses to one row per vector in the map-side
     * partial, so the shuffle carries |corpus| rows regardless of
-    * nCentroids. Tiebreak (csim DESC, cid ASC) via lexicographic struct. */
+    * nCentroids. Tiebreak (csim DESC, cid ASC) via lexicographic struct.
+    * Kept for the PQ sub-vector paths whose model frames are lazy; the
+    * IVF paths assign with ZERO shuffle via [[nearestCidOf]] instead. */
   private val nearestCentroid = (csim: Column) =>
     max_by(col("cid"), struct(csim, (-col("cid")).as("nc")))
+
+  /** MAP-SIDE nearest-centroid assignment against a COLLECTED model —
+    * the semanticDedup/ivfpq index-build trick promoted to the shared
+    * primitive: the (cid, cv, cn) rows are baked into the plan as one
+    * literal array and each vector folds over it (`array_max` of
+    * (csim, -cid) structs — csim DESC, cid ASC tiebreak, exactly
+    * [[nearestCentroid]]'s ordering, NaN ranked greatest by both).
+    * Assignment then runs inside the scan's own codegen stage: ZERO
+    * shuffle, vs the aggregation form's full-corpus exchange on the
+    * group-by — at 1000 executors that exchange IS the index-build
+    * bottleneck, and nothing about picking a per-row argmax needs one.
+    * `csim = dot(nv,cv)/(nn·cn)`, the exact expression the aggregation
+    * form computed, so bucket membership is bit-identical. */
+  private def nearestCidOf(nv: Column, nn: Column,
+                           centRows: Seq[(Long, Seq[Double], Double)])
+      : Column = {
+    val centLit = typedLit(centRows.sortBy(_._1))
+    -array_max(transform(centLit, c =>
+      struct((dot(nv, c.getField("_2")) / (nn * c.getField("_3")))
+          .as("csim"),
+        (-c.getField("_1")).as("nc")))).getField("nc")
+  }
+
+  /** (cid, cv, cn) rows of a collected centroid frame, the input shape
+    * [[nearestCidOf]] bakes into the plan. */
+  private def centTuples(rows: Seq[org.apache.spark.sql.Row])
+      : Seq[(Long, Seq[Double], Double)] =
+    rows.map { r =>
+      (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("cv")),
+        r.getDouble(r.fieldIndex("cn")))
+    }
 
   /** IVF centroid fit (shared by ivfTopK / ivfpqTopK): `nCentroids` seed
     * vectors drawn by a deterministic pseudo-random sample (top-n by hash
     * of id — stable, cheap TakeOrdered, size-independent of the corpus),
     * then `lloydIters` k-means refinement steps (means accumulated in
     * DECIMAL so the refined centroids are bit-deterministic across
-    * partitionings). Returns the lazy (cid, cv) centroid frame; callers
-    * collect it once — the model is nCentroids × dim doubles, bounded by
-    * construction. */
+    * partitionings). The per-iteration assignment re-emits the current
+    * centroids as a plan literal (they are collected anyway at the end —
+    * the model is bounded by construction) and folds map-side via the
+    * [[nearestCidOf]] ordering, so the ONLY corpus-wide exchange in the
+    * whole fit is the Lloyd mean's partial aggregation, whose shuffle
+    * payload is nCentroids × dim rows per map partition — the
+    * aggregation-form assignment used to add a full |corpus|-row
+    * exchange per iteration on top. Returns the (cid, cv) centroid
+    * frame (a local relation); callers collect it once. */
   private def fitIvfCentroids(corpus: DataFrame, nCentroids: Int,
                               lloydIters: Int): DataFrame = {
-    var centroids = corpus
+    val spark = corpus.sparkSession
+    val seeds = corpus
       .orderBy(xxhash64(col("nid")).asc, col("nid").asc)
       .limit(nCentroids)
       .select(col("nid").as("cid"),
         transform(col("nv"), _.cast(DoubleType)).as("cv"))
+    var centRows = seeds.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val centSchema = seeds.schema
     for (_ <- 0 until lloydIters) {
-      // assign to nearest seed (norm of nv is constant per nid — dividing
-      // by it cannot change the per-vector ranking, so csim omits it)
-      val assignedTo = corpus.join(broadcast(centroids), lit(true))
-        .withColumn("csim", dot(col("nv"), col("cv")) / sqrt(dot(col("cv"), col("cv"))))
-        .groupBy(col("nid"), col("nv"))
-        .agg(nearestCentroid(col("csim")).as("cid"))
-        .select(col("cid"), col("nv"))
+      // assign to nearest seed MAP-SIDE (norm of nv is constant per nid —
+      // dividing by it cannot change the per-vector ranking, so csim
+      // omits it; cn is the same left-to-right double accumulation
+      // graft_dot + sqrt computed in the aggregation form)
+      val lit3 = centRows.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.map(x => x * x).sum)) }
+      val assignedTo = corpus.select(
+        nearestCidOf(col("nv"), lit(1.0), lit3).as("cid"), col("nv"))
       // Lloyd step: centroid ← mean of its cluster, per dimension.
-      centroids = assignedTo
+      centRows = assignedTo
         .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v").cast(DecimalType(38, 12))).as("m"))
@@ -802,8 +847,13 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast(DoubleType)).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     }
-    centroids
+    spark.createDataFrame(
+      java.util.Arrays.asList(centRows.map { case (cid, cv) =>
+        org.apache.spark.sql.Row(cid, cv) }: _*),
+      centSchema)
   }
 
   /** IVF-style approximate top-k (the scale path).
@@ -837,16 +887,15 @@ object Similarity {
     // ranking) re-runs the whole seed + Lloyd fit pipeline; with it, the
     // fit happens once and the consumers broadcast a tiny literal.
     val fitted = centroids.withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val centAll = fitted.collect()
     val cent = spark.createDataFrame(
-      java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
+      java.util.Arrays.asList(centAll: _*), fitted.schema)
 
-    // index: nearest centroid per vector (broadcast the tiny centroid set;
-    // same map-side-collapsing aggregation as the Lloyd step)
-    val assigned = corpus.join(broadcast(cent), lit(true))
-      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
-      .groupBy(col("nid"), col("nv"), col("nn"))
-      .agg(nearestCentroid(col("csim")).as("cid"))
-      .select(col("nid"), col("nv"), col("nn"), col("cid"))
+    // index: nearest centroid per vector — the map-side literal fold
+    // (zero shuffle; assignment runs in the scan's codegen stage)
+    val assigned = corpus.select(col("nid"), col("nv"), col("nn"),
+      nearestCidOf(col("nv"), col("nn"), centTuples(centAll.toIndexedSeq))
+        .as("cid"))
 
     // search: top-nprobe centroids per probe
     val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol, "pid", "pv", "pn")
@@ -962,8 +1011,9 @@ object Similarity {
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     // fit once, re-emit as a literal (the ivfTopK discipline), then
     // persist the literal — one file, nCentroids rows
+    val centAll = fitted.collect()
     val cent = spark.createDataFrame(
-      java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
+      java.util.Arrays.asList(centAll: _*), fitted.schema)
     // next version = 1 past the highest EVER staged on either half, so a
     // crashed rebuild's orphan is superseded, never republished
     val next = (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path))
@@ -975,7 +1025,7 @@ object Similarity {
       (ivfIndexDataDir(spark, path), ivfCentroidsDir(spark, path))
     cent.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids.v$next")
-    assignToModel(corpus, cent)
+    assignToModel(corpus, centTuples(centAll.toIndexedSeq))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/index.v$next")
     if (crashBeforeFlip) return
@@ -1121,25 +1171,25 @@ object Similarity {
         p.getName.matches("centroids\\.v\\d+"))
   }
 
-  /** Nearest-bucket assignment of prepared vectors against a (bounded,
-    * already-literal) centroid frame — shared by the index build and the
-    * incremental append so the two can never disagree on the layout.
-    *
-    * The hash repartition on `bucket` before the partitioned write is the
+  /** Nearest-bucket assignment of prepared vectors against a COLLECTED
+    * centroid model — shared by the index build and the incremental
+    * append so the two can never disagree on the layout. Assignment is
+    * the [[nearestCidOf]] map-side fold (zero shuffle, runs in the
+    * scan's codegen stage); the ONLY exchange here is the hash
+    * repartition on `bucket` before the partitioned write — the
     * small-files guard: without it every write task emits a file into
     * EVERY bucket directory it saw — tasks × nCentroids files (at 1000
     * executors: ~64k files per ingest, the classic partitioned-write
     * explosion). Clustered by bucket, each directory receives exactly
     * the tasks that own that bucket (≤ ceil(nCentroids/shuffle
-    * partitions)+1 per bucket per batch) — one bounded extra shuffle at
+    * partitions)+1 per bucket per batch) — one bounded shuffle at
     * WRITE time, the side that amortizes over every probe. */
-  private def assignToModel(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus.join(broadcast(cent), lit(true))
-      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
-      .groupBy(col("nid"), col("nv"), col("nn"))
-      .agg(nearestCentroid(col("csim")).as("cid"))
-      .select(col("nid"), col("nv"), col("nn"),
-        concat(lit("c"), col("cid")).as("bucket"))
+  private def assignToModel(corpus: DataFrame,
+                            centRows: Seq[(Long, Seq[Double], Double)])
+      : DataFrame =
+    corpus.select(col("nid"), col("nv"), col("nn"),
+        concat(lit("c"), nearestCidOf(col("nv"), col("nn"), centRows))
+          .as("bucket"))
       .repartition(col("bucket"))
 
   /** Append a delta batch to a [[ivfIndexBuild]] index WITHOUT re-fitting:
@@ -1154,10 +1204,9 @@ object Similarity {
                      path: String): Unit = {
     val spark = delta.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
-    val cent = spark.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
-    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
+    val centRows = centTuples(
+      spark.read.parquet(ivfCentroidsDir(spark, path)).collect().toIndexedSeq)
+    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), centRows)
       .write.partitionBy("bucket").mode("append")
       .parquet(ivfIndexDataDir(spark, path))
   }
@@ -1214,11 +1263,10 @@ object Similarity {
       fs.delete(staging, true)
       return
     }
-    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
-    val cent = spark.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val centRows = centTuples(
+      spark.read.parquet(ivfCentroidsDir(spark, path)).collect().toIndexedSeq)
     val indexDir = new org.apache.hadoop.fs.Path(ivfIndexDataDir(spark, path))
-    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), cent)
+    assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), centRows)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
     // retract any files a previous attempt of this token published; the

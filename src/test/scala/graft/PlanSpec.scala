@@ -228,16 +228,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF assignment aggregates (no ranking window over the expansion)") {
-    // max_by collapses corpus × centroids map-side; a Window here would
-    // shuffle the full expansion (nCentroids × corpus rows).
+  test("IVF assignment is map-side: no ranking window, and ZERO exchange " +
+      "on the index side of the bucket join") {
+    // nearest-centroid assignment folds over the centroid literal inside
+    // the scan's codegen stage (nearestCidOf) — a Window would shuffle
+    // the full nCentroids × corpus expansion, and even the max_by
+    // aggregation form exchanged the full corpus on its group-by. The
+    // streamed (corpus) side of the bucket join must therefore plan scan
+    // → project with NO Exchange at all.
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val df = graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
       _ < 5, k = 3, nCentroids = 8, nprobe = 2)
-    val windows = physical(df).linesIterator.count(_.trim.startsWith("Window"))
+    val plan = physical(df).split("== Initial Plan ==").head
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
     // exactly two windows remain: probe-bucket ranking (probes × centroids,
     // tiny) and the final top-k (WindowGroupLimit-guarded)
-    assert(windows <= 3, s"assignment must not use ranking windows:\n${physical(df)}")
+    assert(windows <= 3, s"assignment must not use ranking windows:\n$plan")
+    // shuffle budget: ONE probe-rank window exchange (tiny) + ONE final
+    // top-k window exchange. The max_by aggregation form added a third —
+    // a full-corpus exchange under the bucket join — and any regression
+    // back to a shuffling assignment trips this count.
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2,
+      s"index-side assignment must not shuffle ($shuffles exchanges):\n$plan")
   }
 
   test("IVF+PQ index build is one map-side pass: no shuffle below the bucket join") {
