@@ -717,6 +717,18 @@ object SparkEntry {
         _ < 100, threshold = 0.35)
         .orderBy("da", "db")),
 
+    // ── §2.9 X113: HYBRID lexical+vector retrieval — per probe doc, a
+    //    distinct-token-overlap candidate list (integer-scored inverted-
+    //    index probe) and an exact-cosine candidate list are combined by
+    //    reciprocal-rank fusion (score = Σ 1/(60+rank)); RRF consumes
+    //    only ranks, so the fusion is engine-exact and the vector leg
+    //    swaps 1:1 for the persisted partition-pruned ANN index at scale ─
+    "q_hybrid_search" -> ((s, dir) =>
+      Similarity.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 10, k = 10)
+        .orderBy("pid", "rank")),
+
     // ── §2.9 X56: semantic dedup (SemDeDup) — cluster-confined greedy
     //    prune. The cluster assignment is engine-side, so the declared
     //    artifact pairs the engine's removal against the FLAT greedy rule
@@ -3394,6 +3406,44 @@ object SparkEntry {
          FROM n p, n c WHERE p.vec_id < 100 AND c.vec_id > p.vec_id
            AND round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) >= 0.35
          ORDER BY da, db""",
+    // RRF hybrid: both legs are rank-exact (integer token overlap /
+    // round-6 cosine with deterministic tiebreaks), and the fusion is
+    // two double divisions + one add — identical IEEE in both engines
+    "q_hybrid_search" ->
+      """WITH tk AS (SELECT doc_id AS id,
+                            unnest(list_distinct(regexp_split_to_array(
+                              trim(lower(text)), ' +'))) AS tok
+                     FROM documents),
+         tk2 AS (SELECT id, tok FROM tk WHERE tok <> ''),
+         p AS (SELECT id AS pid, tok FROM tk2 WHERE id < 10),
+         ov AS (SELECT p.pid, t.id, count(*) AS n_shared
+                FROM p JOIN tk2 t USING (tok) WHERE t.id <> p.pid
+                GROUP BY 1, 2),
+         lex AS (SELECT pid, id, lex_rank FROM (
+                   SELECT pid, id, row_number() OVER (PARTITION BY pid
+                     ORDER BY n_shared DESC, id) AS lex_rank FROM ov)
+                 WHERE lex_rank <= 20),
+         n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) nrm
+               FROM embeddings),
+         s AS (SELECT p.vec_id pid, c.vec_id id,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         vec AS (SELECT pid, id, vec_rank FROM (
+                   SELECT pid, id, row_number() OVER (PARTITION BY pid
+                     ORDER BY sim DESC, id) AS vec_rank FROM s)
+                 WHERE vec_rank <= 20),
+         f AS (SELECT coalesce(lex.pid, vec.pid) AS pid,
+                      coalesce(lex.id, vec.id) AS id,
+                      round(coalesce(1.0 / (60 + lex.lex_rank), 0) +
+                            coalesce(1.0 / (60 + vec.vec_rank), 0), 6) AS score
+               FROM lex FULL JOIN vec
+                 ON lex.pid = vec.pid AND lex.id = vec.id)
+         SELECT pid, rank, id, score FROM (
+           SELECT pid, id, score, row_number() OVER (PARTITION BY pid
+             ORDER BY score DESC, id) AS rank FROM f)
+         WHERE rank <= 10 ORDER BY pid, rank""",
     "q_semdedup" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
                            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

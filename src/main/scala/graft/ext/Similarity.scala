@@ -288,6 +288,67 @@ object Similarity {
       .select(col("pid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** X113 — HYBRID lexical+vector retrieval with reciprocal-rank fusion
+    * (RRF, Cormack/Clarke/Buettcher 2009): per probe document, a lexical
+    * candidate list (corpus docs ranked by DISTINCT-token overlap with
+    * the probe's text — the integer-scored set-intersection retrieval, so
+    * both engines rank identically with no FP in the leg) and a vector
+    * candidate list (exact cosine top-kVec) are fused by
+    * `score = Σ 1/(rrfK + rank)` over the lists containing the doc, and
+    * the fused top-k is returned. RRF is THE standard hybrid-search
+    * combiner precisely because it consumes only RANKS — no score
+    * normalization across incomparable scales — which also makes the
+    * whole operator oracle-replayable: ranks are integers, the fusion
+    * arithmetic is two double divisions and one add, identical IEEE in
+    * any engine.
+    *
+    * Scale shape: the probe token set is bounded (|probes| docs) and
+    * BROADCAST into the token join — the lexical leg is then a
+    * posting-list probe of the corpus's inverted index (shuffle keys on
+    * the token, the X52 keyword-search shape), never corpus × probes.
+    * The vector leg here is the exact brute-force tier (the bounded-probe
+    * contract); at 100 TB it swaps 1:1 for `ivfIndexProbe` against the
+    * persisted partition-pruned index — fusion only consumes (pid, id,
+    * rank) triples, so the legs are freely interchangeable. The fusion
+    * join itself is |probes| × (kLex + kVec) rows — plan metadata scale.
+    *
+    * Returns (pid, rank, id, score): the fused top-k per probe, rank by
+    * (score DESC, id ASC), score rounded to 6 (tie-free: the rank pair
+    * space is tiny and discrete). */
+  def hybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
+                 emb: DataFrame, embIdCol: String, vecCol: String,
+                 probePred: Column => Column, k: Int,
+                 kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60)
+      : DataFrame = {
+    val toks = docs.select(col(docIdCol).cast(LongType).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .where(col("tok") =!= "")
+    val probeToks = toks.where(probePred(col("id")))
+      .select(col("id").as("pid"), col("tok"))
+    // inverted-index probe: bounded probe terms broadcast, shuffle keys
+    // on the token only
+    val wLex = Window.partitionBy(col("pid"))
+      .orderBy(col("n_shared").desc, col("id").asc)
+    val lex = broadcast(probeToks).join(toks, Seq("tok"))
+      .where(col("id") =!= col("pid"))
+      .groupBy(col("pid"), col("id")).agg(count(lit(1)).as("n_shared"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .where(col("lex_rank") <= kLex)
+      .select(col("pid"), col("id"), col("lex_rank"))
+    val vec = bruteForceTopK(emb, embIdCol, vecCol, probePred, kVec)
+      .select(col("pid"), col("nid").as("id"), col("rank").as("vec_rank"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("id").asc)
+    lex.join(vec, Seq("pid", "id"), "full_outer")
+      .withColumn("score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank").cast(LongType).as("rank"),
+        col("id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, a < b. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    probePred: Column => Column, threshold: Double): DataFrame = {

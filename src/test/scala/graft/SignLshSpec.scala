@@ -515,6 +515,39 @@ class SignLshSpec extends AnyFunSuite {
       "committed staging leftovers must be swept by compaction")
   }
 
+  test("hybrid RRF fusion: hand-computed ranks, fusion beats either " +
+      "single leg, vector-only docs still surface") {
+    import spark.implicits._
+    // probe doc 0; lexical overlaps vs 0: doc1 shares {alpha,beta} (2),
+    // doc2 shares {alpha} (1), doc3 shares nothing (lex-absent)
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta delta"),
+      (2L, "alpha zeta eta"),
+      (3L, "mu nu xi")).toDF("doc_id", "text")
+    // cosine vs e0=(1,0): e3 = 0.993884 (rank 1), e2 = 0.6 (rank 2),
+    // e1 = 0.0 (rank 3)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.hybridTopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", _ < 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._2).toSeq
+    // RRF(60): doc1 = 1/61 + 1/63 = 0.032266 — lex rank 1 + vec rank 3
+    //          doc2 = 1/62 + 1/62 = 0.032258 — middle of both lists
+    //          doc3 = 1/61 alone  = 0.016393 — vector-only, still found
+    // doc1 > doc2 although doc3 beats both on cosine: fusion rewards
+    // agreement across legs, the RRF contract
+    assert(out == Seq(
+      (0L, 1L, 1L, 0.032266),
+      (0L, 2L, 2L, 0.032258),
+      (0L, 3L, 3L, 0.016393)),
+      s"hand-computed RRF fusion mismatch: $out")
+  }
+
   test("pointer flip is atomic under a concurrent reader, and resolution " +
       "falls back to the highest staged version when the pointer is lost") {
     val path = java.nio.file.Files.createTempDirectory("graft_idx_flip_")
