@@ -830,6 +830,28 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ── §2.9 X110c: persisted IVF+PQ index — the COMPRESSED on-disk
+    //    index (packed PQ codes in hive-partitioned lists, ~16-64×
+    //    smaller than the raw-vector lists), probed partition-pruned
+    //    with an ADC scan + bounded exact re-rank against the source
+    //    table; same versioned-pointer publish discipline as X110.
+    //    Probe-completeness artifact (PQ recall is data-dependent →
+    //    spec/gate floors, the q_ann_pq discipline) ────────────────────
+    "q_ann_pq_persist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_pqidx_")
+        .toString
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", path,
+        nCentroids = 64, m = 8, kCodes = 64)
+      Similarity.probeCoverage(
+          Similarity.ivfpqIndexProbe(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", emb, path, k = 5, nprobe = 16,
+            refine = Similarity.scaledRefine(emb.count())),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+          k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X111: INCREMENTAL index maintenance — build the persisted
     //    index on half the corpus, APPEND the other half against the
     //    frozen model (no re-fit, no rewrite of existing lists), then
@@ -3757,6 +3779,9 @@ object SparkEntry {
     // is spec-asserted (quantization recall is data-dependent — the
     // cms_ok discipline; see Similarity.probeCoverage)
     "q_ann_pq" ->
+      """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k
+         FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
+    "q_ann_pq_persist" ->
       """SELECT vec_id AS pid, CAST(5 AS BIGINT) AS k
          FROM embeddings WHERE vec_id < 10 ORDER BY pid""",
     "q_ann_ivfpq" ->

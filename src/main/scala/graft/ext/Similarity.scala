@@ -1913,8 +1913,9 @@ object Similarity {
         struct((-(dot(v, c.getField("_2")) / c.getField("_3"))).as("negsim"),
           c.getField("_1").as("cid")))), 1, nprobe), x => x.getField("cid"))
     val probeTabs = probes.select(col("pid"), col("pv"), col("pn"),
-      pqDtab(cbLit, col("pv"), sub).as("dtab"),
-      concat(lit("c"), explode(bucketCids(col("pv")))).as("bucket"))
+        pqDtab(cbLit, col("pv"), sub).as("dtab"),
+        explode(bucketCids(col("pv"))).as("cid"))
+      .withColumn("bucket", concat(lit("c"), col("cid"))).drop("cid")
     val buckets = probeTabs.select("bucket").distinct()
       .collect().map(_.getString(0)).sorted
     val pruned = index.where(col("bucket").isin(buckets.toSeq: _*))

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+/** X110c — persisted IVF+PQ index: the compressed on-disk index. Pins
+  * the exactness limit (full nprobe + corpus-covering refine ≡ brute
+  * force), the packed-code compression, the partition-pruned probe
+  * scan, and the versioned-pointer rebuild (staged flip + predecessor
+  * retention + vacuum — the raw index's discipline). */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpdir() =
+    java.nio.file.Files.createTempDirectory("graft_pqidx_spec_").toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  test("probe at nprobe = nCentroids with corpus-covering refine equals " +
+    "brute force exactly") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings").cache()
+    val dir = tmpdir()
+    try {
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, kCodes = 16)
+      val n = emb.count().toInt
+      val viaIndex = Similarity.ivfpqIndexProbe(
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", emb, dir,
+        k = 5, nprobe = 8, refine = n) // k*refine >= corpus: ADC can't cut
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        _ < 10, k = 5)
+      assert(viaIndex.exceptAll(exact).isEmpty &&
+        exact.exceptAll(viaIndex).isEmpty,
+        "exhaustive PQ probe must equal brute force (re-rank is exact)")
+    } finally { rm(dir); emb.unpersist() }
+  }
+
+  test("codes are packed into one long and the lists carry no raw vectors") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = tmpdir()
+    try {
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, kCodes = 64) // 8×6 = 48 bits: packable
+      val lists = spark.read.parquet(
+        Similarity.ivfIndexDataDir(spark, dir))
+      assert(lists.schema("codes").dataType ==
+        org.apache.spark.sql.types.LongType, "codes must pack into a long")
+      assert(!lists.columns.contains("nv"),
+        "compressed lists must not store raw vectors")
+      assert(lists.count() == emb.count())
+    } finally rm(dir)
+  }
+
+  test("probe scan is partition-pruned to the probed buckets") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = tmpdir()
+    try {
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, kCodes = 16)
+      val probe = Similarity.ivfpqIndexProbe(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", emb, dir,
+        k = 5, nprobe = 2, refine = 4)
+      val plan = probe.queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters: [bucket"),
+        s"code-list scan must carry a static bucket partition filter:\n" +
+          plan.linesIterator.filter(_.contains("PartitionFilters"))
+            .mkString("\n"))
+    } finally rm(dir)
+  }
+
+  test("rebuild stages a new version, flips the pointer, retains the " +
+    "predecessor, vacuums older") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = tmpdir()
+    try {
+      def names = new java.io.File(dir).list().toSet
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, kCodes = 16)
+      assert(names.contains("index.v0") && names.contains("models.v0"))
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 4, m = 8, kCodes = 16)
+      // v1 current, v0 retained one cycle
+      assert(names.intersect(
+        Set("index.v0", "models.v0", "index.v1", "models.v1")).size == 4)
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, kCodes = 16)
+      // v2 current, v1 retained, v0 vacuumed
+      assert(!names.contains("index.v0") && !names.contains("models.v0"))
+      assert(names.intersect(
+        Set("index.v1", "models.v1", "index.v2", "models.v2")).size == 4)
+      // the probe resolves the current version through the pointer
+      val probe = Similarity.ivfpqIndexProbe(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", emb, dir,
+        k = 3, nprobe = 8, refine = emb.count().toInt)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        _ < 3, k = 3)
+      assert(probe.exceptAll(exact).isEmpty && exact.exceptAll(probe).isEmpty)
+    } finally rm(dir)
+  }
+}
