@@ -1832,15 +1832,20 @@ object Similarity {
       .foldLeft(-1L)(math.max) + 1
     val keepPrev = readIndexPointer(fs, path).toSeq
       .flatMap { case (l, c) => Seq(l, c) }.toSet
-    // stage the models (bounded artifacts, one file each)
+    // stage models and code lists CONCURRENTLY (three independent writes;
+    // nothing publishes until the pointer flip below)
     import spark.implicits._
-    centRows.map { case (cid, cv, _) => (cid, cv) }
-      .toDF("cid", "cv").coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/models.v$next/centroids")
-    cb.zipWithIndex.flatMap { case (codes, s) =>
-      codes.zipWithIndex.map { case (cw, c) => (s, c, cw) }
-    }.toDF("s", "c", "cw").coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/models.v$next/codebook")
+    val centWrite = Future(blocking {
+      centRows.map { case (cid, cv, _) => (cid, cv) }
+        .toDF("cid", "cv").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/models.v$next/centroids")
+    })
+    val cbWrite = Future(blocking {
+      cb.zipWithIndex.flatMap { case (codes, s) =>
+        codes.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+      }.toDF("s", "c", "cw").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/models.v$next/codebook")
+    })
     // stage the code lists: one map-side pass (fold + argmin on literals)
     val nearestCid = (v: Column) =>
       -array_max(transform(centLit, c =>
@@ -1849,8 +1854,15 @@ object Similarity {
     corpus.select(col("nid"), col("nn"),
         pqEncode(cbLit, col("nv"), sub, packedBits).as("codes"),
         concat(lit("c"), nearestCid(col("nv"))).as("bucket"))
+      // cluster by bucket so each list directory receives exactly one
+      // task's output (one file per bucket, the compaction-final layout)
+      // instead of nPartitions × nBuckets small files — at build time the
+      // one extra code-row shuffle is far cheaper than the file fan-out
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/index.v$next")
+    Await.result(centWrite, Duration.Inf)
+    Await.result(cbWrite, Duration.Inf)
     writeIndexPointer(fs, path, s"index.v$next", s"models.v$next")
     // vacuum, retaining the immediate predecessor pair for in-flight scans
     val keep = keepPrev ++ Set(s"index.v$next", s"models.v$next")
