@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, HilbertIndex, NfcNormalize}
+import graft.functions.{DotProduct, HilbertIndex, L2Distance, NfcNormalize}
 
 /** Engine extension point, installed with
   * `spark.sql.extensions=graft.GraftExtensions` (works under spark-submit
@@ -45,6 +45,11 @@ object GraftExtensions {
     (children: Seq[Expression]) => BloomFilterMightContain(
       children.head, children(1)): Expression)
 
+  private val l2Entry = (
+    new FunctionIdentifier("graft_l2"),
+    new ExpressionInfo(classOf[L2Distance].getName, null, "graft_l2"),
+    (children: Seq[Expression]) => L2Distance(children.head, children(1)): Expression)
+
   private val nfcEntry = (
     new FunctionIdentifier("graft_nfc"),
     new ExpressionInfo(classOf[NfcNormalize].getName, null, "graft_nfc"),
@@ -56,7 +61,7 @@ object GraftExtensions {
     (children: Seq[Expression]) => HilbertIndex(children.head, children(1),
       children(2)): Expression)
 
-  private val entries = Seq(dotEntry, bloomAggEntry, bloomProbeEntry,
+  private val entries = Seq(dotEntry, l2Entry, bloomAggEntry, bloomProbeEntry,
     nfcEntry, hilbertEntry)
 
   /** Idempotently register the engine functions on an existing session —

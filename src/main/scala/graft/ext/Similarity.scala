@@ -696,9 +696,13 @@ object Similarity {
   }
 
   /** Squared L2 distance between two double arrays — the PQ fit/encode
-    * metric. */
-  private val l2 = (a: Column, b: Column) =>
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    * metric. The codegen `graft_l2` Expression (`functions/L2Distance`),
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0d, _+_)` it
+    * replaced (same left-to-right IEEE sequence) but a tight generated
+    * loop — the PQ encode evaluates m × kCodes of these per vector, so
+    * this is the hottest expression in every PQ fit/encode pass. */
+  private val l2 = (a: Column, b: Column) => call_function("graft_l2", a, b)
 
   /** PQ codebook fit (shared by pqTopK / ivfpqTopK): each vector is cut
     * into `m` subspaces of `sub` dims; per subspace a codebook of up to
