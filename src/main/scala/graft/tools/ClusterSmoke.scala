@@ -68,7 +68,7 @@ object ClusterSmoke {
       if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
       else if (args.contains("--heavy"))
         Seq("q_ann_persist", "q_ann_append", "q_ann_compact",
-          "q_ann_delete", "q_ann_ivfpq", "q_stream_index",
+          "q_ann_delete", "q_ann_ivfpq", "q_ann_pq_persist", "q_stream_index",
           "q_dedup_pipeline", "q_dedup_minhash", "q_dedup_verified",
           "q_semdedup", "q_ngram_jaccard",
           "q_sync_apply", "q_stream_sync",
