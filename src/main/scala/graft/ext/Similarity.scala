@@ -1199,8 +1199,7 @@ object Similarity {
       .collect { case n if n.contains(".v") =>
         n.substring(n.lastIndexOf(".v") + 2).toLong }
       .foldLeft(-1L)(math.max) + 1
-    val (curLists, curCent) =
-      (ivfIndexDataDir(spark, path), ivfCentroidsDir(spark, path))
+    val (curLists, curCent) = ivfIndexDirs(spark, path)
     cent.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids.v$next")
     assignToModel(corpus, centTuples(centAll.toIndexedSeq))
@@ -1272,32 +1271,52 @@ object Similarity {
     * retention rule (compaction and rebuild keep the immediately-previous
     * version, see [[ivfIndexCompact]]) guarantees the resolved directory
     * outlives any scan planned against it for one full cycle. */
-  def ivfIndexDataDir(spark: SparkSession, path: String): String = {
+  def ivfIndexDataDir(spark: SparkSession, path: String): String =
+    ivfIndexDirs(spark, path)._1
+
+  /** Resolve the CURRENT centroid/models directory — the pointer's second
+    * line; same fallback ladder as [[ivfIndexDataDir]] (highest staged
+    * version, then the flat legacy `centroids`). */
+  def ivfCentroidsDir(spark: SparkSession, path: String): String =
+    ivfIndexDirs(spark, path)._2
+
+  /** Resolve BOTH halves of a persisted index — (lists dir, model dir) —
+    * from ONE pointer read. Every consumer that needs the pair (probes,
+    * appends, the build/compact retention sets) MUST use this rather
+    * than calling [[ivfIndexDataDir]] and [[ivfCentroidsDir]] separately:
+    * two separate resolutions race a concurrent publish — a rebuild
+    * flipping the pointer between them would pair one version's lists
+    * with ANOTHER version's model, and a rebuild changes the model, so
+    * the mixed pair ranks buckets with the wrong centroids (silently
+    * wrong results, not a crash). One read makes the pair a consistent
+    * snapshot: both names come from the same pointer content, and the
+    * retention rule (publisher keeps the immediately-previous pair one
+    * cycle) guarantees both directories outlive any scan planned against
+    * them. Pointer-less fallback ladder per half: highest staged
+    * version, then the legacy flat layout (no pointer means no
+    * concurrent publisher, so per-half resolution cannot mix there). */
+  def ivfIndexDirs(spark: SparkSession, path: String): (String, String) = {
     val fs = hfs(spark, path)
     readIndexPointer(fs, path) match {
-      case Some((lists, _)) => s"$path/$lists"
+      case Some((lists, cent)) => (s"$path/$lists", s"$path/$cent")
       case None =>
-        val staged = indexVersionDirs(fs, path).map(_.getName)
+        val stagedLists = indexVersionDirs(fs, path).map(_.getName)
           .collect { case n if n.startsWith("index.v") =>
             n.stripPrefix("index.v").toLong }
-        if (staged.nonEmpty) s"$path/index.v${staged.max}"
-        else s"$path/index"
-    }
-  }
-
-  /** Resolve the CURRENT centroid directory — the pointer's second line;
-    * same fallback ladder as [[ivfIndexDataDir]] (highest staged
-    * `centroids.v<N>`, then the flat legacy `centroids`). */
-  def ivfCentroidsDir(spark: SparkSession, path: String): String = {
-    val fs = hfs(spark, path)
-    readIndexPointer(fs, path) match {
-      case Some((_, cent)) => s"$path/$cent"
-      case None =>
-        val staged = centroidVersionDirs(fs, path).map(_.getName)
-          .collect { case n if n.startsWith("centroids.v") =>
-            n.stripPrefix("centroids.v").toLong }
-        if (staged.nonEmpty) s"$path/centroids.v${staged.max}"
-        else s"$path/centroids"
+        val lists =
+          if (stagedLists.nonEmpty) s"$path/index.v${stagedLists.max}"
+          else s"$path/index"
+        val stagedCent = (centroidVersionDirs(fs, path)
+            ++ modelsVersionDirs(fs, path)).map(_.getName)
+          .collect { case n if n.contains(".v") =>
+            (n.substring(0, n.lastIndexOf(".v")),
+              n.substring(n.lastIndexOf(".v") + 2).toLong) }
+        val cent =
+          if (stagedCent.nonEmpty) {
+            val (pfx, v) = stagedCent.maxBy(_._2)
+            s"$path/$pfx.v$v"
+          } else s"$path/centroids"
+        (lists, cent)
     }
   }
 
@@ -1382,11 +1401,12 @@ object Similarity {
                      path: String): Unit = {
     val spark = delta.sparkSession
     graft.GraftExtensions.ensure(spark)
+    val (idxDir, centDir) = ivfIndexDirs(spark, path)
     val centRows = centTuples(
-      spark.read.parquet(ivfCentroidsDir(spark, path)).collect().toIndexedSeq)
+      spark.read.parquet(centDir).collect().toIndexedSeq)
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), centRows)
       .write.partitionBy("bucket").mode("append")
-      .parquet(ivfIndexDataDir(spark, path))
+      .parquet(idxDir)
   }
 
   /** IDEMPOTENT append — the exactly-once twin of [[ivfIndexAppend]] for
@@ -1441,9 +1461,10 @@ object Similarity {
       fs.delete(staging, true)
       return
     }
+    val (idxDirStr, centDir) = ivfIndexDirs(spark, path)
     val centRows = centTuples(
-      spark.read.parquet(ivfCentroidsDir(spark, path)).collect().toIndexedSeq)
-    val indexDir = new org.apache.hadoop.fs.Path(ivfIndexDataDir(spark, path))
+      spark.read.parquet(centDir).collect().toIndexedSeq)
+    val indexDir = new org.apache.hadoop.fs.Path(idxDirStr)
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), centRows)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
@@ -1649,9 +1670,8 @@ object Similarity {
       }
       n
     }
-    val current = ivfIndexDataDir(spark, path)
+    val (current, curCent) = ivfIndexDirs(spark, path)
     val curName = current.substring(current.lastIndexOf('/') + 1)
-    val curCent = ivfCentroidsDir(spark, path)
     val before = countFiles(new org.apache.hadoop.fs.Path(current))
     // next version = 1 past the highest EVER staged (not the pointer's):
     // a crashed compaction's orphan dir is SUPERSEDED by this higher
@@ -1686,7 +1706,8 @@ object Similarity {
                     path: String, k: Int, nprobe: Int = 3): DataFrame = {
     val spark = probes0.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
+    val (idxDir, centDir) = ivfIndexDirs(spark, path)
+    val centDf = spark.read.parquet(centDir)
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")
@@ -1705,7 +1726,7 @@ object Similarity {
     // one recompute beats leaving a persist behind in a long-lived driver.
     val buckets = probeBuckets.select("bucket").distinct()
       .collect().map(_.getString(0)).sorted
-    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
+    val index = spark.read.parquet(idxDir)
       .where(col("bucket").isin(buckets.toSeq: _*))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("sim").desc, col("nid").asc)
@@ -1736,7 +1757,8 @@ object Similarity {
                             nprobe: Int = 3): DataFrame = {
     val spark = probes0.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val centDf = spark.read.parquet(ivfCentroidsDir(spark, path))
+    val (idxDir, centDir) = ivfIndexDirs(spark, path)
+    val centDf = spark.read.parquet(centDir)
     val cent = spark.createDataFrame(
       java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
     val probes = prep(probes0, idCol, vecCol, "pid", "pv", "pn")
@@ -1752,7 +1774,7 @@ object Similarity {
       .collect().map(_.getString(0)).sorted
     val allowIds = allowed
       .select(col(allowedIdCol).cast(LongType).as("nid")).distinct()
-    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
+    val index = spark.read.parquet(idxDir)
       .where(col("bucket").isin(buckets.toSeq: _*))
       .join(broadcast(allowIds), Seq("nid"), "left_semi")
     val w = Window.partitionBy(col("pid"))
@@ -1900,7 +1922,7 @@ object Similarity {
                       nprobe: Int = 3, refine: Int = 16): DataFrame = {
     val spark = probes0.sparkSession
     graft.GraftExtensions.ensure(spark)
-    val modelsDir = ivfCentroidsDir(spark, path)
+    val (idxDir, modelsDir) = ivfIndexDirs(spark, path)
     val centRows = spark.read.parquet(s"$modelsDir/centroids")
       .select(col("cid").cast(LongType), col("cv")).collect()
       .map { r =>
@@ -1917,7 +1939,7 @@ object Similarity {
     val kCodes = cb.head.size
     val centLit = typedLit(centRows)
     val cbLit = typedLit(cb)
-    val index = spark.read.parquet(ivfIndexDataDir(spark, path))
+    val index = spark.read.parquet(idxDir)
     // packed iff the stored codes column is the one shifted long
     val packedBits = index.schema("codes").dataType match {
       case LongType => Some(pqBits(kCodes))

@@ -100,4 +100,50 @@ class PqIndexSpec extends AnyFunSuite {
       assert(probe.exceptAll(exact).isEmpty && exact.exceptAll(probe).isEmpty)
     } finally rm(dir)
   }
+
+  test("a reader racing rebuild publishes always resolves a CONSISTENT " +
+    "version pair (same-version lists+models, both directories present)") {
+    // ivfIndexDirs resolves both halves from ONE pointer read — two
+    // separate resolutions could pair one version's lists with another
+    // version's model across a concurrent flip (a rebuild CHANGES the
+    // model, so the mixed pair would rank buckets with the wrong
+    // centroids: silently wrong, not a crash). This races a resolve+stat
+    // loop against repeated rebuilds and pins the snapshot property.
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .where(col("vec_id") < 120).cache()
+    val dir = tmpdir()
+    try {
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+        nCentroids = 4, m = 8, kCodes = 16)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val reader = new Thread(() => {
+        while (!stop.get() && bad.get() == null) {
+          val (lists, models) = Similarity.ivfIndexDirs(spark, dir)
+          val lv = lists.substring(lists.lastIndexOf(".v") + 2)
+          val mv = models.substring(models.lastIndexOf(".v") + 2)
+          if (lv != mv)
+            bad.set(s"mixed version pair: $lists vs $models")
+          else if (!new java.io.File(new java.net.URI("file:" + lists))
+              .exists() ||
+            !new java.io.File(new java.net.URI("file:" + models)).exists())
+            bad.set(s"resolved pair not on disk: $lists / $models")
+        }
+      })
+      reader.start()
+      try {
+        for (i <- 1 to 5) // alternate widths so every flip changes the model
+          Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dir,
+            nCentroids = if (i % 2 == 0) 4 else 8, m = 8, kCodes = 16)
+      } finally { stop.set(true); reader.join(10000) }
+      assert(bad.get() == null, String.valueOf(bad.get()))
+      // and the settled index still probes exactly
+      val probe = Similarity.ivfpqIndexProbe(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", emb, dir,
+        k = 3, nprobe = 8, refine = emb.count().toInt)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        _ < 3, k = 3)
+      assert(probe.exceptAll(exact).isEmpty && exact.exceptAll(probe).isEmpty)
+    } finally { rm(dir); emb.unpersist() }
+  }
 }
