@@ -660,6 +660,17 @@ object SparkEntry {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
+    // ── §2.9 X116: temporal split with an EMBARGO gap (purged time-based
+    //    split): train < boundary, test ≥ boundary+embargo, gap rows
+    //    assigned to neither (so every entity's sides are separated by
+    //    MORE than the embargo); per-row audit flags entities active in
+    //    train AND test AND the discarded gap — the trajectories whose
+    //    trailing-window features still reach across the boundary ───────
+    "q_temporal_split" -> ((s, dir) =>
+      Sampling.temporalSplit(t(s, dir, "events"), "event_id", "user_id",
+        "ts", "2024-01-22 00:00:00", embargoSeconds = 172800L)
+        .orderBy("id")),
+
     // ── §2.9: domain capping — at most 10 docs per source, deterministic
     //    md5-ranked keepers, WindowGroupLimit partial top-k per partition ──
     "q_cap_per_group" -> ((s, dir) =>
@@ -3309,6 +3320,23 @@ object SparkEntry {
                 + (strpos('0123456789abcdef', substr(m,8,1))-1)) % 100 AS bucket
                FROM h)
          SELECT doc_id, lang FROM v WHERE bucket < 10 ORDER BY doc_id""",
+    // Temporal embargo split: pure timestamp comparisons against literal
+    // bounds + one per-entity boolean aggregation — deterministic in any
+    // engine.
+    "q_temporal_split" ->
+      """WITH r AS (SELECT event_id AS id, user_id AS entity,
+                CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                     WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+                     ELSE 'embargo' END AS split
+             FROM events),
+         a AS (SELECT entity,
+                      (max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+                   AND max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) = 1
+                   AND max(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) = 1)
+                        AS gap_straddler
+               FROM r GROUP BY entity)
+         SELECT r.id, r.entity, r.split, a.gap_straddler
+         FROM r JOIN a USING (entity) ORDER BY id""",
     "q_split_assign" ->
       """WITH v AS (SELECT doc_id, source,
                  ((strpos('0123456789abcdef', substr(md5(source),1,1))-1) * 268435456

@@ -787,4 +787,50 @@ object Sampling {
       .agg(sum(col("n")).as("n_tokens"),
         sum(col("n") * col("w")).as("dsir_score"))
   }
+
+  /** X116 — temporal split with an EMBARGO gap (the purged time-based
+    * split of financial ML, Lopez de Prado 2018 ch.7): train = rows
+    * before the boundary, test = rows at/after boundary + embargo, and
+    * the rows INSIDE the gap are assigned to neither — they are exactly
+    * the rows whose label/feature windows straddle the boundary, the
+    * channel through which a naive `ts < b` split leaks future
+    * information into training. The third classic split family next to
+    * the hash split (X23, `splitAssign`) and the dup-component split
+    * (X105): time is the grouping key the other two cannot express. By
+    * construction every entity's last train row and first test row are
+    * separated by MORE than the embargo (the gap rows between them were
+    * dropped) — that separation is the guarantee the gap buys.
+    *
+    * The artifact carries a per-row audit: `gap_straddler` marks rows
+    * whose ENTITY has train rows AND test rows AND activity inside the
+    * discarded gap — the entities whose trajectories cross the boundary
+    * mid-flight. Their gap rows are out of both sides, but any
+    * TRAILING-WINDOW feature computed at their first test rows still
+    * reaches back across the gap into train time; the auditor widens the
+    * embargo, drops those entities from test, or shortens the feature
+    * window — the decision needs exactly this flag.
+    *
+    * Determinism: pure timestamp comparisons against literal bounds plus
+    * one per-entity boolean aggregation — no randomness, no floats.
+    * Scale shape: the split itself is MAP-ONLY (a per-row comparison,
+    * pushdown-friendly); the audit is one entity-keyed aggregation
+    * joined back by entity — the only exchange. */
+  def temporalSplit(df: DataFrame, idCol: String, entityCol: String,
+                    tsCol: String, boundary: String,
+                    embargoSeconds: Long): DataFrame = {
+    val b = to_timestamp(lit(boundary))
+    val e = b + expr(s"INTERVAL $embargoSeconds SECOND")
+    val split = when(col(tsCol) < b, "train")
+      .when(col(tsCol) >= e, "test")
+      .otherwise("embargo")
+    val rows = df.select(col(idCol).as("id"),
+      col(entityCol).as("entity"), split.as("split"))
+    val audit = rows.groupBy("entity")
+      .agg((max(when(col("split") === "train", 1).otherwise(0)) === 1 &&
+        max(when(col("split") === "test", 1).otherwise(0)) === 1 &&
+        max(when(col("split") === "embargo", 1).otherwise(0)) === 1)
+        .as("gap_straddler"))
+    rows.join(audit, Seq("entity"))
+      .select(col("id"), col("entity"), col("split"), col("gap_straddler"))
+  }
 }

@@ -436,4 +436,50 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == out, "scores must not depend on layout")
   }
+
+  test("temporalSplit: gap rows belong to neither side; every entity's " +
+    "sides are separated by more than the embargo; straddlers flagged") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val spark2 = spark
+    import spark2.implicits._
+    // boundary 10:00, embargo 2h -> test zone starts 12:00
+    val df = Seq(
+      (1L, 10L, ts("2024-01-10 09:00:00")), // train
+      (2L, 10L, ts("2024-01-10 10:30:00")), // gap (dropped from both)
+      (3L, 10L, ts("2024-01-10 12:30:00")), // test -> entity 10 straddles
+      (4L, 20L, ts("2024-01-10 09:30:00")), // train only
+      (5L, 30L, ts("2024-01-10 11:00:00")), // gap only
+      (6L, 40L, ts("2024-01-10 09:59:59")), // train
+      (7L, 40L, ts("2024-01-10 12:00:00"))  // test, no gap row -> clean
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sampling.temporalSplit(df.repartition(3), "event_id",
+      "user_id", "ts", "2024-01-10 10:00:00", embargoSeconds = 7200L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 == "train" && out(2L)._1 == "embargo" &&
+      out(3L)._1 == "test")
+    assert(out(5L)._1 == "embargo")
+    assert(out(6L)._1 == "train" && out(7L)._1 == "test")
+    // the flag: train AND test AND in-gap activity
+    assert(out(1L)._2 && out(2L)._2 && out(3L)._2,
+      "entity 10 must be flagged as a gap straddler on all its rows")
+    assert(!out(4L)._2 && !out(5L)._2 && !out(6L)._2 && !out(7L)._2)
+    // THE invariant the gap buys: last train row and first test row of
+    // any entity are separated by MORE than the embargo
+    val byEnt = Sampling.temporalSplit(df, "event_id", "user_id", "ts",
+      "2024-01-10 10:00:00", embargoSeconds = 7200L)
+      .join(df.select(col("event_id").as("id"), col("ts")), Seq("id"))
+    val seps = byEnt.groupBy("entity")
+      .agg(max(when(col("split") === "train", col("ts"))).as("lt"),
+        min(when(col("split") === "test", col("ts"))).as("ft"))
+      .where(col("lt").isNotNull && col("ft").isNotNull)
+      .collect()
+    assert(seps.nonEmpty)
+    seps.foreach { r =>
+      val gapMs = r.getTimestamp(2).getTime - r.getTimestamp(1).getTime
+      assert(gapMs > 7200L * 1000,
+        s"entity ${r.getLong(0)}: sides separated by only ${gapMs}ms")
+    }
+  }
 }
