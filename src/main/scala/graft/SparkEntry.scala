@@ -1929,6 +1929,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X117: STREAMING near-dup classification — the streaming twin
+    //    of X45: micro-batches of arriving docs classify (exact_dup /
+    //    near_dup / new) against the FROZEN corpus DeltaIndex at
+    //    delta-sized cost; batchId-keyed overwrite output = exactly-once
+    //    under checkpoint replay. One AvailableNow trigger here, so the
+    //    verdicts are bit-identical to the batch operator and share its
+    //    oracle ──────────────────────────────────────────────────────────
+    "q_stream_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val index = Dedup.buildDeltaIndex(
+        d.where(Sampling.hashBucket(col("doc_id"), 100) >= 20),
+        "doc_id", "text", maxDf = 100)
+      val out = java.nio.file.Files.createTempDirectory("graft_snd_")
+        .toString
+      try {
+        val q = graft.streaming.StreamingNearDup.start(
+          Tables.loadStream(s, dir, "documents")
+            .where(Sampling.hashBucket(col("doc_id"), 100) < 20),
+          "doc_id", "text", index, threshold = 0.3, out,
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        q.awaitTermination()
+      } finally index.unpersist()
+      s.read.parquet(s"$out/b*").orderBy("doc_id")
+    }),
+
     // ── §2.9 X46: token-budget selection — per source, keep the longest
     //    docs (ties by id) until 3000 chars of budget are filled ──────────
     "q_token_budget" -> ((s, dir) =>
@@ -4717,64 +4742,11 @@ object SparkEntry {
     // Incremental delta dedup: the crossJaccardVerified CTE chain over an
     // 80/20 md5-bucket split (corpus >= 20, delta < 20) + an exact-md5
     // match CTE; exact wins, else best fuzzy by (jaccard desc, id asc).
-    "q_dedup_delta" ->
-      s"""WITH d AS (SELECT doc_id, text,
-                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
-                     FROM documents),
-         ltoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                   FROM d WHERE bucket < 20),
-         ltri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                  FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
-         rtoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
-                   FROM d WHERE bucket >= 20),
-         rtri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-                  FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
-         lmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                 FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         lsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
-         lbands AS MATERIALIZED (SELECT doc_id, b,
-                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                    FROM lsig, unnest(range(0,4)) bb(b)),
-         rmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
-                 FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
-         rsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
-         rbands AS MATERIALIZED (SELECT doc_id, b,
-                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
-                    FROM rsig, unnest(range(0,4)) bb(b)),
-         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
-                  JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
-         ltrif AS MATERIALIZED (SELECT * FROM ltri WHERE sh IN (
-                     SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
-         rtrif AS MATERIALIZED (SELECT * FROM rtri WHERE sh IN (
-                     SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
-         lsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
-         rsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
-         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
-                   JOIN ltrif a ON a.doc_id = da
-                   JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
-                   GROUP BY 1, 2),
-         vp AS MATERIALIZED (SELECT da, db, jaccard FROM (
-                  SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
-                  FROM inter JOIN lsz la ON la.doc_id = da
-                       JOIN rsz rb ON rb.doc_id = db)
-                WHERE jaccard >= 0.3),
-         ch AS (SELECT md5(text) h, min(doc_id) exact_match
-                FROM d WHERE bucket >= 20 GROUP BY 1),
-         dh AS (SELECT doc_id, md5(text) h FROM d WHERE bucket < 20),
-         ex AS (SELECT dh.doc_id, ch.exact_match
-                FROM dh LEFT JOIN ch USING (h)),
-         best AS (SELECT da AS doc_id, db AS near_match, jaccard FROM (
-                    SELECT da, db, jaccard, row_number() OVER (
-                      PARTITION BY da ORDER BY jaccard DESC, db) r
-                    FROM vp) WHERE r = 1)
-         SELECT ex.doc_id,
-                CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
-                     WHEN near_match IS NOT NULL THEN 'near_dup'
-                     ELSE 'new' END AS status,
-                coalesce(exact_match, near_match) AS match_id,
-                CASE WHEN exact_match IS NULL THEN jaccard END AS jaccard
-         FROM ex LEFT JOIN best USING (doc_id)
-         ORDER BY ex.doc_id""",
+    "q_dedup_delta" -> deltaDedupOracleSql,
+    // identical contract for the STREAMED classification (X117): the
+    // declared query runs as one AvailableNow trigger, so the streamed
+    // verdicts are bit-identical to the one-shot batch operator
+    "q_stream_neardup" -> deltaDedupOracleSql,
     // Token-budget selection: inclusive running char total per source in
     // (n_chars desc, doc_id) order; keep rows within the 3000 budget.
     "q_token_budget" ->
@@ -5521,6 +5493,65 @@ object SparkEntry {
     * text-level (components, signature agreement). Used by
     * q_dedup_minhash and the X81 graph-operator oracles so they cannot
     * drift apart. */
+  private val deltaDedupOracleSql =
+    s"""WITH d AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket
+                     FROM documents),
+         ltoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket < 20),
+         ltri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM ltoks, unnest(range(1, len(t)-1)) r(i)),
+         rtoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                   FROM d WHERE bucket >= 20),
+         rtri AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM rtoks, unnest(range(1, len(t)-1)) r(i)),
+         lmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM ltri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         lsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM lmh GROUP BY 1),
+         lbands AS MATERIALIZED (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM lsig, unnest(range(0,4)) bb(b)),
+         rmh AS MATERIALIZED (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || sh)) m
+                 FROM rtri, unnest(range(0,16)) kk(k) GROUP BY 1,2),
+         rsig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY k) sig FROM rmh GROUP BY 1),
+         rbands AS MATERIALIZED (SELECT doc_id, b,
+                           md5(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) bh
+                    FROM rsig, unnest(range(0,4)) bb(b)),
+         cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
+                  JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
+         ltrif AS MATERIALIZED (SELECT * FROM ltri WHERE sh IN (
+                     SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
+         rtrif AS MATERIALIZED (SELECT * FROM rtri WHERE sh IN (
+                     SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
+         lsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
+         rsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
+         inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
+                   JOIN ltrif a ON a.doc_id = da
+                   JOIN rtrif c ON c.doc_id = db AND c.sh = a.sh
+                   GROUP BY 1, 2),
+         vp AS MATERIALIZED (SELECT da, db, jaccard FROM (
+                  SELECT da, db, round(i / (la.n + rb.n - i), 6) jaccard
+                  FROM inter JOIN lsz la ON la.doc_id = da
+                       JOIN rsz rb ON rb.doc_id = db)
+                WHERE jaccard >= 0.3),
+         ch AS (SELECT md5(text) h, min(doc_id) exact_match
+                FROM d WHERE bucket >= 20 GROUP BY 1),
+         dh AS (SELECT doc_id, md5(text) h FROM d WHERE bucket < 20),
+         ex AS (SELECT dh.doc_id, ch.exact_match
+                FROM dh LEFT JOIN ch USING (h)),
+         best AS (SELECT da AS doc_id, db AS near_match, jaccard FROM (
+                    SELECT da, db, jaccard, row_number() OVER (
+                      PARTITION BY da ORDER BY jaccard DESC, db) r
+                    FROM vp) WHERE r = 1)
+         SELECT ex.doc_id,
+                CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                     WHEN near_match IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS status,
+                coalesce(exact_match, near_match) AS match_id,
+                CASE WHEN exact_match IS NULL THEN jaccard END AS jaccard
+         FROM ex LEFT JOIN best USING (doc_id)
+         ORDER BY ex.doc_id"""
+
   private val lshCandSql =
     """dt AS MATERIALIZED (SELECT text, min(doc_id) tid, list(doc_id) docs
                 FROM documents GROUP BY text),

@@ -618,4 +618,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(members(streamed).forall(m => !delIds.contains(m._1)),
       "no retracted id may remain after the stream drains")
   }
+
+  test("streaming near-dup classification (X117): each micro-batch's " +
+    "verdicts equal the batch operator on that batch; replay is a no-op") {
+    import graft.ext.{Dedup, Sampling}
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val base = d.where(Sampling.hashBucket(col("doc_id"), 100) >= 20)
+    val delta = d.where(Sampling.hashBucket(col("doc_id"), 100) < 20)
+    val index = Dedup.buildDeltaIndex(base, "doc_id", "text", maxDf = 100)
+    try {
+      // three files → maxFilesPerTrigger=1 forces three real triggers
+      val srcDir = tmp("graft_snd_src_")
+      delta.where(col("doc_id") % 3 === 0).write.parquet(s"$srcDir/f1")
+      delta.where(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f2")
+      delta.where(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f3")
+      val out = tmp("graft_snd_out_")
+      val q = graft.streaming.StreamingNearDup.start(
+        spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*"),
+        "doc_id", "text", index, threshold = 0.3, out,
+        tmp("graft_snd_ckpt_"))
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "status", "match_id", "jaccard")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      // per-batch contract: the streamed union equals classifying each
+      // file independently with the batch operator
+      val perBatch = Seq("f1", "f2", "f3").flatMap { f =>
+        rows(Dedup.dedupDeltaIndexed(index,
+          spark.read.parquet(s"$srcDir/$f"), "doc_id", "text", 0.3))
+      }.sortBy(_._1)
+      val streamed = rows(spark.read.parquet(s"$out/b*"))
+      assert(streamed == perBatch,
+        "streamed verdicts must equal per-batch classification")
+      // every delta doc got exactly one verdict
+      assert(streamed.map(_._1).toSet ==
+        delta.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // replay idempotence: re-applying one batch's classification into
+      // its batchId-keyed directory leaves the union unchanged (find
+      // which source file batch b1 processed rather than assuming order)
+      val b1Ids = spark.read.parquet(s"$out/b1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b1File = Seq("f1", "f2", "f3").find { f =>
+        spark.read.parquet(s"$srcDir/$f")
+          .select("doc_id").collect().map(_.getLong(0)).toSet == b1Ids
+      }.getOrElse(fail(s"no source file matches batch b1's ids"))
+      Dedup.dedupDeltaIndexed(index, spark.read.parquet(s"$srcDir/$b1File"),
+          "doc_id", "text", 0.3)
+        .write.mode("overwrite").parquet(s"$out/b1")
+      assert(rows(spark.read.parquet(s"$out/b*")) == streamed,
+        "a replayed batch must rewrite identical rows, not duplicate")
+    } finally index.unpersist()
+  }
 }
