@@ -660,6 +660,16 @@ object SparkEntry {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
+    // ── §2.9 X118: pairwise source-distribution L1 distance — the
+    //    frequency-weighted drift matrix mixture design runs before
+    //    choosing sampling weights (X77 compares WHICH tokens exist;
+    //    this compares HOW MASS spreads over them). Cross-multiplied
+    //    DECIMAL(38,0) numerator (exact, divisions only in the one
+    //    pinned double finish); numerator emitted as STRING ───────────────
+    "q_source_drift" -> ((s, dir) =>
+      TextOps.distributionL1(t(s, dir, "documents"), "source", "text")
+        .orderBy("src_a", "src_b")),
+
     // ── §2.9 X116: temporal split with an EMBARGO gap (purged time-based
     //    split): train < boundary, test ≥ boundary+embargo, gap rows
     //    assigned to neither (so every entity's sides are separated by
@@ -3345,6 +3355,36 @@ object SparkEntry {
                 + (strpos('0123456789abcdef', substr(m,8,1))-1)) % 100 AS bucket
                FROM h)
          SELECT doc_id, lang FROM v WHERE bucket < 10 ORDER BY doc_id""",
+    // Source-distribution L1: exact HUGEINT cross-multiplied numerator
+    // (≡ Spark's DECIMAL(38,0)); the only double is the final pinned
+    // num/(2·na·nb) division, rounded 6 identically in both engines.
+    "q_source_drift" ->
+      """WITH tk AS (SELECT source AS g,
+                unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS tok
+             FROM documents),
+         tk2 AS (SELECT g, tok FROM tk WHERE tok <> ''),
+         c AS MATERIALIZED (SELECT g, tok, count(*) AS c
+              FROM tk2 GROUP BY 1, 2),
+         t AS MATERIALIZED (SELECT g, sum(c) AS n FROM c GROUP BY 1),
+         sh AS (SELECT a.g AS src_a, b.g AS src_b,
+                 sum(abs(CAST(a.c AS HUGEINT) * CAST(tb.n AS HUGEINT)
+                       - CAST(b.c AS HUGEINT) * CAST(ta.n AS HUGEINT))
+                   - CAST(a.c AS HUGEINT) * CAST(tb.n AS HUGEINT)
+                   - CAST(b.c AS HUGEINT) * CAST(ta.n AS HUGEINT)) AS s_both
+                FROM c a JOIN c b ON a.tok = b.tok AND a.g < b.g
+                JOIN t ta ON ta.g = a.g
+                JOIN t tb ON tb.g = b.g
+                GROUP BY 1, 2),
+         p AS (SELECT ta.g AS src_a, tb.g AS src_b,
+                      CAST(ta.n AS HUGEINT) AS na, CAST(tb.n AS HUGEINT) AS nb
+               FROM t ta JOIN t tb ON ta.g < tb.g)
+         SELECT p.src_a, p.src_b,
+                CAST(coalesce(sh.s_both, 0) + 2 * p.na * p.nb AS VARCHAR)
+                  AS l1_num,
+                round(CAST(coalesce(sh.s_both, 0) + 2 * p.na * p.nb AS DOUBLE)
+                      / CAST(2 * p.na * p.nb AS DOUBLE), 6) AS drift
+         FROM p LEFT JOIN sh USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
     // Temporal embargo split: pure timestamp comparisons against literal
     // bounds + one per-entity boolean aggregation — deterministic in any
     // engine.

@@ -1359,4 +1359,75 @@ object TextOps {
       round(avg(col(nCharsCol)), 6).as("avg_chars"),
       min(col(nCharsCol)).as("min_chars"),
       max(col(nCharsCol)).as("max_chars"))
+
+  /** X118 — pairwise L1 distance between per-group TOKEN DISTRIBUTIONS
+    * (total-variation ×2): the frequency-weighted complement of the
+    * vocabulary-overlap diagnostic (X77 compares WHICH tokens exist;
+    * this compares HOW MASS is spread over them) — the standard
+    * source-similarity / distribution-drift matrix mixture design runs
+    * before choosing sampling weights, and the corpus-level twin of the
+    * X101 domain-mixture operator.
+    *
+    * Exactness: d(a,b) = Σ_t |c_at/N_a − c_bt/N_b| needs divisions, so
+    * it is computed CROSS-MULTIPLIED: num(a,b) = Σ_t |c_at·N_b −
+    * c_bt·N_a| with d = num/(N_a·N_b). Missing-token terms fold in
+    * algebraically (Σ_{a-only} c_at·N_b = N_a·N_b − Σ_both c_at·N_b),
+    * so only the inner join on shared tokens is ever materialized:
+    * num = Σ_both(|c_at·N_b − c_bt·N_a| − c_at·N_b − c_bt·N_a)
+    *     + 2·N_a·N_b.
+    * Products are width-stable DECIMAL(19,0)×DECIMAL(19,0) →
+    * DECIMAL(38,0) (exact for any corpus ≤ 10¹⁹ tokens per group),
+    * summed order-independently in DECIMAL(38,0); the one double
+    * appears at the very end (`drift` = num/(2·N_a·N_b) ∈ [0,1],
+    * round 6 — the X91/X94 pinned-finish discipline). The exact
+    * numerator is emitted as a STRING (the decimal-output contract).
+    * Pairs sharing no token get drift 1 (disjoint distributions) via
+    * the group-pair frame, not dropped.
+    *
+    * Scale shape: one (group, token) count aggregation with map-side
+    * partials, one token-keyed self-join whose per-token fan-out is
+    * bounded by |groups|² (the mixture taxonomy is small by
+    * construction — sources, languages, domains), one |groups|²-row
+    * totals cross frame. Skew = a stopword's token key carries |G|
+    * rows a side — AQE-splittable, never corpus×corpus. */
+  def distributionL1(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val toks = docs.select(col(groupCol).cast(StringType).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    val ca = counts.select(col("g").as("src_a"), col("tok"),
+      col("c").as("ca"))
+    val cb = counts.select(col("g").as("src_b"), col("tok"),
+      col("c").as("cb"))
+    val ta = totals.select(col("g").as("src_a"), col("n").as("na"))
+    val tb = totals.select(col("g").as("src_b"), col("n").as("nb"))
+    val shared = ca.join(cb, Seq("tok")).where(col("src_a") < col("src_b"))
+      .join(broadcast(ta), Seq("src_a"))
+      .join(broadcast(tb), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (abs(col("ca").cast(d19) * col("nb").cast(d19) -
+             col("cb").cast(d19) * col("na").cast(d19)).cast(d38) -
+          (col("ca").cast(d19) * col("nb").cast(d19)).cast(d38) -
+          (col("cb").cast(d19) * col("na").cast(d19)).cast(d38))
+          .cast(d38).as("term"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("term")).cast(d38).as("s_both"))
+    // every group pair exists even with zero shared tokens (drift = 1)
+    val pairs = broadcast(ta).join(broadcast(tb),
+        col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (coalesce(col("s_both"), lit(0).cast(d38)) +
+          (col("na").cast(d19) * col("nb").cast(d19)).cast(d38) * 2)
+          .cast(d38).as("__num"),
+        (col("na").cast(d19) * col("nb").cast(d19)).cast(d38).as("__den"))
+      .select(col("src_a"), col("src_b"),
+        col("__num").cast(StringType).as("l1_num"),
+        round(col("__num").cast(DoubleType) /
+          (col("__den").cast(DoubleType) * 2.0), 6).as("drift"))
+  }
 }

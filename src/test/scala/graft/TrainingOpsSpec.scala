@@ -818,4 +818,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(all.length == 4)
     assert(all.forall(_.getBoolean(2)))
   }
+
+  test("distributionL1 (X118): hand-checked distance, identical groups " +
+    "at 0, disjoint groups at 1") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    // a: {x:2, y:1} N=3; b: {x:1, y:2} N=3 → L1 = |2/3-1/3|+|1/3-2/3|
+    // = 2/3 → drift = 1/3; num = sum|c_a*Nb - c_b*Na| = |6-3|+|3-6| = 6,
+    // 2*Na*Nb = 18 → 6/18 = 0.333333
+    // c: identical to a → drift(a,c) = 0
+    // d: {z:1} disjoint from a → drift(a,d) = 1
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x y y"), ("c", "x x y"), ("d", "z")
+    ).toDF("source", "text")
+    val out = TextOps.distributionL1(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    assert(out.size == 6, "all C(4,2) pairs present")
+    assert(out(("a", "b"))._2 == 0.333333)
+    assert(out(("a", "b"))._1 == "6") // Σ|c_at·N_b − c_bt·N_a| = 3+3
+    assert(out(("a", "c"))._2 == 0.0)
+    assert(out(("a", "d"))._2 == 1.0, "no shared token → disjoint mass")
+    assert(out(("c", "d"))._2 == 1.0)
+    // layout independence (decimal sums are order-free)
+    val again = TextOps.distributionL1(docs.repartition(5), "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    assert(again == out)
+  }
 }
