@@ -1939,6 +1939,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── §2.9 X119: corpus snapshot diff — content-aware added/removed/
+    //    changed classification between two snapshots (the discovery step
+    //    in front of every incremental pipeline: added∪changed feeds
+    //    X45/X117/X111, removed feeds X111c). Old = buckets 0-89, new =
+    //    buckets 10-99 with 40-49 content-modified → all three statuses ──
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = Sampling.hashBucket(col("doc_id"), 100)
+      Dedup.corpusDiff(
+        d.where(b < 90),
+        d.where(b >= 10).withColumn("text",
+          when(b >= 40 && b < 50, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X117: STREAMING near-dup classification — the streaming twin
     //    of X45: micro-batches of arriving docs classify (exact_dup /
     //    near_dup / new) against the FROZEN corpus DeltaIndex at
@@ -3355,6 +3372,26 @@ object SparkEntry {
                 + (strpos('0123456789abcdef', substr(m,8,1))-1)) % 100 AS bucket
                FROM h)
          SELECT doc_id, lang FROM v WHERE bucket < 10 ORDER BY doc_id""",
+    // Corpus snapshot diff: md5 content comparison over a full outer
+    // id join; unchanged rows excluded (churn-sized output).
+    "q_corpus_diff" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                       ${bucketSql("CAST(doc_id AS VARCHAR)")} AS b
+                     FROM documents),
+         o AS (SELECT doc_id, md5(text) AS old_hash FROM d WHERE b < 90),
+         n AS (SELECT doc_id,
+                      md5(CASE WHEN b >= 40 AND b < 50 THEN text || ' v2'
+                               ELSE text END) AS new_hash
+               FROM d WHERE b >= 10),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                      old_hash, new_hash,
+                      CASE WHEN old_hash IS NULL THEN 'added'
+                           WHEN new_hash IS NULL THEN 'removed'
+                           WHEN old_hash <> new_hash THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id, status, old_hash, new_hash FROM j
+         WHERE status <> 'unchanged' ORDER BY doc_id""",
     // Source-distribution L1: exact HUGEINT cross-multiplied numerator
     // (≡ Spark's DECIMAL(38,0)); the only double is the final pinned
     // num/(2·na·nb) division, rounded 6 identically in both engines.

@@ -1385,6 +1385,38 @@ object Dedup {
       .where(col("__rk") === 1).drop("__rk")
   }
 
+  /** X119 — corpus SNAPSHOT DIFF: classify every document id across two
+    * corpus snapshots as `added` (in new only), `removed` (in old only),
+    * or `changed` (in both, content hash differs) — the content-aware
+    * twin of the catalog id-diff algebra (O2/O3 diff the MEMBERSHIP;
+    * this also diffs the BYTES), and the discovery step in front of
+    * every incremental pipeline here: the `added ∪ changed` set is
+    * exactly what X45/X117 classify against the index, what the X111
+    * append ingests, and what the X111c delete retracts (`removed`).
+    * Unchanged documents are NOT emitted — at 100 TB the diff output is
+    * churn-sized, never corpus-sized.
+    *
+    * Shape: each side reduces to (id, md5) — map-only projections — and
+    * ONE full-outer hash join on the id classifies everything; the
+    * content comparison is an 32-char string equality on the join row.
+    * Deterministic: md5 is the corpus hash discipline (oracle-exact).
+    * Output (doc_id, status, old_hash, new_hash), absent sides NULL. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def h(df: DataFrame, hAs: String) =
+      df.select(col(idCol).cast(LongType).as("doc_id"),
+        md5(col(textCol)).as(hAs))
+    h(oldSnap, "old_hash").join(h(newSnap, "new_hash"), Seq("doc_id"),
+        "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   /** X1i — SEGMENT-level dedup with document reassembly: dedup at a
     * granularity FINER than the document (the public web-corpus recipe —
     * Dolma/RefinedWeb drop repeated *paragraphs*, not whole pages, so

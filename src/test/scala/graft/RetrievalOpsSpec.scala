@@ -59,6 +59,24 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.getLong(4) == "a b c".length.toLong)
   }
 
+  // ── X119 corpus snapshot diff ──────────────────────────────────────
+
+  test("corpusDiff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldSnap.repartition(3), newSnap, "doc_id",
+        "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"got $out") // doc 2 unchanged → absent; output is churn-sized
+    // hash columns carry the evidence: changed rows have both sides
+    val changed = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .where(col("status") === "changed").collect()(0)
+    assert(!changed.isNullAt(2) && !changed.isNullAt(3) &&
+      changed.getString(2) != changed.getString(3))
+  }
+
   // ── X114 kNN classify ──────────────────────────────────────────────
 
   test("knnClassify majority vote with deterministic tiebreaks") {
