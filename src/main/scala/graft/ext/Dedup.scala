@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1429,14 +1429,26 @@ object Dedup {
     * reassemble every document from its surviving segments in original
     * order.
     *
-    * Scale shape: one explode (rows × ~tokens/segTokens), ONE shuffle
-    * keyed on the segment text for the first-occurrence window — the
-    * exact-dedup hash-shuffle shape, never all-pairs; the reassembly
-    * groups back on doc_id (second shuffle, corpus-row-bounded). Skew =
-    * true duplicate mass: a boilerplate segment's window partition holds
-    * its duplicates and nothing else (AQE splits the hot key; rn=1 only
-    * needs the min, so a two-phase min-struct rewrite is the escape
-    * hatch if one segment dominates a partition).
+    * Scale shape: one explode (rows × ~tokens/segTokens), then the
+    * first occurrence is a TWO-PHASE `min(struct(doc_id, seg_idx))`
+    * aggregation keyed on the segment text — deliberately NOT a
+    * `row_number` window: a window partition cannot be split (AQE skew
+    * handling covers joins/rebalance, not WindowExec), so a mega-hot
+    * boilerplate segment — empty headers repeated across 10⁹ pages,
+    * exactly this operator's workload — would pin one task's sort.
+    * With the aggregation, map-side partial mins absorb the hot key:
+    * each input partition emits at most ONE row per distinct segment it
+    * saw, so the reducer for the hottest segment receives ≤ #partitions
+    * rows regardless of duplicate mass (SkewFixtureSpec pins this with a
+    * single segment at ≥30 % of corpus mass; PlanSpec pins the plan
+    * contains no Window). Reassembly then never touches the hot key:
+    * a surviving segment belongs to exactly one (winner) document, so
+    * grouping the winners frame by its winner doc_id rebuilds every
+    * document — keyed on doc_id (unique-ish, no skew), winners-sized.
+    * Per-doc segment totals are a map-only arithmetic projection of the
+    * input (ceil(nTokens/segTokens)); the final join is doc_id-keyed and
+    * corpus-row-bounded. No seg-keyed join-back anywhere — the hot
+    * segment's duplicate mass crosses the wire once, pre-aggregated.
     *
     * Output one row per document: segment counts, md5 of the reassembled
     * text (NULL when every segment was a duplicate — matches SQL
@@ -1444,31 +1456,41 @@ object Dedup {
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(segTokens > 0, s"segTokens must be positive: $segTokens")
+    // ceil(nTokens / segTokens); split("") = [""] so nTokens ≥ 1 always
+    def nSegs(toks: Column) =
+      ((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast(LongType)
     val segs = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
         TextOps.tokens(col(textCol)).as("__t"))
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0L),
-            // ceil(nTokens / segTokens) - 1; the double division is exact
-            // for any realistic token count and the cast truncates = floor
-            ((size(col("__t")) + lit(segTokens - 1)) / lit(segTokens))
-              .cast(LongType) - 1),
+          sequence(lit(0L), nSegs(col("__t")) - 1),
           i => array_join(
             slice(col("__t"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
-    val w = Window.partitionBy(col("seg"))
-      .orderBy(col("doc_id").asc, col("seg_idx").asc)
-    segs.withColumn("__rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("kept_segments"),
+    // Phase 1: global first occurrence per distinct segment. Partial
+    // (map-side) min(struct) bounds the hot key's reducer input at one
+    // row per upstream partition — the skew-proof replacement for
+    // row_number() over Window.partitionBy(seg).
+    val winners = segs
+      .groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__win"))
+      .select(col("__win.doc_id").as("doc_id"),
+        col("__win.seg_idx").as("seg_idx"), col("seg"))
+    // Phase 2: a surviving segment lives in exactly one document — its
+    // winner — so grouping winners by that doc_id IS the reassembly.
+    val reassembled = winners.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segments"),
         array_join(transform(
-          sort_array(collect_list(when(col("__rn") === 1,
-            struct(col("seg_idx"), col("seg"))))),
+          sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("__out"))
+    // Per-doc totals: map-only arithmetic, no second explode or shuffle.
+    val totals = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      nSegs(TextOps.tokens(col(textCol))).as("n_segments"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .withColumn("kept_segments",
+        coalesce(col("kept_segments"), lit(0L)))
       .select(col("doc_id"), col("n_segments"), col("kept_segments"),
         when(col("kept_segments") > 0, md5(col("__out"))).as("text_hash"),
         when(col("kept_segments") > 0, length(col("__out")))

@@ -355,6 +355,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentDedup first-occurrence is a two-phase min, never a window (X1i)") {
+    // A window partition cannot be split (AQE skew handling covers joins
+    // and rebalance, not WindowExec), so a mega-hot boilerplate segment
+    // would pin one task's sort. The plan must carry NO window at all:
+    // one seg-keyed exchange fed by a partial_min whose map-side output
+    // is ≤ 1 row per distinct segment per input partition.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.Dedup.segmentDedup(docs, "doc_id", "text")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"segment first-occurrence must be an aggregation, not a window:\n$plan")
+    assert(plan.toString.contains("partial_min(struct(doc_id"),
+      s"the seg exchange must be fed by a map-side partial min:\n$plan")
+    // exchanges exist only post-EnsureRequirements: count them there
+    val txt = physical(df).split("== Initial Plan ==").head
+    assert("hashpartitioning\\(seg#".r.findAllIn(txt).size == 1,
+      s"exactly one exchange keyed on the segment text:\n$txt")
+  }
+
   test("per-group ranks never window on the bare group column (X79)") {
     // percentileRank / rankByValueGrouped contract: a corpus-sized single
     // group must NOT serialize through one reducer. Every window over the
