@@ -308,9 +308,10 @@ object Similarity {
     * the token, the X52 keyword-search shape), never corpus × probes.
     * The vector leg here is the exact brute-force tier (the bounded-probe
     * contract); at 100 TB it swaps 1:1 for `ivfIndexProbe` against the
-    * persisted partition-pruned index — fusion only consumes (pid, id,
-    * rank) triples, so the legs are freely interchangeable. The fusion
-    * join itself is |probes| × (kLex + kVec) rows — plan metadata scale.
+    * persisted partition-pruned index — [[hybridTopKIndexed]], pinned
+    * equal at nprobe = nCentroids — because fusion only consumes
+    * (pid, id, rank) triples. The fusion join itself is
+    * |probes| × (kLex + kVec) rows — plan metadata scale.
     *
     * Returns (pid, rank, id, score): the fused top-k per probe, rank by
     * (score DESC, id ASC), score rounded to 6 (tie-free: the rank pair
@@ -320,23 +321,57 @@ object Similarity {
                  probePred: Column => Column, k: Int,
                  kLex: Int = 20, kVec: Int = 20, rrfK: Int = 60)
       : DataFrame = {
+    val vec = bruteForceTopK(emb, embIdCol, vecCol, probePred, kVec)
+      .select(col("pid"), col("nid").as("id"), col("rank").as("vec_rank"))
+    rrfFuse(lexicalTopK(docs, docIdCol, textCol, probePred, kLex),
+      vec, k, rrfK)
+  }
+
+  /** X113 (index leg) — [[hybridTopK]] with the vector leg served by the
+    * persisted partition-pruned IVF index at `indexPath` instead of the
+    * brute-force scan: the 100 TB form the docstring above promises.
+    * Fusion consumes only (pid, id, rank) tuples, so at
+    * nprobe = nCentroids this equals the brute-force form exactly
+    * (spec-pinned, RetrievalOpsSpec). The index must cover the same
+    * corpus as `emb`. */
+  def hybridTopKIndexed(docs: DataFrame, docIdCol: String, textCol: String,
+                        emb: DataFrame, embIdCol: String, vecCol: String,
+                        indexPath: String, probePred: Column => Column,
+                        k: Int, kLex: Int = 20, kVec: Int = 20,
+                        rrfK: Int = 60, nprobe: Int = 3): DataFrame = {
+    val vec = ivfIndexProbe(emb.where(probePred(col(embIdCol))), embIdCol,
+        vecCol, indexPath, kVec, nprobe)
+      .select(col("pid"), col("nid").as("id"), col("rank").as("vec_rank"))
+    rrfFuse(lexicalTopK(docs, docIdCol, textCol, probePred, kLex),
+      vec, k, rrfK)
+  }
+
+  /** The lexical leg: per probe, corpus docs ranked by distinct-token
+    * overlap — bounded probe terms broadcast into the inverted-index
+    * probe, shuffle keys on the token only. */
+  private def lexicalTopK(docs: DataFrame, docIdCol: String,
+                          textCol: String, probePred: Column => Column,
+                          kLex: Int): DataFrame = {
     val toks = docs.select(col(docIdCol).cast(LongType).as("id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .where(col("tok") =!= "")
     val probeToks = toks.where(probePred(col("id")))
       .select(col("id").as("pid"), col("tok"))
-    // inverted-index probe: bounded probe terms broadcast, shuffle keys
-    // on the token only
     val wLex = Window.partitionBy(col("pid"))
       .orderBy(col("n_shared").desc, col("id").asc)
-    val lex = broadcast(probeToks).join(toks, Seq("tok"))
+    broadcast(probeToks).join(toks, Seq("tok"))
       .where(col("id") =!= col("pid"))
       .groupBy(col("pid"), col("id")).agg(count(lit(1)).as("n_shared"))
       .withColumn("lex_rank", row_number().over(wLex))
       .where(col("lex_rank") <= kLex)
       .select(col("pid"), col("id"), col("lex_rank"))
-    val vec = bruteForceTopK(emb, embIdCol, vecCol, probePred, kVec)
-      .select(col("pid"), col("nid").as("id"), col("rank").as("vec_rank"))
+  }
+
+  /** RRF fusion over two rank-tuple lists — leg-agnostic by design:
+    * consumes (pid, id, lex_rank) and (pid, id, vec_rank) only, so the
+    * brute-force and persisted-index legs swap 1:1 above it. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+                      rrfK: Int): DataFrame = {
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("score").desc, col("id").asc)
     lex.join(vec, Seq("pid", "id"), "full_outer")
@@ -377,7 +412,8 @@ object Similarity {
     * Scale shape: the bounded probe batch broadcasts against the
     * distributed labeled corpus (the bruteForceTopK contract); at 100 TB
     * the neighbor leg swaps 1:1 for [[ivfIndexProbe]] against the
-    * persisted partition-pruned index — the vote only consumes
+    * persisted partition-pruned index ([[knnClassifyIndexed]], pinned
+    * equal at nprobe = nCentroids) — the vote only consumes
     * (pid, nid, rank, label) tuples. */
   def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
                   labelCol: String, probePred: Column => Column,
@@ -397,6 +433,36 @@ object Similarity {
         round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
       .withColumn("rank", row_number().over(wN))
       .where(col("rank") <= k)
+    majorityVote(topk)
+  }
+
+  /** X114 (index leg) — [[knnClassify]] with the neighbor leg served by
+    * a persisted IVF index at `indexPath` that was BUILT OVER THE TRAIN
+    * SIDE ONLY (`emb.where(!probePred)`) — the held-out contract the
+    * brute-force form enforces by filtering. The vote consumes only
+    * (pid, nid, rank, label) tuples, so at nprobe = nCentroids this
+    * equals the brute-force form exactly (spec-pinned). */
+  def knnClassifyIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, probePred: Column => Column,
+                         k: Int, indexPath: String,
+                         nprobe: Int = 3): DataFrame = {
+    val probes = emb.where(probePred(col(idCol)))
+    // per-probe true label: bounded (the probe batch), broadcast
+    val trueLab = broadcast(probes
+      .select(col(idCol).cast(LongType).as("pid"),
+        col(labelCol).cast(LongType).as("true_label")))
+    val labels = emb.select(col(idCol).cast(LongType).as("nid"),
+      col(labelCol).cast(LongType).as("nlabel"))
+    val topk = ivfIndexProbe(probes, idCol, vecCol, indexPath, k, nprobe)
+      .join(labels, Seq("nid"))
+      .join(trueLab, Seq("pid"))
+    majorityVote(topk)
+  }
+
+  /** The majority vote over a (pid, true_label, nlabel, rank) top-k
+    * frame — leg-agnostic: rank tuples only, so brute-force and
+    * persisted-index neighbor legs swap 1:1 above it. */
+  private def majorityVote(topk: DataFrame): DataFrame = {
     val wV = Window.partitionBy(col("pid"))
       .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
     topk.groupBy(col("pid"), col("true_label"), col("nlabel").as("label"))
@@ -416,8 +482,9 @@ object Similarity {
     * subset (rank ties sim DESC, id ASC), then the kNN list self-joined
     * on the reversed (pid, nid) pair — k·|subset| rows a side, keyed on
     * the pair, so the reciprocal check is a hash join, never all-pairs.
-    * At 100 TB the top-k leg swaps for the persisted-index probe and
-    * the self-join shape is unchanged (it only sees rank tuples).
+    * At 100 TB the top-k leg swaps for the persisted-index probe
+    * ([[mutualKnnPairsIndexed]], pinned equal at nprobe = nCentroids)
+    * and the self-join shape is unchanged (it only sees rank tuples).
     *
     * Output (da < db): both directions' ranks and the shared sim. */
   def mutualKnnPairs(emb: DataFrame, idCol: String, vecCol: String,
@@ -431,6 +498,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("pid"), col("nid"), col("sim"), col("rank"))
+    reciprocalPairs(topk)
+  }
+
+  /** X115 (index leg) — [[mutualKnnPairs]] with the top-k leg served by
+    * a persisted IVF index at `indexPath` that was BUILT OVER THE SAME
+    * SUBSET the predicate selects (the within-subset contract). The
+    * reciprocal self-join consumes only rank tuples, so at
+    * nprobe = nCentroids this equals the brute-force form exactly
+    * (spec-pinned). */
+  def mutualKnnPairsIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                            subsetPred: Column => Column, k: Int,
+                            indexPath: String,
+                            nprobe: Int = 3): DataFrame =
+    reciprocalPairs(
+      ivfIndexProbe(emb.where(subsetPred(col(idCol))), idCol, vecCol,
+        indexPath, k, nprobe)
+        .select(col("pid"), col("nid"), col("sim"), col("rank")))
+
+  /** The reciprocal check over a (pid, nid, sim, rank) top-k frame:
+    * k·|subset| rows a side, hash-joined on the reversed pair — leg-
+    * agnostic, so brute-force and persisted-index legs swap 1:1. */
+  private def reciprocalPairs(topk: DataFrame): DataFrame =
     topk.as("a").join(topk.as("b"),
         col("a.pid") === col("b.nid") && col("a.nid") === col("b.pid"))
       .where(col("a.pid") < col("a.nid"))
@@ -438,7 +527,6 @@ object Similarity {
         col("a.sim").as("sim"),
         col("a.rank").cast(LongType).as("rank_ab"),
         col("b.rank").cast(LongType).as("rank_ba"))
-  }
 
   /** X2g — FILTERED vector search, exact leg: cosine top-k where the
     * candidate corpus is confined by a metadata predicate (tenant ACL,

@@ -157,6 +157,73 @@ class RetrievalOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  // ── X113/X114/X115 persisted-index legs ────────────────────────────
+  // The docstring contract "the brute-force leg swaps 1:1 for the
+  // persisted-index probe" pinned the X2g way: at nprobe = nCentroids
+  // the probe scans every bucket, so the indexed form must equal the
+  // brute-force form bit-for-bit (fusion/vote/reciprocal stages consume
+  // only rank tuples).
+
+  private def withIndex(corpus: org.apache.spark.sql.DataFrame)
+                       (body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_legidx_")
+      .toString
+    try {
+      Similarity.ivfIndexBuild(corpus, "vec_id", "embedding", dir,
+        nCentroids = 8)
+      body(dir)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  private def pinEqual(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame,
+                       what: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what: indexed leg at nprobe=nCentroids must equal brute force")
+    assert(a.count() > 0, s"$what: empty pin is vacuous")
+  }
+
+  test("hybridTopKIndexed equals hybridTopK at nprobe = nCentroids (X113)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    withIndex(emb) { dir =>
+      pinEqual(
+        Similarity.hybridTopKIndexed(docs, "doc_id", "text", emb,
+          "vec_id", "embedding", dir, _ < 10, k = 10, nprobe = 8),
+        Similarity.hybridTopK(docs, "doc_id", "text", emb,
+          "vec_id", "embedding", _ < 10, k = 10),
+        "hybrid")
+    }
+  }
+
+  test("knnClassifyIndexed over a train-side index equals knnClassify " +
+    "at nprobe = nCentroids (X114)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    // the index holds the TRAIN side only — the held-out contract
+    withIndex(emb.where(col("vec_id") >= 50)) { dir =>
+      pinEqual(
+        Similarity.knnClassifyIndexed(emb, "vec_id", "embedding", "label",
+          _ < 50, k = 7, dir, nprobe = 8),
+        Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+          _ < 50, k = 7),
+        "knn-classify")
+    }
+  }
+
+  test("mutualKnnPairsIndexed over a subset index equals mutualKnnPairs " +
+    "at nprobe = nCentroids (X115)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    withIndex(emb.where(col("vec_id") < 120)) { dir =>
+      pinEqual(
+        Similarity.mutualKnnPairsIndexed(emb, "vec_id", "embedding",
+          _ < 120, k = 5, dir, nprobe = 8),
+        Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+          _ < 120, k = 5),
+        "mutual-knn")
+    }
+  }
+
   // ── X2g filtered search ────────────────────────────────────────────
 
   test("filteredTopK returns only allowed labels and guarantees k") {
