@@ -36,6 +36,23 @@ object SparkEntry {
     * table must not be clobbered mid-read by the next run. */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-JVM scratch root for query-constructed artifacts (persisted
+    * indexes, catalogs, checkpoints, round-trip files): every query's
+    * temp directory is a child of ONE root that a shutdown hook removes
+    * recursively, so repeated driver/bench invocations cannot accumulate
+    * index copies in the temp filesystem. Deletion at JVM exit, not
+    * earlier — the returned DataFrames read these paths lazily. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile); ()
+    }))
+    root
+  }
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -839,8 +856,7 @@ object SparkEntry {
     //    Ranking math = ivfTopK, so the full-recall contract carries over ─
     "q_ann_persist" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_")
-        .toString
+      val path = scratch("graft_ivfidx_")
       Similarity.ivfIndexBuild(emb, "vec_id", "embedding", path,
         nCentroids = 64, lloydIters = 1)
       Similarity.recallArtifact(
@@ -860,8 +876,7 @@ object SparkEntry {
     //    spec/gate floors, the q_ann_pq discipline) ────────────────────
     "q_ann_pq_persist" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_pqidx_")
-        .toString
+      val path = scratch("graft_pqidx_")
       Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", path,
         nCentroids = 64, m = 8, kCodes = 64)
       Similarity.probeCoverage(
@@ -880,8 +895,7 @@ object SparkEntry {
     //    lifecycle of a 100 TB embedding index between scheduled rebuilds ─
     "q_ann_append" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfapp_")
-        .toString
+      val path = scratch("graft_ivfapp_")
       Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
         "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
       Similarity.ivfIndexAppend(emb.where(col("vec_id") % 2 === 1),
@@ -907,8 +921,7 @@ object SparkEntry {
     //    index; the require pins that file count actually dropped. ──────
     "q_ann_compact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfcmp_")
-        .toString
+      val path = scratch("graft_ivfcmp_")
       // 32 buckets (not the persist/append queries' 64): compaction's
       // contract is file-count + probe-identity, which holds at any
       // width, and halving the directory tree halves the build/append/
@@ -959,8 +972,7 @@ object SparkEntry {
     //    force over survivors) ───────────────────────────────────────────
     "q_ann_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfdel_")
-        .toString
+      val path = scratch("graft_ivfdel_")
       Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
         "vec_id", "embedding", path, nCentroids = 32, lloydIters = 1)
       Similarity.ivfIndexAppend(emb.where(col("vec_id") % 2 === 1),
@@ -1003,8 +1015,7 @@ object SparkEntry {
     //    contract is q_ann_persist's; this query pins the PUBLISH) ───────
     "q_ann_rebuild" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfreb_")
-        .toString
+      val path = scratch("graft_ivfreb_")
       Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
         "vec_id", "embedding", path, nCentroids = 32, lloydIters = 1)
       Similarity.ivfIndexAppendIdempotent(emb.where(col("vec_id") % 2 === 1),
@@ -1043,15 +1054,14 @@ object SparkEntry {
     //    continuous-ANN-ingest lifecycle between scheduled rebuilds ───────
     "q_stream_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfstr_")
-        .toString
+      val path = scratch("graft_ivfstr_")
       Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0),
         "vec_id", "embedding", path, nCentroids = 64, lloydIters = 1)
       val q = graft.streaming.StreamingIndexIngest.start(
         Tables.loadStream(s, dir, "embeddings")
           .where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", path,
-        java.nio.file.Files.createTempDirectory("graft_ckpt_idx_").toString)
+        scratch("graft_ckpt_idx_"))
       q.awaitTermination()
       Similarity.recallArtifact(
           Similarity.ivfIndexProbe(emb.where(col("vec_id") < 10),
@@ -1404,7 +1414,7 @@ object SparkEntry {
         lit(1L).as("shard_length"),
         concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
         .distinct()
-      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val root = scratch("graft_meta_")
       val store = new MetaStore(s, root)
       store.commit(catShards, catPlacements)
       new SyncEngine(s, store).sync(1L, src.select("shard_id").distinct(), src)
@@ -1437,7 +1447,7 @@ object SparkEntry {
         lit(1L).as("shard_length"),
         concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
         .distinct()
-      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val root = scratch("graft_meta_")
       val store = new MetaStore(s, root)
       store.commit(catShards, catPlacements)
       store.registerTable(1L, "lineitem", Some("l_partkey"))
@@ -1618,7 +1628,7 @@ object SparkEntry {
     //    rewritten as lang=…/ directories, then a lang-filtered aggregate
     //    whose scan prunes whole partitions at planning time ───────────────
     "q_partition_prune" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      val out = scratch("graft_part_")
       graft.sources.Layout
         .writePartitioned(s, t(s, dir, "documents"), out, Seq("lang"))
         .where(col("lang") === "en")
@@ -1633,7 +1643,7 @@ object SparkEntry {
     //    THROUGH the compacted output (rows + id sum survive the rewrite,
     //    file count is the compaction contract) ─────────────────────────────
     "q_compact" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+      val tmp = scratch("graft_compact_")
       val src = tmp + "/src"; val dst = tmp + "/dst"
       t(s, dir, "documents").select("doc_id", "text")
         .repartition(32).write.mode("overwrite").parquet(src)
@@ -1651,7 +1661,7 @@ object SparkEntry {
     //    reports added/removed shard rows — the versioned-layout feature
     //    the O(1) pointer flip buys ─────────────────────────────────────────
     "q_catalog_changes" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      val root = scratch("graft_tt_")
       val store = new MetaStore(s, root)
       val ord = t(s, dir, "orders")
       def shardsOf(pred: Column) = ord.where(pred)
@@ -1674,7 +1684,7 @@ object SparkEntry {
     //    the Delta-VACUUM contract), rollback flips the pointer O(1); the
     //    per-version reads certify immutable history + the vacuum boundary ─
     "q_time_travel" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_ttv_").toString
+      val root = scratch("graft_ttv_")
       val store = new MetaStore(s, root)
       val ord = t(s, dir, "orders")
       def shardsOf(pred: Column) = ord.where(pred)
@@ -1723,8 +1733,7 @@ object SparkEntry {
     //    pins it; the only Exchange left is the oracle's final ORDER BY).
     //    The 100 TB shape for repeated large⋈large joins ───────────────────
     "q_bucket_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_bucket_")
-        .toString
+      val wh = scratch("graft_bucket_")
       // per-invocation table names (suffix = the temp dir's unique tail):
       // fixed names leaked metastore entries pointing at dead temp dirs
       // and raced concurrent sessions sharing a warehouse. The catalog
@@ -1968,14 +1977,13 @@ object SparkEntry {
       val index = Dedup.buildDeltaIndex(
         d.where(Sampling.hashBucket(col("doc_id"), 100) >= 20),
         "doc_id", "text", maxDf = 100)
-      val out = java.nio.file.Files.createTempDirectory("graft_snd_")
-        .toString
+      val out = scratch("graft_snd_")
       try {
         val q = graft.streaming.StreamingNearDup.start(
           Tables.loadStream(s, dir, "documents")
             .where(Sampling.hashBucket(col("doc_id"), 100) < 20),
           "doc_id", "text", index, threshold = 0.3, out,
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         q.awaitTermination()
       } finally index.unpersist()
       s.read.parquet(s"$out/b*").orderBy("doc_id")
@@ -2162,7 +2170,7 @@ object SparkEntry {
         lit(1L).as("shard_length"),
         concat(lit("host"), (col("o_custkey") % 7).cast(StringType)).as("hostname"))
         .distinct()
-      val root = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val root = scratch("graft_meta_")
       val store = new MetaStore(s, root)
       store.commit(catShards, catPlacements)
       val snap = Tables.loadStream(s, dir, "lineitem").select(
@@ -2171,7 +2179,7 @@ object SparkEntry {
         concat(lit("host"), (col("l_suppkey") % 7).cast(StringType)).as("hostname"))
       val q = new graft.streaming.StreamingSync(new SyncEngine(s, store), 1L)
         .start(snap,
-          java.nio.file.Files.createTempDirectory("graft_ckpt_sync_").toString)
+          scratch("graft_ckpt_sync_"))
       q.awaitTermination()
       store.placements.orderBy("shard_id", "shard_length", "hostname")
     }),
@@ -2188,7 +2196,7 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("h")
@@ -2208,7 +2216,7 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("hour_ts", "event_type")
@@ -2225,7 +2233,7 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("win_ts", "event_type")
@@ -2250,7 +2258,7 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("user_id", "start_ep")
@@ -2273,7 +2281,7 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("a_id", "b_id")
@@ -2298,7 +2306,7 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratch("graft_ckpt_"))
         .start()
       q.awaitTermination()
       s.table(name).orderBy("n_name", "event_type")
@@ -5596,10 +5604,12 @@ object SparkEntry {
                     FROM rsig, unnest(range(0,4)) bb(b)),
          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id da, c.doc_id db FROM lbands a
                   JOIN rbands c ON a.b = c.b AND a.bh = c.bh),
-         ltrif AS MATERIALIZED (SELECT * FROM ltri WHERE sh IN (
-                     SELECT sh FROM ltri GROUP BY sh HAVING count(*) <= 100)),
-         rtrif AS MATERIALIZED (SELECT * FROM rtri WHERE sh IN (
-                     SELECT sh FROM rtri GROUP BY sh HAVING count(*) <= 100)),
+         hot AS MATERIALIZED (SELECT sh FROM rtri GROUP BY sh
+                     HAVING count(*) > 100),
+         ltrif AS MATERIALIZED (SELECT * FROM ltri
+                     WHERE sh NOT IN (SELECT sh FROM hot)),
+         rtrif AS MATERIALIZED (SELECT * FROM rtri
+                     WHERE sh NOT IN (SELECT sh FROM hot)),
          lsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM ltrif GROUP BY 1),
          rsz AS MATERIALIZED (SELECT doc_id, count(*) n FROM rtrif GROUP BY 1),
          inter AS MATERIALIZED (SELECT da, db, count(*) i FROM cand
@@ -5781,8 +5791,7 @@ object SparkEntry {
     import graft.sources.{ColumnarFormats, TextFormats}
     val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("ep"))
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_${fmt}_rt_").toString
+    val out = scratch(s"graft_${fmt}_rt_")
     val back = fmt match {
       case "csv" =>
         TextFormats.writeCsv(ev, out); TextFormats.readCsv(s, out, ev.schema)

@@ -1096,14 +1096,24 @@ object Dedup {
     */
   final case class DeltaIndex private[graft] (
       bands: DataFrame, shingles: DataFrame, sizes: DataFrame,
-      exact: DataFrame, k: Int, nBands: Int, maxDf: Int) {
+      exact: DataFrame, hotShingles: Option[DataFrame], k: Int,
+      nBands: Int, maxDf: Int) {
     def unpersist(): Unit =
-      Seq(bands, shingles, sizes, exact).foreach(_.unpersist(false))
+      (Seq(bands, shingles, sizes, exact) ++ hotShingles)
+        .foreach(_.unpersist(false))
   }
 
   /** Build the corpus-side [[DeltaIndex]] for [[dedupDeltaIndexed]]. Same
-    * parameters as [[dedupDelta]]; the df cap is corpus-side (the delta
-    * side caps itself per call, matching dedupDelta's semantics). */
+    * parameters as [[dedupDelta]]. The df cap is CORPUS-df based on both
+    * sides: the index drops corpus shingles with df > maxDf from its own
+    * frames AND records that hot-shingle set (tiny — hot shingles are by
+    * definition few) so the delta side can drop the same shingles. One
+    * consistent filtered shingle space, and — the load-bearing property —
+    * a delta document's verdict depends only on its own shingles and the
+    * frozen index, NEVER on which other documents share its batch: any
+    * partition of the delta (streaming micro-batches, chunked ingests)
+    * classifies identically to the one-shot run (spec-pinned,
+    * StreamingSpec). */
   def buildDeltaIndex(corpus: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4,
                       maxDf: Int = Int.MaxValue,
@@ -1120,8 +1130,15 @@ object Dedup {
       shR0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shR0
     val banded = bandedSignatures(shR, k, bands)
-    val hR = capDf(shR.select(col("doc_id"), xxhash64(col("sh")).as("sh")),
-      maxDf)
+    val hAll = shR.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // the corpus-df hot set, shared by both sides of every future delta
+    // run (see the DeltaIndex scaladoc): None when the cap is off
+    val hot =
+      if (maxDf == Int.MaxValue) None
+      else Some(hAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxDf).select("sh"))
+    val hR = hot.map(h => hAll.join(h, Seq("sh"), "left_anti"))
+      .getOrElse(hAll)
     val sizes = hR.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val exact = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("h"))
       .groupBy("h").agg(min(col("cid")).as("exact_match"))
@@ -1129,13 +1146,13 @@ object Dedup {
       if (persist)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val index = DeltaIndex(p(banded), p(hR), p(sizes), p(exact), k, bands,
-      maxDf)
+    val index = DeltaIndex(p(banded), p(hR), p(sizes), p(exact),
+      hot.map(p), k, bands, maxDf)
     if (persist) {
-      // materialize the four index frames off the shared shingle cache,
+      // materialize the index frames off the shared shingle cache,
       // then drop the build-only cache
-      Seq(index.bands, index.shingles, index.sizes, index.exact)
-        .foreach(_.count())
+      (Seq(index.bands, index.shingles, index.sizes, index.exact)
+        ++ index.hotShingles).foreach(_.count())
       shR.unpersist(false)
     }
     index
@@ -1160,8 +1177,13 @@ object Dedup {
         col("a.b") === col("c.b") && col("a.bh") === col("c.bh"))
       .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
       .distinct()
-    val hL = capDf(shL.select(col("doc_id"), xxhash64(col("sh")).as("sh")),
-      index.maxDf)
+    // the delta side drops the SAME corpus-df hot shingles the index
+    // dropped (anti-join against the tiny hot set) — never a df computed
+    // over the delta itself, so a document's verdict is independent of
+    // which other documents share its delta/batch (see DeltaIndex doc)
+    val hL0 = shL.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val hL = index.hotShingles
+      .map(h => hL0.join(h, Seq("sh"), "left_anti")).getOrElse(hL0)
     val sizesL = hL.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val shr = index.shingles
       .select(col("doc_id").as("__db2"), col("sh").as("__shr"))
@@ -1403,15 +1425,21 @@ object Dedup {
     * Output (doc_id, status, old_hash, new_hash), absent sides NULL. */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    def h(df: DataFrame, hAs: String) =
+    // presence is an EXPLICIT flag per side, not hash nullness: a row
+    // whose text is NULL is still PRESENT (md5(NULL) = NULL would
+    // otherwise make it indistinguishable from an absent row — a
+    // NULL-text doc in both snapshots must not report 'added', and one
+    // only in the old snapshot must report 'removed')
+    def h(df: DataFrame, hAs: String, pAs: String) =
       df.select(col(idCol).cast(LongType).as("doc_id"),
-        md5(col(textCol)).as(hAs))
-    h(oldSnap, "old_hash").join(h(newSnap, "new_hash"), Seq("doc_id"),
-        "full_outer")
+        md5(col(textCol)).as(hAs), lit(true).as(pAs))
+    h(oldSnap, "old_hash", "__old").join(
+        h(newSnap, "new_hash", "__new"), Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          // null-safe compare: NULL-text → non-NULL-text is a change
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged"))
       .where(col("status") =!= "unchanged")
       .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))

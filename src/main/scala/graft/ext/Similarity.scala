@@ -1834,15 +1834,22 @@ object Similarity {
     * (id)`) via a semi-join applied BEFORE the top-k window — so k
     * results are never silently under-returned by post-filtering a
     * too-short unfiltered list, the production filtered-ANN failure
-    * mode. The allowlist is broadcast (an ACL/tenant list is bounded);
-    * an unbounded predicate at 100 TB belongs in the index itself
-    * (attribute-partitioned lists) or as a shuffled semi-join on nid —
-    * both leave this probe's shape intact. At nprobe = nCentroids this
-    * equals the exact [[filteredTopK]] (spec-pinned). */
+    * mode. A bounded allowlist (ACL/tenant list) is BROADCAST — the
+    * default; an unbounded one (a corpus-sized predicate's id set at
+    * 100 TB) passes `broadcastAllowlist = false` and the semi-join
+    * becomes a SHUFFLED hash join keyed on nid — the pruned index slice
+    * and the allowlist both shuffle once, no driver/executor-memory
+    * bound on the allowlist, and the probe's partition-pruned shape is
+    * otherwise unchanged (spec-pinned equal to the broadcast path; the
+    * long-term home for a permanently-huge filter remains attribute-
+    * partitioned lists). At nprobe = nCentroids this equals the exact
+    * [[filteredTopK]] (spec-pinned). */
   def ivfIndexProbeFiltered(probes0: DataFrame, idCol: String,
                             vecCol: String, allowed: DataFrame,
                             allowedIdCol: String, path: String, k: Int,
-                            nprobe: Int = 3): DataFrame = {
+                            nprobe: Int = 3,
+                            broadcastAllowlist: Boolean = true)
+      : DataFrame = {
     val spark = probes0.sparkSession
     graft.GraftExtensions.ensure(spark)
     val (idxDir, centDir) = ivfIndexDirs(spark, path)
@@ -1862,9 +1869,14 @@ object Similarity {
       .collect().map(_.getString(0)).sorted
     val allowIds = allowed
       .select(col(allowedIdCol).cast(LongType).as("nid")).distinct()
-    val index = spark.read.parquet(idxDir)
+    val pruned = spark.read.parquet(idxDir)
       .where(col("bucket").isin(buckets.toSeq: _*))
-      .join(broadcast(allowIds), Seq("nid"), "left_semi")
+    val index =
+      if (broadcastAllowlist)
+        pruned.join(broadcast(allowIds), Seq("nid"), "left_semi")
+      else // unbounded allowlist: shuffle both sides on nid, never
+        // materialize the id set on one node
+        pruned.join(allowIds.hint("shuffle_hash"), Seq("nid"), "left_semi")
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("sim").desc, col("nid").asc)
     broadcast(probeBuckets).join(index, Seq("bucket"))
@@ -1920,7 +1932,6 @@ object Similarity {
     val d = dimOf(emb, vecCol, dim)
     require(d > 0 && d % m == 0, s"dim=$d must be a positive multiple of m=$m")
     val sub = d / m
-    val packedBits = if (pqPackable(m, kCodes)) Some(pqBits(kCodes)) else None
     // both fits concurrently, as in ivfpqParts (independent pipelines)
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
@@ -1936,6 +1947,13 @@ object Similarity {
       }.toSeq.sortBy(_._1)
     require(centRows.nonEmpty, "IVF+PQ fit: empty corpus")
     val cb = Await.result(cbFut, Duration.Inf)
+    // pack at the FITTED codebook's width, not the requested kCodes: a
+    // corpus smaller than kCodes clamps the codebook (fitPqCodebook's
+    // documented degradation), and the probe infers the bit width from
+    // the stored codebook's size — build and probe must derive it from
+    // the same quantity or the probe shift-and-masks wrong codes
+    val kEff = cb.head.size
+    val packedBits = if (pqPackable(m, kEff)) Some(pqBits(kEff)) else None
     val centLit = typedLit(centRows)
     val cbLit = typedLit(cb)
     val next = (indexVersionDirs(fs, path) ++ centroidVersionDirs(fs, path)

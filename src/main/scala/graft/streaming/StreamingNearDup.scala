@@ -24,12 +24,14 @@ import graft.ext.Dedup
   * generation, verification, and best-match selection key on the batch
   * doc's id), so there is no streaming state to manage — the
   * micro-batch boundary is the correct unit, exactly the
-  * StreamingIndexIngest argument. CONTRACT: the delta-side df cap is
-  * computed per classified frame, so each trigger classifies as if its
-  * batch were the whole delta — per-batch results equal
-  * `dedupDeltaIndexed(index, batch)` verbatim (spec-pinned), and a
-  * single-trigger run (AvailableNow over one file batch, the declared
-  * query) is bit-identical to the one-shot batch operator.
+  * StreamingIndexIngest argument. CONTRACT: per-batch results equal
+  * `dedupDeltaIndexed(index, batch)` verbatim, and because the df cap
+  * is corpus-df based on both sides (the DeltaIndex carries the hot-
+  * shingle set; a document's verdict depends only on its own shingles
+  * and the frozen index, never on its batch-mates), ANY batch split
+  * (maxFilesPerTrigger, chunked directory admission) yields the union
+  * bit-identical to the one-shot batch operator over the whole delta —
+  * both halves spec-pinned (StreamingSpec).
   *
   * Exactly-once: the output of batch `i` is `mode(overwrite)` into
   * `outDir/b<i>` — a checkpoint replay of the same batch rewrites the

@@ -38,6 +38,39 @@ class PqIndexSpec extends AnyFunSuite {
     } finally { rm(dir); emb.unpersist() }
   }
 
+  test("clamped codebook (corpus < kCodes) packs at the FITTED width: " +
+    "lists and probes identical to an explicit kCodes = |corpus| build") {
+    // fitPqCodebook clamps to kEff = |corpus| when the corpus is smaller
+    // than kCodes; the probe infers the packed bit width from the stored
+    // codebook's size, so the build must pack at the same width — packing
+    // at pqBits(kCodes) while probing at pqBits(kEff) shift-and-masks
+    // wrong codes. Both builds below fit the SAME 10-word codebook, so
+    // their code lists (and any probe) must be bit-identical.
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .where(col("vec_id") < 10).cache()
+    val dirClamped = tmpdir(); val dirExact = tmpdir()
+    try {
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dirClamped,
+        nCentroids = 2, m = 8, kCodes = 64) // kEff = 10, clamped
+      Similarity.ivfpqIndexBuild(emb, "vec_id", "embedding", dirExact,
+        nCentroids = 2, m = 8, kCodes = 10) // same codebook, by request
+      def lists(d: String) = spark.read
+        .parquet(Similarity.ivfIndexDataDir(spark, d))
+        .select("bucket", "nid", "nn", "codes")
+      assert(lists(dirClamped).exceptAll(lists(dirExact)).isEmpty &&
+        lists(dirExact).exceptAll(lists(dirClamped)).isEmpty,
+        "clamped build must pack codes at the fitted width")
+      // and the ADC-only probe (refine=1: candidate ranking decides
+      // everything, no exact re-rank safety net) agrees across builds
+      def probe(d: String) = Similarity.ivfpqIndexProbe(
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", emb, d,
+        k = 4, nprobe = 2, refine = 1)
+      assert(probe(dirClamped).exceptAll(probe(dirExact)).isEmpty &&
+        probe(dirExact).exceptAll(probe(dirClamped)).isEmpty,
+        "ADC ranking must decode the clamped build's codes correctly")
+    } finally { rm(dirClamped); rm(dirExact); emb.unpersist() }
+  }
+
   test("codes are packed into one long and the lists carry no raw vectors") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val dir = tmpdir()

@@ -77,6 +77,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
       changed.getString(2) != changed.getString(3))
   }
 
+  test("corpusDiff treats a NULL-text row as PRESENT, not absent") {
+    // presence must be an explicit flag: md5(NULL) = NULL would
+    // otherwise classify these rows as added/absent
+    val oldSnap = Seq((1L, null: String), (2L, null: String), (3L, "c"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (3L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      2L -> "removed",  // NULL-text doc only in old: removed, not added
+      3L -> "changed",  // text → NULL is a change
+      4L -> "added"     // genuinely new, even with NULL text
+    ), s"got $out")     // doc 1: NULL → NULL, present in both → dropped
+  }
+
   // ── X114 kNN classify ──────────────────────────────────────────────
 
   test("knnClassify majority vote with deterministic tiebreaks") {
@@ -283,6 +299,21 @@ class RetrievalOpsSpec extends AnyFunSuite {
       val outside = narrow.join(allowed.withColumnRenamed("vec_id", "nid"),
         Seq("nid"), "left_anti")
       assert(outside.isEmpty, "result outside the allowlist")
+      // unbounded-allowlist path: the shuffled semi-join must produce
+      // the identical result, and its plan must NOT broadcast the
+      // allowlist (no executor-memory bound on the filter at 100 TB)
+      val shuffled = Similarity.ivfIndexProbeFiltered(probes, "vec_id",
+          "embedding", allowed, "vec_id", dir, k = 5, nprobe = 8,
+          broadcastAllowlist = false)
+        .select("pid", "rank", "nid", "sim")
+      assert(shuffled.exceptAll(exact).isEmpty &&
+        exact.exceptAll(shuffled).isEmpty,
+        "shuffled-allowlist path must equal the broadcast path")
+      val semiLines = shuffled.queryExecution.sparkPlan.toString
+        .linesIterator.filter(_.contains("LeftSemi")).toSeq
+      assert(semiLines.nonEmpty, "expected a semi join in the probe plan")
+      assert(semiLines.forall(!_.contains("Broadcast")),
+        s"allowlist semi-join must not broadcast:\n${semiLines.mkString("\n")}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))

@@ -656,6 +656,14 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = rows(spark.read.parquet(s"$out/b*"))
       assert(streamed == perBatch,
         "streamed verdicts must equal per-batch classification")
+      // batch-partition invariance: the df cap is corpus-df based (the
+      // index carries the hot-shingle set), so a document's verdict
+      // never depends on its batch-mates — the three-trigger union must
+      // ALSO equal the one-shot batch operator over the whole delta
+      val oneShot = rows(
+        Dedup.dedupDeltaIndexed(index, delta, "doc_id", "text", 0.3))
+      assert(streamed == oneShot,
+        "split-source stream must equal the one-shot classification")
       // every delta doc got exactly one verdict
       assert(streamed.map(_._1).toSet ==
         delta.select("doc_id").collect().map(_.getLong(0)).toSet)
