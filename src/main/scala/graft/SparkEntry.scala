@@ -211,46 +211,33 @@ object SparkEntry {
             regexp_extract(col("path"),
               java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
             "\\.parquet$", ""))
-      // ONE union scan over every discovered split, grouped back to its
-      // table via the scan's _metadata.file_path — job count is
-      // independent of table count (a 10k-table catalog is still one
-      // job, vs one sequential count() job per table). Only the metadata
-      // column is requested, so the heterogeneous per-table schemas
-      // never meet: each file contributes bare row counts from its own
-      // footer/pages, no data column is resolved across tables.
-      //
-      // The collect is FILE METADATA, not data: its row count equals the
-      // catalog's file count — the same driver-resident set Spark's own
-      // InMemoryFileIndex holds to plan any multi-path scan. At a
-      // multi-million-file catalog the LISTING itself is what must
-      // shard; the distributed walk producing `data` (CoreOps.scala's
-      // frontier expansion) is that escape hatch — feed its output
-      // through a manifest table instead of a driver collect.
-      val paths = data.select("path").as[String].collect().sorted
-      if (paths.isEmpty) {
-        // an empty catalog must yield an empty result, not a
-        // cannot-infer-schema failure from a zero-path reader
-        s.createDataFrame(s.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("table_name", StringType),
-            StructField("n_rows", LongType, nullable = false))))
-      } else {
-        // _metadata.file_path is a PERCENT-ENCODED URI (SparkPath keeps
-        // it url-encoded: a space is %20, a literal '%' is %25), so only
-        // percent-escapes may be decoded. url_decode alone applies
-        // x-www-form-urlencoded semantics — a literal '+' in a file name
-        // (legal in a path, never encoded) would decode to a space — so
-        // '+' is re-escaped to %2B first, making the composition a pure
-        // percent-decoder that matches the filesystem listing's raw names
-        s.read.parquet(paths.toIndexedSeq: _*)
-          .select(regexp_replace(
-              regexp_extract(
-                url_decode(regexp_replace(
-                  col("_metadata.file_path"), "\\+", "%2B")),
-                java.util.regex.Pattern.quote(root) + "/([^/]+)", 1),
-              "\\.parquet$", "").as("table_name"))
-          .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
-          .orderBy("table_name")
-      }
+      // The row-count leg is DISTRIBUTED METADATA work end to end: the
+      // file frame from the distributed walk (CoreOps' frontier
+      // expansion) flows straight into a footer scan — each executor
+      // task opens its partition's parquet footers and emits
+      // (table_name, recordCount) — so NO file path ever resides on the
+      // driver (the former spark.read.parquet(allPaths) needed the full
+      // path list driver-side, the first thing to fall over at a
+      // multi-million-file catalog). A row count is footer metadata —
+      // exactly what a count(*) pushdown reads — so per-file cost is one
+      // footer fetch, no data pages. Job count stays independent of
+      // table count (one mapPartitions + one aggregation over all
+      // tables, PlanSpec-pinned), and an empty catalog is naturally an
+      // empty aggregate, no zero-path reader to special-case.
+      data.select(col("table_name"), col("path")).as[(String, String)]
+        .mapPartitions { it =>
+          // executors resolve the filesystem from their own Hadoop conf
+          // (same classpath discipline as any task-side FS access)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { case (tbl, p) =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(p), conf))
+            try (tbl, rd.getRecordCount) finally rd.close()
+          }
+        }.toDF("table_name", "n_rows_file")
+        .groupBy("table_name").agg(sum("n_rows_file").as("n_rows"))
+        .orderBy("table_name")
     }),
 
     // ── headline agg: TPC-H Q1-style pricing summary (bench flagship) ───

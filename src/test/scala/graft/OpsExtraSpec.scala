@@ -97,11 +97,11 @@ class OpsExtraSpec extends AnyFunSuite {
 
   test("file listing derives table names verbatim for files needing URI " +
       "escaping ('+', space)") {
-    // _metadata.file_path is percent-encoded; q_file_listing decodes it.
-    // The round-12 advisory: url_decode alone is x-www-form-urlencoded,
-    // so a literal '+' (legal in a path, never encoded by SparkPath)
-    // decoded to a space — 'a+b' was reported as 'a b'. The fix
-    // re-escapes '+' to %2B first, making the decode percent-only.
+    // Historical trap, kept pinned: the former _metadata.file_path leg
+    // was percent-encoded and url_decode's x-www-form-urlencoded
+    // semantics turned a literal '+' into a space ('a+b' → 'a b'). The
+    // footer-scan leg consumes the listing's raw filesystem paths, so no
+    // encoding round-trip exists to get wrong — this test keeps it so.
     val root = java.nio.file.Files.createTempDirectory("graft_oddnames_")
       .toString
     import spark.implicits._
