@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
-import graft.ext.{Analytics, Dedup, Events, Media, Sampling, Similarity, TextOps}
+import graft.ext.{Analytics, Dedup, Events, Media, Sampling, Similarity, TextIndex, TextOps}
 import graft.meta.MetaStore
 import graft.sync.SyncEngine
 
@@ -2126,6 +2126,35 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), k = 20)),
+
+    // ── §2.9 X120: persisted inverted text index — the corpus tokenized
+    //    ONCE into hive-partitioned posting lists (dl/df denormalized
+    //    onto the rows, stats as the bounded model, atomic pointer
+    //    publish); the probe scans only the buckets its terms hash to
+    //    and scores row-locally with the same integer-exact BM25 ───────
+    "q_text_index" -> ((s, dir) => {
+      val path = scratch("graft_txtidx_")
+      TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id",
+        "text", path, nBuckets = 16)
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"),
+        path, k = 20, nBuckets = 16)
+    }),
+
+    // ── §2.9 X121: duplicate-window fraction — per doc, the share of
+    //    its stride-1 8-token windows whose text occurred earlier in the
+    //    corpus (the exact token-aligned "recycled text" signal); same
+    //    skew-proof two-phase min first-occurrence as segment dedup ────
+    "q_dup_windows" -> ((s, dir) =>
+      Dedup.dupWindows(t(s, dir, "documents"), "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+
+    // ── §2.9 X122: per-source common-prefix boilerplate — LCP of every
+    //    doc in a source via LCP(lexicographic min, max): one min/max
+    //    aggregation, then two-string arithmetic per source ────────────
+    "q_source_prefix" -> ((s, dir) =>
+      TextOps.sourcePrefix(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+        .orderBy("source")),
 
     // ── §2.9 X85b: exact substring duplication — per-doc counts of
     //    24-char windows shared verbatim with another doc, under
@@ -5116,6 +5145,78 @@ object SparkEntry {
                FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM s
          ORDER BY score DESC, doc_id LIMIT 20""",
+    // X120 persisted text index: the probe's scoring is the identical
+    // integer-exact BM25 chain, so the oracle is the same replay — the
+    // index layout (bucketed posting lists, denormalized dl/df, pointer
+    // publish) changes WHERE the numbers come from, not the numbers.
+    "q_text_index" ->
+      """WITH tkarr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.doc_id = h.doc_id, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // X121 duplicate-window fraction: stride-1 8-token windows (short doc
+    // = one whole-doc window), global first occurrence by (doc_id, pos),
+    // everything after rn=1 is a duplicate window.
+    "q_dup_windows" ->
+      """WITH tok AS (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), ' +') t
+                      FROM documents),
+         ix AS (SELECT doc_id, t,
+                       unnest(range(CAST(greatest(len(t) - 8, 0) + 1
+                         AS BIGINT))) AS i
+                FROM tok),
+         win AS (SELECT doc_id, i AS pos,
+                        array_to_string(t[i+1 : i+8], ' ') AS w
+                 FROM ix),
+         f AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY w
+                        ORDER BY doc_id, pos) rn
+               FROM win)
+         SELECT doc_id, count(*) AS n_windows,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_windows,
+                round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS dup_frac
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // X122 per-source common prefix: LCP(set) = LCP(min, max) — the
+    // oracle replays the two-string form directly; first mismatch via a
+    // list comprehension over the shorter bound's length.
+    "q_source_prefix" ->
+      """WITH m AS (SELECT source, count(*) AS n_docs,
+                           min(text) AS a, max(text) AS b
+                    FROM documents GROUP BY 1),
+         l AS (SELECT source, n_docs, a, b,
+                      least(length(a), length(b)) AS lim
+               FROM m),
+         p AS (SELECT source, n_docs, a,
+                      coalesce(list_min([i FOR i IN range(1, lim + 1)
+                          IF substr(a, CAST(i AS INT), 1)
+                             <> substr(b, CAST(i AS INT), 1)]) - 1,
+                        lim) AS lcp
+               FROM l)
+         SELECT source, n_docs, CAST(lcp AS BIGINT) AS lcp_len,
+                substr(a, 1, CAST(lcp AS INT)) AS prefix
+         FROM p ORDER BY source""",
     // 24-char windows at every position, kept when md5's last nibble is
     // ≡ 0 (mod 4) — content-defined selection, so the oracle replays the
     // identical window set; both engines' substring/length are

@@ -1482,6 +1482,55 @@ object Dedup {
     * text (NULL when every segment was a duplicate — matches SQL
     * string_agg-over-no-rows semantics), and surviving char length.
     */
+  /** X121 — duplicate-window fraction (the Gopher/Rae et al. 2021
+    * repetition family applied CROSS-corpus): per document, the fraction
+    * of its `w`-token windows (stride 1) whose exact text already
+    * occurred earlier in the corpus — in a lower doc_id, or at an
+    * earlier position of the same document. The per-doc fraction is the
+    * standard "how much of this page is recycled text" curation signal
+    * that segment dedup (X1i) acts on and substring dedup (X85b)
+    * approximates with sampled char windows; this is the exact
+    * token-aligned measurement.
+    *
+    * Scale shape: stride-1 explode (corpus token mass — linear, the
+    * price of the exact metric), then the identical skew-proof
+    * first-occurrence machinery as [[segmentDedup]]: a two-phase
+    * `min(struct(doc_id, pos))` keyed on the window text whose map-side
+    * partials bound a mega-hot boilerplate window's reducer input at
+    * one row per input partition (never a window function), winners
+    * re-grouped by their winning doc_id, totals map-only arithmetic.
+    * Output: (doc_id, n_windows, dup_windows, dup_frac round-6). A doc
+    * shorter than `w` tokens is one whole-doc window. */
+  def dupWindows(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 8): DataFrame = {
+    require(w > 0, s"w must be positive: $w")
+    // max(nTok - w, 0) + 1 windows; split("") = [""] so nTok ≥ 1 always
+    def nWins(toks: Column) =
+      (greatest(size(toks) - w, lit(0)) + 1).cast(LongType)
+    val wins = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), nWins(col("__t")) - 1),
+          i => array_join(slice(col("__t"), i + 1, lit(w)), " ")))
+          .as(Seq("pos", "win")))
+    val winners = wins
+      .groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__win"))
+      .select(col("__win.doc_id").as("doc_id"))
+    val kept = winners.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"))
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        nWins(TextOps.tokens(col(textCol))).as("n_windows"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("dup_windows",
+        col("n_windows") - coalesce(col("__kept"), lit(0L)))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast(DoubleType) / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 8): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")

@@ -1306,7 +1306,7 @@ object Similarity {
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), true))
   }
 
-  private def hfs(spark: SparkSession, path: String) =
+  private[graft] def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1436,7 +1436,7 @@ object Similarity {
 
   /** Every inverted-lists directory under `path`: the legacy unversioned
     * `index` plus any `index.v<N>`. */
-  private def indexVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def indexVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
                                path: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
@@ -2004,7 +2004,7 @@ object Similarity {
       .foreach(p => fs.delete(p, true))
   }
 
-  private def modelsVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def modelsVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
                                 path: String) = {
     val base = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(base)) Seq.empty

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X120 — persisted INVERTED TEXT INDEX: the lexical twin of the
+  * persisted ANN index (X110). In-query BM25 (`TextOps.bm25`) re-tokenizes
+  * the corpus per query; at 100 TB the corpus is tokenized ONCE into an
+  * on-disk posting-list table and every query is a partition-pruned probe
+  * of the few buckets its terms hash to — the Lucene-segment idea
+  * re-expressed as a hive-partitioned parquet table.
+  *
+  * Layout (the ANN index's versioned-pointer discipline verbatim, shared
+  * helpers in [[Similarity]]):
+  *   - `index.v<N>/` — postings hive-partitioned by `bucket`
+  *     ('b' + md5-bucket of the token): rows (tok, doc_id, tf, dl, df).
+  *     dl and df are DENORMALIZED onto the posting row, the classic
+  *     posting-list design: probe-time scoring is then row-local — no
+  *     corpus-sized lengths join, no df sub-aggregation, just arithmetic
+  *     against two scalar literals.
+  *   - `models.v<N>/stats/` — ONE row (nd, avgdl), the bounded "model".
+  *   - `index.ptr` — atomic rename-over pointer publishing the pair; a
+  *     REBUILD (corpus grew) is just another build call: staged, flipped,
+  *     predecessor retained one cycle, older versions vacuumed — readers
+  *     racing the flip resolve a consistent (lists, stats) snapshot via
+  *     [[Similarity.ivfIndexDirs]]'s one-read contract.
+  *
+  * Probe cost model: |terms| buckets of ~1/nBuckets of the postings each
+  * (PartitionFilters prune the rest at planning time, PlanSpec-pinned),
+  * the term filter is pushed to the parquet scan, and everything after
+  * is matched-postings-sized. Scoring is the same integer-exact BM25
+  * arithmetic as [[TextOps.bm25]] — probe output equals the in-query
+  * operator bit-for-bit on a fresh index (spec-pinned), which also makes
+  * it oracle-replayable.
+  */
+object TextIndex {
+
+  /** Tokenize the corpus once and publish the posting lists + stats at
+    * `path`. Shapes: one explode + two hash aggregations (tf keyed on
+    * (doc_id, tok); df keyed on tok — map-side partials absorb stopword
+    * tokens, the segmentDedup argument) + the partitioned write's own
+    * bucket clustering. The stats collect is ONE row. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    val fs = Similarity.hfs(spark, path)
+    val toks = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__t"))
+    val lens = toks.select(col("doc_id"),
+      size(col("__t")).cast(LongType).as("dl"))
+    // corpus stats — one bounded row, written as the index's "model"
+    val statsRow = lens
+      .agg(count(lit(1)).as("nd"), expr("sum(dl) div count(1)").as("avgdl"))
+      .collect()(0)
+    val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
+    val postings = tf.join(lens, "doc_id").join(dfreq, "tok")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets))
+          .as("bucket"))
+    // stage both halves under the next version, then flip (see scaladoc)
+    val next = (Similarity.indexVersionDirs(fs, path)
+        ++ Similarity.modelsVersionDirs(fs, path))
+      .map(_.getName)
+      .collect { case n if n.contains(".v") =>
+        n.substring(n.lastIndexOf(".v") + 2).toLong }
+      .foldLeft(-1L)(math.max) + 1
+    // retain the IMMEDIATE predecessor pair one cycle (the currently-
+    // published pair, resolved before the flip) — older versions vacuum
+    val keepPrev: Set[String] =
+      if (Similarity.indexVersionDirs(fs, path).isEmpty) Set.empty
+      else {
+        val (l, m) = Similarity.ivfIndexDirs(spark, path)
+        Set(l, m).map(p => p.substring(p.lastIndexOf('/') + 1))
+      }
+    postings
+      // cluster by bucket: one file per bucket directory, not
+      // nPartitions × nBuckets fragments (the ANN build's argument)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/index.v$next")
+    import spark.implicits._
+    Seq((statsRow.getLong(0), statsRow.getLong(1))).toDF("nd", "avgdl")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/models.v$next/stats")
+    Similarity.writeIndexPointer(fs, path, s"index.v$next", s"models.v$next")
+    // vacuum all but the new pair and its immediate predecessor
+    val keep = keepPrev ++ Set(s"index.v$next", s"models.v$next")
+    (Similarity.indexVersionDirs(fs, path)
+        ++ Similarity.modelsVersionDirs(fs, path))
+      .filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** BM25 top-k over a [[buildTextIndex]] index: scans ONLY the buckets
+    * the query terms hash to. Bucket assignment replays the build's
+    * hash through the same Column expression over a literal local
+    * relation (one definition, no scala-side re-implementation to
+    * drift), so the collected bucket list is |terms|-bounded plan
+    * metadata. Output — (doc_id, score, n_terms), rank by (score DESC,
+    * doc_id ASC) — equals [[TextOps.bm25]] bit-for-bit on a current
+    * index (spec-pinned). */
+  def textIndexTopK(spark: SparkSession, terms: Seq[String], path: String,
+                    k: Int, nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "empty query-term set")
+    require(k > 0, s"k=$k must be positive")
+    val (idxDir, modelsDir) = Similarity.ivfIndexDirs(spark, path)
+    val stats = spark.read.parquet(s"$modelsDir/stats").collect()(0)
+    val (nd, avgdl) = (stats.getLong(0), stats.getLong(1))
+    val termList = terms.map(_.toLowerCase).distinct
+    import spark.implicits._
+    val buckets = termList.toDF("tok")
+      .select(concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
+      .as[String].collect().distinct.sorted
+    spark.read.parquet(idxDir)
+      .where(col("bucket").isin(buckets.toIndexedSeq: _*))
+      .where(col("tok").isin(termList: _*))
+      .withColumn("__idf", expr(s"(($nd - df) * 1000000) div (df + 1)"))
+      .withColumn("__inner",
+        expr(s"25 + (75 * ((dl * 100) div $avgdl)) div 100"))
+      .withColumn("__s",
+        expr("(__idf * tf * 2200) div (tf * 1000 + 12 * __inner)"))
+      .groupBy("doc_id")
+      .agg(sum(col("__s")).cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

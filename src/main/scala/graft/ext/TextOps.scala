@@ -1430,4 +1430,45 @@ object TextOps {
         round(col("__num").cast(DoubleType) /
           (col("__den").cast(DoubleType) * 2.0), 6).as("drift"))
   }
+
+  /** X122 — per-source common-prefix boilerplate: the longest CHARACTER
+    * prefix shared by EVERY document of a source (crawl boilerplate is
+    * usually a per-domain constant header — cookie banners, licence
+    * blocks, "skip to content" — and a shared prefix across a whole
+    * source is removable text that segment dedup would otherwise spend
+    * corpus-wide machinery on).
+    *
+    * Scale trick: the LCP of a SET equals the LCP of its lexicographic
+    * MIN and MAX alone (any mismatch against either bound is a mismatch
+    * within the set, and every position where min and max agree is
+    * pinned for everything ordered between them). So the whole operator
+    * is one `groupBy(source).agg(min(text), max(text), count)` — map-
+    * side partial min/max absorb any source size — followed by per-GROUP
+    * scalar arithmetic on exactly two strings per source (a char-wise
+    * zip, the first mismatch position). Nothing after the aggregation is
+    * corpus-sized.
+    *
+    * Output: (source, n_docs, lcp_len, prefix) — prefix = the shared
+    * header itself, audit-ready. */
+  def sourcePrefix(docs: DataFrame, idCol: String, textCol: String,
+                   srcCol: String): DataFrame = {
+    val agg = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(textCol)).as("__a"), max(col(textCol)).as("__b"))
+    // first mismatch of the two bounds: zip their char arrays; zip_with
+    // null-pads the shorter side and (x === y) is NULL there, so
+    // array_position(…, false) sees real mismatches only — when none
+    // exists the LCP is the shorter bound's full length
+    val mismatch = array_position(
+      zip_with(split(col("__a"), ""), split(col("__b"), ""),
+        (x, y) => x === y),
+      false)
+    agg
+      .withColumn("lcp_len",
+        when(mismatch > 0, mismatch - 1)
+          .otherwise(least(length(col("__a")), length(col("__b"))))
+          .cast(LongType))
+      .select(col("source"), col("n_docs"), col("lcp_len"),
+        expr("substring(__a, 1, lcp_len)").as("prefix"))
+  }
 }

@@ -59,6 +59,52 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.getLong(4) == "a b c".length.toLong)
   }
 
+  // ── X121 duplicate-window fraction ─────────────────────────────────
+
+  test("dupWindows: stride-1 windows, global first occurrence, short " +
+    "doc is one whole-doc window") {
+    // w=2: doc 1 "a b c d" → [a b][b c][c d] all new (frac 0)
+    //      doc 2 "a b c"   → [a b][b c] both seen   (frac 1.0)
+    //      doc 3 "x a b"   → [x a] new, [a b] seen  (frac 0.5)
+    //      doc 4 "z"       → one whole-doc window, new
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x a b"),
+      (4L, "z")).toDF("doc_id", "text")
+    val out = Dedup.dupWindows(docs.repartition(3), "doc_id", "text",
+        w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0.0), (2L, 2L, 2L, 1.0), (3L, 2L, 1L, 0.5),
+      (4L, 1L, 0L, 0.0)), s"got ${out.toSeq}")
+  }
+
+  test("dupWindows counts a repeat WITHIN one document as duplicate") {
+    // "a b a b" w=2 → [a b][b a][a b]: third window repeats the first
+    val docs = Seq((7L, "a b a b")).toDF("doc_id", "text")
+    val r = Dedup.dupWindows(docs, "doc_id", "text", w = 2).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+  }
+
+  // ── X122 per-source common prefix ──────────────────────────────────
+
+  test("sourcePrefix: LCP(min,max) over mixed sources, prefix-of case, " +
+    "singleton source") {
+    val docs = Seq(
+      (1L, "HEADER: foo bar", "s1"), (2L, "HEADER: foo baz", "s1"),
+      (3L, "HEADER: foo", "s1"),          // a PREFIX of the others
+      (4L, "alpha", "s2"), (5L, "beta", "s2"),   // nothing shared
+      (6L, "only doc", "s3")                     // singleton: full text
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextOps.sourcePrefix(docs.repartition(4),
+        "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 11L, "HEADER: foo"),
+      ("s2", 2L, 0L, ""),
+      ("s3", 1L, 8L, "only doc")), s"got ${out.toSeq}")
+  }
+
   // ── X119 corpus snapshot diff ──────────────────────────────────────
 
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
@@ -75,6 +121,39 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .where(col("status") === "changed").collect()(0)
     assert(!changed.isNullAt(2) && !changed.isNullAt(3) &&
       changed.getString(2) != changed.getString(3))
+  }
+
+  test("corpusDiff property: applying the diff to the old snapshot " +
+    "reconstructs the new, over random snapshot pairs") {
+    // the SyncPropertySpec convergence discipline applied to the
+    // content-aware diff: for arbitrary (old, new) pairs — overlapping
+    // ids, changed/equal texts, NULL texts — replaying the diff against
+    // the old hash state must land exactly on the new hash state
+    // (remove 'removed', upsert 'added'/'changed' to new_hash).
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(1234)
+    val texts = Vector(null, "a", "b", "c", "dd", "ee")
+    for (round <- 0 until 20) {
+      def gen(): Map[Long, String] =
+        (0L to 14L).filter(_ => rnd.nextDouble() < 0.5)
+          .map(id => id -> texts(rnd.nextInt(texts.size))).toMap
+      val o = gen(); val n = gen()
+      val diff = Dedup.corpusDiff(
+        o.toSeq.toDF("doc_id", "text"), n.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      var state: Map[Long, Option[String]] =
+        o.map { case (k, v) => k -> Option(v).map(md5hex) }
+      diff.foreach { r =>
+        val id = r.getLong(0)
+        if (r.getString(1) == "removed") state -= id
+        else state += id ->
+          (if (r.isNullAt(3)) None else Some(r.getString(3)))
+      }
+      val want = n.map { case (k, v) => k -> Option(v).map(md5hex) }
+      assert(state == want, s"round $round: diff replay diverged")
+    }
   }
 
   test("corpusDiff treats a NULL-text row as PRESENT, not absent") {
