@@ -2140,6 +2140,18 @@ object SparkEntry {
         path, k = 20, nBuckets = 16)
     }),
 
+    // ── §2.9 X122b: prefix trim — strip each source's common prefix
+    //    from every doc (broadcast groups-sized prefix frame + map-side
+    //    substring). The fixture synthesizes a real per-source banner
+    //    ("[srcN] " prepended) so the trim is exercised, not an identity
+    //    pass; the oracle replays the same construction ─────────────────
+    "q_prefix_trim" -> ((s, dir) =>
+      TextOps.prefixTrim(
+        t(s, dir, "documents").withColumn("text",
+          concat(lit("["), col("source"), lit("] "), col("text"))),
+        "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     // ── §2.9 X121: duplicate-window fraction — per doc, the share of
     //    its stride-1 8-token windows whose text occurred earlier in the
     //    corpus (the exact token-aligned "recycled text" signal); same
@@ -5174,6 +5186,28 @@ object SparkEntry {
                FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM s
          ORDER BY score DESC, doc_id LIMIT 20""",
+    // X122b prefix trim over the synthesized per-source banner: the LCP
+    // CTE chain on the bannered text, then a map-side strip per doc.
+    "q_prefix_trim" ->
+      """WITH d AS (SELECT doc_id, source,
+                           '[' || source || '] ' || text AS text
+                    FROM documents),
+         m AS (SELECT source, min(text) AS a, max(text) AS b
+               FROM d GROUP BY 1),
+         l AS (SELECT source, a, b,
+                      least(length(a), length(b)) AS lim
+               FROM m),
+         p AS (SELECT source,
+                      coalesce(list_min([i FOR i IN range(1, lim + 1)
+                          IF substr(a, CAST(i AS INT), 1)
+                             <> substr(b, CAST(i AS INT), 1)]) - 1,
+                        lim) AS lcp
+               FROM l)
+         SELECT d.doc_id, d.source,
+                CAST(p.lcp AS BIGINT) AS removed_chars,
+                CAST(length(d.text) - p.lcp AS BIGINT) AS clean_chars,
+                md5(substr(d.text, CAST(p.lcp AS INT) + 1)) AS clean_hash
+         FROM d JOIN p USING (source) ORDER BY d.doc_id""",
     // X121 duplicate-window fraction: stride-1 8-token windows (short doc
     // = one whole-doc window), global first occurrence by (doc_id, pos),
     // everything after rn=1 is a duplicate window.

@@ -1471,4 +1471,27 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("lcp_len"),
         expr("substring(__a, 1, lcp_len)").as("prefix"))
   }
+
+  /** X122b — APPLY the X122 signal: strip each source's common prefix
+    * from every document of that source. The per-source prefix frame is
+    * groups-sized and BROADCAST; the strip itself is a map-side
+    * substring — so the whole operator costs one aggregation pass
+    * (inside [[sourcePrefix]]) plus one map-only pass over the corpus,
+    * no corpus-keyed shuffle. Output carries the removal evidence
+    * (removed_chars) and the cleaned text's hash/length, the audit
+    * artifact shape of X26d/X60. */
+  def prefixTrim(docs: DataFrame, idCol: String, textCol: String,
+                 srcCol: String): DataFrame = {
+    val pfx = sourcePrefix(docs, idCol, textCol, srcCol)
+      .select(col("source"), col("lcp_len"))
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).as("__text"), col(srcCol).as("source"))
+      .join(broadcast(pfx), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        col("lcp_len").as("removed_chars"),
+        (length(col("__text")) - col("lcp_len")).cast(LongType)
+          .as("clean_chars"),
+        md5(expr("substring(__text, lcp_len + 1, length(__text))"))
+          .as("clean_hash"))
+  }
 }

@@ -30,6 +30,104 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("segmentDedup equals an in-memory first-occurrence scan on " +
+    "random corpora (incl. the two-phase winners-regroup reassembly)") {
+    val alpha = Vector("a", "b", "c", "d")
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val docs = (0 until 25).map { i =>
+        val n = rnd.nextInt(11) // 0..10 tokens (0 → empty text)
+        (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size)))
+          .mkString(" "))
+      }
+      val k = 1 + rnd.nextInt(3)
+      val got = graft.ext.Dedup.segmentDedup(
+          docs.toDF("doc_id", "text").repartition(5), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3), r.getLong(4))))
+        .toMap
+      // independent scan: walk docs in id order, one global seen-set
+      val seen = scala.collection.mutable.Set[String]()
+      val want = docs.map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split(" +").toSeq
+        val segs = toks.grouped(k).map(_.mkString(" ")).toSeq
+        val keptSegs = segs.filter { s =>
+          if (seen(s)) false else { seen += s; true }
+        }
+        val out = keptSegs.mkString(" ")
+        id -> ((segs.size.toLong, keptSegs.size.toLong,
+          if (keptSegs.isEmpty) null else md5hex(out),
+          if (keptSegs.isEmpty) 0L else out.length.toLong))
+      }.toMap
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
+  test("dupWindows equals an in-memory stride-1 seen-set scan on " +
+    "random corpora") {
+    val alpha = Vector("x", "y", "z")
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val docs = (0 until 20).map { i =>
+        val n = 1 + rnd.nextInt(9)
+        (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size)))
+          .mkString(" "))
+      }
+      val w = 1 + rnd.nextInt(3)
+      val got = graft.ext.Dedup.dupWindows(
+          docs.toDF("doc_id", "text").repartition(4), "doc_id", "text", w)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val seen = scala.collection.mutable.Set[String]()
+      val want = docs.map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split(" +").toSeq
+        val wins = (0 to math.max(toks.size - w, 0))
+          .map(i => toks.slice(i, i + w).mkString(" "))
+        val dup = wins.count { s =>
+          if (seen(s)) true else { seen += s; false }
+        }
+        id -> ((wins.size.toLong, dup.toLong))
+      }.toMap
+      assert(got == want, s"seed=$seed w=$w")
+    }
+  }
+
+  test("sourcePrefix's LCP(min,max) trick equals the direct all-docs " +
+    "fold on random groups") {
+    val pieces = Vector("", "ab", "abc", "abd", "ax", "b")
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      val docs = (0 until 30).map { i =>
+        val src = s"s${rnd.nextInt(5)}"
+        // shared-ish prefixes with random tails so LCPs land anywhere
+        val text = pieces(rnd.nextInt(pieces.size)) +
+          pieces(rnd.nextInt(pieces.size)) +
+          (if (rnd.nextBoolean()) rnd.nextInt(10).toString else "")
+        (i.toLong, text, src)
+      }
+      val got = graft.ext.TextOps.sourcePrefix(
+          docs.toDF("doc_id", "text", "source").repartition(4),
+          "doc_id", "text", "source")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3))))
+        .toMap
+      def lcp2(a: String, b: String): String =
+        a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1).mkString
+      val want = docs.groupBy(_._3).map { case (src, rows) =>
+        val p = rows.map(_._2).reduce(lcp2)
+        src -> ((rows.size.toLong, p.length.toLong, p))
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("funnel equals an in-memory event-sequence scan on random streams") {
     val steps = Seq("a", "b", "c")
     for (seed <- 1 to 6) {

@@ -105,6 +105,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
       ("s3", 1L, 8L, "only doc")), s"got ${out.toSeq}")
   }
 
+  test("prefixTrim strips exactly the per-source LCP, exact-prefix doc " +
+    "trims to empty") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "HDR foo", "s1"), (2L, "HDR bar", "s1"), (3L, "HDR", "s1"),
+      (4L, "solo text", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextOps.prefixTrim(docs.repartition(3),
+        "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    // s1's LCP is "HDR" (doc 3 is an exact prefix of the others)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 4L, md5hex(" foo")), (2L, 3L, 4L, md5hex(" bar")),
+      (3L, 3L, 0L, md5hex("")),
+      (4L, 9L, 0L, md5hex(""))), s"got ${out.toSeq}")
+  }
+
   // ── X119 corpus snapshot diff ──────────────────────────────────────
 
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
