@@ -2136,8 +2136,7 @@ object SparkEntry {
       val path = scratch("graft_txtidx_")
       TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id",
         "text", path, nBuckets = 16)
-      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"),
-        path, k = 20, nBuckets = 16)
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
     // ── §2.9 X122b: prefix trim — strip each source's common prefix

@@ -50,10 +50,14 @@ object TextIndex {
       TextOps.tokens(col(textCol)).as("__t"))
     val lens = toks.select(col("doc_id"),
       size(col("__t")).cast(LongType).as("dl"))
-    // corpus stats — one bounded row, written as the index's "model"
+    // corpus stats — one bounded row, written as the index's "model".
+    // nBuckets is PART of the artifact: the probe must hash terms with
+    // the build's bucket count or it prunes to the wrong partitions and
+    // silently under-returns, so it is stored, never re-supplied.
     val statsRow = lens
       .agg(count(lit(1)).as("nd"), expr("sum(dl) div count(1)").as("avgdl"))
       .collect()(0)
+    require(statsRow.getLong(0) > 0, "text index build: empty corpus")
     val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
@@ -83,7 +87,8 @@ object TextIndex {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/index.v$next")
     import spark.implicits._
-    Seq((statsRow.getLong(0), statsRow.getLong(1))).toDF("nd", "avgdl")
+    Seq((statsRow.getLong(0), statsRow.getLong(1), nBuckets.toLong))
+      .toDF("nd", "avgdl", "nbuckets")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/models.v$next/stats")
     Similarity.writeIndexPointer(fs, path, s"index.v$next", s"models.v$next")
@@ -96,20 +101,24 @@ object TextIndex {
   }
 
   /** BM25 top-k over a [[buildTextIndex]] index: scans ONLY the buckets
-    * the query terms hash to. Bucket assignment replays the build's
-    * hash through the same Column expression over a literal local
-    * relation (one definition, no scala-side re-implementation to
-    * drift), so the collected bucket list is |terms|-bounded plan
-    * metadata. Output — (doc_id, score, n_terms), rank by (score DESC,
-    * doc_id ASC) — equals [[TextOps.bm25]] bit-for-bit on a current
-    * index (spec-pinned). */
+    * the query terms hash to. The bucket count comes FROM the index's
+    * stats artifact (a probe-supplied value that disagreed with the
+    * build's would prune to the wrong partitions and silently
+    * under-return), and bucket assignment replays the build's hash
+    * through the same Column expression over a literal local relation
+    * (one definition, no scala-side re-implementation to drift), so the
+    * collected bucket list is |terms|-bounded plan metadata. Output —
+    * (doc_id, score, n_terms), rank by (score DESC, doc_id ASC) —
+    * equals [[TextOps.bm25]] bit-for-bit on a current index
+    * (spec-pinned). */
   def textIndexTopK(spark: SparkSession, terms: Seq[String], path: String,
-                    k: Int, nBuckets: Int = 64): DataFrame = {
+                    k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query-term set")
     require(k > 0, s"k=$k must be positive")
     val (idxDir, modelsDir) = Similarity.ivfIndexDirs(spark, path)
     val stats = spark.read.parquet(s"$modelsDir/stats").collect()(0)
     val (nd, avgdl) = (stats.getLong(0), stats.getLong(1))
+    val nBuckets = stats.getLong(2).toInt
     val termList = terms.map(_.toLowerCase).distinct
     import spark.implicits._
     val buckets = termList.toDF("tok")

@@ -25,8 +25,7 @@ class TextIndexSpec extends AnyFunSuite {
     val dir = tmpdir()
     try {
       TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8)
-      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20,
-        nBuckets = 8)
+      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20)
       val inQuery = TextOps.bm25(docs, "doc_id", "text", terms, k = 20)
       assert(viaIndex.exceptAll(inQuery).isEmpty &&
         inQuery.exceptAll(viaIndex).isEmpty,
@@ -41,8 +40,8 @@ class TextIndexSpec extends AnyFunSuite {
     val dir = tmpdir()
     try {
       TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8)
-      val plan = TextIndex.textIndexTopK(spark, Seq("spark"), dir, k = 5,
-        nBuckets = 8).queryExecution.executedPlan.toString
+      val plan = TextIndex.textIndexTopK(spark, Seq("spark"), dir, k = 5)
+        .queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       assert("PartitionFilters: \\[[^\\]]*bucket#".r.findFirstIn(plan)
           .isDefined,
@@ -60,12 +59,10 @@ class TextIndexSpec extends AnyFunSuite {
     try {
       val half = docs.where(col("doc_id") % 2 === 0)
       TextIndex.buildTextIndex(half, "doc_id", "text", dir, nBuckets = 8)
-      val firstProbe = TextIndex.textIndexTopK(spark, terms, dir, k = 20,
-        nBuckets = 8).collect().toSeq
+      val firstProbe = TextIndex.textIndexTopK(spark, terms, dir, k = 20).collect().toSeq
       // rebuild over the full corpus — just another build call
       TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8)
-      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20,
-        nBuckets = 8)
+      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20)
       val inQuery = TextOps.bm25(docs, "doc_id", "text", terms, k = 20)
       assert(viaIndex.exceptAll(inQuery).isEmpty &&
         inQuery.exceptAll(viaIndex).isEmpty,
