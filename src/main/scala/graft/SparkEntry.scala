@@ -2139,6 +2139,30 @@ object SparkEntry {
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
+    // ── §2.9 X123: chunk-level retrieval pipeline (the RAG shape) —
+    //    chunk every document (X36's 500/100 windows), tokenize the
+    //    CHUNKS once into the persisted inverted index (X120), probe
+    //    with the query terms: passage-granular BM25 where the scan
+    //    touches only the probed buckets. chunk_id = doc_id·10⁵+chunk_no
+    //    round-trips both halves through the index ───────────────────────
+    "q_chunk_retrieve" -> ((s, dir) => {
+      val chunks = TextOps.chunkText(t(s, dir, "documents"), "doc_id",
+          "text", size = 500, overlap = 100)
+        .select((col("doc_id") * 100000 + col("chunk_no")).as("chunk_id"),
+          col("chunk"))
+      val path = scratch("graft_chunkidx_")
+      TextIndex.buildTextIndex(chunks, "chunk_id", "chunk", path,
+        nBuckets = 16)
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path,
+          k = 20)
+        .select(expr("doc_id div 100000").as("__d"),
+          pmod(col("doc_id"), lit(100000L)).as("chunk_no"),
+          col("score"), col("n_terms"))
+        .withColumnRenamed("__d", "doc_id")
+        .select("doc_id", "chunk_no", "score", "n_terms")
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_no"))
+    }),
+
     // ── §2.9 X122b: prefix trim — strip each source's common prefix
     //    from every doc (broadcast groups-sized prefix frame + map-side
     //    substring). The fixture synthesizes a real per-source banner
@@ -5185,6 +5209,43 @@ object SparkEntry {
                FROM sc GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM s
          ORDER BY score DESC, doc_id LIMIT 20""",
+    // X123 chunk retrieval: the q_chunk_text window construction feeds
+    // the q_bm25 integer chain at CHUNK granularity; chunk_id packs
+    // (doc_id, chunk_no) losslessly on both sides.
+    "q_chunk_retrieve" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+         c AS (SELECT doc_id, i AS chunk_no,
+                 substr(text, CAST(i * 400 + 1 AS INT), 500) AS chunk
+               FROM d, unnest(range(0,
+                 greatest(1, CAST(ceil(L / 400.0) AS BIGINT)))) r(i)),
+         ch AS (SELECT doc_id * 100000 + chunk_no AS cid, chunk FROM c),
+         tkarr AS (SELECT cid,
+                regexp_split_to_array(trim(lower(chunk)), ' +') AS t
+                   FROM ch),
+         lens AS (SELECT cid, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         tk AS (SELECT cid, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT cid, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.cid,
+                       ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.cid = h.cid, corp),
+         s AS (SELECT cid,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY cid),
+         top AS (SELECT cid, score, n_terms FROM s
+                 ORDER BY score DESC, cid LIMIT 20)
+         SELECT cid // 100000 AS doc_id, cid % 100000 AS chunk_no,
+                score, n_terms
+         FROM top ORDER BY score DESC, doc_id, chunk_no""",
     // X122b prefix trim over the synthesized per-source banner: the LCP
     // CTE chain on the bannered text, then a map-side strip per doc.
     "q_prefix_trim" ->
