@@ -373,6 +373,14 @@ class PlanSpec extends AnyFunSuite {
     val txt = physical(df).split("== Initial Plan ==").head
     assert("hashpartitioning\\(seg#".r.findAllIn(txt).size == 1,
       s"exactly one exchange keyed on the segment text:\n$txt")
+    // X121 shares the machinery — pin its shape independently so a
+    // refactor of one cannot silently regress the other
+    val dw = graft.ext.Dedup.dupWindows(docs, "doc_id", "text")
+    val dwPlan = dw.queryExecution.sparkPlan
+    assert(dwPlan.collect { case w: WindowExec => w }.isEmpty,
+      s"dupWindows first-occurrence must be an aggregation:\n$dwPlan")
+    assert(dwPlan.toString.contains("partial_min(struct(doc_id"),
+      s"dupWindows hot key must be absorbed map-side:\n$dwPlan")
   }
 
   test("per-group ranks never window on the bare group column (X79)") {
