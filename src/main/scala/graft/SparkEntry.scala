@@ -224,11 +224,18 @@ object SparkEntry {
       // table count (one mapPartitions + one aggregation over all
       // tables, PlanSpec-pinned), and an empty catalog is naturally an
       // empty aggregate, no zero-path reader to special-case.
+      // the session's Hadoop conf (spark.hadoop.*, fs credentials,
+      // fs.defaultFS) travels to the tasks as plain key/value pairs —
+      // the CoreOps.fileListing discipline; a bare task-side
+      // Configuration() would read the wrong/unauthenticated filesystem
+      // on any remote catalog (s3a/abfs/hdfs)
+      import scala.jdk.CollectionConverters._
+      val confKv = s.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toSeq
       data.select(col("table_name"), col("path")).as[(String, String)]
         .mapPartitions { it =>
-          // executors resolve the filesystem from their own Hadoop conf
-          // (same classpath discipline as any task-side FS access)
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => conf.set(k, v) }
           it.map { case (tbl, p) =>
             val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -2139,17 +2146,35 @@ object SparkEntry {
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
+    // ── §2.9 X120b: text-index APPEND lifecycle — build on the even
+    //    half, append the odd half against the FROZEN stats (nd/avgdl
+    //    anchored to the base, appended rows carry the base's df where
+    //    the token exists, else the batch's own — the ANN frozen-
+    //    centroid contract on the lexical side), probe across both.
+    //    Token-idempotent publish touches only the delta's buckets ─────
+    "q_text_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratch("graft_txtapp_")
+      TextIndex.buildTextIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, nBuckets = 16)
+      TextIndex.textIndexAppend(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, token = "t1")
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+    }),
+
     // ── §2.9 X123: chunk-level retrieval pipeline (the RAG shape) —
     //    chunk every document (X36's 500/100 windows), tokenize the
     //    CHUNKS once into the persisted inverted index (X120), probe
     //    with the query terms: passage-granular BM25 where the scan
     //    touches only the probed buckets. chunk_id = doc_id·10⁵+chunk_no
-    //    round-trips both halves through the index ───────────────────────
+    //    round-trips both halves through the index, GUARDED: the pack
+    //    raise_errors on a ≥100k-chunk doc or out-of-range doc_id
+    //    instead of silently aliasing another chunk ─────────────────────
     "q_chunk_retrieve" -> ((s, dir) => {
       val chunks = TextOps.chunkText(t(s, dir, "documents"), "doc_id",
           "text", size = 500, overlap = 100)
-        .select((col("doc_id") * 100000 + col("chunk_no")).as("chunk_id"),
-          col("chunk"))
+        .select(TextOps.packChunkId(col("doc_id"), col("chunk_no"))
+          .as("chunk_id"), col("chunk"))
       val path = scratch("graft_chunkidx_")
       TextIndex.buildTextIndex(chunks, "chunk_id", "chunk", path,
         nBuckets = 16)
@@ -5207,6 +5232,47 @@ object SparkEntry {
                                (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
                       CAST(count(*) AS BIGINT) AS n_terms
                FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // X120b append lifecycle: nd/avgdl FROZEN over the base (even) half;
+    // df per posting row is the base's df where the token exists there,
+    // else the append batch's own df (base rows always have a base df by
+    // construction — the doc itself carries the token). idf clamps at 0,
+    // matching the probe's greatest(nd - df, 0).
+    "q_text_append" ->
+      """WITH tkarr AS (SELECT doc_id, doc_id % 2 = 0 AS is_base,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         lens AS (SELECT doc_id, is_base, CAST(len(t) AS BIGINT) AS dl
+                  FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens WHERE is_base),
+         tk AS (SELECT doc_id, is_base, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT doc_id, is_base, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+         dfb AS (SELECT tok, count(*) AS df FROM h WHERE is_base GROUP BY 1),
+         dfd AS (SELECT tok, count(*) AS df FROM h WHERE NOT is_base
+                 GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       CASE WHEN h.is_base THEN dfb.df
+                            ELSE coalesce(dfb.df, dfd.df) END AS df,
+                       lens.dl, h.tf
+                FROM h JOIN lens ON lens.doc_id = h.doc_id
+                       LEFT JOIN dfb ON dfb.tok = h.tok
+                       LEFT JOIN dfd ON dfd.tok = h.tok),
+         w AS (SELECT doc_id,
+                      (greatest(corp.nd - df, 0) * 1000000) // (df + 1)
+                        AS idf,
+                      25 + (75 * ((dl * 100) // corp.avgdl)) // 100
+                        AS inner_w,
+                      tf
+               FROM sc, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT)
+                        AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM w GROUP BY doc_id)
          SELECT doc_id, score, n_terms FROM s
          ORDER BY score DESC, doc_id LIMIT 20""",
     // X123 chunk retrieval: the q_chunk_text window construction feeds

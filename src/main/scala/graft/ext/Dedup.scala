@@ -1495,25 +1495,38 @@ object Dedup {
     * Scale shape: stride-1 explode (corpus token mass — linear, the
     * price of the exact metric), then the identical skew-proof
     * first-occurrence machinery as [[segmentDedup]]: a two-phase
-    * `min(struct(doc_id, pos))` keyed on the window text whose map-side
+    * `min(struct(doc_id, pos))` keyed on `xxhash64` of the window text —
+    * the window itself is discarded right after the min, so shuffling
+    * its text (~`w`× corpus token bytes) would buy nothing; the 8-byte
+    * hashed key is the [[TextOps.repeatedSpans]] discipline, with the
+    * same stated collision policy: a 64-bit collision merges two
+    * distinct windows' first-occurrence chains (P ≈ n²/2⁶⁵ windows —
+    * vanishing at any corpus the operator targets, and the failure mode
+    * is one window miscounted as duplicate, never a crash). Map-side
     * partials bound a mega-hot boilerplate window's reducer input at
     * one row per input partition (never a window function), winners
     * re-grouped by their winning doc_id, totals map-only arithmetic.
     * Output: (doc_id, n_windows, dup_windows, dup_frac round-6). A doc
-    * shorter than `w` tokens is one whole-doc window. */
+    * shorter than `w` tokens is one whole-doc window; NULL text is
+    * treated as the empty string (one empty window) so totals and the
+    * explode can never disagree. */
   def dupWindows(docs: DataFrame, idCol: String, textCol: String,
                  w: Int = 8): DataFrame = {
     require(w > 0, s"w must be positive: $w")
-    // max(nTok - w, 0) + 1 windows; split("") = [""] so nTok ≥ 1 always
+    // max(nTok - w, 0) + 1 windows; split("") = [""] so nTok ≥ 1 always.
+    // NULL text would desync the two legs (size(null) = -1 in the
+    // arithmetic totals vs a null token array in the explode): guard
+    // once at entry so both see the same token array.
+    val text = coalesce(col(textCol), lit(""))
     def nWins(toks: Column) =
       (greatest(size(toks) - w, lit(0)) + 1).cast(LongType)
     val wins = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__t"))
+        TextOps.tokens(text).as("__t"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0L), nWins(col("__t")) - 1),
-          i => array_join(slice(col("__t"), i + 1, lit(w)), " ")))
+          i => xxhash64(array_join(slice(col("__t"), i + 1, lit(w)), " "))))
           .as(Seq("pos", "win")))
     val winners = wins
       .groupBy(col("win"))
@@ -1522,7 +1535,7 @@ object Dedup {
     val kept = winners.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__kept"))
     docs.select(col(idCol).cast(LongType).as("doc_id"),
-        nWins(TextOps.tokens(col(textCol))).as("n_windows"))
+        nWins(TextOps.tokens(text)).as("n_windows"))
       .join(kept, Seq("doc_id"), "left")
       .withColumn("dup_windows",
         col("n_windows") - coalesce(col("__kept"), lit(0L)))
@@ -1534,12 +1547,17 @@ object Dedup {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 8): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")
-    // ceil(nTokens / segTokens); split("") = [""] so nTokens ≥ 1 always
+    // ceil(nTokens / segTokens); split("") = [""] so nTokens ≥ 1 always.
+    // NULL text ≡ "" — guarded ONCE here so the arithmetic totals and
+    // the exploded segments derive from the same token array (unguarded,
+    // size(null) = -1 gives n_segments = 0 while sequence(0, -1) still
+    // explodes rows, letting kept_segments exceed n_segments).
+    val text = coalesce(col(textCol), lit(""))
     def nSegs(toks: Column) =
       ((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast(LongType)
     val segs = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__t"))
+        TextOps.tokens(text).as("__t"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0L), nSegs(col("__t")) - 1),
@@ -1564,7 +1582,7 @@ object Dedup {
           s => s.getField("seg")), " ").as("__out"))
     // Per-doc totals: map-only arithmetic, no second explode or shuffle.
     val totals = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      nSegs(TextOps.tokens(col(textCol))).as("n_segments"))
+      nSegs(TextOps.tokens(text)).as("n_segments"))
     totals.join(reassembled, Seq("doc_id"), "left")
       .withColumn("kept_segments",
         coalesce(col("kept_segments"), lit(0L)))

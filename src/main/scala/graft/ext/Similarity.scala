@@ -1556,9 +1556,24 @@ object Similarity {
     assignToModel(prep(delta, idCol, vecCol, "nid", "nv", "nn"), centRows)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(staging.toString)
-    // retract any files a previous attempt of this token published; the
-    // `A.` prefix is unforgeable by other tokens ('.' is outside the
-    // token alphabet), so this can never sweep a delete's survivor files
+    publishTokenStaged(fs, indexDir, staging, marker, token)
+  }
+
+  /** The token-idempotent PUBLISH step shared by the ANN index's
+    * idempotent append (X111b) and the text index's append (X120b):
+    * retract any files a previous attempt of `token` published (the
+    * `A.` prefix is unforgeable by other tokens — '.' is outside the
+    * token alphabet — so this can never sweep a delete's survivor
+    * files), move the staged partition directories' part files into the
+    * live bucket directories under `A.<token>-` prefixed names, write
+    * the commit marker (from here a replay of this token is a no-op),
+    * then drop staging. See [[ivfIndexAppendIdempotent]]'s scaladoc for
+    * the full crash matrix this sequencing guarantees. */
+  private[graft] def publishTokenStaged(fs: org.apache.hadoop.fs.FileSystem,
+                                        indexDir: org.apache.hadoop.fs.Path,
+                                        staging: org.apache.hadoop.fs.Path,
+                                        marker: org.apache.hadoop.fs.Path,
+                                        token: String): Unit = {
     if (fs.exists(indexDir)) {
       fs.listStatus(indexDir).filter(_.isDirectory).foreach { d =>
         fs.listStatus(d.getPath)
@@ -1566,7 +1581,6 @@ object Similarity {
           .foreach(f => fs.delete(f.getPath, false))
       }
     }
-    // publish: move staged part files under token-prefixed names
     fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
       val target = new org.apache.hadoop.fs.Path(indexDir, d.getPath.getName)
       fs.mkdirs(target)
@@ -1578,8 +1592,7 @@ object Similarity {
           require(fs.rename(f.getPath, dst), s"publish failed: $dst")
         }
     }
-    // commit point: from here a replay of this token is a no-op
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/tokens/append"))
+    fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     fs.delete(staging, true)
   }

@@ -40,14 +40,32 @@ object TextIndex {
     * `path`. Shapes: one explode + two hash aggregations (tf keyed on
     * (doc_id, tok); df keyed on tok — map-side partials absorb stopword
     * tokens, the segmentDedup argument) + the partitioned write's own
-    * bucket clustering. The stats collect is ONE row. */
+    * bucket clustering. The stats collect is ONE row. The tokenized
+    * projection is PERSISTED across the stats collect and the postings
+    * pipeline (the buildDeltaIndex pattern) so the corpus really is
+    * tokenized once, as the object scaladoc promises; empty-string
+    * tokens (the [""] a blank document splits to) are dropped from the
+    * postings — they still count toward dl (bm25 parity) but can never
+    * match a non-empty query term, so indexing them is dead weight.
+    *
+    * Write sizing: the partitioned write clusters by bucket PLUS a
+    * doc-hash secondary split so parallelism is not capped at nBuckets —
+    * `targetPostingsPerFile` is the explicit sizing rule (splits =
+    * ceil(tokenMass / nBuckets / target)); pruning is unaffected
+    * because it is directory-level on `bucket` (a bucket directory just
+    * holds several part files). */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                     path: String, nBuckets: Int = 64): Unit = {
+                     path: String, nBuckets: Int = 64,
+                     targetPostingsPerFile: Long = 4000000L): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(targetPostingsPerFile > 0,
+      s"targetPostingsPerFile must be positive: $targetPostingsPerFile")
     val spark = docs.sparkSession
     val fs = Similarity.hfs(spark, path)
     val toks = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("__t"))
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val lens = toks.select(col("doc_id"),
       size(col("__t")).cast(LongType).as("dl"))
     // corpus stats — one bounded row, written as the index's "model".
@@ -55,10 +73,17 @@ object TextIndex {
     // the build's bucket count or it prunes to the wrong partitions and
     // silently under-returns, so it is stored, never re-supplied.
     val statsRow = lens
-      .agg(count(lit(1)).as("nd"), expr("sum(dl) div count(1)").as("avgdl"))
+      .agg(count(lit(1)).as("nd"), expr("sum(dl) div count(1)").as("avgdl"),
+        sum(col("dl")).as("mass"))
       .collect()(0)
     require(statsRow.getLong(0) > 0, "text index build: empty corpus")
+    // token mass upper-bounds the postings row count (the tf rollup only
+    // shrinks it) — the sizing rule for the within-bucket write split
+    val splits = math.max(1L, (statsRow.getLong(2) +
+      nBuckets.toLong * targetPostingsPerFile - 1) /
+      (nBuckets.toLong * targetPostingsPerFile)).toInt
     val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+      .where(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
     val postings = tf.join(lens, "doc_id").join(dfreq, "tok")
@@ -81,9 +106,13 @@ object TextIndex {
         Set(l, m).map(p => p.substring(p.lastIndexOf('/') + 1))
       }
     postings
-      // cluster by bucket: one file per bucket directory, not
-      // nPartitions × nBuckets fragments (the ANN build's argument)
-      .repartition(col("bucket"))
+      // cluster by (bucket, doc-hash split): each bucket directory gets
+      // `splits` files, not nPartitions × nBuckets fragments (the ANN
+      // build's argument) and not one nBuckets-capped write wave — the
+      // secondary split keeps write parallelism proportional to data,
+      // sized by the explicit targetPostingsPerFile rule above
+      .repartition(col("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(splits.toLong)))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/index.v$next")
     import spark.implicits._
@@ -98,6 +127,85 @@ object TextIndex {
         ++ Similarity.modelsVersionDirs(fs, path))
       .filterNot(p => keep(p.getName))
       .foreach(p => fs.delete(p, true))
+    } finally toks.unpersist(blocking = false)
+  }
+
+  /** X120b — incremental APPEND to a [[buildTextIndex]] index WITHOUT
+    * rebuilding: the lexical twin of the ANN index's
+    * [[Similarity.ivfIndexAppendIdempotent]] (X111b), sharing its
+    * token-idempotent publish discipline verbatim
+    * ([[Similarity.publishTokenStaged]]).
+    *
+    * The delta tokenizes against the FROZEN stats artifact — nBuckets
+    * comes from the index (a re-supplied value that disagreed would
+    * route postings to buckets the probe never prunes to), and nd/avgdl
+    * are NOT updated: like the ANN index's frozen centroids, corpus
+    * stats only move at the next [[buildTextIndex]] rebuild (the X110b
+    * contract) — scores drift as the appended mass grows and the
+    * rebuild re-anchors them.
+    *
+    * df on appended rows: the base index's df where the token already
+    * exists (one partition-PRUNED read of the delta's buckets, rolled
+    * up to (tok, df) before a delta-token-bounded join — df is constant
+    * per token within a consistent index), else the delta batch's own
+    * df. So a token the corpus already knew scores with ONE consistent
+    * idf across old and new rows, and a brand-new token gets a
+    * batch-local df rather than a fabricated 0 — both stale against the
+    * true union df by exactly the documented rebuild contract.
+    *
+    * Publish: staged under `path/stage/<token>` partitioned by bucket,
+    * then retract-move-mark — only the delta's buckets' directories
+    * gain files; untouched buckets are never read for write nor
+    * rewritten (spec-pinned by file inventory). A replay of a committed
+    * token is a no-op on its marker. Mutators (append/rebuild) are
+    * externally serialized, as for the ANN index. */
+  def textIndexAppend(delta: DataFrame, idCol: String, textCol: String,
+                      path: String, token: String): Unit = {
+    require(token.matches("[0-9A-Za-z_-]+"), s"unsafe token: $token")
+    val spark = delta.sparkSession
+    val fs = Similarity.hfs(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/stage/$token")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/tokens/append/$token")
+    if (fs.exists(marker)) {
+      // fully published by a prior attempt — sweep crash leftovers only
+      fs.delete(staging, true)
+      return
+    }
+    val (idxDir, modelsDir) = Similarity.ivfIndexDirs(spark, path)
+    val nBuckets =
+      spark.read.parquet(s"$modelsDir/stats").collect()(0).getLong(2).toInt
+    val toks = delta.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lens = toks.select(col("doc_id"),
+        size(col("__t")).cast(LongType).as("dl"))
+      val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
+      // the delta's bucket set is ≤ nBuckets values — bounded plan
+      // metadata, exactly the probe's pruning collect
+      val deltaBuckets = tf.select("bucket").distinct()
+        .collect().map(_.getString(0)).sorted
+      // base df for the delta's tokens: partition-pruned to the delta's
+      // buckets, rolled up to one row per token BEFORE the join
+      val baseDf = spark.read.parquet(idxDir)
+        .where(col("bucket").isin(deltaBuckets.toIndexedSeq: _*))
+        .groupBy("tok").agg(max(col("df")).as("__dfb"))
+      val deltaDf = tf.groupBy("tok")
+        .agg(count(lit(1)).cast(LongType).as("__dfd"))
+      val postings = tf.join(lens, "doc_id")
+        .join(baseDf, Seq("tok"), "left").join(deltaDf, "tok")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          coalesce(col("__dfb"), col("__dfd")).as("df"), col("bucket"))
+      postings.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(staging.toString)
+      Similarity.publishTokenStaged(fs,
+        new org.apache.hadoop.fs.Path(idxDir), staging, marker, token)
+    } finally toks.unpersist(blocking = false)
   }
 
   /** BM25 top-k over a [[buildTextIndex]] index: scans ONLY the buckets
@@ -127,7 +235,14 @@ object TextIndex {
     spark.read.parquet(idxDir)
       .where(col("bucket").isin(buckets.toIndexedSeq: _*))
       .where(col("tok").isin(termList: _*))
-      .withColumn("__idf", expr(s"(($nd - df) * 1000000) div (df + 1)"))
+      // greatest(…, 0): a no-op on a freshly built index (df ≤ nd by
+      // construction) but after an append a delta-only token's
+      // batch-local df may exceed the FROZEN nd — the clamp is the
+      // standard BM25 non-negative idf floor, and it keeps the integer
+      // division out of negative territory where Spark's `div`
+      // (truncate) and the oracle's `//` (floor) would disagree
+      .withColumn("__idf",
+        expr(s"(greatest($nd - df, 0) * 1000000) div (df + 1)"))
       .withColumn("__inner",
         expr(s"25 + (75 * ((dl * 100) div $avgdl)) div 100"))
       .withColumn("__s",

@@ -715,6 +715,24 @@ object TextOps {
         col("col").as("chunk"))
   }
 
+  /** Lossless (doc_id, chunk_no) → single-long packing, for routing
+    * [[chunkText]] rows through id-keyed infrastructure (the persisted
+    * text index, X123). `radix` bounds chunk_no; the pack FAILS LOUD
+    * (executor-side raise_error) on a chunk_no outside [0, radix) or a
+    * doc_id outside [0, Long.MaxValue/radix) instead of silently
+    * colliding — a ≥100k-chunk document (≈40M chars at stride 400) or a
+    * doc_id near 9.2e13 would otherwise alias another chunk's id and
+    * misattribute scores. Unpack is `id div radix` / `id pmod radix`. */
+  def packChunkId(docId: Column, chunkNo: Column,
+                  radix: Long = 100000L): Column = {
+    val maxDoc = Long.MaxValue / radix
+    when(chunkNo >= radix || chunkNo < 0 || docId < 0 || docId >= maxDoc,
+        raise_error(concat(lit("chunk_id packing overflow: doc_id="),
+          docId.cast(StringType), lit(" chunk_no="),
+          chunkNo.cast(StringType))))
+      .otherwise(docId.cast(LongType) * radix + chunkNo.cast(LongType))
+  }
+
   /** Email pattern shared by detection and redaction — deliberately in the
     * regex subset where Java's engine (Spark) and RE2 (DuckDB, the oracle)
     * agree, so both engines find identical spans. */

@@ -381,6 +381,16 @@ class PlanSpec extends AnyFunSuite {
       s"dupWindows first-occurrence must be an aggregation:\n$dwPlan")
     assert(dwPlan.toString.contains("partial_min(struct(doc_id"),
       s"dupWindows hot key must be absorbed map-side:\n$dwPlan")
+    // unlike segmentDedup (which must keep the text for reassembly),
+    // dupWindows discards the window right after the min — its one
+    // corpus-sized exchange must key on the 8-byte xxhash64, not the
+    // ~w× corpus-token-bytes window text (attribute prints with the
+    // bigint `L` suffix)
+    val dwTxt = physical(dw).split("== Initial Plan ==").head
+    assert("hashpartitioning\\(win#\\d+L".r.findFirstIn(dwTxt).isDefined,
+      s"the window exchange must key on a LongType hash:\n$dwTxt")
+    assert(dwPlan.toString.contains("xxhash64"),
+      s"windows must be hashed before the shuffle:\n$dwPlan")
   }
 
   test("per-group ranks never window on the bare group column (X79)") {

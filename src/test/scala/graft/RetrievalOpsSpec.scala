@@ -59,6 +59,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.getLong(4) == "a b c".length.toLong)
   }
 
+  test("segmentDedup / dupWindows treat NULL text as empty — totals and " +
+    "explode derive from the same token array, kept never exceeds total") {
+    // unguarded, size(null) = -1 makes n_segments 0 while the explode
+    // still emits rows, so kept_segments could exceed n_segments
+    val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val seg = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(seg.length == 3)
+    assert(seg.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)),
+      s"kept_segments must stay within n_segments: ${seg.toSeq}")
+    assert(seg(1).getLong(1) == 1L, "NULL text ≡ \"\" = one empty segment")
+    val dw = Dedup.dupWindows(docs, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+    assert(dw.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)),
+      s"dup_windows must stay within n_windows: ${dw.toSeq}")
+    assert(dw(1).getLong(1) == 1L, "NULL text ≡ \"\" = one whole-doc window")
+  }
+
   // ── X121 duplicate-window fraction ─────────────────────────────────
 
   test("dupWindows: stride-1 windows, global first occurrence, short " +

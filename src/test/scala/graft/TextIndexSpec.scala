@@ -84,6 +84,150 @@ class TextIndexSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("append (X120b): delta docs become retrievable, base postings are " +
+    "never rewritten (file inventory), committed-token replay is a no-op, " +
+    "crash retry converges") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      val base = docs.where(col("doc_id") % 2 === 0)
+      TextIndex.buildTextIndex(base, "doc_id", "text", dir, nBuckets = 8)
+      val before = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      def inventory(): Map[String, Set[(String, Long)]] = {
+        val idx = new java.io.File(
+          graft.ext.Similarity.ivfIndexDataDir(spark, dir))
+        idx.listFiles().filter(_.isDirectory).map { d =>
+          d.getName -> d.listFiles()
+            // hidden sidecars (.crc etc.) are not data files — same
+            // visibility rule every parquet reader applies
+            .filterNot(f => f.getName.startsWith(".") ||
+              f.getName.startsWith("_"))
+            .map(f => (f.getName, f.length())).toSet
+        }.toMap
+      }
+      val inv0 = inventory()
+      // a single-TOKEN delta touches exactly one bucket — the inventory
+      // pin needs untouched buckets to exist (a fixture doc's ~200
+      // distinct tokens would cover all 8); the term makes the appended
+      // doc retrievable by the probe below
+      import spark.implicits._
+      val delta = Seq((9999999L, "spark spark spark"))
+        .toDF("doc_id", "text")
+      TextIndex.textIndexAppend(delta, "doc_id", "text", dir, token = "t1")
+      val inv1 = inventory()
+      val changed = inv1.filter { case (b, fs) => inv0.get(b) != Some(fs) }
+      assert(changed.nonEmpty, "delta must land somewhere")
+      assert(inv0.keySet.subsetOf(inv1.keySet))
+      assert((inv0.keySet -- changed.keySet).nonEmpty,
+        s"a one-doc delta must leave buckets untouched: ${inv1.keySet}")
+      changed.foreach { case (b, fs) =>
+        val gained = fs -- inv0.getOrElse(b, Set.empty)
+        assert(gained.nonEmpty && (inv0.getOrElse(b, Set.empty) -- fs).isEmpty,
+          s"bucket $b must only GAIN files: $fs vs ${inv0.get(b)}")
+        assert(gained.forall(_._1.startsWith("A.t1-")),
+          s"appended files carry the token prefix: $gained")
+      }
+      // base docs' scores are unchanged: their posting rows were never
+      // touched and their df is the frozen base df the append reuses
+      val after = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      before.foreach { case (id, s) =>
+        assert(after(id) == s, s"base doc $id score drifted across append")
+      }
+      val deltaId = 9999999L
+      assert(after.contains(deltaId),
+        s"appended doc $deltaId must be retrievable")
+      // replay of the committed token: byte-identical inventory
+      TextIndex.textIndexAppend(delta, "doc_id", "text", dir, token = "t1")
+      assert(inventory() == inv1, "committed-token replay must be a no-op")
+      // crash-retry: marker lost after publish (crash between renames
+      // and marker write) — the retry retracts this token's files and
+      // republishes; final state equals one clean append
+      val marker = new java.io.File(s"$dir/tokens/append/t1")
+      assert(marker.exists); marker.delete()
+      TextIndex.textIndexAppend(delta, "doc_id", "text", dir, token = "t1")
+      val inv2 = inventory()
+      assert(inv2.keySet == inv1.keySet &&
+        inv2.forall { case (b, fs) =>
+          fs.map(_._1).count(_.startsWith("A.t1-")) ==
+            inv1(b).map(_._1).count(_.startsWith("A.t1-")) },
+        "crash retry must converge to one clean append's file census")
+      val afterRetry = TextIndex
+        .textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(afterRetry == after, "retry must not duplicate postings")
+    } finally rm(dir)
+  }
+
+  test("rebuild at a DIFFERENT nBuckets probes correctly — the bucket " +
+    "count travels in the stats artifact, never re-supplied") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 32)
+      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20)
+      val inQuery = TextOps.bm25(docs, "doc_id", "text", terms, k = 20)
+      assert(viaIndex.exceptAll(inQuery).isEmpty &&
+        inQuery.exceptAll(viaIndex).isEmpty,
+        "post-rebuild probe must equal the in-query operator at the new " +
+          "bucket count")
+    } finally rm(dir)
+  }
+
+  test("write parallelism is not capped at nBuckets: the sizing rule " +
+    "splits buckets into multiple files while pruning still holds") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    // AQE would coalesce the tiny test shuffle back to 1 partition and
+    // hide the split; at scale the 64MB advisory target keeps it real
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 4,
+        targetPostingsPerFile = 100L)
+      val idx = new java.io.File(
+        graft.ext.Similarity.ivfIndexDataDir(spark, dir))
+      val perBucket = idx.listFiles().filter(_.isDirectory).map(
+        _.listFiles().count(_.getName.startsWith("part-")))
+      assert(perBucket.sum > 4,
+        s"write tasks must exceed nBuckets: ${perBucket.toSeq}")
+      assert(perBucket.max > 1,
+        s"at least one bucket must hold several files: ${perBucket.toSeq}")
+      val viaIndex = TextIndex.textIndexTopK(spark, terms, dir, k = 20)
+      val inQuery = TextOps.bm25(docs, "doc_id", "text", terms, k = 20)
+      assert(viaIndex.exceptAll(inQuery).isEmpty &&
+        inQuery.exceptAll(viaIndex).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      rm(dir)
+    }
+  }
+
+  test("blank documents count toward corpus stats but index no postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 2)
+      val lists = spark.read.parquet(
+        graft.ext.Similarity.ivfIndexDataDir(spark, dir))
+      assert(lists.where(col("tok") === "").isEmpty,
+        "empty-string tokens must not become postings")
+      val stats = spark.read.parquet(
+        graft.ext.Similarity.ivfCentroidsDir(spark, dir) + "/stats")
+        .collect()(0)
+      assert(stats.getLong(0) == 3L, "blank doc still counts toward nd")
+      val hit = TextIndex.textIndexTopK(spark, Seq("alpha"), dir, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(hit == Set(1L, 3L))
+    } finally rm(dir)
+  }
+
   test("posting rows are self-sufficient: scoring needs no corpus join") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val dir = tmpdir()

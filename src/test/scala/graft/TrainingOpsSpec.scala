@@ -164,6 +164,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packChunkId round-trips in range and FAILS LOUD on overflow " +
+    "(X123 guard)") {
+    // largest representable pair round-trips losslessly
+    val maxDoc = Long.MaxValue / 100000L - 1
+    val ok = Seq((3L, 7L), (maxDoc, 99999L), (0L, 0L)).toDF("d", "c")
+      .select(col("d"), col("c"),
+        TextOps.packChunkId(col("d"), col("c")).as("id"))
+      .select(col("d"), col("c"), expr("id div 100000").as("d2"),
+        pmod(col("id"), lit(100000L)).as("c2"))
+      .where(col("d2") =!= col("d") || col("c2") =!= col("c"))
+    assert(ok.isEmpty, "in-range pairs must round-trip")
+    // a ≥100k-chunk document must raise, not silently alias
+    intercept[Exception] {
+      Seq((1L, 100000L)).toDF("d", "c")
+        .select(TextOps.packChunkId(col("d"), col("c"))).collect()
+    }
+    // a doc_id past Long.MaxValue/radix must raise, not overflow
+    intercept[Exception] {
+      Seq((Long.MaxValue / 100000L, 0L)).toDF("d", "c")
+        .select(TextOps.packChunkId(col("d"), col("c"))).collect()
+    }
+    intercept[Exception] {
+      Seq((-1L, 0L)).toDF("d", "c")
+        .select(TextOps.packChunkId(col("d"), col("c"))).collect()
+    }
+  }
+
   test("contamination flags docs sharing trigrams with the benchmark set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
