@@ -2162,6 +2162,25 @@ object SparkEntry {
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
+    // ── §2.8 + §2.9 X124: STREAMING text-index ingest — the lexical
+    //    twin of q_stream_index: the document stream appends to the
+    //    persisted posting lists per micro-batch against the frozen
+    //    stats (foreachBatch → token-idempotent textIndexAppend); the
+    //    probe across built + streamed halves replays the q_text_append
+    //    oracle because corpus-known terms score batch-split-invariantly ─
+    "q_stream_text_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratch("graft_txtstr_")
+      TextIndex.buildTextIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, nBuckets = 16)
+      val q = graft.streaming.StreamingTextIngest.start(
+        Tables.loadStream(s, dir, "documents")
+          .where(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, scratch("graft_ckpt_txt_"))
+      q.awaitTermination()
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+    }),
+
     // ── §2.9 X123: chunk-level retrieval pipeline (the RAG shape) —
     //    chunk every document (X36's 500/100 windows), tokenize the
     //    CHUNKS once into the persisted inverted index (X120), probe
@@ -2550,6 +2569,46 @@ object SparkEntry {
         .orderBy("bucket")
     })
   )
+
+  /** X120b/X124 share one oracle: the streaming ingest converges to the
+    * one-shot append for corpus-known query terms (batch-split
+    * invariance, spec-pinned). */
+  private val oracleSqlTextAppend =
+    """WITH tkarr AS (SELECT doc_id, doc_id % 2 = 0 AS is_base,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                      FROM documents),
+       lens AS (SELECT doc_id, is_base, CAST(len(t) AS BIGINT) AS dl
+                FROM tkarr),
+       corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                FROM lens WHERE is_base),
+       tk AS (SELECT doc_id, is_base, unnest(t) AS tok FROM tkarr),
+       h AS (SELECT doc_id, is_base, tok, count(*) AS tf FROM tk
+             WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+       dfb AS (SELECT tok, count(*) AS df FROM h WHERE is_base GROUP BY 1),
+       dfd AS (SELECT tok, count(*) AS df FROM h WHERE NOT is_base
+               GROUP BY 1),
+       sc AS (SELECT h.doc_id,
+                     CASE WHEN h.is_base THEN dfb.df
+                          ELSE coalesce(dfb.df, dfd.df) END AS df,
+                     lens.dl, h.tf
+              FROM h JOIN lens ON lens.doc_id = h.doc_id
+                     LEFT JOIN dfb ON dfb.tok = h.tok
+                     LEFT JOIN dfd ON dfd.tok = h.tok),
+       w AS (SELECT doc_id,
+                    (greatest(corp.nd - df, 0) * 1000000) // (df + 1)
+                      AS idf,
+                    25 + (75 * ((dl * 100) // corp.avgdl)) // 100
+                      AS inner_w,
+                    tf
+             FROM sc, corp),
+       s AS (SELECT doc_id,
+                    CAST(sum((idf * tf * 2200) //
+                             (tf * 1000 + 12 * inner_w)) AS BIGINT)
+                      AS score,
+                    CAST(count(*) AS BIGINT) AS n_terms
+             FROM w GROUP BY doc_id)
+       SELECT doc_id, score, n_terms FROM s
+       ORDER BY score DESC, doc_id LIMIT 20"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5238,43 +5297,15 @@ object SparkEntry {
     // df per posting row is the base's df where the token exists there,
     // else the append batch's own df (base rows always have a base df by
     // construction — the doc itself carries the token). idf clamps at 0,
-    // matching the probe's greatest(nd - df, 0).
-    "q_text_append" ->
-      """WITH tkarr AS (SELECT doc_id, doc_id % 2 = 0 AS is_base,
-                regexp_split_to_array(trim(lower(text)), ' +') AS t
-                        FROM documents),
-         lens AS (SELECT doc_id, is_base, CAST(len(t) AS BIGINT) AS dl
-                  FROM tkarr),
-         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
-                  FROM lens WHERE is_base),
-         tk AS (SELECT doc_id, is_base, unnest(t) AS tok FROM tkarr),
-         h AS (SELECT doc_id, is_base, tok, count(*) AS tf FROM tk
-               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
-         dfb AS (SELECT tok, count(*) AS df FROM h WHERE is_base GROUP BY 1),
-         dfd AS (SELECT tok, count(*) AS df FROM h WHERE NOT is_base
-                 GROUP BY 1),
-         sc AS (SELECT h.doc_id,
-                       CASE WHEN h.is_base THEN dfb.df
-                            ELSE coalesce(dfb.df, dfd.df) END AS df,
-                       lens.dl, h.tf
-                FROM h JOIN lens ON lens.doc_id = h.doc_id
-                       LEFT JOIN dfb ON dfb.tok = h.tok
-                       LEFT JOIN dfd ON dfd.tok = h.tok),
-         w AS (SELECT doc_id,
-                      (greatest(corp.nd - df, 0) * 1000000) // (df + 1)
-                        AS idf,
-                      25 + (75 * ((dl * 100) // corp.avgdl)) // 100
-                        AS inner_w,
-                      tf
-               FROM sc, corp),
-         s AS (SELECT doc_id,
-                      CAST(sum((idf * tf * 2200) //
-                               (tf * 1000 + 12 * inner_w)) AS BIGINT)
-                        AS score,
-                      CAST(count(*) AS BIGINT) AS n_terms
-               FROM w GROUP BY doc_id)
-         SELECT doc_id, score, n_terms FROM s
-         ORDER BY score DESC, doc_id LIMIT 20""",
+    // matching the probe's greatest(nd - df, 0). X124 (streaming ingest)
+    // replays the SAME oracle: the query terms all exist in the base
+    // index, and corpus-known terms score batch-split-invariantly (each
+    // micro-batch's pruned lookup finds the base df) — spec-pinned
+    // across three forced micro-batches in StreamingSpec.
+    "q_text_append" -> oracleSqlTextAppend,
+    // X124 streaming ingest — same result as the one-shot append (see
+    // the q_text_append comment); the oracle is shared by construction.
+    "q_stream_text_index" -> oracleSqlTextAppend,
     // X123 chunk retrieval: the q_chunk_text window construction feeds
     // the q_bm25 integer chain at CHUNK granularity; chunk_id packs
     // (doc_id, chunk_no) losslessly on both sides.

@@ -483,6 +483,52 @@ class StreamingSpec extends AnyFunSuite {
       "probe results must not depend on ingest batching")
   }
 
+  test("streaming text ingest (X124): multi-batch appends converge to " +
+    "the one-shot append for corpus-known terms") {
+    import graft.ext.TextIndex
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+
+    // three files → maxFilesPerTrigger=1 → three genuine micro-batches
+    val deltaDir = tmp("graft_txt_stream_src_")
+    odds.where(col("doc_id") % 3 === 1).write.parquet(s"$deltaDir/f1")
+    odds.where(col("doc_id") % 3 === 0).write.parquet(s"$deltaDir/f2")
+    odds.where(col("doc_id") % 3 === 2).write.parquet(s"$deltaDir/f3")
+
+    val streamed = tmp("graft_txt_streamed_")
+    TextIndex.buildTextIndex(evens, "doc_id", "text", streamed, nBuckets = 8)
+    def idx(p: String) = graft.ext.Similarity.ivfIndexDataDir(spark, p)
+    val filesBefore = spark.read.parquet(idx(streamed)).inputFiles.toSet
+    val q = graft.streaming.StreamingTextIngest.start(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$deltaDir/*"),
+      "doc_id", "text", streamed, tmp("graft_ckpt_txtspec_"))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected ≥3 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+
+    // reference: the one-shot batch append on an identical base
+    val batched = tmp("graft_txt_batched_")
+    TextIndex.buildTextIndex(evens, "doc_id", "text", batched, nBuckets = 8)
+    TextIndex.textIndexAppend(odds, "doc_id", "text", batched, "t1")
+
+    // corpus-known query terms score with the base's frozen df on every
+    // appended row, whatever the batching — full-corpus probes equal
+    val terms = Seq("spark", "join", "window")
+    def probe(p: String) =
+      TextIndex.textIndexTopK(spark, terms, p, k = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(probe(streamed) == probe(batched),
+      "probe results must not depend on ingest batching")
+    // built files untouched by the stream
+    assert(filesBefore.subsetOf(
+      spark.read.parquet(idx(streamed)).inputFiles.toSet),
+      "streaming text append must not rewrite built files")
+  }
+
   test("streaming index ingest: crash AFTER a batch publishes but BEFORE " +
       "its checkpoint commit, then restart — the replay is exactly-once") {
     import graft.ext.Similarity
