@@ -2162,6 +2162,46 @@ object SparkEntry {
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
+    // ── §2.9 X120c: text-index DELETE — build on the full corpus, take
+    //    down every doc_id ≡ 3 (mod 7), probe: deleted docs vanish,
+    //    survivors score with their build-time (frozen) df/stats, so the
+    //    oracle is the full-corpus scoring restricted to survivors ──────
+    "q_text_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratch("graft_txtdel_")
+      TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 16)
+      TextIndex.textIndexDelete(
+        docs.where(col("doc_id") % 7 === 3).select("doc_id"),
+        "doc_id", path, token = "d1")
+      TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+    }),
+
+    // ── §2.9 X120d: text-index COMPACT — build on the even half, two
+    //    appends leave small token-prefixed files per bucket, compaction
+    //    re-clusters into a fresh pointer-flipped version; file count
+    //    drops and the probe is bit-identical, so the oracle is
+    //    q_text_append's (content never changes across a compact) ───────
+    "q_text_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratch("graft_txtcmp_")
+      TextIndex.buildTextIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path, nBuckets = 16)
+      Seq(1L, 3L).foreach { r =>
+        TextIndex.textIndexAppend(docs.where(col("doc_id") % 4 === r),
+          "doc_id", "text", path, token = s"t$r")
+      }
+      val probeBefore = TextIndex
+        .textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+        .collect().toSeq
+      val (f0, f1) = TextIndex.textIndexCompact(s, path)
+      require(f1 < f0, s"compact must reduce index files ($f0 -> $f1)")
+      val after = TextIndex
+        .textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+      require(after.collect().toSeq == probeBefore,
+        "probe must be bit-identical across a compact")
+      after
+    }),
+
     // ── §2.8 + §2.9 X124: STREAMING text-index ingest — the lexical
     //    twin of q_stream_index: the document stream appends to the
     //    persisted posting lists per micro-batch against the frozen
@@ -5306,6 +5346,39 @@ object SparkEntry {
     // X124 streaming ingest — same result as the one-shot append (see
     // the q_text_append comment); the oracle is shared by construction.
     "q_stream_text_index" -> oracleSqlTextAppend,
+    // X120d compaction never changes content — the oracle is the
+    // append's (the query itself pins probe-identity and file shrink).
+    "q_text_compact" -> oracleSqlTextAppend,
+    // X120c delete: survivors keep their BUILD-TIME df and the frozen
+    // nd/avgdl (staleness = the rebuild contract), so the oracle scores
+    // with full-corpus statistics and restricts OUTPUT to survivors.
+    "q_text_delete" ->
+      """WITH tkarr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       (greatest(corp.nd - dfq.df, 0) * 1000000)
+                         // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.doc_id = h.doc_id, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s
+         WHERE doc_id % 7 <> 3
+         ORDER BY score DESC, doc_id LIMIT 20""",
     // X123 chunk retrieval: the q_chunk_text window construction feeds
     // the q_bm25 integer chain at CHUNK granularity; chunk_id packs
     // (doc_id, chunk_no) losslessly on both sides.

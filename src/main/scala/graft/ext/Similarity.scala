@@ -1629,7 +1629,20 @@ object Similarity {
     * may transiently see a retracted row — the same eventual visibility
     * as a probe overlapping an append's partial publish. */
   def ivfIndexDeleteIdempotent(ids: DataFrame, idCol: String, path: String,
-                               token: String): Unit = {
+                               token: String): Unit =
+    indexDeleteByKeyIdempotent(ids, idCol, path, token,
+      keyCol = "nid", rowKey = Seq("nid"))
+
+  /** The keyed-delete machinery behind [[ivfIndexDeleteIdempotent]] (ANN,
+    * key `nid`, unique per row) and the text index's takedown (X120c,
+    * key `doc_id`, one posting row per (tok, doc_id)) — both persisted
+    * index families share the same layout (bucket-partitioned lists, a
+    * pointer, token-marker namespaces), so they share the delete the way
+    * they share [[publishTokenStaged]]. `rowKey` is the row-identity the
+    * crash-repair dedup uses. */
+  private[graft] def indexDeleteByKeyIdempotent(ids: DataFrame,
+      idCol: String, path: String, token: String,
+      keyCol: String, rowKey: Seq[String]): Unit = {
     require(token.matches("[0-9A-Za-z_-]+"), s"unsafe token: $token")
     val spark = ids.sparkSession
     graft.GraftExtensions.ensure(spark)
@@ -1644,14 +1657,15 @@ object Similarity {
       ids.select(col(idCol).cast(LongType).as("del_id")).distinct())
     val idx = ivfIndexDataDir(spark, path)
     val affected = spark.read.parquet(idx)
-      .join(del, col("nid") === col("del_id"), "left_semi")
+      .join(del, col(keyCol) === col("del_id"), "left_semi")
       .select("bucket").distinct()
-      .collect().map(_.getString(0)).sorted // bounded by nCentroids
+      .collect().map(_.getString(0)).sorted // bounded by the bucket count
     if (affected.nonEmpty) {
       val kept = spark.read.parquet(idx)
         .where(col("bucket").isin(affected.toSeq: _*))
-        .join(del, col("nid") === col("del_id"), "left_anti")
-        .dropDuplicates("nid") // repairs torn duplicates from a crashed attempt
+        .join(del, col(keyCol) === col("del_id"), "left_anti")
+        // repairs torn duplicates from a crashed attempt
+        .dropDuplicates(rowKey)
         .repartition(col("bucket"))
       kept.write.partitionBy("bucket").mode("overwrite")
         .parquet(staging.toString)

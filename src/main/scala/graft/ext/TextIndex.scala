@@ -208,6 +208,45 @@ object TextIndex {
     } finally toks.unpersist(blocking = false)
   }
 
+  /** X120c — DELETE documents from a persisted text index by id: the
+    * takedown / right-to-be-forgotten step, closing the lexical index's
+    * lifecycle (build → append → streamed ingest → DELETE → compact →
+    * rebuild) in parity with the ANN index's X111c — it IS the ANN
+    * delete, shared machinery ([[Similarity.indexDeleteByKeyIdempotent]])
+    * keyed on `doc_id` with (tok, doc_id) as the row identity the
+    * crash-repair dedup uses.
+    *
+    * Shape: one broadcast semi-join locates the affected buckets, one
+    * partition-pruned anti-join rewrites just those buckets' survivor
+    * rows; add-then-remove publish under `D.<token>-` prefixes with the
+    * commit-marker replay contract. The honest cost note for TEXT: a
+    * document's tokens usually hash across MOST buckets (unlike a vector,
+    * which lives in exactly one), so a takedown pass typically rewrites
+    * the whole index once — batch takedowns and let one pass amortize
+    * them, or schedule them with the rebuild. Survivor rows keep their
+    * build-time df (and the stats keep nd/avgdl), so surviving scores are
+    * UNCHANGED by a delete; the df overcount against the shrunken corpus
+    * is the X110b staleness the next rebuild re-anchors. */
+  def textIndexDelete(ids: DataFrame, idCol: String, path: String,
+                      token: String): Unit =
+    Similarity.indexDeleteByKeyIdempotent(ids, idCol, path, token,
+      keyCol = "doc_id", rowKey = Seq("tok", "doc_id"))
+
+  /** X120d — COMPACT the posting lists without re-tokenizing: every
+    * append / streaming micro-batch leaves one small `A.<token>-` file
+    * per touched bucket directory; compaction re-clusters the rows by
+    * bucket and publishes a fresh `index.v<N+1>` via the pointer flip,
+    * leaving the stats artifact untouched. This is LITERALLY the ANN
+    * index's [[Similarity.ivfIndexCompact]] — both families share the
+    * versioned-pointer layout, the `stage`/`delstage` token namespaces
+    * it gates on (compaction refuses over an unmarked in-flight mutation
+    * and sweeps committed leftovers), and the bucket partition column —
+    * re-exported here so the text lifecycle reads complete. Probes are
+    * bit-identical before and after (spec-pinned); returns
+    * (filesBefore, filesAfter). */
+  def textIndexCompact(spark: SparkSession, path: String): (Int, Int) =
+    Similarity.ivfIndexCompact(spark, path)
+
   /** BM25 top-k over a [[buildTextIndex]] index: scans ONLY the buckets
     * the query terms hash to. The bucket count comes FROM the index's
     * stats artifact (a probe-supplied value that disagreed with the

@@ -163,6 +163,67 @@ class TextIndexSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("delete (X120c): taken-down docs vanish, survivors keep their " +
+    "build-time scores, committed-token replay is a no-op") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+      val full = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      val delIds = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      TextIndex.textIndexDelete(delIds, "doc_id", dir, token = "d1")
+      val after = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(after.keySet.intersect(delSet).isEmpty,
+        "deleted docs must not be retrievable")
+      assert(after == full.filterNot { case (id, _) => delSet(id) },
+        "survivors must keep their frozen-df scores exactly")
+      // no posting row of a deleted doc survives anywhere in the lists
+      val lists = spark.read.parquet(
+        graft.ext.Similarity.ivfIndexDataDir(spark, dir))
+      assert(lists.where(col("doc_id") % 7 === 3).isEmpty)
+      // replay of the committed token is a no-op
+      val inv = lists.inputFiles.toSet
+      TextIndex.textIndexDelete(delIds, "doc_id", dir, token = "d1")
+      assert(spark.read.parquet(graft.ext.Similarity
+        .ivfIndexDataDir(spark, dir)).inputFiles.toSet == inv)
+    } finally rm(dir)
+  }
+
+  test("compact (X120d): file count shrinks after appends, probe is " +
+    "bit-identical, and an unmarked in-flight append blocks it") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, nBuckets = 8)
+      Seq(1L, 3L).foreach { r =>
+        TextIndex.textIndexAppend(docs.where(col("doc_id") % 4 === r),
+          "doc_id", "text", dir, token = s"t$r")
+      }
+      val before = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().toSeq
+      // an unmarked staging dir = an append in flight or crashed
+      // mid-publish — folding its token-prefixed files into plain part
+      // files would break the replay's retract pass, so compact refuses
+      val stray = new java.io.File(s"$dir/stage/zz")
+      stray.mkdirs()
+      intercept[IllegalStateException] {
+        TextIndex.textIndexCompact(spark, dir)
+      }
+      stray.delete()
+      val (f0, f1) = TextIndex.textIndexCompact(spark, dir)
+      assert(f1 < f0, s"compact must reduce files ($f0 -> $f1)")
+      val after = TextIndex.textIndexTopK(spark, terms, dir, k = 100000)
+        .collect().toSeq
+      assert(after == before, "probe must be bit-identical across compact")
+    } finally rm(dir)
+  }
+
   test("rebuild at a DIFFERENT nBuckets probes correctly — the bucket " +
     "count travels in the stats artifact, never re-supplied") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
