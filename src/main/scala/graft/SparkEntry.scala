@@ -2162,6 +2162,20 @@ object SparkEntry {
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
     }),
 
+    // ── §2.9 X120e: PHRASE search over a POSITIONAL text index — the
+    //    proximity query bag-of-words BM25 cannot express: postings
+    //    store each token's sorted positions, a phrase occurrence at
+    //    start s is s ∈ ⋂ᵢ(positionsᵢ − i), so the probe is a pruned
+    //    bucket read + |phrase|−1 doc-keyed joins + a row-local
+    //    array_intersect. Integer-exact, oracle = the token-array
+    //    adjacency count ─────────────────────────────────────────────────
+    "q_phrase_search" -> ((s, dir) => {
+      val path = scratch("graft_txtpos_")
+      TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        path, nBuckets = 16, positional = true)
+      TextIndex.textIndexPhraseTopK(s, Seq("table", "hash"), path, k = 20)
+    }),
+
     // ── §2.9 X120c: text-index DELETE — build on the full corpus, take
     //    down every doc_id ≡ 3 (mod 7), probe: deleted docs vanish,
     //    survivors score with their build-time (frozen) df/stats, so the
@@ -5349,6 +5363,20 @@ object SparkEntry {
     // X120d compaction never changes content — the oracle is the
     // append's (the query itself pins probe-identity and file shrink).
     "q_text_compact" -> oracleSqlTextAppend,
+    // X120e phrase search: a phrase occurrence at 1-based start i is
+    // t[i]='table' ∧ t[i+1]='hash'; the count per doc replays the
+    // index's position-intersection exactly.
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                    FROM documents),
+         m AS (SELECT doc_id,
+                      CAST(len([i FOR i IN range(1, len(t))
+                        IF t[i] = 'table' AND t[i+1] = 'hash'])
+                        AS BIGINT) AS n_occurrences
+               FROM t)
+         SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0
+         ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
     // X120c delete: survivors keep their BUILD-TIME df and the frozen
     // nd/avgdl (staleness = the rebuild contract), so the oracle scores
     // with full-corpus statistics and restricts OUTPUT to survivors.

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,7 +56,8 @@ object TextIndex {
     * holds several part files). */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, nBuckets: Int = 64,
-                     targetPostingsPerFile: Long = 4000000L): Unit = {
+                     targetPostingsPerFile: Long = 4000000L,
+                     positional: Boolean = false): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     require(targetPostingsPerFile > 0,
       s"targetPostingsPerFile must be positive: $targetPostingsPerFile")
@@ -82,14 +83,31 @@ object TextIndex {
     val splits = math.max(1L, (statsRow.getLong(2) +
       nBuckets.toLong * targetPostingsPerFile - 1) /
       (nBuckets.toLong * targetPostingsPerFile)).toInt
-    val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
-      .where(col("tok") =!= "")
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // positional = true additionally stores each token's sorted 1-based
+    // occurrence positions on the posting row (the Lucene proximity-data
+    // trade: bigger postings, and [[textIndexPhraseTopK]] becomes a
+    // pruned row-local probe). BM25 probes ignore the extra column.
+    val tf =
+      if (positional)
+        toks.select(col("doc_id"),
+            posexplode(col("__t")).as(Seq("__p", "tok")))
+          .where(col("tok") =!= "")
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list((col("__p") + 1).cast(LongType)))
+              .as("positions"))
+      else
+        toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
+    val posCols =
+      if (positional) Seq(col("positions")) else Seq.empty[Column]
     val postings = tf.join(lens, "doc_id").join(dfreq, "tok")
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("df"),
+      .select(Seq(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("df")) ++ posCols :+
         concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets))
-          .as("bucket"))
+          .as("bucket"): _*)
     // stage both halves under the next version, then flip (see scaladoc)
     val next = (Similarity.indexVersionDirs(fs, path)
         ++ Similarity.modelsVersionDirs(fs, path))
@@ -180,11 +198,27 @@ object TextIndex {
     try {
       val lens = toks.select(col("doc_id"),
         size(col("__t")).cast(LongType).as("dl"))
-      val tf = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
-        .where(col("tok") =!= "")
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
+      // the APPEND follows the base index's schema: a positional index
+      // (X120e) gets positional delta rows — otherwise appended docs
+      // would carry NULL positions and silently vanish from phrase
+      // probes, the worst failure mode an index can have
+      val positional =
+        spark.read.parquet(idxDir).columns.contains("positions")
+      val tf0 =
+        if (positional)
+          toks.select(col("doc_id"),
+              posexplode(col("__t")).as(Seq("__p", "tok")))
+            .where(col("tok") =!= "")
+            .groupBy("doc_id", "tok")
+            .agg(count(lit(1)).as("tf"),
+              sort_array(collect_list((col("__p") + 1).cast(LongType)))
+                .as("positions"))
+        else
+          toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+            .where(col("tok") =!= "")
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = tf0.withColumn("bucket",
+        concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
       // the delta's bucket set is ≤ nBuckets values — bounded plan
       // metadata, exactly the probe's pruning collect
       val deltaBuckets = tf.select("bucket").distinct()
@@ -196,10 +230,13 @@ object TextIndex {
         .groupBy("tok").agg(max(col("df")).as("__dfb"))
       val deltaDf = tf.groupBy("tok")
         .agg(count(lit(1)).cast(LongType).as("__dfd"))
+      val posCols =
+        if (positional) Seq(col("positions")) else Seq.empty[Column]
       val postings = tf.join(lens, "doc_id")
         .join(baseDf, Seq("tok"), "left").join(deltaDf, "tok")
-        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-          coalesce(col("__dfb"), col("__dfd")).as("df"), col("bucket"))
+        .select(Seq(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          coalesce(col("__dfb"), col("__dfd")).as("df")) ++ posCols :+
+          col("bucket"): _*)
       postings.repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(staging.toString)
@@ -290,6 +327,56 @@ object TextIndex {
       .agg(sum(col("__s")).cast(LongType).as("score"),
         count(lit(1)).cast(LongType).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** X120e — exact PHRASE search over a POSITIONAL [[buildTextIndex]]
+    * index: top-k documents by the number of exact consecutive-token
+    * occurrences of `phrase` — the proximity query BM25's bag-of-words
+    * scoring cannot express, and the reason Lucene stores positions.
+    *
+    * Shape: one partition-pruned, term-filtered read of the phrase
+    * terms' buckets; per phrase slot i the term's position list shifts
+    * by −i (a map-side `transform`), and a phrase occurrence at start s
+    * is exactly s ∈ ⋂ᵢ shiftedᵢ — so the whole match is |phrase|−1
+    * doc_id-keyed joins of matched-postings-sized frames (the planner
+    * reuses one doc_id partitioning across them) and an
+    * `array_intersect` fold evaluated row-locally; repeated terms in
+    * the phrase fall out of the same algebra (slot i and j of one term
+    * intersect that term's list shifted twice). Nothing after the scan
+    * is corpus-sized. Output (doc_id, n_occurrences), ranked
+    * (n_occurrences DESC, doc_id ASC) — integer-exact, oracle-replayable.
+    * FAILS LOUD on an index built without `positional = true`. */
+  def textIndexPhraseTopK(spark: SparkSession, phrase: Seq[String],
+                          path: String, k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(k > 0, s"k=$k must be positive")
+    val (idxDir, modelsDir) = Similarity.ivfIndexDirs(spark, path)
+    val nBuckets =
+      spark.read.parquet(s"$modelsDir/stats").collect()(0).getLong(2).toInt
+    val termList = phrase.map(_.toLowerCase)
+    import spark.implicits._
+    val buckets = termList.distinct.toDF("tok")
+      .select(concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
+      .as[String].collect().distinct.sorted
+    val lists = spark.read.parquet(idxDir)
+      .where(col("bucket").isin(buckets.toIndexedSeq: _*))
+      .where(col("tok").isin(termList.distinct: _*))
+    require(lists.columns.contains("positions"),
+      s"phrase probe needs a positional index — build $path with " +
+        "buildTextIndex(..., positional = true)")
+    val frames = termList.zipWithIndex.map { case (t, i) =>
+      lists.where(col("tok") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"__a$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    val starts = termList.indices.map(i => col(s"__a$i"))
+      .reduce((x, y) => array_intersect(x, y))
+    joined.select(col("doc_id"),
+        size(starts).cast(LongType).as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
       .limit(k)
   }
 }

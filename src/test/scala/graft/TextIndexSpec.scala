@@ -289,6 +289,67 @@ class TextIndexSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("phrase search (X120e): exact adjacency counts, repeated-term " +
+    "phrases, appends stay phrase-visible, non-positional fails loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "b a"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 4,
+        positional = true)
+      // "a b": doc1 starts {1,3} = 2, doc2 none (b precedes a), doc3 at 2
+      val ab = TextIndex.textIndexPhraseTopK(spark, Seq("a", "b"), dir, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ab == Seq((1L, 2L), (3L, 1L)), s"got $ab")
+      // repeated-term phrase "a b a": doc1 starts {1,3}, doc3 none
+      val aba = TextIndex
+        .textIndexPhraseTopK(spark, Seq("a", "b", "a"), dir, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(aba == Seq((1L, 2L)), s"got $aba")
+      // single-term phrase degenerates to tf
+      val a1 = TextIndex.textIndexPhraseTopK(spark, Seq("a"), dir, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a1 == Seq((1L, 3L), (3L, 2L), (2L, 1L)), s"got $a1")
+      // an appended doc must be phrase-visible: the append follows the
+      // base index's positional schema
+      TextIndex.textIndexAppend(Seq((9L, "x a b y"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, token = "p1")
+      val ab2 = TextIndex.textIndexPhraseTopK(spark, Seq("a", "b"), dir, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ab2 == Seq((1L, 2L), (3L, 1L), (9L, 1L)), s"got $ab2")
+      // BM25 probe on a positional index ignores the positions column
+      val bm = TextIndex.textIndexTopK(spark, Seq("a"), dir, k = 10)
+      assert(bm.count() == 4)
+    } finally rm(dir)
+    // a non-positional index must refuse the phrase probe, not return
+    // silently empty results
+    val dir2 = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir2, nBuckets = 4)
+      intercept[IllegalArgumentException] {
+        TextIndex.textIndexPhraseTopK(spark, Seq("a", "b"), dir2, 10)
+      }
+    } finally rm(dir2)
+  }
+
+  test("phrase probe prunes to the phrase terms' buckets") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8,
+        positional = true)
+      val df = TextIndex.textIndexPhraseTopK(spark, Seq("table", "hash"),
+        dir, 20)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("PartitionFilters: \\[[^\\]]*bucket#".r.findFirstIn(plan)
+          .isDefined,
+        s"bucket pruning must reach the phrase scan:\n$plan")
+      assert(df.count() > 0, "fixture phrase must occur (vacuous pin)")
+    } finally rm(dir)
+  }
+
   test("posting rows are self-sufficient: scoring needs no corpus join") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val dir = tmpdir()
