@@ -14,17 +14,24 @@ import org.apache.spark.sql.types._
   * Layout (the ANN index's versioned-pointer discipline verbatim, shared
   * helpers in [[Similarity]]):
   *   - `index.v<N>/` — postings hive-partitioned by `bucket`
-  *     ('b' + md5-bucket of the token): rows (tok, doc_id, tf, dl, df).
-  *     dl and df are DENORMALIZED onto the posting row, the classic
-  *     posting-list design: probe-time scoring is then row-local — no
-  *     corpus-sized lengths join, no df sub-aggregation, just arithmetic
-  *     against two scalar literals.
-  *   - `models.v<N>/stats/` — ONE row (nd, avgdl), the bounded "model".
+  *     ('b' + md5-bucket of the token): rows (tok, doc_id, tf, dl, df
+  *     [, positions]). dl and df are DENORMALIZED onto the posting row,
+  *     the classic posting-list design: probe-time scoring is then
+  *     row-local — no corpus-sized lengths join, no df sub-aggregation,
+  *     just arithmetic against two scalar literals.
+  *   - `models.v<N>/stats/` — ONE row (nd, avgdl, nbuckets), the
+  *     bounded "model".
   *   - `index.ptr` — atomic rename-over pointer publishing the pair; a
   *     REBUILD (corpus grew) is just another build call: staged, flipped,
   *     predecessor retained one cycle, older versions vacuumed — readers
   *     racing the flip resolve a consistent (lists, stats) snapshot via
   *     [[Similarity.ivfIndexDirs]]'s one-read contract.
+  *
+  * Full mutation lifecycle, in parity with the ANN index (X110/X111):
+  * build → [[textIndexAppend]] (token-idempotent) → streamed ingest
+  * ([[graft.streaming.StreamingTextIngest]]) → [[textIndexDelete]] →
+  * [[textIndexCompact]] → rebuild; probes are [[textIndexTopK]] (BM25)
+  * and [[textIndexPhraseTopK]] (positional phrase match).
   *
   * Probe cost model: |terms| buckets of ~1/nBuckets of the postings each
   * (PartitionFilters prune the rest at planning time, PlanSpec-pinned),
