@@ -34,6 +34,87 @@ class RandomizedOpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("textIndexPhraseTopK equals an in-memory sliding-window count " +
+    "on random corpora and random phrases (X120e)") {
+    val alpha = Vector("a", "b", "c")
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val docs = (0 until 20).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size)))
+          .mkString(" "))
+      }
+      val plen = 1 + rnd.nextInt(3)
+      val phrase = (0 until plen).map(_ => alpha(rnd.nextInt(alpha.size)))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_phr_").toString
+      try {
+        graft.ext.TextIndex.buildTextIndex(
+          docs.toDF("doc_id", "text").repartition(4), "doc_id", "text",
+          dir, nBuckets = 4, positional = true)
+        val got = graft.ext.TextIndex
+          .textIndexPhraseTopK(spark, phrase, dir, k = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = docs.map { case (id, text) =>
+          val toks = text.trim.toLowerCase.split(" +").toSeq
+          id -> toks.sliding(plen)
+            .count(w => w.size == plen && w == phrase).toLong
+        }.filter(_._2 > 0).toMap
+        assert(got == want, s"seed=$seed phrase=$phrase")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("textIndexAppend is batch-split invariant for corpus-known terms " +
+    "on random delta partitions (X120b)") {
+    val alpha = Vector("a", "b", "c", "d")
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val docs = (0 until 24).map { i =>
+        val n = 1 + rnd.nextInt(10)
+        (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size)))
+          .mkString(" "))
+      }
+      val base = docs.filter(_._1 % 2 == 0)
+      val delta = docs.filter(_._1 % 2 == 1)
+      // terms the BASE corpus knows — exactly the batch-split-invariant
+      // contract; delta-only tokens are first-batch-anchored by design
+      val baseToks = base.flatMap(_._2.split(" +")).toSet
+      val terms = alpha.filter(baseToks)
+      val nBatches = 1 + rnd.nextInt(3)
+      val assign = delta.groupBy(d => rnd.nextInt(nBatches))
+      def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      val dirA =
+        java.nio.file.Files.createTempDirectory("graft_apA_").toString
+      val dirB =
+        java.nio.file.Files.createTempDirectory("graft_apB_").toString
+      try {
+        graft.ext.TextIndex.buildTextIndex(mk(base), "doc_id", "text",
+          dirA, nBuckets = 4)
+        assign.toSeq.sortBy(_._1).foreach { case (j, rows) =>
+          graft.ext.TextIndex.textIndexAppend(mk(rows), "doc_id", "text",
+            dirA, token = s"t$j")
+        }
+        graft.ext.TextIndex.buildTextIndex(mk(base), "doc_id", "text",
+          dirB, nBuckets = 4)
+        graft.ext.TextIndex.textIndexAppend(mk(delta), "doc_id", "text",
+          dirB, token = "all")
+        def probe(p: String) = graft.ext.TextIndex
+          .textIndexTopK(spark, terms, p, k = 1000)
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .toMap
+        assert(probe(dirA) == probe(dirB),
+          s"seed=$seed batches=$nBatches terms=$terms")
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dirA))
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dirB))
+      }
+    }
+  }
+
   test("segmentDedup equals an in-memory first-occurrence scan on " +
     "random corpora (incl. the two-phase winners-regroup reassembly)") {
     val alpha = Vector("a", "b", "c", "d")
