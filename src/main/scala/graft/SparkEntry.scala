@@ -788,6 +788,22 @@ object SparkEntry {
         "embedding", _ < 120, k = 5)
         .orderBy("da", "db")),
 
+    // ── §2.9 X125: margin-based bitext mining (Artetxe & Schwenk 2019)
+    //    — each source-side embedding's best target-side match by the
+    //    RATIO margin (cosine normalized by both endpoints' average-kNN
+    //    similarity), kept when margin > 1: the LASER/CCMatrix parallel-
+    //    corpus criterion. Sides = label parity within a caller-bounded
+    //    subset; at 100 TB the top-k legs swap 1:1 for per-side persisted
+    //    IVF probes (marginMineIndexed, spec-pinned equal) ──────────────
+    "q_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 240)
+      Similarity.marginMine(
+        emb.where(pmod(col("label"), lit(2)) === 0),
+        emb.where(pmod(col("label"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+        .orderBy("src_id")
+    }),
+
     // ── §2.9 X2g: filtered vector search — cosine top-k over a corpus
     //    confined by a metadata predicate (pushed into the scan, ranked
     //    after — k results guaranteed whenever ≥k rows pass; post-
@@ -2144,6 +2160,20 @@ object SparkEntry {
       TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id",
         "text", path, nBuckets = 16)
       TextIndex.textIndexTopK(s, Seq("spark", "join", "window"), path, k = 20)
+    }),
+
+    // ── §2.9 X120f: BOOLEAN-AND conjunctive probe — only documents
+    //    matching EVERY query term, ranked by the same integer BM25 sum
+    //    (Lucene MUST semantics; bag-of-words ranking can't express the
+    //    all-terms bar). Same pruned buckets + pushed term filter as the
+    //    disjunctive probe — the conjunction is one row-local predicate
+    //    on the per-doc term count the rollup already carries ──────────
+    "q_bool_search" -> ((s, dir) => {
+      val path = scratch("graft_txtand_")
+      TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id",
+        "text", path, nBuckets = 16)
+      TextIndex.textIndexTopKAll(s, Seq("spark", "join", "window"), path,
+        k = 20)
     }),
 
     // ── §2.9 X120b: text-index APPEND lifecycle — build on the even
@@ -3901,6 +3931,39 @@ object SparkEntry {
                 a.rank rank_ab, b.rank rank_ba
          FROM k a JOIN k b ON a.pid = b.nid AND a.nid = b.pid
          WHERE a.pid < a.nid ORDER BY da, db""",
+    // X125 bitext margin: sims are round-6; each id's kNN-sum is an
+    // EXACT integer in 1e-6 units (round-then-cast — order-independent
+    // in any engine), and the margin is one double division of those
+    // two agreed operands, round-6. Sides = label parity; per source
+    // row keep the best-margin target when margin > 1.
+    "q_bitext_mine" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) % 2 AS side,
+                           CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings WHERE vec_id < 240),
+         s AS (SELECT p.vec_id pid, c.vec_id nid, p.side pside,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p JOIN n c ON p.side <> c.side),
+         r AS (SELECT pid, nid, sim, pside,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s),
+         k AS (SELECT * FROM r WHERE rank <= 4),
+         d AS (SELECT pid,
+                      CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT) ds
+               FROM k GROUP BY 1),
+         f AS (SELECT k.pid, k.nid, k.sim,
+                      round(k.sim / ((da.ds + db.ds) / 8000000.0), 6) margin
+               FROM k JOIN d da ON da.pid = k.pid
+                      JOIN d db ON db.pid = k.nid
+               WHERE k.pside = 0),
+         b AS (SELECT pid, nid, sim, margin,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY margin DESC, nid) rr
+               FROM f)
+         SELECT pid AS src_id, nid AS tgt_id, sim, margin
+         FROM b WHERE rr = 1 AND margin > 1.0 ORDER BY src_id""",
     // Filtered search: corpus confined to label < 4 BEFORE ranking, so
     // k results are guaranteed whenever >= k rows pass the filter.
     "q_filtered_search" ->
@@ -5345,6 +5408,35 @@ object SparkEntry {
                                (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
                       CAST(count(*) AS BIGINT) AS n_terms
                FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // X120f Boolean-AND probe: the q_text_index scoring restricted to
+    // docs matching ALL THREE terms — the conjunction is a HAVING on the
+    // per-doc term count; everything else is the identical integer chain.
+    "q_bool_search" ->
+      """WITH tkarr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
+         h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.doc_id = h.doc_id, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT) AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY doc_id
+               HAVING count(*) = 3)
          SELECT doc_id, score, n_terms FROM s
          ORDER BY score DESC, doc_id LIMIT 20""",
     // X120b append lifecycle: nd/avgdl FROZEN over the base (even) half;

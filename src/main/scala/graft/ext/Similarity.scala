@@ -528,6 +528,104 @@ object Similarity {
         col("a.rank").cast(LongType).as("rank_ab"),
         col("b.rank").cast(LongType).as("rank_ba"))
 
+  /** Cross-side cosine top-k: every `src` row against the whole `tgt`
+    * frame, rank by (sim DESC, nid ASC). The two sides are distinct
+    * frames (two languages, two snapshots), so no self-pair exists and
+    * no id-inequality filter is needed — ids may even collide across
+    * sides without harm. */
+  private def crossSideTopK(src: DataFrame, tgt: DataFrame, idCol: String,
+                            vecCol: String, k: Int): DataFrame = {
+    val probes = prep(src, idCol, vecCol, "pid", "pv", "pn")
+    val corpus = prep(tgt, idCol, vecCol, "nid", "nv", "nn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probes).crossJoin(corpus)
+      .withColumn("sim",
+        round(dot(col("pv"), col("nv")) / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("sim"))
+  }
+
+  /** The margin scoring + best-match selection over two directed top-k
+    * frames (fwd: src→tgt, bwd: tgt→src), leg-agnostic so brute-force
+    * and persisted-index legs swap 1:1 (they only hand over
+    * (pid, nid, sim) triples).
+    *
+    * margin(x,y) = sim(x,y) / (Σ_{z∈NNk(x)} sim/2k + Σ_{z∈NNk(y)} sim/2k)
+    * — the RATIO margin of Artetxe & Schwenk ("Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019).
+    * Determinism: sims are round-6, the per-id neighborhood sums are
+    * exact integers in 1e-6 units (round-then-cast — order-independent
+    * in any engine or partitioning), and the margin is ONE double
+    * division of those two exactly-agreed operands, rounded to 6. */
+  private def marginFromTopK(fwd: DataFrame, bwd: DataFrame, k: Int,
+                             threshold: Double): DataFrame = {
+    def denom(topk: DataFrame, as: String) =
+      topk.groupBy(col("pid").as(as))
+        .agg(sum(round(col("sim") * 1e6).cast(LongType)).as(s"__$as"))
+    val dSrc = denom(fwd, "sid")
+    val dTgt = denom(bwd, "tid")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("margin").desc, col("nid").asc)
+    fwd.join(dSrc, col("pid") === col("sid"))
+      .join(dTgt, col("nid") === col("tid"))
+      .withColumn("margin", round(
+        col("sim") / ((col("__sid") + col("__tid")) / lit(2.0 * k * 1e6)),
+        6))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1 && col("margin") > threshold)
+      .select(col("pid").as("src_id"), col("nid").as("tgt_id"),
+        col("sim"), col("margin"))
+  }
+
+  /** X125 — margin-based BITEXT MINING (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion): given two embedding sides (source and
+    * target language corpora), score each source row's top-k target
+    * candidates by cosine NORMALIZED by both endpoints' average-kNN
+    * similarity, and keep the best target per source when that ratio
+    * margin clears `threshold` (margin > 1 = "closer than either side's
+    * typical neighborhood" — the standard mining bar). Raw cosine
+    * ranking over-selects hub sentences whose neighborhoods are densely
+    * similar to everything; the margin divides that hubness out, which
+    * is why parallel-corpus pipelines mine with it rather than cosine.
+    *
+    * Shape: two directed cross-side top-k legs (src→tgt for candidates
+    * and the src denominators, tgt→src for the tgt denominators), then
+    * per-id k-row sum aggregates and two hash joins keyed on the id —
+    * everything after the legs is |side|·k rows. This exact leg is the
+    * caller-bounded brute-force tier (the [[bruteForceTopK]] contract);
+    * at 100 TB both legs swap 1:1 for partition-pruned persisted-index
+    * probes — [[marginMineIndexed]], spec-pinned equal at
+    * nprobe = nCentroids — because the margin step only consumes
+    * (pid, nid, sim) triples. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, threshold: Double = 1.0)
+  : DataFrame =
+    marginFromTopK(
+      crossSideTopK(src, tgt, idCol, vecCol, k),
+      crossSideTopK(tgt, src, idCol, vecCol, k),
+      k, threshold)
+
+  /** X125 (index leg) — [[marginMine]] with each direction's top-k leg
+    * served by a persisted IVF index over the OPPOSITE side
+    * (`tgtIndexPath` built over tgt, probed by src rows, and vice
+    * versa). Margin consumes only (pid, nid, sim) triples, so at
+    * nprobe = nCentroids this equals the brute-force form exactly
+    * (spec-pinned); at production nprobe the legs are partition-pruned
+    * probes and nothing downstream is corpus-sized. */
+  def marginMineIndexed(src: DataFrame, tgt: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        srcIndexPath: String, tgtIndexPath: String,
+                        threshold: Double = 1.0, nprobe: Int = 3)
+  : DataFrame =
+    marginFromTopK(
+      ivfIndexProbe(src, idCol, vecCol, tgtIndexPath, k, nprobe)
+        .select(col("pid"), col("nid"), col("sim")),
+      ivfIndexProbe(tgt, idCol, vecCol, srcIndexPath, k, nprobe)
+        .select(col("pid"), col("nid"), col("sim")),
+      k, threshold)
+
   /** X2g — FILTERED vector search, exact leg: cosine top-k where the
     * candidate corpus is confined by a metadata predicate (tenant ACL,
     * language, license, date range — the "filtered ANN" every production

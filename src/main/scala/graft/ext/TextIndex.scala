@@ -30,8 +30,9 @@ import org.apache.spark.sql.types._
   * Full mutation lifecycle, in parity with the ANN index (X110/X111):
   * build → [[textIndexAppend]] (token-idempotent) → streamed ingest
   * ([[graft.streaming.StreamingTextIngest]]) → [[textIndexDelete]] →
-  * [[textIndexCompact]] → rebuild; probes are [[textIndexTopK]] (BM25)
-  * and [[textIndexPhraseTopK]] (positional phrase match).
+  * [[textIndexCompact]] → rebuild; probes are [[textIndexTopK]] (BM25),
+  * [[textIndexTopKAll]] (Boolean-AND conjunction) and
+  * [[textIndexPhraseTopK]] (positional phrase match).
   *
   * Probe cost model: |terms| buckets of ~1/nBuckets of the postings each
   * (PartitionFilters prune the rest at planning time, PlanSpec-pinned),
@@ -304,6 +305,35 @@ object TextIndex {
     * (spec-pinned). */
   def textIndexTopK(spark: SparkSession, terms: Seq[String], path: String,
                     k: Int): DataFrame = {
+    val (scored, _) = bm25ScoredDocs(spark, terms, path, k)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** X120f — BOOLEAN-AND (conjunctive) probe: [[textIndexTopK]]'s pruned
+    * read and integer BM25 scoring restricted to documents matching
+    * EVERY query term — the classic Boolean retrieval mode (Lucene's
+    * `MUST` clauses / `minimum_should_match = 100%`), which bag-of-words
+    * ranking cannot express: a long document saturating two of three
+    * terms outranks a short one matching all three. Implementation is
+    * the same doc-grouped scoring frame with a post-aggregation
+    * `n_terms = |distinct terms|` filter — per-doc term counts already
+    * exist in the rollup, so the conjunction costs nothing beyond the
+    * disjunctive probe (same pruned buckets, same pushed term filter,
+    * one extra row-local predicate before the top-k). */
+  def textIndexTopKAll(spark: SparkSession, terms: Seq[String],
+                       path: String, k: Int): DataFrame = {
+    val (scored, nTerms) = bm25ScoredDocs(spark, terms, path, k)
+    scored.where(col("n_terms") === nTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** The shared probe body: partition-pruned, term-filtered posting read
+    * scored row-locally with the integer-exact BM25 chain, grouped to one
+    * (doc_id, score, n_terms) row per matched document. Returns the
+    * grouped frame plus the distinct-term count (the conjunctive probe's
+    * match bar). */
+  private def bm25ScoredDocs(spark: SparkSession, terms: Seq[String],
+                             path: String, k: Int): (DataFrame, Int) = {
     require(terms.nonEmpty, "empty query-term set")
     require(k > 0, s"k=$k must be positive")
     val (idxDir, modelsDir) = Similarity.ivfIndexDirs(spark, path)
@@ -315,7 +345,7 @@ object TextIndex {
     val buckets = termList.toDF("tok")
       .select(concat(lit("b"), Sampling.hashBucket(col("tok"), nBuckets)))
       .as[String].collect().distinct.sorted
-    spark.read.parquet(idxDir)
+    val scored = spark.read.parquet(idxDir)
       .where(col("bucket").isin(buckets.toIndexedSeq: _*))
       .where(col("tok").isin(termList: _*))
       // greatest(…, 0): a no-op on a freshly built index (df ≤ nd by
@@ -333,8 +363,7 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(sum(col("__s")).cast(LongType).as("score"),
         count(lit(1)).cast(LongType).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    (scored, termList.size)
   }
 
   /** X120e — exact PHRASE search over a POSITIONAL [[buildTextIndex]]

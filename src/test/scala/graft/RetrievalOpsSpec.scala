@@ -358,6 +358,78 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ── X125 margin-based bitext mining ────────────────────────────────
+
+  private def bitextSides() = {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .where(col("vec_id") < 240)
+    (emb.where(pmod(col("label"), lit(2)) === 0),
+      emb.where(pmod(col("label"), lit(2)) === 1))
+  }
+
+  test("marginMine: margins replay exactly from a driver-side " +
+    "re-derivation of the top-k legs (X125)") {
+    val (src, tgt) = bitextSides()
+    val out = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.0).collect()
+    assert(out.nonEmpty, "vacuous differential")
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "one best target per source")
+    assert(out.forall(_.getDouble(3) > 1.0), "threshold bar")
+
+    // independent reimplementation: same IEEE ops in the same order
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val sv = vecsOf(src); val tv = vecsOf(tgt)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def topk(from: Map[Long, Array[Double]], to: Map[Long, Array[Double]])
+    : Map[Long, Seq[(Long, Double)]] =
+      from.map { case (pid, pv) =>
+        pid -> to.toSeq.map { case (nid, nv) => (nid, cos(pv, nv)) }
+          .sortBy { case (nid, sim) => (-sim, nid) }.take(4)
+      }
+    val fwd = topk(sv, tv); val bwd = topk(tv, sv)
+    def dsum(l: Seq[(Long, Double)]): Long = l.map { case (_, s) =>
+      java.math.BigDecimal.valueOf(s * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    }.sum
+    val expected = fwd.flatMap { case (pid, cands) =>
+      cands.map { case (nid, sim) =>
+        val m = round6(sim / ((dsum(fwd(pid)) + dsum(bwd(nid))) / 8e6))
+        (pid, nid, sim, m)
+      }.sortBy { case (_, nid, _, m) => (-m, nid) }
+        .headOption.filter(_._4 > 1.0)
+    }.toSeq.sortBy(_._1)
+    val got = out.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(got == expected, "margin differential mismatch")
+  }
+
+  test("marginMineIndexed equals marginMine at nprobe = nCentroids " +
+    "with one index per side (X125)") {
+    val (src, tgt) = bitextSides()
+    withIndex(src) { srcDir =>
+      withIndex(tgt) { tgtDir =>
+        pinEqual(
+          Similarity.marginMineIndexed(src, tgt, "vec_id", "embedding",
+            k = 4, srcDir, tgtDir, threshold = 1.0, nprobe = 8),
+          Similarity.marginMine(src, tgt, "vec_id", "embedding",
+            k = 4, threshold = 1.0),
+          "bitext-margin")
+      }
+    }
+  }
+
   // ── X2g filtered search ────────────────────────────────────────────
 
   test("filteredTopK returns only allowed labels and guarantees k") {

@@ -52,6 +52,28 @@ class TextIndexSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("Boolean-AND probe (X120f) equals the disjunctive scoring " +
+    "restricted to all-terms docs, and an unmatched term empties it") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = tmpdir()
+    try {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+      val and = TextIndex.textIndexTopKAll(spark, terms, dir, k = 1000000)
+      val ref = TextOps.bm25(docs, "doc_id", "text", terms, k = 1000000)
+        .where(col("n_terms") === terms.size)
+      assert(and.exceptAll(ref).isEmpty && ref.exceptAll(and).isEmpty,
+        "conjunctive probe must equal the all-terms-filtered scoring")
+      assert(and.count() > 0, "vacuous conjunction")
+      // and it is a strict subset: some doc matches >=1 term but not all
+      val any = TextIndex.textIndexTopK(spark, terms, dir, k = 1000000)
+      assert(any.count() > and.count(),
+        "fixture should contain partially-matching docs")
+      // conjunctive strictness: one impossible term empties the result
+      assert(TextIndex.textIndexTopKAll(spark,
+        terms :+ "zzqx_no_such_token", dir, k = 10).count() == 0)
+    } finally rm(dir)
+  }
+
   test("rebuild stages a new version, flips the pointer, retains the " +
     "predecessor pair, vacuums older") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
