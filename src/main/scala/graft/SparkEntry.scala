@@ -367,6 +367,25 @@ object SparkEntry {
         maxDf = 100)
         .orderBy("da", "db")),
 
+    // ── §2.9 X127: semi-supervised label propagation over the verified
+    //    near-dup graph — every third doc seeds its source label; three
+    //    clamped majority-vote rounds spread provenance across duplicate
+    //    communities (the labeling CC can't express: majority resists a
+    //    single spurious bridge edge, min-label merging doesn't).
+    //    NULL-label (unreached) nodes are filtered on BOTH sides — NULL
+    //    sort keys desync the engines ────────────────────────────────────
+    "q_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.labelPropagate(
+        Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100),
+        "da", "db",
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "source",
+        rounds = 3)
+        .where(col("label").isNotNull)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ── §2.9 X1g: dedup clusters — connected components over the LSH
     //    candidate graph (iterative min-label propagation; component id =
     //    min doc_id; singletons keep their own id) ────────────────────────
@@ -803,6 +822,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, threshold = 1.0)
         .orderBy("src_id")
     }),
+
+    // ── §2.9 X126: MMR-diversified retrieval (Carbonell & Goldstein
+    //    1998) — from each probe's top-8 relevance candidates, greedily
+    //    pick 4 maximizing λ·rel − (1−λ)·max-sim-to-selected (λ = 1/2):
+    //    the redundancy-removal step in RAG context assembly; plain
+    //    top-k returns k paraphrases of one passage. Integer micro-unit
+    //    scoring, k unrolled argmax rounds, everything post-leg is
+    //    |probes|·n² rows; candidate leg swaps for the persisted IVF
+    //    probe at scale (mmrDiversifyIndexed, spec-pinned equal) ───────
+    "q_mmr_diversify" -> ((s, dir) =>
+      Similarity.mmrDiversify(t(s, dir, "embeddings"), "vec_id",
+        "embedding", _ < 10, n = 8, k = 4)
+        .orderBy("pid", "pick")),
 
     // ── §2.9 X2g: filtered vector search — cosine top-k over a corpus
     //    confined by a metadata predicate (pushed into the scan, ranked
@@ -2172,7 +2204,9 @@ object SparkEntry {
       val path = scratch("graft_txtand_")
       TextIndex.buildTextIndex(t(s, dir, "documents"), "doc_id",
         "text", path, nBuckets = 16)
-      TextIndex.textIndexTopKAll(s, Seq("spark", "join", "window"), path,
+      // terms chosen to co-occur at EVERY fixture scale incl. the
+      // GenData sf1 vocabulary, so the scale gate is never vacuous
+      TextIndex.textIndexTopKAll(s, Seq("hash", "join", "table"), path,
         k = 20)
     }),
 
@@ -3786,6 +3820,24 @@ object SparkEntry {
     "q_dedup_verified" ->
       s"""WITH $verifiedPairsSql
          SELECT da, db, jaccard FROM vp ORDER BY da, db""",
+    // X127 label propagation: 3 unrolled clamped-majority rounds over
+    // the vp edge set — counts are integers, ties (count DESC, label),
+    // seeds (doc_id % 3 = 0 → source) always win the coalesce; NULL
+    // (unreached) labels filtered on both sides.
+    "q_label_prop" ->
+      s"""WITH $verifiedPairsSql,
+         edges AS MATERIALIZED (SELECT da s, db d FROM vp
+                  UNION ALL SELECT db s, da d FROM vp),
+         nodes AS (SELECT DISTINCT s AS id FROM edges),
+         lpseeds AS MATERIALIZED (SELECT doc_id AS id, source AS lab
+                    FROM documents WHERE doc_id % 3 = 0),
+         l0 AS MATERIALIZED (SELECT n.id, sd.lab
+               FROM nodes n LEFT JOIN lpseeds sd USING (id)),
+         ${labelPropRoundSql(1)},
+         ${labelPropRoundSql(2)},
+         ${labelPropRoundSql(3)}
+         SELECT id AS doc_id, lab AS label FROM l3
+         WHERE lab IS NOT NULL ORDER BY doc_id""",
     // Split-leakage audit: the verified near-dup pairs joined twice to
     // the source-bucket split assignment; pairs crossing splits leak.
     "q_split_leakage" ->
@@ -3964,6 +4016,77 @@ object SparkEntry {
                FROM f)
          SELECT pid AS src_id, nid AS tgt_id, sim, margin
          FROM b WHERE rr = 1 AND margin > 1.0 ORDER BY src_id""",
+    // X126 MMR: rel and pairwise sims are exact 1e-6 integers (round-
+    // then-cast), the greedy is k unrolled argmax rounds with the
+    // (score DESC, nid) tiebreak — pure integer comparisons, so the
+    // chained CTEs replay the engine's selection order exactly.
+    "q_mmr_diversify" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, c.vec_id nid,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         r AS (SELECT pid, nid, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank FROM s),
+         cand AS (SELECT pid, nid, CAST(round(sim * 1000000) AS BIGINT) rel
+                  FROM r WHERE rank <= 8),
+         cv AS (SELECT c.pid, c.nid, n.v, n.nrm
+                FROM cand c JOIN n ON n.vec_id = c.nid),
+         ps AS (SELECT a.pid, a.nid AS ca, b.nid AS cb,
+                       CAST(round(round(list_dot_product(a.v, b.v)
+                         / (a.nrm * b.nrm), 6) * 1000000) AS BIGINT) s
+                FROM cv a JOIN cv b ON a.pid = b.pid AND a.nid <> b.nid),
+         p1 AS (SELECT pid, nid, rel, rel AS mmr FROM (
+                  SELECT pid, nid, rel, row_number() OVER (PARTITION BY pid
+                    ORDER BY rel DESC, nid) rr
+                  FROM cand) q WHERE rr = 1),
+         p2 AS (SELECT pid, nid, rel, mmr FROM (
+                  SELECT c.pid, c.nid, c.rel, c.rel - ms.m AS mmr,
+                         row_number() OVER (PARTITION BY c.pid
+                           ORDER BY c.rel - ms.m DESC, c.nid) rr
+                  FROM cand c
+                  JOIN (SELECT ps.pid, ps.ca, max(ps.s) m FROM ps
+                        JOIN p1 ON p1.pid = ps.pid AND p1.nid = ps.cb
+                        GROUP BY 1, 2) ms
+                    ON ms.pid = c.pid AND ms.ca = c.nid
+                  WHERE NOT EXISTS (SELECT 1 FROM p1
+                    WHERE p1.pid = c.pid AND p1.nid = c.nid)) q
+                WHERE rr = 1),
+         s2 AS (SELECT pid, nid FROM p1 UNION ALL SELECT pid, nid FROM p2),
+         p3 AS (SELECT pid, nid, rel, mmr FROM (
+                  SELECT c.pid, c.nid, c.rel, c.rel - ms.m AS mmr,
+                         row_number() OVER (PARTITION BY c.pid
+                           ORDER BY c.rel - ms.m DESC, c.nid) rr
+                  FROM cand c
+                  JOIN (SELECT ps.pid, ps.ca, max(ps.s) m FROM ps
+                        JOIN s2 ON s2.pid = ps.pid AND s2.nid = ps.cb
+                        GROUP BY 1, 2) ms
+                    ON ms.pid = c.pid AND ms.ca = c.nid
+                  WHERE NOT EXISTS (SELECT 1 FROM s2
+                    WHERE s2.pid = c.pid AND s2.nid = c.nid)) q
+                WHERE rr = 1),
+         s3 AS (SELECT pid, nid FROM s2 UNION ALL SELECT pid, nid FROM p3),
+         p4 AS (SELECT pid, nid, rel, mmr FROM (
+                  SELECT c.pid, c.nid, c.rel, c.rel - ms.m AS mmr,
+                         row_number() OVER (PARTITION BY c.pid
+                           ORDER BY c.rel - ms.m DESC, c.nid) rr
+                  FROM cand c
+                  JOIN (SELECT ps.pid, ps.ca, max(ps.s) m FROM ps
+                        JOIN s3 ON s3.pid = ps.pid AND s3.nid = ps.cb
+                        GROUP BY 1, 2) ms
+                    ON ms.pid = c.pid AND ms.ca = c.nid
+                  WHERE NOT EXISTS (SELECT 1 FROM s3
+                    WHERE s3.pid = c.pid AND s3.nid = c.nid)) q
+                WHERE rr = 1)
+         SELECT pid, pick, nid, rel, mmr FROM (
+           SELECT pid, CAST(1 AS BIGINT) pick, nid, rel, mmr FROM p1
+           UNION ALL SELECT pid, CAST(2 AS BIGINT), nid, rel, mmr FROM p2
+           UNION ALL SELECT pid, CAST(3 AS BIGINT), nid, rel, mmr FROM p3
+           UNION ALL SELECT pid, CAST(4 AS BIGINT), nid, rel, mmr FROM p4) u
+         ORDER BY pid, pick""",
     // Filtered search: corpus confined to label < 4 BEFORE ranking, so
     // k results are guaranteed whenever >= k rows pass the filter.
     "q_filtered_search" ->
@@ -5422,7 +5545,7 @@ object SparkEntry {
                   FROM lens),
          tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
          h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-               WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+               WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
          dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
          sc AS (SELECT h.doc_id,
                        ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
@@ -6200,6 +6323,22 @@ object SparkEntry {
          e$i AS MATERIALIZED (SELECT da, db FROM e${i - 1}
                  WHERE da IN (SELECT x FROM n$i)
                    AND db IN (SELECT x FROM n$i))"""
+
+  /** One unrolled clamped-majority label-propagation round
+    * (Dedup.labelPropagate's recurrence) as DuckDB CTEs: neighbor-label
+    * counts m{i}, per-node argmax a{i} (count DESC, label ASC), then
+    * l{i} = coalesce(seed, majority, previous). MATERIALIZED is the X97
+    * rule: each round references its predecessor twice. */
+  private def labelPropRoundSql(i: Int): String =
+    s"""m$i AS MATERIALIZED (SELECT e.s, l.lab, count(*) c
+           FROM edges e JOIN l${i - 1} l ON l.id = e.d
+           WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         a$i AS (SELECT s AS id, lab FROM (
+             SELECT s, lab, row_number() OVER (PARTITION BY s
+               ORDER BY c DESC, lab) rr FROM m$i) q WHERE rr = 1),
+         l$i AS MATERIALIZED (SELECT l.id, coalesce(sd.lab, a.lab, l.lab) lab
+           FROM l${i - 1} l LEFT JOIN a$i a USING (id)
+                LEFT JOIN lpseeds sd USING (id))"""
 
   /** One unrolled fixed-point PageRank iteration (Dedup.pageRank's
     * integer recurrence) as a DuckDB CTE: it{i} from it{i-1}. */

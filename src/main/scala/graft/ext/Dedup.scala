@@ -574,6 +574,62 @@ object Dedup {
     ranks
   }
 
+  /** X127 — semi-supervised LABEL PROPAGATION over an undirected pair
+    * graph (the clamped-seed majority form: Zhu & Ghahramani 2002 /
+    * Raghavan et al. 2007): seed nodes carry fixed labels; each round,
+    * every non-seed node adopts the MAJORITY label among its neighbors'
+    * current labels (unlabeled neighbors abstain, ties break to the
+    * smallest label, a node with no labeled neighbor keeps its current
+    * label), and seeds never move. This is the community LABELER for
+    * near-dup graphs — propagate the curated sources' provenance across
+    * LSH-verified duplicate edges and every unlabeled member of a
+    * duplicate community inherits its dominant label — the decision
+    * CC (X1f) cannot express: min-label components merge across one
+    * spurious bridge edge, while a majority vote resists it.
+    *
+    * Shape: `rounds` is a small query constant, so the loop UNROLLS
+    * into one declarative plan — per round, one edge-keyed hash join of
+    * the symmetric edge frame against the current (node, label) frame,
+    * one (node, label)-keyed count with map-side partials, and one
+    * per-node argmax window — every frame is |E| or |V| rows, the
+    * Pregel superstep re-expressed declaratively, nothing driver-side.
+    * The edge frame is materialized once (`localCheckpoint`, the kCore
+    * discipline) because every round reuses it — without it each round
+    * would recompute the upstream pair generation (typically the full
+    * LSH-verify pipeline) twice. Deterministic end to end: counts are
+    * integers and ties break (count DESC, label ASC). Returns
+    * (id, label) for every graph vertex; label stays NULL where no
+    * seed's influence reached. */
+  def labelPropagate(pairs: DataFrame, aCol: String, bCol: String,
+                     seeds: DataFrame, seedIdCol: String, labelCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val sym = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .localCheckpoint(true)
+    val seedsN = seeds.select(col(seedIdCol).as("id"),
+      col(labelCol).as("__seed"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      .orderBy(col("__c").desc, col("__nl").asc)
+    var cur = sym.select(col("s").as("id")).distinct()
+      .join(seedsN, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("label"))
+    for (_ <- 1 to rounds) {
+      val maj = sym
+        .join(cur.select(col("id").as("d"), col("label").as("__nl")), "d")
+        .where(col("__nl").isNotNull)
+        .groupBy(col("s"), col("__nl")).agg(count(lit(1)).as("__c"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col("s").as("id"), col("__nl").as("__maj"))
+      cur = cur.join(maj, Seq("id"), "left")
+        .join(seedsN, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), col("__maj"), col("label")).as("label"))
+    }
+    cur
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise candidates into DEDUP CLUSTERS (component id = min doc_id of
     * the cluster; keep one representative per component, drop the rest).

@@ -626,6 +626,117 @@ object Similarity {
         .select(col("pid"), col("nid"), col("sim")),
       k, threshold)
 
+  /** The MMR greedy over a (pid, nid, sim) candidate frame — leg-
+    * agnostic (brute-force and persisted-index candidate legs swap 1:1).
+    * All scoring is INTEGER micro-units: rel = round(sim·1e6) and the
+    * pairwise candidate sims likewise, so the greedy's comparisons are
+    * exact in any engine — λ is fixed at 1/2, which makes
+    * argmax(λ·rel − (1−λ)·maxSel) ≡ argmax(rel − maxSel) and lets the
+    * common factor drop out of the integers entirely. The k selection
+    * rounds are UNROLLED into the plan (k is a query constant): each
+    * round is one broadcast-scale join of the candidates against the
+    * selected set's pairwise sims + one argmax window — every frame in
+    * sight is |probes|·n (candidates) or |probes|·n² (pairwise sims)
+    * rows, plan-metadata scale, never corpus-sized. */
+  private def mmrFromCandidates(emb: DataFrame, idCol: String,
+                                vecCol: String, cands: DataFrame, k: Int)
+  : DataFrame = {
+    val rel = cands.select(col("pid"), col("nid"),
+      round(col("sim") * 1e6).cast(LongType).as("rel"))
+    // pairwise candidate-candidate sims per probe: the candidate ID sets
+    // rejoin the corpus for their vectors (bounded: n ids per probe),
+    // then an n×n per-probe join — round-6 cosine in 1e-6 integer units
+    val vecs = prep(emb, idCol, vecCol, "id", "v", "nm")
+    def side(tag: String) = rel.select(col("pid"), col("nid"))
+      .join(vecs, col("nid") === col("id"))
+      .select(col("pid"), col("nid").as(tag),
+        col("v").as(s"v$tag"), col("nm").as(s"n$tag"))
+    val sims = side("a").join(side("b"), "pid")
+      .where(col("a") =!= col("b"))
+      .select(col("pid"), col("a"), col("b"),
+        round(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          * 1e6).cast(LongType).as("s"))
+    val wFirst = Window.partitionBy(col("pid"))
+      .orderBy(col("rel").desc, col("nid").asc)
+    var sel = rel
+      .withColumn("__r", row_number().over(wFirst))
+      .where(col("__r") === 1)
+      .select(col("pid"), lit(1L).as("pick"), col("nid"), col("rel"),
+        col("rel").as("mmr"))
+    val wNext = Window.partitionBy(col("pid"))
+      .orderBy(col("mmr").desc, col("nid").asc)
+    for (i <- 2 to k) {
+      // distinct column names on every joined frame: rel, sims and sel
+      // all share lineage, so df-qualified refs would be ambiguous
+      val chosen = sel.select(col("pid").as("__sp"), col("nid").as("__sb"))
+      // per remaining candidate: max pairwise sim against the selected
+      // set (the redundancy term), then argmax(rel − that) per probe
+      val maxSel = sims.join(chosen,
+          col("pid") === col("__sp") && col("b") === col("__sb"))
+        .groupBy(col("pid"), col("a")).agg(max(col("s")).as("__ms"))
+        .select(col("pid").as("__mp"), col("a").as("__ma"), col("__ms"))
+      val next = rel
+        .join(sel.select(col("pid").as("__dp"), col("nid").as("__dn")),
+          col("pid") === col("__dp") && col("nid") === col("__dn"),
+          "left_anti")
+        .join(maxSel, col("pid") === col("__mp") &&
+          col("nid") === col("__ma"))
+        .select(col("pid"), col("nid"), col("rel"),
+          (col("rel") - col("__ms")).as("mmr"))
+        .withColumn("__r", row_number().over(wNext))
+        .where(col("__r") === 1)
+        .select(col("pid"), lit(i.toLong).as("pick"), col("nid"),
+          col("rel"), col("mmr"))
+      sel = sel.unionByName(next)
+    }
+    sel
+  }
+
+  /** X126 — MMR-DIVERSIFIED retrieval (Maximal Marginal Relevance,
+    * Carbonell & Goldstein, SIGIR 1998): from each probe's top-n
+    * relevance candidates, greedily select k results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected (λ = 1/2) —
+    * the standard redundancy-removal step in RAG context assembly and
+    * result-page diversification, where plain top-k returns k
+    * paraphrases of one passage and MMR forces coverage. Pick 1 is the
+    * most relevant candidate; each later pick is penalized by its worst
+    * redundancy against the selected set.
+    *
+    * Output (pid, pick 1..k, nid, rel, mmr) — rel and the mmr score in
+    * exact 1e-6 integer units (pick 1's mmr is its rel; λ's common
+    * factor cancels), rank-deterministic via (score DESC, nid ASC), so
+    * the whole greedy replays in SQL as k chained argmax CTEs. The
+    * candidate leg here is the caller-bounded brute-force tier; at
+    * 100 TB it swaps 1:1 for the persisted partition-pruned IVF probe
+    * ([[mmrDiversifyIndexed]], spec-pinned equal at
+    * nprobe = nCentroids) because the greedy consumes only
+    * (pid, nid, sim) triples plus the candidates' own vectors (n per
+    * probe, refetched by id). */
+  def mmrDiversify(emb: DataFrame, idCol: String, vecCol: String,
+                   probePred: Column => Column, n: Int, k: Int)
+  : DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    mmrFromCandidates(emb, idCol, vecCol,
+      bruteForceTopK(emb, idCol, vecCol, probePred, n)
+        .select(col("pid"), col("nid"), col("sim")),
+      k)
+  }
+
+  /** X126 (index leg) — [[mmrDiversify]] with the candidate top-n
+    * served by a persisted IVF index probe; the greedy is leg-agnostic,
+    * so at nprobe = nCentroids this equals the brute-force form exactly
+    * (spec-pinned). */
+  def mmrDiversifyIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                          probePred: Column => Column, n: Int, k: Int,
+                          indexPath: String, nprobe: Int = 3): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    mmrFromCandidates(emb, idCol, vecCol,
+      ivfIndexProbe(emb.where(probePred(col(idCol))), idCol, vecCol,
+        indexPath, n, nprobe)
+        .select(col("pid"), col("nid"), col("sim")),
+      k)
+  }
+
   /** X2g — FILTERED vector search, exact leg: cosine top-k where the
     * candidate corpus is confined by a metadata predicate (tenant ACL,
     * language, license, date range — the "filtered ANN" every production

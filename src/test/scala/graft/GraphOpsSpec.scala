@@ -154,6 +154,91 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map("s1" -> (1L, 2L, 6L), "s2" -> (1L, 1L, 4L)))
   }
 
+  // ── X127 label propagation ────────────────────────────────────────
+
+  /** The clamped-majority recurrence verbatim: per round, non-seed
+    * nodes take the majority neighbor label (abstaining NULLs, ties →
+    * smallest label, no labeled neighbor → keep), seeds never move. */
+  private def modelLabelProp(edges: Seq[(Long, Long)],
+                             seeds: Map[Long, String], rounds: Int)
+  : Map[Long, Option[String]] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = sym.map(_._1).toSet
+    var cur: Map[Long, Option[String]] =
+      nodes.map(n => n -> seeds.get(n)).toMap
+    for (_ <- 1 to rounds) {
+      val maj = sym.groupBy(_._1).map { case (n, es) =>
+        val labs = es.flatMap { case (_, d) => cur(d) }
+        n -> (if (labs.isEmpty) None
+              else Some(labs.groupBy(identity).toSeq
+                .map { case (l, o) => (o.size, l) }
+                .sortBy { case (c, l) => (-c, l) }.head._2))
+      }
+      cur = nodes.map(n =>
+        n -> seeds.get(n).orElse(maj.getOrElse(n, None)).orElse(cur(n)))
+        .toMap
+    }
+    cur
+  }
+
+  test("labelPropagate: majority vote resists a single bridge edge " +
+    "where connected components merge (X127)") {
+    import spark.implicits._
+    // two triangles joined by one bridge 3-4; one seed per side
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("da", "db")
+    val seeds = Seq((1L, "a"), (4L, "b")).toDF("id", "lab")
+    val out = Dedup.labelPropagate(edges, "da", "db", seeds, "id", "lab",
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "a",
+      4L -> "b", 5L -> "b", 6L -> "b"))
+    // the contrast X127's scaladoc claims: CC merges the two communities
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val comps = Dedup.connectedComponents(vertices, edges)
+      .select("component").distinct().count()
+    assert(comps == 1L, "CC must see ONE component across the bridge")
+  }
+
+  test("labelPropagate: a label travels one hop per round; unreached " +
+    "nodes stay NULL; seeds clamp (X127)") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("da", "db")
+    val seeds = Seq((1L, "x")).toDF("id", "lab")
+    val out = Dedup.labelPropagate(chain, "da", "db", seeds, "id", "lab",
+      rounds = 3).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("x"), 2L -> Some("x"), 3L -> Some("x"),
+      4L -> Some("x"), 5L -> None))
+    // a contradicting seed never moves even when outvoted
+    val seeds2 = Seq((1L, "x"), (2L, "y")).toDF("id", "lab")
+    val out2 = Dedup.labelPropagate(chain, "da", "db", seeds2, "id",
+      "lab", rounds = 3).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out2(2L) == Some("y"), "seed must clamp")
+  }
+
+  test("labelPropagate matches the in-memory recurrence on random " +
+    "graphs (X127)") {
+    import spark.implicits._
+    val rnd = new Random(4127)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = (0 until n by 3)
+        .map(i => i.toLong -> s"s${rnd.nextInt(3)}").toMap
+      val got = Dedup.labelPropagate(
+        edges.toDF("da", "db"),
+        "da", "db", seeds.toSeq.toDF("id", "lab"), "id", "lab",
+        rounds = 3).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val want = modelLabelProp(edges, seeds, rounds = 3)
+      assert(got == want, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("kCore: peels a tail chain off a triangle, keeps the dense region") {
     import spark.implicits._
     // triangle {1,2,3} + a pendant chain 3-4-5 + an isolated edge 6-7:

@@ -358,6 +358,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ── shared IEEE re-derivation helpers (X125/X126 differentials) ────
+
+  /** Spark round(x, 6) for DoubleType: BigDecimal.valueOf + HALF_UP. */
+  private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Round-6 cosine in the engine's op order (float→double element
+    * casts, left-to-right accumulation, sqrt'd norms, one division). */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    round6(d / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** sim → exact 1e-6 integer units: round(sim·1e6) then truncate. */
+  private def micro(s: Double): Long = java.math.BigDecimal
+    .valueOf(s * 1e6).setScale(0, java.math.RoundingMode.HALF_UP)
+    .doubleValue.toLong
+
+  private def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+    .select("vec_id", "embedding").collect()
+    .map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
   // ── X125 margin-based bitext mining ────────────────────────────────
 
   private def bitextSides() = {
@@ -378,20 +404,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(3) > 1.0), "threshold bar")
 
     // independent reimplementation: same IEEE ops in the same order
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    def vecsOf(df: org.apache.spark.sql.DataFrame) = df
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val sv = vecsOf(src); val tv = vecsOf(tgt)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      round6(d / (math.sqrt(na) * math.sqrt(nb)))
-    }
     def topk(from: Map[Long, Array[Double]], to: Map[Long, Array[Double]])
     : Map[Long, Seq[(Long, Double)]] =
       from.map { case (pid, pv) =>
@@ -399,10 +412,8 @@ class RetrievalOpsSpec extends AnyFunSuite {
           .sortBy { case (nid, sim) => (-sim, nid) }.take(4)
       }
     val fwd = topk(sv, tv); val bwd = topk(tv, sv)
-    def dsum(l: Seq[(Long, Double)]): Long = l.map { case (_, s) =>
-      java.math.BigDecimal.valueOf(s * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
-    }.sum
+    def dsum(l: Seq[(Long, Double)]): Long =
+      l.map { case (_, s) => micro(s) }.sum
     val expected = fwd.flatMap { case (pid, cands) =>
       cands.map { case (nid, sim) =>
         val m = round6(sim / ((dsum(fwd(pid)) + dsum(bwd(nid))) / 8e6))
@@ -427,6 +438,65 @@ class RetrievalOpsSpec extends AnyFunSuite {
             k = 4, threshold = 1.0),
           "bitext-margin")
       }
+    }
+  }
+
+  // ── X126 MMR-diversified retrieval ─────────────────────────────────
+
+  test("mmrDiversify: selection replays from a driver-side integer " +
+    "greedy; pick 1 is the relevance argmax (X126)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val out = Similarity.mmrDiversify(emb, "vec_id", "embedding",
+      _ < 10, n = 8, k = 4).orderBy("pid", "pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out.nonEmpty, "vacuous differential")
+    // no probe repeats a pick
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+
+    // independent integer greedy in the driver
+    val all = vecsOf(emb)
+    val probes = all.filter(_._1 < 10)
+    val expected = probes.keys.toSeq.sorted.flatMap { pid =>
+      val pv = all(pid)
+      val cands = all.toSeq.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, cos(pv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(8)
+        .map { case (nid, s) => (nid, micro(s)) }
+      val pair = (for ((a, _) <- cands; (b, _) <- cands if a != b)
+        yield (a, b) -> micro(cos(all(a), all(b)))).toMap
+      var selected = Vector.empty[(Long, Long, Long)] // (nid, rel, mmr)
+      for (_ <- 1 to 4) {
+        val remaining = cands.filterNot(c =>
+          selected.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (nid, rel) =>
+            val mmr = if (selected.isEmpty) rel
+              else rel - selected.map(s => pair((nid, s._1))).max
+            (nid, rel, mmr)
+          }
+          selected :+= scored.minBy { case (nid, _, mmr) => (-mmr, nid) }
+        }
+      }
+      selected.zipWithIndex.map { case ((nid, rel, mmr), i) =>
+        (pid, (i + 1).toLong, nid, rel, mmr)
+      }
+    }
+    assert(out == expected, "MMR greedy differential mismatch")
+  }
+
+  test("mmrDiversifyIndexed equals mmrDiversify at nprobe = nCentroids " +
+    "(X126)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    withIndex(emb) { dir =>
+      pinEqual(
+        Similarity.mmrDiversifyIndexed(emb, "vec_id", "embedding",
+          _ < 10, n = 8, k = 4, dir, nprobe = 8),
+        Similarity.mmrDiversify(emb, "vec_id", "embedding",
+          _ < 10, n = 8, k = 4),
+        "mmr-diversify")
     }
   }
 
