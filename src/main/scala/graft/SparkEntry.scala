@@ -836,6 +836,24 @@ object SparkEntry {
         "embedding", _ < 10, n = 8, k = 4)
         .orderBy("pid", "pick")),
 
+    // ── §2.9 X128/X128b: ranking-quality eval — the int8-quantized
+    //    search tier (exact integer dots over max-abs codes → fully
+    //    oracle-replayable, unlike a float ANN tier) measured against
+    //    the exact cosine ranking with MRR + binary-relevance nDCG@5
+    //    (discounts = the fixed 1e-6-unit literal table; no runtime
+    //    transcendentals). recallArtifact answers "is the true top-1
+    //    in the list"; this answers WHERE it landed and how much gold
+    //    mass ranks high — what the 8-bit trade actually costs ─────────
+    "q_rank_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rankMetrics(
+        Similarity.int8TopK(emb, "vec_id", "embedding", _ < 10, k = 5),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 10,
+          k = 5),
+        k = 5)
+        .orderBy("pid")
+    }),
+
     // ── §2.9 X2g: filtered vector search — cosine top-k over a corpus
     //    confined by a metadata predicate (pushed into the scan, ranked
     //    after — k results guaranteed whenever ≥k rows pass; post-
@@ -4016,6 +4034,65 @@ object SparkEntry {
                FROM f)
          SELECT pid AS src_id, nid AS tgt_id, sim, margin
          FROM b WHERE rr = 1 AND margin > 1.0 ORDER BY src_id""",
+    // X128/X128b rank metrics: the system ranking is the int8 tier —
+    // quantized dots are EXACT integers (so the double accumulation
+    // agrees in any order), norms are IEEE sqrt of exact ints, sims
+    // round-6; the metric arithmetic is integer sums joined to the
+    // same literal discount table the engine embeds, then two round-6
+    // divisions. Gold = the q_cosine_topk chain.
+    "q_rank_metrics" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         gs AS (SELECT p.vec_id pid, c.vec_id nid,
+                       round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+                FROM n p, n c WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         gold AS (SELECT pid, nid AS gnid, grank FROM (
+                    SELECT pid, nid, row_number() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) grank FROM gs) q
+                  WHERE grank <= 5),
+         qn AS (SELECT vec_id,
+                       CASE WHEN mx = 0
+                            THEN list_transform(embedding,
+                              x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx)
+                                AS BIGINT)) END qv
+                FROM (SELECT vec_id, embedding,
+                             list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) mx
+                      FROM embeddings) m),
+         qd AS (SELECT vec_id, CAST(qv AS DOUBLE[]) dv,
+                       sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                             CAST(qv AS DOUBLE[]))) qn
+                FROM qn),
+         ss AS (SELECT p.vec_id pid, c.vec_id nid,
+                       round(list_dot_product(p.dv, c.dv)
+                         / (p.qn * c.qn), 6) sim
+                FROM qd p, qd c WHERE p.vec_id < 10
+                  AND c.vec_id <> p.vec_id),
+         sysk AS (SELECT pid, nid, rank FROM (
+                    SELECT pid, nid, row_number() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) rank FROM ss) q
+                  WHERE rank <= 5),
+         w(r, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+                             (4, 430677), (5, 386853)),
+         h AS (SELECT s.pid, s.rank, g.grank FROM sysk s
+               LEFT JOIN gold g ON g.pid = s.pid AND g.gnid = s.nid),
+         agg AS (SELECT h.pid,
+                        CAST(sum(CASE WHEN h.grank IS NOT NULL
+                          THEN w.wt ELSE 0 END) AS BIGINT) dcg,
+                        CAST(count(h.grank) AS BIGINT) n_hits,
+                        min(CASE WHEN h.grank = 1 THEN h.rank END) r1
+                 FROM h JOIN w ON w.r = h.rank GROUP BY 1),
+         ig AS (SELECT pid, CAST(sum(w.wt) AS BIGINT) idcg FROM gold
+                JOIN w ON w.r = gold.grank GROUP BY 1)
+         SELECT a.pid, a.n_hits,
+                round(coalesce(1.0 / a.r1, 0), 6) AS mrr,
+                round(CAST(a.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+                  AS ndcg
+         FROM agg a JOIN ig i ON i.pid = a.pid ORDER BY a.pid""",
     // X126 MMR: rel and pairwise sims are exact 1e-6 integers (round-
     // then-cast), the greedy is k unrolled argmax rounds with the
     // (score DESC, nid) tiebreak — pure integer comparisons, so the

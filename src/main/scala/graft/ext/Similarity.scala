@@ -722,6 +722,97 @@ object Similarity {
       k)
   }
 
+  /** X128b — INT8-QUANTIZED cosine top-k: the search tier that ranks
+    * over [[quantizeInt8]]'s max-abs int8 codes instead of the float
+    * vectors — 4× less candidate bandwidth, the memory-bound trade every
+    * production vector store offers below float32. The quantized dot is
+    * an EXACT integer (|q| ≤ 127; 64-dim worst case ≈ 10⁶, far inside
+    * 2⁵³, so the double accumulation is exact in any order), norms are
+    * IEEE-exact sqrt of exact integers, and the similarity is one
+    * division rounded to 6 — fully oracle-replayable, unlike a float
+    * ANN tier whose recall must be spec-asserted. Pairs with
+    * [[rankMetrics]] to MEASURE what the 8-bit trade costs in ranking
+    * quality rather than guessing. Caller-bounded probes; the corpus
+    * side is one broadcast-probe pass, the [[bruteForceTopK]] contract. */
+  def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
+               probePred: Column => Column, k: Int): DataFrame = {
+    def qv(c: Column): Column = {
+      val mx = array_max(transform(c, x => abs(x.cast(DoubleType))))
+      when(mx === 0.0, transform(c, _ => lit(0L)))
+        .otherwise(transform(c,
+          x => round(x.cast(DoubleType) * 127.0 / mx).cast(LongType)))
+    }
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val base = emb.select(col(idCol).as("id"), qv(col(vecCol)).as("q"))
+    val corpus = base.select(col("id").as("nid"), col("q").as("nq"))
+      .withColumn("nn", sqrt(idot(col("nq"), col("nq")).cast(DoubleType)))
+    val probes = base.where(probePred(col("id")))
+      .select(col("id").as("pid"), col("q").as("pq"))
+      .withColumn("pn", sqrt(idot(col("pq"), col("pq")).cast(DoubleType)))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    broadcast(probes).join(corpus, col("nid") =!= col("pid"))
+      .withColumn("sim", round(idot(col("pq"), col("nq")).cast(DoubleType)
+        / (col("pn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** The nDCG discount table in exact 1e-6 integer units:
+    * W(r) = round(1e6 / log2(r + 1)) for rank r = 1..10, precomputed
+    * CONSTANTS — embedding the same literals in the engine and the
+    * oracle removes runtime transcendentals entirely (two engines'
+    * log() may disagree in the last ULP; two copies of the same integer
+    * cannot). */
+  private val NdcgW: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** X128 — ranking-quality EVAL (MRR + nDCG@k + hit count) of a SYSTEM
+    * ranking against a GOLD ranking — the measurement layer every
+    * retrieval stack needs the moment it trades exactness for speed
+    * (quantized tiers, ANN probes, fused rankings): [[recallArtifact]]
+    * answers "is the true top-1 somewhere in the list"; this answers
+    * the graded questions — WHERE does the gold top-1 land (MRR = 1/its
+    * system rank, 0 if absent) and how much gold mass lands HIGH
+    * (binary-relevance nDCG@k: hit = system item ∈ gold top-k,
+    * discounted by the [[NdcgW]] literal table, normalized by the
+    * gold list's own ideal DCG).
+    *
+    * Both inputs are (pid, rank, nid, …) top-k frames — leg-agnostic,
+    * so any ranking tier plugs in. Everything is |probes|·k rows after
+    * the two scans; the metric arithmetic is integer sums (exact at any
+    * partitioning) and two final round-6 divisions per probe, so the
+    * whole operator hash-replays in SQL. */
+  def rankMetrics(sys: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgW.size,
+      s"k=$k outside the discount table (1..${NdcgW.size})")
+    val wArr = array(NdcgW.take(k).map(lit): _*)
+    val sysK = sys.where(col("rank") <= k)
+      .select(col("pid"), col("rank"), col("nid"))
+    val goldK = gold.where(col("rank") <= k)
+      .select(col("pid").as("gp"), col("rank").as("grank"),
+        col("nid").as("gnid"))
+    val hits = sysK.join(goldK,
+        col("pid") === col("gp") && col("nid") === col("gnid"), "left")
+      .groupBy(col("pid"))
+      .agg(
+        sum(when(col("gnid").isNotNull,
+            element_at(wArr, col("rank").cast(IntegerType)))
+          .otherwise(0L)).as("__dcg"),
+        sum(when(col("gnid").isNotNull, 1L).otherwise(0L))
+          .cast(LongType).as("n_hits"),
+        min(when(col("grank") === 1, col("rank"))).as("__r1"))
+    val idcg = goldK.groupBy(col("gp"))
+      .agg(sum(element_at(wArr, col("grank").cast(IntegerType)))
+        .as("__idcg"))
+    hits.join(idcg, col("pid") === col("gp"))
+      .select(col("pid"), col("n_hits"),
+        round(coalesce(lit(1.0) / col("__r1"), lit(0.0)), 6).as("mrr"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+  }
+
   /** X126 (index leg) — [[mmrDiversify]] with the candidate top-n
     * served by a persisted IVF index probe; the greedy is leg-agnostic,
     * so at nprobe = nCentroids this equals the brute-force form exactly

@@ -500,6 +500,68 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ── X128 rank metrics / X128b int8 search tier ─────────────────────
+
+  test("rankMetrics: a ranking scored against itself is perfect (X128)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val gold = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      _ < 10, k = 5)
+    val m = Similarity.rankMetrics(gold, gold, k = 5).collect()
+    assert(m.length == 10)
+    assert(m.forall(r => r.getLong(1) == 5L &&
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0))
+  }
+
+  test("rankMetrics hand fixture: gold top-1 at system rank 2, one " +
+    "miss — MRR 0.5, nDCG from the literal table (X128)") {
+    import spark.implicits._
+    val gold = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("pid", "rank", "nid")
+    val sys = Seq((1L, 1, 20L), (1L, 2, 10L), (1L, 3, 40L))
+      .toDF("pid", "rank", "nid")
+    val r = Similarity.rankMetrics(sys, gold, k = 3).collect()(0)
+    assert(r.getLong(1) == 2L) // hits: 20 and 10; 40 is a miss
+    assert(r.getDouble(2) == 0.5) // gold top-1 (10) sits at sys rank 2
+    val dcg = 1000000L + 630930L // hits at system ranks 1 and 2
+    val idcg = 1000000L + 630930L + 500000L
+    assert(r.getDouble(3) == round6(dcg.toDouble / idcg))
+    // absent gold top-1 zeroes MRR
+    val sys2 = Seq((1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L))
+      .toDF("pid", "rank", "nid")
+    assert(Similarity.rankMetrics(sys2, gold, k = 3)
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("int8TopK replays from a driver-side quantize-and-rank (X128b)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val got = Similarity.int8TopK(emb, "vec_id", "embedding", _ < 10,
+      k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2))
+    val all = vecsOf(emb)
+    def quant(a: Array[Double]): Array[Long] = {
+      val mx = a.map(math.abs).max
+      if (mx == 0.0) a.map(_ => 0L)
+      else a.map(x => java.math.BigDecimal.valueOf(x * 127.0 / mx)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong)
+    }
+    val qm = all.map { case (id, v) => id -> quant(v) }
+    def idot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = qm.keys.filter(_ < 10).toSeq.sorted.flatMap { pid =>
+      val pq = qm(pid); val pn = math.sqrt(idot(pq, pq).toDouble)
+      qm.toSeq.filter(_._1 != pid).map { case (nid, nq) =>
+        (nid, round6(idot(pq, nq).toDouble /
+          (pn * math.sqrt(idot(nq, nq).toDouble))))
+      }.sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, s), i) => (pid, i + 1, nid, s) }
+    }
+    assert(got == expected, "int8 ranking differential mismatch")
+  }
+
   // ── X2g filtered search ────────────────────────────────────────────
 
   test("filteredTopK returns only allowed labels and guarantees k") {
