@@ -2113,6 +2113,27 @@ object SparkEntry {
 
     // ── §2.9 X52: keyword search — integer-exact ranked retrieval
     //    (distinct-term coordination + tf tiebreak), top-10 ───────────────
+    // ── §2.9 X129: percolation / reverse search — stored conjunctive
+    //    queries (the alerting/subscription registry) matched by every
+    //    document: registry explodes to broadcast term postings with
+    //    the per-query term count denormalized, docs explode to
+    //    distinct tokens, match = one term-keyed join + count = need.
+    //    Query 4's term exists in no corpus (a standing alert that
+    //    never fires must never fire); query 3 exercises the
+    //    vocabulary-dependent case (matches at sf0.01, empty at sf1) ──
+    "q_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("table", "scan", "filter")),
+        (3L, Seq("stream", "batch")),
+        (4L, Seq("no_such_token_zzqx")),
+        (5L, Seq("agg"))).toDF("qid", "terms")
+      TextOps.percolate(t(s, dir, "documents"), "doc_id", "text",
+        stored, "qid", "terms")
+        .orderBy("doc_id", "qid")
+    }),
+
     "q_keyword_search" -> ((s, dir) =>
       TextOps.keywordSearch(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), k = 10)),
@@ -5399,6 +5420,25 @@ object SparkEntry {
          ORDER BY n_ab DESC, a, b LIMIT 50""",
     // Keyword search: literal term filter, distinct-term + tf scoring,
     // top-10 under the total order (n_terms desc, total_tf desc, doc_id).
+    // X129 percolation: the stored-query registry as a VALUES literal,
+    // the same conjunctive count = need arithmetic — all integers.
+    "q_percolate" ->
+      """WITH q(qid, terms) AS (VALUES
+           (1, ['hash', 'join']),
+           (2, ['table', 'scan', 'filter']),
+           (3, ['stream', 'batch']),
+           (4, ['no_such_token_zzqx']),
+           (5, ['agg'])),
+         qt AS (SELECT qid, unnest(list_distinct(terms)) tok FROM q),
+         qn AS (SELECT qid, count(*) need FROM qt GROUP BY 1),
+         dt AS (SELECT doc_id, unnest(list_distinct(
+                  regexp_split_to_array(trim(lower(text)), ' +'))) tok
+                FROM documents),
+         m AS (SELECT d.doc_id, t.qid FROM dt d JOIN qt t USING (tok)),
+         g AS (SELECT doc_id, qid, count(*) got FROM m GROUP BY 1, 2)
+         SELECT g.doc_id, CAST(g.qid AS BIGINT) qid
+         FROM g JOIN qn USING (qid) WHERE got = need
+         ORDER BY doc_id, qid""",
     "q_keyword_search" ->
       """WITH tk AS (SELECT doc_id,
                 unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok

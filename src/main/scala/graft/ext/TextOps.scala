@@ -1038,6 +1038,43 @@ object TextOps {
     * global sort). An inverted index would serve repeated queries; for
     * one-shot scans the map-side filter IS the index probe.
     */
+  /** X129 — PERCOLATION / reverse search (the Elasticsearch-percolator
+    * shape every alerting/routing/subscription system needs): STORED
+    * conjunctive queries are the table, arriving documents are the
+    * probe — each document reports which standing queries it satisfies
+    * (every term of the query present in the document). Forward search
+    * asks "which docs match this query, once"; the production reverse
+    * asks it for every arriving doc against thousands of standing
+    * queries, and the right shape is the INVERTED one: stored queries
+    * explode into (qid, term) postings with the per-query term count
+    * denormalized on, documents explode into DISTINCT tokens, and the
+    * match is one term-keyed hash join plus a (doc, qid)-keyed
+    * count = need filter — never docs × queries. At 100 TB of arriving
+    * docs the stored-query posting frame is registry-sized and
+    * BROADCASTS; after the join everything is hits-sized (a doc meets a
+    * query only through shared terms).
+    *
+    * `queries`: (qidCol, termsCol array<string>). Terms lowercase and
+    * de-duplicate; a query with an empty term set matches NOTHING —
+    * the vacuous-truth alternative (an alert firing on every document)
+    * is a bug, and the empty explode drops it naturally. Output:
+    * (doc_id, qid) match pairs. */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, termsCol: String)
+  : DataFrame = {
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(transform(col(termsCol), lower(_)))).as("tok"))
+    val qpost = qt.join(
+      qt.groupBy("qid").agg(count(lit(1)).as("__need")), "qid")
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    dt.join(broadcast(qpost), "tok")
+      .groupBy(col("doc_id"), col("qid"), col("__need"))
+      .agg(count(lit(1)).as("__got"))
+      .where(col("__got") === col("__need"))
+      .select(col("doc_id"), col("qid"))
+  }
+
   def keywordSearch(df: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query-term set")

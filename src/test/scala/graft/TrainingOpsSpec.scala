@@ -480,6 +480,32 @@ class TrainingOpsSpec extends AnyFunSuite {
       (6L, 2L, 2L)))
   }
 
+  test("percolate: every-term conjunction per stored query, duplicate " +
+    "tokens collapse, empty term set never fires (X129)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha beta"), // duplicate tokens count once
+      (3L, "beta gamma"),
+      (4L, "ALPHA Beta"),       // case-folded match
+      (5L, "delta")
+    ).toDF("doc_id", "text")
+    val stored = Seq(
+      (10L, Seq("alpha", "beta")),
+      (20L, Seq("gamma")),
+      (30L, Seq("alpha", "beta", "gamma")),
+      (40L, Seq("ALPHA", "alpha")), // query-side dedup: needs 1 term
+      (50L, Seq.empty[String])      // never fires
+    ).toDF("qid", "terms")
+    val got = TextOps.percolate(docs, "doc_id", "text", stored,
+      "qid", "terms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 10L), (2L, 10L), (4L, 10L),            // alpha ∧ beta
+      (1L, 20L), (3L, 20L),                       // gamma
+      (1L, 30L),                                  // all three
+      (1L, 40L), (2L, 40L), (4L, 40L)))           // deduped single term
+  }
+
   test("bpeMergePairs: word-count-weighted adjacent char pairs") {
     val docs = Seq(
       (1L, "abc abc ab"),
