@@ -53,6 +53,21 @@ object SparkEntry {
   private def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** X129's standing-query registry, shared by the batch and streaming
+    * percolation queries (and replayed as a VALUES literal in their
+    * shared oracle): terms span both corpora vocabularies, query 3 is
+    * vocabulary-dependent (fires at sf0.01, not in the GenData vocab),
+    * query 4 never fires anywhere. */
+  private def percolateRegistry(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, Seq("hash", "join")),
+      (2L, Seq("table", "scan", "filter")),
+      (3L, Seq("stream", "batch")),
+      (4L, Seq("no_such_token_zzqx")),
+      (5L, Seq("agg"))).toDF("qid", "terms")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2121,17 +2136,30 @@ object SparkEntry {
     //    Query 4's term exists in no corpus (a standing alert that
     //    never fires must never fire); query 3 exercises the
     //    vocabulary-dependent case (matches at sf0.01, empty at sf1) ──
-    "q_percolate" -> ((s, dir) => {
-      import s.implicits._
-      val stored = Seq(
-        (1L, Seq("hash", "join")),
-        (2L, Seq("table", "scan", "filter")),
-        (3L, Seq("stream", "batch")),
-        (4L, Seq("no_such_token_zzqx")),
-        (5L, Seq("agg"))).toDF("qid", "terms")
+    "q_percolate" -> ((s, dir) =>
       TextOps.percolate(t(s, dir, "documents"), "doc_id", "text",
-        stored, "qid", "terms")
-        .orderBy("doc_id", "qid")
+        percolateRegistry(s), "qid", "terms")
+        .orderBy("doc_id", "qid")),
+
+    // ── §2.8 + §2.9 X129b: STREAMING percolation — the registry's
+    //    natural deployment: every arriving micro-batch of documents is
+    //    matched against the broadcast standing queries (stream-static
+    //    join + streaming conjunction count, complete mode). The
+    //    conjunction's groupBy keys include doc_id, so batching can
+    //    never change which queries a document fires — the final table
+    //    equals the batch operator and SHARES its oracle; spec-pinned
+    //    across three forced micro-batches in StreamingSpec ────────────
+    "q_stream_percolate" -> ((s, dir) => {
+      val name = s"graft_stream_perc_${streamSeq.incrementAndGet()}"
+      val q = TextOps.percolate(Tables.loadStream(s, dir, "documents"),
+          "doc_id", "text", percolateRegistry(s), "qid", "terms")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratch("graft_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id", "qid")
     }),
 
     "q_keyword_search" -> ((s, dir) =>
@@ -5422,23 +5450,11 @@ object SparkEntry {
     // top-10 under the total order (n_terms desc, total_tf desc, doc_id).
     // X129 percolation: the stored-query registry as a VALUES literal,
     // the same conjunctive count = need arithmetic — all integers.
-    "q_percolate" ->
-      """WITH q(qid, terms) AS (VALUES
-           (1, ['hash', 'join']),
-           (2, ['table', 'scan', 'filter']),
-           (3, ['stream', 'batch']),
-           (4, ['no_such_token_zzqx']),
-           (5, ['agg'])),
-         qt AS (SELECT qid, unnest(list_distinct(terms)) tok FROM q),
-         qn AS (SELECT qid, count(*) need FROM qt GROUP BY 1),
-         dt AS (SELECT doc_id, unnest(list_distinct(
-                  regexp_split_to_array(trim(lower(text)), ' +'))) tok
-                FROM documents),
-         m AS (SELECT d.doc_id, t.qid FROM dt d JOIN qt t USING (tok)),
-         g AS (SELECT doc_id, qid, count(*) got FROM m GROUP BY 1, 2)
-         SELECT g.doc_id, CAST(g.qid AS BIGINT) qid
-         FROM g JOIN qn USING (qid) WHERE got = need
-         ORDER BY doc_id, qid""",
+    "q_percolate" -> percolateOracleSql,
+    // X129b streaming percolation: the conjunction is keyed by doc_id,
+    // so micro-batch boundaries cannot move a match — the final
+    // complete-mode table equals the batch operator by construction.
+    "q_stream_percolate" -> percolateOracleSql,
     "q_keyword_search" ->
       """WITH tk AS (SELECT doc_id,
                 unnest(regexp_split_to_array(trim(lower(text)), ' +')) tok
@@ -6246,6 +6262,26 @@ object SparkEntry {
     * `Dedup.minHashVerified(docs, "doc_id", "text", 0.3, maxDf = 100)`;
     * ends in `vp(da, db, jaccard)`. Used by q_dedup_verified and
     * q_split_leakage so the two oracles cannot drift apart. */
+  /** X129/X129b's shared oracle: the percolateRegistry as a VALUES
+    * literal, the same conjunctive count = need arithmetic. */
+  private val percolateOracleSql =
+    """WITH q(qid, terms) AS (VALUES
+           (1, ['hash', 'join']),
+           (2, ['table', 'scan', 'filter']),
+           (3, ['stream', 'batch']),
+           (4, ['no_such_token_zzqx']),
+           (5, ['agg'])),
+         qt AS (SELECT qid, unnest(list_distinct(terms)) tok FROM q),
+         qn AS (SELECT qid, count(*) need FROM qt GROUP BY 1),
+         dt AS (SELECT doc_id, unnest(list_distinct(
+                  regexp_split_to_array(trim(lower(text)), ' +'))) tok
+                FROM documents),
+         m AS (SELECT d.doc_id, t.qid FROM dt d JOIN qt t USING (tok)),
+         g AS (SELECT doc_id, qid, count(*) got FROM m GROUP BY 1, 2)
+         SELECT g.doc_id, CAST(g.qid AS BIGINT) qid
+         FROM g JOIN qn USING (qid) WHERE got = need
+         ORDER BY doc_id, qid"""
+
   private val verifiedPairsSql =
     """toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
                FROM documents),

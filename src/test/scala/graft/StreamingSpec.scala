@@ -430,6 +430,41 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup $dMax/$dLast; mem bytes max: join $jMem, sessions $sMem, dedup $dMem")
   }
 
+  test("streaming percolation over three forced micro-batches equals " +
+    "the batch operator (X129b)") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val stored = Seq(
+      (1L, Seq("hash", "join")),
+      (2L, Seq("table", "scan", "filter")),
+      (5L, Seq("agg"))).toDF("qid", "terms")
+    // three files → maxFilesPerTrigger=1 → three genuine micro-batches
+    val srcDir = tmp("graft_perc_stream_src_")
+    (0 to 2).foreach(r => docs.where(col("doc_id") % 3 === r)
+      .write.parquet(s"$srcDir/f$r"))
+    val q = TextOps.percolate(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*"),
+        "doc_id", "text", stored, "qid", "terms")
+      .writeStream.format("memory").queryName("perc_spec")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft_ckpt_percspec_"))
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected ≥3 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("perc_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = TextOps.percolate(docs, "doc_id", "text", stored,
+      "qid", "terms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "micro-batching must not move a match")
+    assert(batch.nonEmpty, "vacuous pin")
+  }
+
   test("streaming index ingest: multi-batch appends converge to the batch append") {
     import graft.ext.Similarity
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
