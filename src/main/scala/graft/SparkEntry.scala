@@ -375,6 +375,19 @@ object SparkEntry {
         maxDf = 100)
         .orderBy("da", "db")),
 
+    // ── §2.9 X130: exact similarity join via PREFIX FILTERING (SSJoin/
+    //    ppjoin) — the lossless scale path for exact Jaccard pairs:
+    //    candidates only where two docs share a shingle among their
+    //    rarest |S|−⌈t|S|⌉+1 (the prefix pigeonhole), so the boilerplate
+    //    df heavy tail that dominates the full self-join never
+    //    generates candidates; verification is exact over full sets.
+    //    Unlike LSH (X1b) it can never miss a qualifying pair —
+    //    spec-pinned EQUAL to ngramJaccard at the same threshold ───────
+    "q_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text",
+        0.4, maxDf = 100)
+        .orderBy("da", "db")),
+
     // ── §2.9 X1e: the composed scale pipeline — LSH candidates, exact
     //    Jaccard verification restricted to candidates, df-capped ─────────
     "q_dedup_verified" -> ((s, dir) =>
@@ -3884,6 +3897,25 @@ object SparkEntry {
            SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
            FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
          WHERE jaccard >= 0.3 ORDER BY da, db""",
+    // X130 prefix-filter join: EXACT by construction (the prefix prunes
+    // candidates, never results), so the oracle is the full-self-join
+    // exact Jaccard chain at the query's threshold — identical to
+    // q_ngram_jaccard's with 0.4.
+    "q_prefix_join" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') t
+                       FROM documents),
+         tri0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                  FROM toks, unnest(range(1, len(t)-1)) r(i)),
+         tri AS MATERIALIZED (SELECT * FROM tri0 WHERE sh IN (
+                   SELECT sh FROM tri0 GROUP BY sh HAVING count(*) <= 100)),
+         sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM tri GROUP BY 1),
+         inter AS MATERIALIZED (SELECT a.doc_id da, c.doc_id db, count(*) i
+                   FROM tri a JOIN tri c ON a.sh = c.sh AND c.doc_id > a.doc_id
+                   GROUP BY 1,2)
+         SELECT da, db, jaccard FROM (
+           SELECT da, db, round(i / (sa.n + sb.n - i), 6) jaccard
+           FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+         WHERE jaccard >= 0.4 ORDER BY da, db""",
     "q_dedup_verified" ->
       s"""WITH $verifiedPairsSql
          SELECT da, db, jaccard FROM vp ORDER BY da, db""",

@@ -50,6 +50,40 @@ class DedupDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixFilterJoin equals ngramJaccard at every threshold — the " +
+    "prefix prunes candidates, never results (X130)") {
+    import spark.implicits._
+    // random corpora at several thresholds: the lossless-prefix claim
+    for (seed <- Seq(3, 4); t <- Seq(0.25, 0.4, 0.6)) {
+      val docs = randomDocs(seed, 60).toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", t)
+      val pruned = Dedup.prefixFilterJoin(docs, "doc_id", "text", t)
+      assert(pruned.exceptAll(exact).isEmpty &&
+        exact.exceptAll(pruned).isEmpty, s"seed=$seed t=$t")
+    }
+    // and on the fixture with the declared df cap — non-vacuously
+    val fixture = Tables.load(spark, TestSpark.sfDir, "documents")
+    val a = Dedup.prefixFilterJoin(fixture, "doc_id", "text", 0.4,
+      maxDf = 100)
+    val b = Dedup.ngramJaccard(fixture, "doc_id", "text", 0.4,
+      maxDf = 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0, "vacuous pin")
+  }
+
+  test("prefixFilterJoin boundary: a pair at exactly the threshold " +
+    "survives; just below rounds out (X130)") {
+    import spark.implicits._
+    // trigrams: {abc,bcd,cde,def} vs {abc,bcd,cde,deg} → J = 3/5 = 0.6
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val at = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(at.toSeq == Seq((1L, 2L, 0.6)))
+    assert(Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.600001)
+      .count() == 0)
+  }
+
   test("minhash LSH: exact duplicates always collide, disjoint-vocab docs never") {
     import spark.implicits._
     val rnd = new Random(7)
