@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CoreOps
-import graft.ext.{Analytics, Dedup, Events, Media, Sampling, Similarity, TextIndex, TextOps}
+import graft.ext.{Analytics, Dedup, Events, Media, Sampling, Similarity, SuffixOps, TextIndex, TextOps}
 import graft.meta.MetaStore
 import graft.sync.SyncEngine
 
@@ -825,6 +825,17 @@ object SparkEntry {
     "q_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(t(s, dir, "embeddings"), "vec_id", "embedding",
         "label", _ < 50, k = 7)
+        .orderBy("pid")),
+
+    // ── §2.9 X134: kNN-distance outlier score — each probe's k-th and
+    //    mean cosine similarity to its nearest corpus neighbors: the
+    //    embedding-space anomaly gate (low kth_sim = sits in no
+    //    neighborhood). Integer-exact 1e-6-unit sum + one pinned
+    //    division; the neighbor leg swaps 1:1 for the persisted IVF
+    //    probe at 100 TB (knnOutlierIndexed, spec-pinned) ──────────────
+    "q_knn_outlier" -> ((s, dir) =>
+      Similarity.knnOutlier(t(s, dir, "embeddings"), "vec_id", "embedding",
+        _ < 60, k = 10)
         .orderBy("pid")),
 
     // ── §2.9 X115: mutual k-NN pairs — reciprocal nearest neighbors
@@ -2179,6 +2190,16 @@ object SparkEntry {
       TextOps.keywordSearch(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), k = 10)),
 
+    // ── §2.9 X135: blocklist phrase matching — literal substring
+    //    phrases (multi-token, so token-set percolation can't express
+    //    them) counted map-side per document, hits only; one pattern
+    //    can never fire (the non-vacuous negative) ─────────────────────
+    "q_blocklist" -> ((s, dir) =>
+      TextOps.blocklistHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash join", "table scan", "slow query", "vector",
+          "zzqx never"))
+        .orderBy("doc_id", "pattern")),
+
     // ── §2.9 X53: BPE merge-candidate pairs — adjacent char-pair counts
     //    from the (word, count) vocab frame, top-20 merges ────────────────
     "q_bpe_merge" -> ((s, dir) =>
@@ -2424,6 +2445,25 @@ object SparkEntry {
     "q_dup_windows" -> ((s, dir) =>
       Dedup.dupWindows(t(s, dir, "documents"), "doc_id", "text", w = 8)
         .orderBy("doc_id")),
+
+    // ── §2.9 X131b: exact-substring CUT LIST — per doc, the merged
+    //    token intervals covered by duplicated 4-token windows (first
+    //    occurrence kept): the actionable ExactSubstr dedup artifact.
+    //    X121's hashed-window machinery + one hash-keyed join back +
+    //    a per-doc gaps-and-islands interval merge ─────────────────────
+    "q_substr_cut" -> ((s, dir) =>
+      Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text", w = 4)
+        .orderBy("doc_id", "span_start")),
+
+    // ── §2.9 X131: generalized suffix array (prefix doubling) + exact
+    //    longest-repeated-span extraction — the Lee et al. 2021
+    //    ExactSubstr dedup machinery: top-20 adjacent-pair LCPs in SA
+    //    order, each an exact byte-identical repeated token passage.
+    //    O(log maxdoclen) distributed dense-rank rounds, sparse-table
+    //    LCP descent over the checkpointed round frames ────────────────
+    "q_suffix_lcp" -> ((s, dir) =>
+      SuffixOps.longestRepeatedSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 20)),
 
     // ── §2.9 X122: per-source common-prefix boilerplate — LCP of every
     //    doc in a source via LCP(lexicographic min, max): one min/max
@@ -4063,6 +4103,25 @@ object SparkEntry {
          SELECT pid, nlabel AS pred_label, votes, true_label,
                 (nlabel = true_label) AS correct
          FROM v WHERE vr = 1 ORDER BY pid""",
+    // X134 kNN outlier: top-10 cosine neighbors per probe (self
+    // excluded), kth = min kept sim, mean over exact 1e-6-unit sums.
+    "q_knn_outlier" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, c.vec_id nid,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c
+               WHERE p.vec_id < 60 AND c.vec_id <> p.vec_id),
+         r AS (SELECT pid, nid, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s)
+         SELECT pid, count(*) AS n_neighbors, min(sim) AS kth_sim,
+                round(CAST(sum(CAST(round(sim * 1000000) AS BIGINT))
+                    AS DOUBLE) / (count(*) * 1000000), 6) AS mean_sim
+         FROM r WHERE rank <= 10 GROUP BY pid ORDER BY pid""",
     // Mutual kNN: top-5 within the vec_id<120 subset, pairs reciprocal
     // in both directions, a < b.
     "q_mutual_knn" ->
@@ -5498,6 +5557,20 @@ object SparkEntry {
                FROM h GROUP BY 1)
          SELECT doc_id, n_terms, total_tf FROM s
          ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 10""",
+    // X135 blocklist phrase matching: replace-counting identity over
+    // the lower-cased text, hits only, 1-based first position.
+    "q_blocklist" ->
+      """WITH p(pattern) AS (VALUES ('hash join'), ('table scan'),
+                                    ('slow query'), ('vector'),
+                                    ('zzqx never')),
+         d AS (SELECT doc_id, lower(coalesce(text, '')) x FROM documents)
+         SELECT doc_id, pattern,
+                CAST((length(x) - length(replace(x, pattern, '')))
+                  // length(pattern) AS BIGINT) AS n_occ,
+                CAST(strpos(x, pattern) AS BIGINT) AS first_pos
+         FROM d, p
+         WHERE length(x) - length(replace(x, pattern, '')) > 0
+         ORDER BY doc_id, pattern""",
     // BPE merge pass: (word, count) vocab frame first, then adjacent
     // char pairs weighted by word count; top-20 by (n desc, pair).
     "q_bpe_merge" ->
@@ -5870,6 +5943,79 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*), 6) AS dup_frac
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // X131b exact-substring cut list: duplicated 4-token windows (first
+    // occurrence by (doc_id, pos) kept — text-keyed in the oracle, the
+    // engine's xxhash64 key equal modulo the documented 64-bit
+    // collision policy), merged per doc by gaps-and-islands.
+    "q_substr_cut" ->
+      """WITH tok AS (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), ' +') t
+                      FROM documents),
+         ix AS (SELECT doc_id, t, len(t) AS ntok,
+                       unnest(range(CAST(greatest(len(t) - 4, 0) + 1
+                         AS BIGINT))) AS i
+                FROM tok),
+         win AS (SELECT doc_id, i AS pos, ntok,
+                        array_to_string(t[i+1 : i+4], ' ') AS w
+                 FROM ix),
+         f AS (SELECT doc_id, pos, ntok,
+                      row_number() OVER (PARTITION BY w
+                        ORDER BY doc_id, pos) rn
+               FROM win),
+         dup AS (SELECT doc_id, pos + 1 AS s,
+                        least(pos + 4, ntok) AS e
+                 FROM f WHERE rn > 1),
+         g AS (SELECT doc_id, s, e,
+                      CASE WHEN s > coalesce(max(e) OVER
+                          (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS brk
+               FROM dup),
+         isl AS (SELECT doc_id, s, e,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+                 FROM g)
+         SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end,
+                CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens,
+                count(*) AS n_windows
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+    // X131 suffix array + longest repeated spans: the oracle sorts the
+    // materialized suffix strings directly (space-joined tokens — valid
+    // because ' ' < every token char, so string order ≡ token-sequence
+    // order incl. the shorter-is-prefix rule) and takes adjacent-pair
+    // LCPs with a first-mismatch list probe; the engine derives the
+    // same order from prefix-doubling ranks.
+    "q_suffix_lcp" ->
+      """WITH tok AS (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), ' +') t
+                      FROM documents),
+         suf AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i:] AS st,
+                        array_to_string(t[i:], ' ') AS s
+                 FROM tok,
+                      unnest(range(1, CAST(len(t) AS BIGINT) + 1)) AS u(i)),
+         ord AS (SELECT doc_id, pos, st,
+                        lag(doc_id) OVER w AS doc_a,
+                        lag(pos) OVER w AS pos_a,
+                        lag(st) OVER w AS sta
+                 FROM suf WINDOW w AS (ORDER BY s, doc_id, pos)),
+         p AS (SELECT doc_a, pos_a, doc_id AS doc_b, pos AS pos_b,
+                      least(len(sta), len(st)) AS m, sta, st
+               FROM ord WHERE doc_a IS NOT NULL),
+         l AS (SELECT doc_a, pos_a, doc_b, pos_b,
+                      -- list_position returns 0 (not NULL) on no-match
+                      -- in DuckDB 1.0: nullif folds both into "no
+                      -- mismatch anywhere" = lcp is the full min length
+                      CAST(coalesce(nullif(
+                        list_position(list_transform(range(1, m + 1),
+                          i -> sta[i] = st[i]), false), 0) - 1, m)
+                        AS BIGINT) AS lcp
+               FROM p)
+         SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM l
+         WHERE lcp >= 1
+         ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT 20""",
     // X122 per-source common prefix: LCP(set) = LCP(min, max) — the
     // oracle replays the two-string form directly; first mismatch via a
     // list comprehension over the shorter bound's length.

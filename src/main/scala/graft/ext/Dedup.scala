@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1673,6 +1674,71 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("dup_windows"),
         round(col("dup_windows").cast(DoubleType) / col("n_windows"), 6)
           .as("dup_frac"))
+  }
+
+  /** X131b — EXACT-SUBSTRING CUT LIST: the actionable artifact of
+    * Lee et al. 2021's ExactSubstr dedup — for every document, the
+    * merged token intervals covered by duplicated `w`-token windows
+    * (windows whose exact text occurred earlier in the corpus: lower
+    * doc_id, or earlier position in the same doc — the first occurrence
+    * is KEPT, its copies are cut). The union of duplicated fixed-w
+    * windows equals the union of all maximal repeated spans of length
+    * ≥ w (every length-w subwindow of a long repeat is itself
+    * duplicated, and every duplicated window is a repeat), so the fixed
+    * window is not an approximation of the suffix-array form ([[
+    * graft.ext.SuffixOps]]) — it is the same covered-position set,
+    * computable without the SA's log-rounds.
+    *
+    * Shape: X121's stride-1 explode with the SAME hashed shuffle key
+    * (xxhash64 of the window text — 8 bytes through the corpus-sized
+    * exchange; 64-bit collision policy as documented there) and
+    * skew-proof two-phase min(struct) first-occurrence, then ONE
+    * hash-keyed join back to the window rows (duplicates must keep
+    * their positions — the one extra exchange vs X121's count-only
+    * rollup, AQE-splittable on a boilerplate hot window), and a
+    * per-DOC gaps-and-islands merge (two doc-partitioned windows —
+    * bounded by the document length, never corpus-wide). Output one
+    * row per merged cut span: (doc_id, span_start, span_end,
+    * span_tokens, n_windows), token positions 1-based inclusive. */
+  def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 4): DataFrame = {
+    require(w > 0, s"w must be positive: $w")
+    val text = coalesce(col(textCol), lit(""))
+    def nWins(toks: Column) =
+      (greatest(size(toks) - w, lit(0)) + 1).cast(LongType)
+    val wins = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(text).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast(LongType).as("__ntok"),
+        posexplode(transform(
+          sequence(lit(0L), nWins(col("__t")) - 1),
+          i => xxhash64(array_join(slice(col("__t"), i + 1, lit(w)), " "))))
+          .as(Seq("pos", "win")))
+    val winners = wins
+      .groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    val dups = wins.join(winners, Seq("win"))
+      .where(!(col("doc_id") === col("__first.doc_id") &&
+        col("pos") === col("__first.pos")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("s"),
+        least(col("pos") + w, col("__ntok")).cast(LongType).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dups
+      .withColumn("__brk",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1L)) + 1,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("__isl", sum(col("__brk")).over(wRun))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
   }
 
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,

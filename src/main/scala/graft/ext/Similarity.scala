@@ -528,6 +528,67 @@ object Similarity {
         col("a.rank").cast(LongType).as("rank_ab"),
         col("b.rank").cast(LongType).as("rank_ba"))
 
+  /** X134 — kNN-DISTANCE OUTLIER SCORE: each probe vector's mean and
+    * k-th cosine similarity to its k nearest corpus neighbors — the
+    * embedding-space anomaly signal (Ramaswamy et al. 2000's kNN-distance
+    * outlier criterion, cosine form): a LOW kth_sim means the vector
+    * sits in no neighborhood at all (corrupt embedding, mis-encoded
+    * modality, off-distribution content) and a curation pipeline gates
+    * on it exactly like a quality score. The complement of X114's
+    * classifier: same neighbor leg, but the artifact is the
+    * neighborhood's DENSITY, not its label.
+    *
+    * Scoring is integer-exact: each round-6 sim becomes 1e-6 units
+    * (round-then-cast — the X125 discipline), the per-probe k-row SUM
+    * is an exact integer at any partitioning, and the mean is ONE
+    * pinned IEEE division rounded to 6 dp; kth_sim is the min over the
+    * kept top-k frame (already round-6). Output (pid, n_neighbors,
+    * kth_sim, mean_sim), n_neighbors < k only when the corpus itself
+    * has fewer than k other rows.
+    *
+    * Bounded probe batch broadcast against the distributed corpus; at
+    * 100 TB the neighbor leg swaps 1:1 for the persisted
+    * partition-pruned IVF probe ([[knnOutlierIndexed]], spec-pinned
+    * equal at nprobe = nCentroids) — the score consumes only
+    * (pid, nid, sim) triples. */
+  def knnOutlier(emb: DataFrame, idCol: String, vecCol: String,
+                 probePred: Column => Column, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol,
+      "pid", "pv", "pn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val topk = cosineJoin(broadcast(probes), corpus)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    outlierScore(topk)
+  }
+
+  /** X134 (index leg) — [[knnOutlier]] with the neighbor leg served by a
+    * persisted IVF index over the corpus; the score is leg-agnostic, so
+    * at nprobe = nCentroids this equals the brute-force form exactly
+    * (spec-pinned). */
+  def knnOutlierIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                        probePred: Column => Column, k: Int,
+                        indexPath: String, nprobe: Int = 3): DataFrame =
+    outlierScore(
+      ivfIndexProbe(emb.where(probePred(col(idCol))), idCol, vecCol,
+        indexPath, k, nprobe))
+
+  /** The density rollup over a (pid, nid, sim) top-k frame — exact
+    * integer sum in 1e-6 units, one pinned division, round-6 mean. */
+  private def outlierScore(topk: DataFrame): DataFrame =
+    topk
+      .withColumn("__u", round(col("sim") * 1000000).cast(LongType))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min(col("sim")).as("kth_sim"),
+        sum(col("__u")).as("__su"))
+      .select(col("pid"), col("n_neighbors"), col("kth_sim"),
+        round(col("__su").cast(DoubleType) /
+          (col("n_neighbors") * lit(1000000L)), 6).as("mean_sim"))
+
   /** Cross-side cosine top-k: every `src` row against the whole `tgt`
     * frame, rank by (sim DESC, nid ASC). The two sides are distinct
     * frames (two languages, two snapshots), so no self-pair exists and

@@ -1075,6 +1075,43 @@ object TextOps {
       .select(col("doc_id"), col("qid"))
   }
 
+  /** X135 — BLOCKLIST PHRASE MATCHING: every (document, pattern) pair
+    * where a literal blocklist phrase occurs as a SUBSTRING of the
+    * lower-cased text, with its non-overlapping occurrence count and
+    * first position — the bad-word / boilerplate-marker / policy-filter
+    * pass every curation pipeline runs before anything model-based, and
+    * the SUBSTRING complement of X129's token-set percolation (a phrase
+    * with internal spaces or punctuation never matches a token set).
+    *
+    * Shape: the bounded pattern list is an exploded ARRAY LITERAL — one
+    * map-side generator per document row, no join of any kind — and the
+    * occurrence count is row-local string arithmetic
+    * ((len − len(remove(pattern))) div len(pattern), the standard
+    * replace-counting identity, non-overlapping left-to-right exactly
+    * as both engines' `replace` resolves overlaps), so the whole
+    * operator is ONE map stage emitting hits only: at 100 TB nothing
+    * shuffles and the output is hits-sized. Patterns are deduplicated
+    * and lower-cased; output (doc_id, pattern, n_occ, first_pos),
+    * first_pos 1-based. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "empty blocklist")
+    patterns.foreach(p =>
+      require(p.nonEmpty, "empty blocklist pattern matches everything"))
+    val pats = patterns.map(_.toLowerCase).distinct.sorted
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        lower(coalesce(col(textCol), lit(""))).as("__x"))
+      .select(col("doc_id"), col("__x"),
+        explode(typedLit(pats)).as("pattern"))
+      .withColumn("n_occ",
+        expr("(length(__x) - length(replace(__x, pattern, ''))) " +
+          "div length(pattern)"))
+      .where(col("n_occ") > 0)
+      .select(col("doc_id"), col("pattern"), col("n_occ"),
+        expr("instr(__x, pattern)").cast(LongType).as("first_pos"))
+  }
+
   def keywordSearch(df: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query-term set")

@@ -596,4 +596,50 @@ class PlanSpec extends AnyFunSuite {
         s"file-listing must not run per-table jobs: ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("exactSubstrCut keys its corpus exchange on the hashed window; " +
+    "interval-merge windows are doc-partitioned (X131b)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.Dedup.exactSubstrCut(docs, "doc_id", "text", w = 4)
+    val plan = df.queryExecution.sparkPlan
+    // the first-occurrence min must stay two-phase (map-side partial)
+    assert(plan.toString.contains("partial_min(struct(doc_id"),
+      s"first occurrence must absorb hot windows map-side:\n$plan")
+    assert(plan.toString.contains("xxhash64"),
+      s"windows must be hashed before the shuffle:\n$plan")
+    val txt = physical(df).split("== Initial Plan ==").head
+    assert("hashpartitioning\\(win#\\d+L".r.findFirstIn(txt).isDefined,
+      s"the window exchange must key on a LongType hash:\n$txt")
+    // every window (the gaps-and-islands merge) partitions by doc_id —
+    // bounded by one document, never corpus-wide
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"interval merge must partition by doc:\n$plan")
+  }
+
+  test("blocklistHits is one map stage: zero exchanges, hits-sized " +
+    "output (X135)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.TextOps.blocklistHits(docs, "doc_id", "text",
+      Seq("hash join", "table scan"))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"blocklist matching must not shuffle:\n$plan")
+    assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty,
+      s"the pattern list is an exploded literal, not a join side:\n$plan")
+  }
+
+  test("knnOutlier broadcasts the probe batch — the corpus side never " +
+    "shuffles for the neighbor join (X134)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val df = graft.ext.Similarity.knnOutlier(emb, "vec_id", "embedding",
+      _ < 40, k = 10)
+    val txt = physical(df).split("== Initial Plan ==").head
+    assert(txt.contains("BroadcastNestedLoopJoin"),
+      s"bounded probe batch must broadcast:\n$txt")
+  }
 }

@@ -611,4 +611,88 @@ class RandomizedOpsSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("exactSubstrCut equals an in-memory window-dedup + interval merge " +
+    "on random corpora with injected repeated passages (X131b)") {
+    val alpha = Vector("ab", "cd", "ef", "gh")
+    val w = 3
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val nDocs = 4 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong,
+          (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" "))
+      }.toArray
+      val passage = (0 until 4 + rnd.nextInt(3))
+        .map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" ")
+      val a = rnd.nextInt(nDocs); val b = (a + 1) % nDocs
+      docs(a) = (docs(a)._1, docs(a)._2 + " " + passage)
+      docs(b) = (docs(b)._1, passage + " " + docs(b)._2)
+
+      val toks = docs.map { case (id, t) =>
+        (id, t.trim.toLowerCase.split(" +", -1).toVector)
+      }
+      val wins = toks.flatMap { case (id, tv) =>
+        val nw = math.max(tv.size - w, 0) + 1
+        (0 until nw).map(i => (id, i.toLong,
+          tv.slice(i, math.min(i + w, tv.size)).mkString(" "),
+          tv.size.toLong))
+      }
+      val first = wins.groupBy(_._3)
+        .map { case (k, v) => k -> v.map(x => (x._1, x._2)).min }
+      val dups = wins
+        .filter(x => first(x._3) != ((x._1, x._2)))
+        .map(x => (x._1, x._2 + 1, math.min(x._2 + w, x._4)))
+      val want = dups.groupBy(_._1).toSeq.flatMap { case (id, sp) =>
+        val sorted = sp.map(x => (x._2, x._3)).sorted
+        val islands = sorted.foldLeft(
+            Vector.empty[(Long, Long, Long)]) { case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((cs, ce, cn)) if s <= ce + 1 =>
+              acc.init :+ ((cs, math.max(ce, e), cn + 1))
+            case _ => acc :+ ((s, e, 1L))
+          }
+        }
+        islands.map { case (s, e, n) => (id, s, e, e - s + 1, n) }
+      }.sortBy(x => (x._1, x._2))
+      val got = graft.ext.Dedup.exactSubstrCut(
+          docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", w)
+        .orderBy("doc_id", "span_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"seed=$seed docs=${docs.toSeq}")
+      assert(want.nonEmpty, s"seed=$seed: vacuous fixture")
+    }
+  }
+
+  test("blocklistHits equals in-memory replace-counting on random " +
+    "corpora and patterns crossing token boundaries (X135)") {
+    val alpha = Vector("ab", "cd", "ef", "gh")
+    for (seed <- 1 to 8) {
+      val rnd = new Random(seed)
+      val docs = (0 until 12).map { i =>
+        val n = 1 + rnd.nextInt(10)
+        (i.toLong,
+          (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" "))
+      }
+      // substring patterns incl. ones crossing token boundaries ("b c")
+      val pats = Seq("ab", "b c", "cd ef", "zz", "ef g")
+      val want = (for {
+        (id, t) <- docs
+        x = t.trim.toLowerCase
+        p <- pats.sorted
+        nOcc = (x.length - x.replace(p, "").length) / p.length
+        if nOcc > 0
+      } yield (id, p, nOcc.toLong, (x.indexOf(p) + 1).toLong))
+        .sortBy(x => (x._1, x._2))
+      val got = graft.ext.TextOps.blocklistHits(
+          docs.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .orderBy("doc_id", "pattern")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed: vacuous fixture")
+    }
+  }
 }

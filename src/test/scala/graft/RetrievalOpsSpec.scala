@@ -345,6 +345,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnOutlierIndexed over a corpus index equals knnOutlier at " +
+    "nprobe = nCentroids (X134)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    withIndex(emb) { dir =>
+      pinEqual(
+        Similarity.knnOutlierIndexed(emb, "vec_id", "embedding",
+          _ < 40, k = 10, dir, nprobe = 8),
+        Similarity.knnOutlier(emb, "vec_id", "embedding", _ < 40, k = 10),
+        "knn-outlier")
+    }
+  }
+
   test("mutualKnnPairsIndexed over a subset index equals mutualKnnPairs " +
     "at nprobe = nCentroids (X115)") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
