@@ -838,6 +838,25 @@ object SparkEntry {
         _ < 60, k = 10)
         .orderBy("pid")),
 
+    // ── §2.9 X136: triplet mining — per labeled anchor, the best
+    //    same-label candidate (positive) and the hardest different-label
+    //    candidate (negative) within its cosine top-20; margin ready
+    //    for a triplet loss. Candidate leg swaps 1:1 for the persisted
+    //    IVF probe (tripletMineIndexed, spec-pinned) ────────────────────
+    "q_triplet_mine" -> ((s, dir) =>
+      Similarity.tripletMine(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", _ < 50, k = 20)
+        .orderBy("pid")),
+
+    // ── §2.9 X137: water-filling budget allocation — split a 310-row
+    //    budget across sources as equally as availability allows
+    //    (min(avail, level), integer-exact largest-remainder): the
+    //    absolute-budget mixture step between X101's weights and
+    //    X24b's temperature sampling ────────────────────────────────────
+    "q_water_fill" -> ((s, dir) =>
+      Sampling.waterFill(t(s, dir, "documents"), "source", budget = 310L)
+        .orderBy("group")),
+
     // ── §2.9 X115: mutual k-NN pairs — reciprocal nearest neighbors
     //    within a bounded subset: the high-precision edge set for
     //    near-dup verification and kNN-graph clustering ────────────────
@@ -2454,6 +2473,14 @@ object SparkEntry {
     "q_substr_cut" -> ((s, dir) =>
       Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text", w = 4)
         .orderBy("doc_id", "span_start")),
+
+    // ── §2.9 X131c: APPLY the cut list — remove every duplicated span
+    //    and reassemble the clean corpus (row-local indexed filter over
+    //    the token array against the bounded interval list) ────────────
+    "q_substr_apply" -> ((s, dir) =>
+      Dedup.exactSubstrApply(t(s, dir, "documents"), "doc_id", "text",
+        w = 4)
+        .orderBy("doc_id")),
 
     // ── §2.9 X131: generalized suffix array (prefix doubling) + exact
     //    longest-repeated-span extraction — the Lee et al. 2021
@@ -4122,6 +4149,61 @@ object SparkEntry {
                 round(CAST(sum(CAST(round(sim * 1000000) AS BIGINT))
                     AS DOUBLE) / (count(*) * 1000000), 6) AS mean_sim
          FROM r WHERE rank <= 10 GROUP BY pid ORDER BY pid""",
+    // X136 triplet mining: top-20 candidates per anchor, best same-label
+    // = positive, best different-label = hard negative, both required.
+    "q_triplet_mine" ->
+      """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           CAST(embedding AS DOUBLE[]) v,
+                           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) nrm
+                    FROM embeddings),
+         s AS (SELECT p.vec_id pid, p.label anchor_label,
+                      c.vec_id nid, c.label nlabel,
+                      round(list_dot_product(p.v, c.v) / (p.nrm * c.nrm), 6) sim
+               FROM n p, n c
+               WHERE p.vec_id < 50 AND c.vec_id <> p.vec_id),
+         r AS (SELECT pid, anchor_label, nid, nlabel, sim,
+                      row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) rank
+               FROM s),
+         k AS (SELECT * FROM r WHERE rank <= 20),
+         pos AS (SELECT pid, anchor_label, nid AS pos_id, sim AS sim_pos,
+                        row_number() OVER (PARTITION BY pid
+                          ORDER BY sim DESC, nid) pr
+                 FROM k WHERE nlabel = anchor_label),
+         neg AS (SELECT pid, nid AS neg_id, sim AS sim_neg,
+                        row_number() OVER (PARTITION BY pid
+                          ORDER BY sim DESC, nid) nr
+                 FROM k WHERE nlabel <> anchor_label)
+         SELECT p.pid, p.anchor_label, p.pos_id, g.neg_id,
+                p.sim_pos, g.sim_neg,
+                round(p.sim_pos - g.sim_neg, 6) AS margin
+         FROM pos p JOIN neg g USING (pid)
+         WHERE p.pr = 1 AND g.nr = 1 ORDER BY p.pid""",
+    // X137 water-filling: capped-prefix test avail·(n−i+1) ≤ B − P_{i−1}
+    // under (avail ASC, group ASC), remainder largest-remainder split.
+    "q_water_fill" ->
+      """WITH c AS (SELECT source AS "group", count(*) AS avail
+                    FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         f AS (SELECT "group", avail,
+                      CAST(row_number() OVER w AS BIGINT) AS i,
+                      coalesce(sum(avail) OVER (w ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS p,
+                      count(*) OVER () AS n
+               FROM c WINDOW w AS (ORDER BY avail, "group")),
+         g AS (SELECT *, (avail * (n - i + 1) <= 310 - p) AS capped
+               FROM f),
+         t AS (SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END) AS k,
+                      coalesce(sum(CASE WHEN capped THEN avail END), 0)
+                        AS pk,
+                      count(*) AS n2
+               FROM g)
+         SELECT "group", avail,
+                CAST(CASE WHEN capped THEN avail
+                     ELSE (310 - pk) // (n2 - k) +
+                          (CASE WHEN i - k <= (310 - pk) % (n2 - k)
+                            THEN 1 ELSE 0 END) END AS BIGINT) AS allocated
+         FROM g, t ORDER BY "group"""",
     // Mutual kNN: top-5 within the vec_id<120 subset, pairs reciprocal
     // in both directions, a < b.
     "q_mutual_knn" ->
@@ -5982,6 +6064,44 @@ object SparkEntry {
                 count(*) AS n_windows
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+    // X131c apply: positions covered by any merged span are dropped,
+    // survivors reassembled in order; fully-cut docs hash "".
+    "q_substr_apply" ->
+      """WITH tok AS (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), ' +') t
+                      FROM documents),
+         ix AS (SELECT doc_id, t, len(t) AS ntok,
+                       unnest(range(CAST(greatest(len(t) - 4, 0) + 1
+                         AS BIGINT))) AS i
+                FROM tok),
+         win AS (SELECT doc_id, i AS pos, ntok,
+                        array_to_string(t[i+1 : i+4], ' ') AS w
+                 FROM ix),
+         f AS (SELECT doc_id, pos, ntok,
+                      row_number() OVER (PARTITION BY w
+                        ORDER BY doc_id, pos) rn
+               FROM win),
+         dup AS (SELECT doc_id, pos + 1 AS s,
+                        least(pos + 4, ntok) AS e
+                 FROM f WHERE rn > 1),
+         pos AS (SELECT doc_id, CAST(p AS BIGINT) AS p, t[p] AS tk
+                 FROM tok, unnest(range(1, CAST(len(t) AS BIGINT) + 1))
+                   AS u(p)),
+         cov AS (SELECT DISTINCT pos.doc_id, pos.p
+                 FROM pos JOIN dup ON pos.doc_id = dup.doc_id
+                   AND pos.p BETWEEN dup.s AND dup.e),
+         kept AS (SELECT pos.doc_id,
+                         count(*) AS nk,
+                         string_agg(tk, ' ' ORDER BY p) AS txt
+                  FROM pos ANTI JOIN cov
+                    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  GROUP BY pos.doc_id)
+         SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+                CAST(len(d.t) - coalesce(k.nk, 0) AS BIGINT)
+                  AS removed_tokens,
+                md5(coalesce(k.txt, '')) AS clean_hash
+         FROM tok d LEFT JOIN kept k USING (doc_id)
+         ORDER BY d.doc_id""",
     // X131 suffix array + longest repeated spans: the oracle sorts the
     // materialized suffix strings directly (space-joined tokens — valid
     // because ' ' < every token char, so string order ≡ token-sequence

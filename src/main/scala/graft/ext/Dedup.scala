@@ -1741,6 +1741,45 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** X131c — APPLY the exact-substring cut list: the end of the
+    * Lee et al. pipeline — remove every duplicated span
+    * ([[exactSubstrCut]], first occurrence kept) from each document and
+    * reassemble the surviving tokens in order. The content twin of
+    * X122b's boilerplate trim (that removes a per-source constant
+    * prefix; this removes corpus-wide repeated passages anywhere in the
+    * document).
+    *
+    * Shape: the cut list collapses to ONE bounded interval array per
+    * affected doc (intervals per doc ≤ doc length), joined back to the
+    * corpus doc-keyed; the removal itself is ROW-LOCAL — an indexed
+    * `filter` over the token array with an `exists` probe into the
+    * interval array (no explode, no per-position rows), so the only
+    * exchanges are the cut list's own and one doc-keyed join. Docs
+    * fully consumed by cuts emit an empty clean text; untouched docs
+    * pass through with removed_tokens = 0. Output (doc_id, n_tokens,
+    * removed_tokens, clean_hash) — md5 of the reassembled text, the
+    * corpus hash discipline. */
+  def exactSubstrApply(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 4): DataFrame = {
+    val cuts = exactSubstrCut(docs, idCol, textCol, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val text = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(text).as("__t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__t"))
+          .otherwise(filter(col("__t"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
+      .select(col("doc_id"), size(col("__t")).cast(LongType).as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast(LongType)
+          .as("removed_tokens"),
+        md5(array_join(col("__kept"), " ")).as("clean_hash"))
+  }
+
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 8): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive: $segTokens")

@@ -167,6 +167,63 @@ object Sampling {
     * any group count (contrast sqrtMixtureSample, whose budget fit is
     * stratum-count-sized by design).
     */
+  /** X137 — WATER-FILLING budget allocation: split a total row budget
+    * B across groups (sources, languages) as EQUALLY as availability
+    * allows — every group gets min(avail, L) for the common level L
+    * with Σ min(avail_i, L) = B, the uniform-target mixture allocation
+    * (the "cap the big, fill toward the small" step between X101's
+    * uniform weights and X24b's √-temperature: temperature rebalances
+    * PROPORTIONS, water-filling clears an absolute BUDGET). Small
+    * groups are taken whole; the rest share the remainder equally,
+    * largest-remainder style: base = R div m with the `R mod m` spare
+    * units granted to the FIRST uncapped groups under the (avail ASC,
+    * group ASC) order — fully integer-exact, so the allocation is
+    * bit-identical in any engine and Σ allocated = min(B, Σ avail)
+    * always.
+    *
+    * The capped set is a PREFIX of the (avail ASC, group ASC) order:
+    * group i is capped iff avail_i · (n−i+1) ≤ B − P_{i−1} (prefix sums
+    * P) — a monotone integer test, evaluated per row with two running
+    * windows over the |groups|-sized count frame. Everything after the
+    * one corpus→|groups| count aggregation is bounded plan metadata
+    * (the X118 "mixture taxonomies are small" contract), so at 100 TB
+    * the operator is one map-side-partial count plus arithmetic on a
+    * broadcast-sized frame. Output (group, avail, allocated), one row
+    * per group; compose with X22c/X24-style per-group rank cuts to
+    * materialize the selected rows. */
+  def waterFill(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("avail"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.orderBy(col("avail").asc, col("group").asc)
+    val wPrev = ord.rowsBetween(W.unboundedPreceding, -1)
+    val wAll = W.partitionBy()
+    val flagged = counts
+      .withColumn("__i", row_number().over(ord).cast(LongType))
+      .withColumn("__p", coalesce(sum(col("avail")).over(wPrev), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__capped",
+        col("avail") * (col("__n") - col("__i") + 1) <=
+          lit(budget) - col("__p"))
+    val k = flagged
+      .agg(sum(when(col("__capped"), lit(1L)).otherwise(lit(0L))).as("k"),
+        sum(when(col("__capped"), col("avail")).otherwise(lit(0L)))
+          .as("pk"),
+        count(lit(1)).as("n"))
+    flagged.join(broadcast(k), lit(true))
+      .withColumn("__m", col("n") - col("k"))
+      .withColumn("__r", lit(budget) - col("pk"))
+      .withColumn("allocated",
+        when(col("__capped"), col("avail"))
+          .otherwise(expr("__r div __m") +
+            when(col("__i") - col("k") <= col("__r") % col("__m"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col("group"), col("avail"),
+        col("allocated").cast(LongType).as("allocated"))
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   cap: Int): DataFrame = {
     require(cap >= 0, s"cap=$cap must be non-negative")

@@ -576,6 +576,90 @@ object Similarity {
       ivfIndexProbe(emb.where(probePred(col(idCol))), idCol, vecCol,
         indexPath, k, nprobe))
 
+  /** X136 — TRIPLET MINING (anchor, positive, hard/semi-hard negative):
+    * the contrastive-training-data operator (Schroff et al. 2015,
+    * FaceNet) — for each labeled anchor, the most similar SAME-label
+    * candidate in its cosine top-k becomes the positive and the most
+    * similar DIFFERENT-label candidate the hard negative
+    * (`semiHard = true` restricts negatives to sim_neg < sim_pos — the
+    * FaceNet semi-hard band that skips already-violated triplets);
+    * margin = round6(sim_pos − sim_neg), the quantity a triplet loss
+    * trains against, ready for filtering/curriculum sorting. Anchors
+    * whose top-k holds no positive or no eligible negative are DROPPED
+    * — mining is defined WITHIN the retrieved candidate list (k is part
+    * of the contract), which is exactly what makes the brute-force and
+    * persisted-index legs interchangeable.
+    *
+    * Shape: one bounded-anchor-batch broadcast against the distributed
+    * corpus for the top-k leg (at 100 TB it swaps 1:1 for the
+    * partition-pruned IVF probe — [[tripletMineIndexed]], spec-pinned
+    * equal at nprobe = nCentroids, selection consumes only
+    * (pid, nid, sim) triples), label joins are candidates-sized, and
+    * the two selection windows partition by anchor (≤ k rows each).
+    * All tiebreaks (sim DESC, nid ASC) and the one subtraction are
+    * round-6-pinned — oracle-replayable. */
+  def tripletMine(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, probePred: Column => Column, k: Int,
+                  semiHard: Boolean = false): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val corpus = prep(emb, idCol, vecCol, "nid", "nv", "nn")
+    val probes = prep(emb.where(probePred(col(idCol))), idCol, vecCol,
+      "pid", "pv", "pn")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val topk = cosineJoin(broadcast(probes), corpus)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("sim"))
+    tripletsFromTopK(topk, emb, idCol, labelCol, semiHard)
+  }
+
+  /** X136 (index leg) — [[tripletMine]] with the candidate leg served by
+    * a persisted IVF index over the corpus; equal at
+    * nprobe = nCentroids (spec-pinned). */
+  def tripletMineIndexed(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, probePred: Column => Column,
+                         k: Int, indexPath: String, nprobe: Int = 3,
+                         semiHard: Boolean = false): DataFrame =
+    tripletsFromTopK(
+      ivfIndexProbe(emb.where(probePred(col(idCol))), idCol, vecCol,
+        indexPath, k, nprobe).select(col("pid"), col("nid"), col("sim")),
+      emb, idCol, labelCol, semiHard)
+
+  /** The selection over a (pid, nid, sim) candidate frame — leg-agnostic.
+    * Output (pid, anchor_label, pos_id, neg_id, sim_pos, sim_neg,
+    * margin). */
+  private def tripletsFromTopK(topk: DataFrame, emb: DataFrame,
+                               idCol: String, labelCol: String,
+                               semiHard: Boolean): DataFrame = {
+    val labels = emb.select(col(idCol).cast(LongType).as("nid"),
+      col(labelCol).cast(LongType).as("nlabel"))
+    val anchorLab = labels.select(col("nid").as("pid"),
+      col("nlabel").as("anchor_label"))
+    val cand = topk.join(labels, Seq("nid"))
+      .join(anchorLab, Seq("pid"))
+    val wSel = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val pos = cand.where(col("nlabel") === col("anchor_label"))
+      .withColumn("__r", row_number().over(wSel)).where(col("__r") === 1)
+      .select(col("pid"), col("anchor_label"), col("nid").as("pos_id"),
+        col("sim").as("sim_pos"))
+    val negCand0 = cand.where(col("nlabel") =!= col("anchor_label"))
+    val negCand =
+      if (semiHard)
+        negCand0.join(pos.select(col("pid"), col("sim_pos").as("__sp")),
+            Seq("pid"))
+          .where(col("sim") < col("__sp")).drop("__sp")
+      else negCand0
+    val neg = negCand
+      .withColumn("__r", row_number().over(wSel)).where(col("__r") === 1)
+      .select(col("pid"), col("nid").as("neg_id"), col("sim").as("sim_neg"))
+    pos.join(neg, Seq("pid"))
+      .select(col("pid"), col("anchor_label"), col("pos_id"),
+        col("neg_id"), col("sim_pos"), col("sim_neg"),
+        round(col("sim_pos") - col("sim_neg"), 6).as("margin"))
+  }
+
   /** The density rollup over a (pid, nid, sim) top-k frame — exact
     * integer sum in 1e-6 units, one pinned division, round-6 mean. */
   private def outlierScore(topk: DataFrame): DataFrame =

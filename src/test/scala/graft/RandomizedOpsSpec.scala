@@ -666,6 +666,101 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactSubstrApply removes exactly the covered positions and " +
+    "reassembles survivors in order (X131c)") {
+    val alpha = Vector("ab", "cd", "ef", "gh")
+    val w = 3
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val nDocs = 4 + rnd.nextInt(6)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong,
+          (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" "))
+      }.toArray
+      val passage = (0 until 5).map(_ => alpha(rnd.nextInt(alpha.size)))
+        .mkString(" ")
+      docs(0) = (docs(0)._1, docs(0)._2 + " " + passage)
+      docs(1) = (docs(1)._1, passage + " " + docs(1)._2)
+      // a twin pair: the later twin must be fully cuttable when short
+      docs(2) = (docs(2)._1, passage)
+      docs(3) = (docs(3)._1, passage)
+
+      val toks = docs.map { case (id, t) =>
+        (id, t.trim.toLowerCase.split(" +", -1).toVector)
+      }
+      val wins = toks.flatMap { case (id, tv) =>
+        val nw = math.max(tv.size - w, 0) + 1
+        (0 until nw).map(i => (id, i.toLong,
+          tv.slice(i, math.min(i + w, tv.size)).mkString(" "),
+          tv.size.toLong))
+      }
+      val first = wins.groupBy(_._3)
+        .map { case (k, v) => k -> v.map(x => (x._1, x._2)).min }
+      val covByDoc = wins
+        .filter(x => first(x._3) != ((x._1, x._2)))
+        .groupBy(_._1)
+        .map { case (id, xs) =>
+          id -> xs.flatMap(x =>
+            (x._2 + 1) to math.min(x._2 + w, x._4)).toSet }
+      val want = toks.map { case (id, tv) =>
+        val cov = covByDoc.getOrElse(id, Set.empty[Long])
+        val kept = tv.zipWithIndex.collect {
+          case (tk, i) if !cov((i + 1).toLong) => tk }
+        (id, tv.size.toLong, (tv.size - kept.size).toLong,
+          md5hex(kept.mkString(" ")))
+      }.sortBy(_._1).toSeq
+      val got = graft.ext.Dedup.exactSubstrApply(
+          docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", w)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      assert(got == want, s"seed=$seed docs=${docs.toSeq}")
+      // the later twin of the identical pair is fully cut
+      assert(want.exists { case (_, n, rm, _) => n == rm && n > 0 },
+        s"seed=$seed: no fully-cut doc in fixture")
+    }
+  }
+
+  test("waterFill equals an in-memory water-filling allocation on random " +
+    "group sizes and budgets; totals always clear min(B, sum) (X137)") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      val nGroups = 2 + rnd.nextInt(8)
+      val avails = (0 until nGroups).map(g =>
+        (s"g$g", 1L + rnd.nextInt(30).toLong))
+      val rows = avails.flatMap { case (g, a) =>
+        (0L until a).map(i => (g, i)) }
+      val budget = rnd.nextInt(1 + 2 * rows.size).toLong
+      // in-memory re-derivation of the capped-prefix + remainder rule
+      val sorted = avails.sortBy { case (g, a) => (a, g) }
+      val n = sorted.size
+      var p = 0L
+      val capped = sorted.zipWithIndex.map { case ((g, a), idx) =>
+        val c = a * (n - idx) <= budget - p
+        p += a
+        ((g, a), c)
+      }
+      val k = capped.count(_._2)
+      val pk = capped.filter(_._2).map(_._1._2).sum
+      val m = n - k; val r = budget - pk
+      val want = capped.zipWithIndex.map { case (((g, a), c), idx) =>
+        val alloc =
+          if (c) a else r / m + (if (idx + 1 - k <= r % m) 1L else 0L)
+        (g, a, alloc)
+      }.sortBy(_._1)
+      val got = Sampling.waterFill(rows.toDF("source", "i"), "source",
+          budget)
+        .orderBy("group").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed budget=$budget avails=$avails")
+      assert(got.map(_._3).sum == math.min(budget, rows.size.toLong),
+        s"seed=$seed: budget not cleared")
+      assert(got.forall { case (_, a, al) => al >= 0 && al <= a },
+        s"seed=$seed: allocation out of range")
+    }
+  }
+
   test("blocklistHits equals in-memory replace-counting on random " +
     "corpora and patterns crossing token boundaries (X135)") {
     val alpha = Vector("ab", "cd", "ef", "gh")

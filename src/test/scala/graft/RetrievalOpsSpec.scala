@@ -357,6 +357,55 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tripletMineIndexed over a corpus index equals tripletMine at " +
+    "nprobe = nCentroids (X136)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    withIndex(emb) { dir =>
+      pinEqual(
+        Similarity.tripletMineIndexed(emb, "vec_id", "embedding", "label",
+          _ < 50, k = 20, dir, nprobe = 8),
+        Similarity.tripletMine(emb, "vec_id", "embedding", "label",
+          _ < 50, k = 20),
+        "triplet-mine")
+    }
+  }
+
+  test("tripletMine hard and semi-hard modes equal an in-memory " +
+    "derivation; semi-hard negatives sit strictly below the positive " +
+    "(X136)") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val vecs = vecsOf(emb).toMap
+    val labs = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val k = 10
+    def mine(semiHard: Boolean): Seq[(Long, Long, Long, Long)] =
+      (0L until 30L).flatMap { pid =>
+        val cands = vecs.keys.filter(_ != pid).toSeq
+          .map(nid => (nid, cos(vecs(pid), vecs(nid))))
+          .sortBy { case (nid, s) => (-s, nid) }.take(k)
+        val pos = cands.find { case (nid, _) => labs(nid) == labs(pid) }
+        pos.flatMap { case (pi, ps) =>
+          val negs = cands.filter { case (nid, s) =>
+            labs(nid) != labs(pid) && (!semiHard || s < ps) }
+          negs.headOption.map { case (ni, _) => (pid, labs(pid), pi, ni) }
+        }
+      }
+    for (semiHard <- Seq(false, true)) {
+      val got = Similarity.tripletMine(emb, "vec_id", "embedding",
+          "label", _ < 30, k, semiHard)
+        .orderBy("pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == mine(semiHard), s"semiHard=$semiHard")
+      assert(got.nonEmpty, s"semiHard=$semiHard: vacuous")
+    }
+    // semi-hard contract directly on the output
+    Similarity.tripletMine(emb, "vec_id", "embedding", "label", _ < 30,
+        k, semiHard = true)
+      .collect().foreach(r =>
+        assert(r.getAs[Double]("sim_neg") < r.getAs[Double]("sim_pos")))
+  }
+
   test("mutualKnnPairsIndexed over a subset index equals mutualKnnPairs " +
     "at nprobe = nCentroids (X115)") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
