@@ -23,16 +23,18 @@ import org.apache.spark.sql.types._
   *     end — shorter-is-prefix sorts first), so the doubling depth is
   *     log2(LONGEST DOCUMENT), not log2(corpus);
   *   - round 0 ranks single tokens (one distributed dense rank of the
-  *     vocabulary); round j re-ranks the pair (rank_{j-1}(pos),
+  *     VOCAB-sized distinct frame — the only rank that sorts strings);
+  *     round j re-ranks the pair (rank_{j-1}(pos),
   *     rank_{j-1}(pos + 2^{j-1})) with 0 padding past the document end
-  *     — two hash joins keyed on (doc_id, pos) plus one dense rank;
-  *   - the dense rank itself never single-reduces: distinct key tuples
-  *     are range-partitioned and sorted, per-partition counts (a
-  *     numPartitions-row frame) prefix-sum into offsets, and the rank
-  *     is offset + per-partition row_number — the classic two-phase
-  *     distributed ranking, correct for ANY boundary placement, so
-  *     sampling nondeterminism in the range partitioner cannot reach
-  *     the output;
+  *     — one hash join keyed on (doc_id, pos) plus one re-rank;
+  *   - the re-rank never single-reduces AND never re-sorts globally:
+  *     previous ranks are integers in [1, n], so the order-preserving
+  *     bucket is integer arithmetic on the leading rank (no
+  *     range-sampling pass, no distinct, no join-back), per-bucket
+  *     counts (≤ numPartitions rows) prefix-sum into broadcast offsets,
+  *     and the label is offset + within-bucket `rank()` — equal pairs
+  *     share a label, distinct pairs order strictly: ONE corpus
+  *     exchange per round;
   *   - every round frame is localCheckpoint'd (the X127 iterative-plan
   *     discipline): lineage stays one round deep instead of doubling.
   *
@@ -82,13 +84,107 @@ object SuffixOps {
     df.join(ranked, keys)
   }
 
+  /** Round-0 labeling: MIN-POSITION rank of every token plus its class
+    * size — labels are positions in the global suffix order, so every
+    * class owns the contiguous label slot [r, r + cs) and later rounds
+    * can relabel a class WITHIN its slot without any global machinery.
+    * Computed on the VOCAB-sized (tok, count) frame: range-sort, then
+    * label = 1 + prefix sum of earlier tokens' counts (two bounded
+    * windows), one corpus join-back on tok. */
+  private def vocabRank(toks: DataFrame, parts: Int): DataFrame = {
+    val v = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cs"))
+      .repartitionByRange(parts, col("tok"))
+      .sortWithinPartitions(col("tok"))
+      .withColumn("__pid", spark_partition_id())
+    val cw = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ numPartitions rows: bounded plan metadata
+    val offs = v.groupBy("__pid").agg(sum(col("__cs")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(cw), lit(0L)))
+      .drop("__t")
+    val rw = Window.partitionBy(col("__pid")).orderBy(col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = v.join(broadcast(offs), "__pid")
+      .withColumn("r", lit(1L) + col("__off") +
+        coalesce(sum(col("__cs")).over(rw), lit(0L)))
+      .select(col("tok"), col("r"), col("__cs"))
+    toks.select(col("doc_id"), col("pos"), col("tok")).join(ranked, "tok")
+      .select(col("doc_id"), col("pos"), col("r"), col("__cs"))
+  }
+
+  /** One refinement round over a (doc_id, pos, r, __cs) frame — the
+    * ACTIVE-SET form of the doubling step: rows whose class is already a
+    * singleton are RETIRED (their label is final — no other suffix
+    * shares their 2^j-prefix, so none can ever share a longer one) and
+    * pass through untouched; only ambiguous classes re-rank, and a
+    * class relabels WITHIN its own label slot [r, r + cs): new label =
+    * r + (rows of the class in lower extension-buckets) + (rows with
+    * strictly smaller extension in this bucket). After the first couple
+    * of rounds the active set is the duplicated-suffix tail of the
+    * corpus — typically a few percent — so late rounds are near-free.
+    *
+    * Extension ranks come from a per-DOCUMENT `lead(r, step)` window
+    * (bounded by document length — never a corpus-wide partition); the
+    * slot arithmetic runs on (class, bucket, extension)-grouped count
+    * frames whose window partitions are bounded by construction
+    * (≤ parts buckets per class; ≤ (n+2)/parts distinct extensions per
+    * bucket) — the X79 no-bare-group-window discipline throughout. */
+  private def refineRound(prev: DataFrame, step: Long, n: Long,
+                          parts: Int): (DataFrame, DataFrame) = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val full = prev.withColumn("__r2",
+      coalesce(lead(col("r"), step.toInt).over(wd), lit(0L)))
+    val retired = full.where(col("__cs") === 1L)
+      .select(col("doc_id"), col("pos"), col("r"), col("__cs"))
+    val act = full.where(col("__cs") > 1L)
+      .withColumn("__b", expr(s"(__r2 * $parts) div ${n + 2}"))
+    val c2 = act.groupBy(col("r"), col("__b"), col("__r2"))
+      .agg(count(lit(1)).as("__c2"))
+    val bTot = c2.groupBy(col("r"), col("__b"))
+      .agg(sum(col("__c2")).as("__bt"))
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(
+        Window.partitionBy(col("r")).orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bt")
+    val lab = c2.join(bTot, Seq("r", "__b"))
+      .withColumn("__sless", coalesce(sum(col("__c2")).over(
+        Window.partitionBy(col("r"), col("__b")).orderBy(col("__r2").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("r"), col("__b"), col("__r2"),
+        (col("r") + col("__boff") + col("__sless")).as("__nr"),
+        col("__c2"))
+    val relab = act.join(lab, Seq("r", "__b", "__r2"))
+      .select(col("doc_id"), col("pos"), col("__nr").as("r"),
+        col("__c2").as("__cs"))
+    (retired.union(relab), lab)
+  }
+
+  /** 1-based global position of every row under (r, doc_id, pos) — all
+    * tuples unique, so row_number over the same integer-bucketed
+    * two-phase shape gives the total order in one corpus exchange. */
+  private def orderPositions(last: DataFrame, n: Long,
+                             out: String): DataFrame = {
+    val parts = last.sparkSession.sessionState.conf.numShufflePartitions
+    val b = last.withColumn("__pid", expr(s"(r * $parts) div ${n + 1}"))
+    val cw = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(cw), lit(0L)))
+      .drop("__n")
+    val rw = Window.partitionBy(col("__pid"))
+      .orderBy(col("r").asc, col("doc_id").asc, col("pos").asc)
+    b.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + row_number().over(rw).cast(LongType))
+      .select(col("doc_id"), col("pos"), col("r"), col(out))
+  }
+
   /** The doubling rounds: returns (roundFrames R_0..R_J, J, tokens
-    * frame with per-suffix remaining length). R_j columns:
+    * frame with per-suffix remaining length, n suffixes). R_j columns:
     * (doc_id, pos, r) — r compares the padded 2^j-token segment at pos.
     * pos is 1-based. Every frame is localCheckpoint'd. */
   private def doublingRounds(docs: DataFrame, idCol: String,
                              textCol: String):
-      (Seq[DataFrame], Int, DataFrame) = {
+      (Seq[DataFrame], Int, DataFrame, Long) = {
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       TextOps.tokens(coalesce(col(textCol), lit(""))).as("__t"))
     val toks = base.select(col("doc_id"), size(col("__t")).as("__dl"),
@@ -99,28 +195,48 @@ object SuffixOps {
     // one bounded collect off the already-materialized tokens frame:
     // the doubling depth (log2 of the longest document); rem at pos=1
     // IS the document length
-    val maxRow = toks.agg(max(col("rem"))).collect()(0)
-    require(!maxRow.isNullAt(0), "suffix array: empty corpus")
-    val maxDl = maxRow.getLong(0)
+    val statsRow = toks.agg(max(col("rem")), count(lit(1))).collect()(0)
+    require(!statsRow.isNullAt(0), "suffix array: empty corpus")
+    val maxDl = statsRow.getLong(0)
+    require(maxDl <= Int.MaxValue, "document longer than 2^31 tokens")
+    val n = statsRow.getLong(1)
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val r0 = denseRankByKeys(
-      toks.select(col("doc_id"), col("pos"), col("tok")), Seq("tok"), "r")
-      .select(col("doc_id"), col("pos"), col("r")).localCheckpoint()
-    rounds += r0
+    // round 0 ranks TOKEN STRINGS — the one rank that needs a real sort
+    // (range partition over the vocab-sized count frame)
+    rounds += vocabRank(toks, parts).localCheckpoint(eager = false)
     var j = 0
-    while ((1L << j) < maxDl) {
+    var stable = false
+    while (!stable && (1L << j) < maxDl) {
       val step = 1L << j
-      val prev = rounds.last
-      val shifted = prev.select(col("doc_id"),
-        (col("pos") - step).as("pos"), col("r").as("__r2"))
-      val keyed = prev.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
-      rounds += denseRankByKeys(keyed, Seq("r", "__r2"), "__rn")
-        .select(col("doc_id"), col("pos"), col("__rn").as("r"))
-        .localCheckpoint()
+      val (next0, lab) = refineRound(rounds.last, step, n, parts)
+      // LAZY checkpoint: the frame materializes (and truncates lineage)
+      // inside whichever action first consumes it — the next stability
+      // probe or the final descent job — instead of costing a dedicated
+      // job per round; at bench scale the job count, not shuffle bytes,
+      // dominates this operator
+      val next = next0.localCheckpoint(eager = false)
+      // stability: a round that splits NO class has reached the final
+      // partition (equal-by-2^j ⟺ equal suffixes outright — see the
+      // descent note), so deeper rounds are identities: stop, and the
+      // descent reads rounds(min(level, last)). The probe runs on the
+      // ACTIVE-sized label frame (a split class shows a sub-label above
+      // its slot base) — never a corpus-sized comparison. Rounds 0-2
+      // split in any non-degenerate corpus, so the probe starts at
+      // round 3: early rounds cost no probe job at all.
+      stable = j >= 2 &&
+        lab.where(col("__nr") =!= col("r")).limit(1).count() == 0L
+      rounds += next
       j += 1
     }
-    (rounds.toSeq, j, toks)
+    // the descent still walks the FULL depth (sum of advances must be
+    // able to reach maxDl); levels past the stable round read the last
+    // frame — exact, because stability makes "R_last equal" ⟺
+    // "suffixes identical", for which any block-advance is valid and
+    // the min-remaining cap lands the final value
+    var jFull = 0
+    while ((1L << jFull) < maxDl) jFull += 1
+    (rounds.toSeq, jFull, toks, n)
   }
 
   /** The generalized suffix array: one row per suffix (doc_id, pos)
@@ -130,8 +246,8 @@ object SuffixOps {
     * two documents — tie-break by (doc_id, pos)). pos is 1-based. */
   def suffixArray(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    val (rounds, _, _) = doublingRounds(docs, idCol, textCol)
-    denseRankByKeys(rounds.last, Seq("r", "doc_id", "pos"), "sa_rank")
+    val (rounds, _, _, n) = doublingRounds(docs, idCol, textCol)
+    orderPositions(rounds.last, n, "sa_rank")
       .select(col("doc_id"), col("pos"), col("sa_rank"))
   }
 
@@ -146,9 +262,10 @@ object SuffixOps {
   def longestRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val (rounds, maxJ, toks) = doublingRounds(docs, idCol, textCol)
-    val sa = denseRankByKeys(rounds.last, Seq("r", "doc_id", "pos"), "q")
-      .select(col("doc_id"), col("pos"), col("q")).localCheckpoint()
+    val (rounds, maxJ, toks, n) = doublingRounds(docs, idCol, textCol)
+    val sa = orderPositions(rounds.last, n, "q")
+      .select(col("doc_id"), col("pos"), col("q"))
+      .localCheckpoint(eager = false)
     val rem = toks.select(col("doc_id"), col("pos"), col("rem"))
     var pairs = sa.as("x").join(sa.as("y"), col("y.q") === col("x.q") + 1)
       .select(col("x.doc_id").as("doc_a"), col("x.pos").as("pos_a"),
@@ -168,7 +285,7 @@ object SuffixOps {
     // already and the cap is a no-op).
     for (j <- maxJ to 0 by -1) {
       val step = 1L << j
-      val rj = rounds(j)
+      val rj = rounds(math.min(j, rounds.size - 1))
       pairs = pairs
         .join(rj.select(col("doc_id").as("__da"), col("pos").as("__pa"),
             col("r").as("__ra")),
