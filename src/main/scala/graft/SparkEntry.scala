@@ -2209,6 +2209,13 @@ object SparkEntry {
       TextOps.keywordSearch(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), k = 10)),
 
+    // ── §2.9 X138: more-like-this (query by document) — doc 42's top-8
+    //    salient terms (tf desc, df asc, stopword df-cap) fed through
+    //    the integer-exact BM25 chain, self excluded, top-10 ───────────
+    "q_more_like_this" -> ((s, dir) =>
+      TextOps.moreLikeThis(t(s, dir, "documents"), "doc_id", "text",
+        queryId = 42L, m = 8, k = 10)),
+
     // ── §2.9 X135: blocklist phrase matching — literal substring
     //    phrases (multi-token, so token-set percolation can't express
     //    them) counted map-side per document, hits only; one pattern
@@ -5639,6 +5646,41 @@ object SparkEntry {
                FROM h GROUP BY 1)
          SELECT doc_id, n_terms, total_tf FROM s
          ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 10""",
+    // X138 more-like-this: doc 42's top-8 salient terms (tf desc, df
+    // asc, tok asc; df ≤ 0.8·N), then the exact bm25 integer chain over
+    // the matched docs, self excluded.
+    "q_more_like_this" ->
+      """WITH tkarr AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), ' +') AS t
+                        FROM documents),
+         tk AS (SELECT doc_id, unnest(t) AS tok FROM tkarr),
+         tf0 AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf0 GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS nn FROM tf0),
+         q AS (SELECT tf0.tok FROM tf0 JOIN dfreq USING (tok), n
+               WHERE tf0.doc_id = 42 AND dfreq.df <= 0.8 * n.nn
+               ORDER BY tf0.tf DESC, dfreq.df ASC, tf0.tok ASC LIMIT 8),
+         lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkarr),
+         corp AS (SELECT count(*) AS nd, sum(dl) // count(*) AS avgdl
+                  FROM lens),
+         h AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+               WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM h GROUP BY 1),
+         sc AS (SELECT h.doc_id,
+                       ((corp.nd - dfq.df) * 1000000) // (dfq.df + 1) AS idf,
+                       25 + (75 * ((lens.dl * 100) // corp.avgdl)) // 100
+                         AS inner_w,
+                       h.tf
+                FROM h JOIN dfq USING (tok)
+                     JOIN lens ON lens.doc_id = h.doc_id, corp),
+         s AS (SELECT doc_id,
+                      CAST(sum((idf * tf * 2200) //
+                               (tf * 1000 + 12 * inner_w)) AS BIGINT)
+                        AS score,
+                      CAST(count(*) AS BIGINT) AS n_terms
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, score, n_terms FROM s WHERE doc_id <> 42
+         ORDER BY score DESC, doc_id LIMIT 10""",
     // X135 blocklist phrase matching: replace-counting identity over
     // the lower-cased text, hits only, 1-based first position.
     "q_blocklist" ->

@@ -1155,6 +1155,64 @@ object TextOps {
     * TakeOrderedAndProject. Nothing corpus-sized survives past the
     * filter.
     */
+  /** X138 — MORE-LIKE-THIS (query by document): top-k documents most
+    * similar to a given document under BM25, with the query TERMS
+    * derived from the document itself — its top-m terms by the X3f
+    * salience order (tf DESC, corpus-df ASC, tok ASC, stopwords dropped
+    * by the df ≤ maxDfFrac·N cap). The Elasticsearch MLT shape, and
+    * the lexical "find me more of this" a curation pipeline uses to
+    * grow a seed set or audit a duplicate family; the embedding-space
+    * twin is a X110 probe with the doc's vector.
+    *
+    * Fully declarative — the term fit is a FRAME (orderBy + limit → a
+    * TakeOrdered of the query doc's vocabulary), broadcast-semi-joined
+    * into the same integer-exact BM25 chain as [[bm25]] (df computed
+    * over matched docs, identical arithmetic, so the score of a doc
+    * for the fitted terms equals the literal-terms operator). Two
+    * corpus passes (term fit needs global df; probe re-explodes) — the
+    * build-once path at 100 TB is the X120 index probed with the same
+    * fitted terms. The query doc itself is excluded. Output
+    * (doc_id, score, n_terms), ranked (score DESC, doc_id). */
+  def moreLikeThis(df: DataFrame, idCol: String, textCol: String,
+                   queryId: Long, m: Int, k: Int,
+                   maxDfFrac: Double = 0.8): DataFrame = {
+    require(m > 0 && k > 0, s"m=$m, k=$k must be positive")
+    val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf0 = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = tf0.agg(countDistinct(col("doc_id")).as("__n"))
+    val qTerms = tf0.where(col("doc_id") === queryId)
+      .join(dfreq, "tok").crossJoin(broadcast(n))
+      .where(col("df") <= col("__n") * maxDfFrac)
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      .limit(m).select(col("tok"))
+    val docs = df.select(col(idCol).cast(LongType).as("doc_id"),
+      tokens(col(textCol)).as("__t"))
+    val lens = docs.select(col("doc_id"),
+      size(col("__t")).cast(LongType).as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("__nd"),
+      expr("sum(dl) div count(1)").as("__avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("__t")).as("tok"))
+      .join(broadcast(qTerms), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf", expr("((__nd - df) * 1000000) div (df + 1)"))
+      .withColumn("__inner",
+        expr("25 + (75 * ((dl * 100) div __avgdl)) div 100"))
+      .withColumn("__s",
+        expr("(__idf * tf * 2200) div (tf * 1000 + 12 * __inner)"))
+      .groupBy("doc_id")
+      .agg(sum(col("__s")).cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .where(col("doc_id") =!= queryId)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query-term set")

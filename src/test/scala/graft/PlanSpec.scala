@@ -633,6 +633,19 @@ class PlanSpec extends AnyFunSuite {
       s"the pattern list is an exploded literal, not a join side:\n$plan")
   }
 
+  test("moreLikeThis: the fitted term list broadcasts and plans a " +
+    "TakeOrdered — the corpus side never shuffles for the term join " +
+    "(X138)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = graft.ext.TextOps.moreLikeThis(docs, "doc_id", "text",
+      queryId = 42L, m = 8, k = 10)
+    val txt = physical(df).split("== Initial Plan ==").head
+    assert(txt.contains("TakeOrderedAndProject"),
+      s"term fit and final top-k must plan TakeOrdered:\n$txt")
+    assert(txt.contains("BroadcastExchange"),
+      s"the m-bounded term list must broadcast:\n$txt")
+  }
+
   test("knnOutlier broadcasts the probe batch — the corpus side never " +
     "shuffles for the neighbor join (X134)") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")

@@ -666,6 +666,35 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("moreLikeThis equals the literal-terms bm25 operator run with its " +
+    "own fitted term list (X138)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val qid = 42L
+    // in-memory replication of the term fit: tf of doc 42, global df,
+    // stopword cap, (tf desc, df asc, tok asc) top-5
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tokLists = rows.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split(" +", -1).toSeq }
+    val tf0 = tokLists.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (tok, g) => (id, tok, g.size) } }
+    val dfm = tf0.groupBy(_._2).map { case (tok, g) => tok -> g.size }
+    val nDocs = tokLists.size
+    val fitted = tf0.filter(_._1 == qid)
+      .filter { case (_, tok, _) => dfm(tok) <= 0.8 * nDocs }
+      .sortBy { case (_, tok, tfv) => (-tfv, dfm(tok), tok) }
+      .take(5).map(_._2)
+    val mlt = graft.ext.TextOps.moreLikeThis(docs, "doc_id", "text",
+        qid, m = 5, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaLiteral = graft.ext.TextOps.bm25(docs, "doc_id", "text",
+        fitted, k = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 != qid).take(8).toSeq
+    assert(mlt == viaLiteral)
+    assert(mlt.nonEmpty, "vacuous")
+  }
+
   test("exactSubstrApply removes exactly the covered positions and " +
     "reassembles survivors in order (X131c)") {
     val alpha = Vector("ab", "cd", "ef", "gh")
