@@ -1692,11 +1692,11 @@ object Dedup {
     * Shape: X121's stride-1 explode with the SAME hashed shuffle key
     * (xxhash64 of the window text — 8 bytes through the corpus-sized
     * exchange; 64-bit collision policy as documented there) and
-    * skew-proof two-phase min(struct) first-occurrence, then ONE
-    * hash-keyed join back to the window rows (duplicates must keep
-    * their positions — the one extra exchange vs X121's count-only
-    * rollup, AQE-splittable on a boilerplate hot window), and a
-    * per-DOC gaps-and-islands merge (two doc-partitioned windows —
+    * skew-proof two-phase min(struct) first-occurrence; duplicates
+    * keep their positions via a LEFT-ANTI join of the occurrence frame
+    * against the winners on the UNIFORM (doc_id, pos) key — see the
+    * inline note for why the window key would be a hot partition — and
+    * a per-DOC gaps-and-islands merge (two doc-partitioned windows —
     * bounded by the document length, never corpus-wide). Output one
     * row per merged cut span: (doc_id, span_start, span_end,
     * span_tokens, n_windows), token positions 1-based inclusive. */
@@ -1714,12 +1714,20 @@ object Dedup {
           sequence(lit(0L), nWins(col("__t")) - 1),
           i => xxhash64(array_join(slice(col("__t"), i + 1, lit(w)), " "))))
           .as(Seq("pos", "win")))
+    // first occurrences, then subtract them from the occurrence frame by
+    // the UNIFORM (doc_id, pos) key — never by the window key: a
+    // boilerplate window present in every document would make the
+    // win-keyed join-back a single hot partition that AQE cannot split
+    // (the win exchange is shared with the aggregation), while (doc_id,
+    // pos) spreads the hot window's occurrences across every partition
+    // by construction (measured: SkewFixtureSpec's every-doc-hot-window
+    // fixture bounds the worst task at an even share)
     val winners = wins
       .groupBy(col("win"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    val dups = wins.join(winners, Seq("win"))
-      .where(!(col("doc_id") === col("__first.doc_id") &&
-        col("pos") === col("__first.pos")))
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.pos").as("pos"))
+    val dups = wins.join(winners, Seq("doc_id", "pos"), "left_anti")
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("s"),
         least(col("pos") + w, col("__ntok")).cast(LongType).as("e"))
     val wPrev = Window.partitionBy(col("doc_id"))

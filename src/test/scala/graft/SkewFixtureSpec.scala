@@ -285,4 +285,87 @@ class SkewFixtureSpec extends AnyFunSuite {
     val b = Dedup.trianglesIdOrdered(edges).as[(Long, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("exactSubstrCut MEASURED: a mega-hot window (in every doc) keeps " +
+    "per-task shuffle reads bounded — partial min absorbs the agg, the " +
+    "(doc,pos) anti-join spreads the positions (X131b)") {
+    // Every doc starts with the SAME 4-token boilerplate window — one
+    // window key carries nDocs occurrences through the first-occurrence
+    // aggregation (bounded by map-side partial min); the positions
+    // join-back deliberately keys on the UNIFORM (doc_id, pos) anti-join
+    // (a win-keyed join-back measured 7074 rows into one task on this
+    // fixture — the shared win exchange blocks the AQE split, which is
+    // why the operator does not use it). Broadcast disabled because at
+    // 100 TB the winners side is corpus-sized (here it would broadcast
+    // and hide the exchange shape being certified).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val nDocs = 4000
+    val docs = spark.range(nDocs.toLong).toDF("doc_id")
+      .withColumn("text", concat(lit("b0 b1 b2 b3 "),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("u"), col("doc_id"), lit("x" + j))): _*)))
+      .repartition(32)
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRec.getAndUpdate(c =>
+            math.max(c, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val r = Dedup.exactSubstrCut(docs, "doc_id", "text", w = 4)
+        .collect()
+      var prev = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        val cur = maxRec.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      r
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+    // correctness on the fixture: every doc except the first occurrence
+    // cuts exactly the boilerplate span [1, 4]
+    assert(rows.length == nDocs - 1)
+    assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 4L &&
+      r.getLong(3) == 4L && r.getLong(4) == 1L),
+      "every cut is the [1,4] boilerplate span from one window")
+    assert(!rows.exists(_.getLong(0) == 0L), "doc 0 keeps its first copy")
+    // THE measurement: win-keyed, the hot window stacks its nDocs
+    // occurrences ON TOP of a task's even share (measured 7074 here);
+    // (doc_id, pos)-keyed, the worst task reads its even share of BOTH
+    // anti-join inputs (7·nDocs occurrence rows + ~6·nDocs winners over
+    // 16 partitions) and nothing more
+    assert(maxRec.get > 0, "listener saw no shuffle reads")
+    val evenShare = (7L * nDocs + 6L * nDocs + 1L) / 16L
+    assert(maxRec.get <= evenShare * 12L / 10L,
+      s"max per-task shuffle read ${maxRec.get} vs even share $evenShare " +
+        s"(win-keyed naive measured ${7074})")
+  }
 }
