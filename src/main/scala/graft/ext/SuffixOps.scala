@@ -90,7 +90,10 @@ object SuffixOps {
     * can relabel a class WITHIN its slot without any global machinery.
     * Computed on the VOCAB-sized (tok, count) frame: range-sort, then
     * label = 1 + prefix sum of earlier tokens' counts (two bounded
-    * windows), one corpus join-back on tok. */
+    * windows), one corpus join-back on tok. The join-back's hot key (a
+    * stopword in half the corpus) is AQE-splittable — both exchanges
+    * are fresh (nothing shared, unlike the X131b win-join case), and
+    * the vocab side broadcasts outright when it fits. */
   private def vocabRank(toks: DataFrame, parts: Int): DataFrame = {
     val v = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cs"))
       .repartitionByRange(parts, col("tok"))
