@@ -1160,9 +1160,15 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]")
     val tMicroEff = math.max(1L, math.round(threshold * 1e6) - 1L)
+    // LAZY-checkpoint the df-capped shingle frame: four consumers (sizes,
+    // dfreq, the prefix construction, the verification sets) would each
+    // recompute the shingle explode + distinct + df-cap semi-join
+    // otherwise — their downstream exchanges differ, so ReuseExchange
+    // cannot share them.
     val sh = capDf(shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .distinct(), maxDf)
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1171,11 +1177,36 @@ object Dedup {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <=
         col("n") - expr(s"(n * $tMicroEff + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = prefix.as("a").join(prefix.as("c"),
-        col("a.sh") === col("c.sh") && col("c.doc_id") > col("a.doc_id"))
-      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
-      .distinct()
+      .select(col("doc_id"), col("sh"), col("n"), col("__r"))
+    // LENGTH filter (ssjoin's second lossless prune): J ≥ t ⇒ |A∩B| ≤
+    // min(|A|,|B|) and J = inter/union ≤ min/max, so min·10⁶ ≥
+    // max·tMicroEff for every pair the final round-6 filter can accept
+    // (tMicroEff/10⁶ ≤ t − 5e-7 ≤ round-6-accepted J ≤ min/max) — pairs
+    // of very different sizes never reach the array-intersect verify.
+    val raw = prefix.as("a").join(prefix.as("c"),
+        col("a.sh") === col("c.sh") && col("c.doc_id") > col("a.doc_id")
+          && col("c.n") * 1000000L >= col("a.n") * tMicroEff
+          && col("a.n") * 1000000L >= col("c.n") * tMicroEff)
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),
+        col("a.n").as("__na"), col("c.n").as("__nb"),
+        col("a.__r").as("__ra"), col("c.__r").as("__rb"))
+    // POSITIONAL filter (ppjoin, Xiao/Wang/Lin WWW'08), also lossless:
+    // the pair's globally-FIRST common shingle has per-doc prefix
+    // positions (min __ra, min __rb) — the two minima belong to that one
+    // shingle because both docs rank by the same global order — and every
+    // other common shingle sorts after it in BOTH docs, so inter ≤ 1 +
+    // min(na−ra, nb−rb). A qualifying pair needs inter ≥ t'(na+nb)/(1+t')
+    // (J = i/(na+nb−i) ≥ t' solved for i, t' = tMicroEff/10⁶ keeping the
+    // round-6 band), so candidates whose bound can't reach it are dropped
+    // BEFORE the array-intersect verification — the same groupBy exchange
+    // the old distinct() already paid, zero extra shuffles.
+    val cand = raw.groupBy(col("da"), col("db"))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        min(col("__ra")).as("__ra"), min(col("__rb")).as("__rb"))
+      .where((lit(1L) + least(col("__na") - col("__ra"),
+          col("__nb") - col("__rb"))) * (lit(1000000L) + lit(tMicroEff))
+        >= lit(tMicroEff) * (col("__na") + col("__nb")))
+      .select(col("da"), col("db"))
     // verification, ppjoin's actual shape: each candidate PAIR fetches
     // both docs' full shingle sets as sorted arrays (two doc-keyed hash
     // joins, |cand| rows) and intersects ROW-LOCALLY — never the

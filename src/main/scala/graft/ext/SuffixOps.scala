@@ -135,8 +135,15 @@ object SuffixOps {
   private def refineRound(prev: DataFrame, step: Long, n: Long,
                           parts: Int): (DataFrame, DataFrame) = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    // LAZY-checkpoint the windowed frame: it feeds the retired branch,
+    // the active re-rank AND (via `lab`) the stability probe — two
+    // separate actions. Without the checkpoint the per-doc lead window
+    // (a corpus-sized exchange + sort) re-runs once per consumer action;
+    // with it, whichever action fires first pays once and the rest read
+    // the cached rows.
     val full = prev.withColumn("__r2",
       coalesce(lead(col("r"), step.toInt).over(wd), lit(0L)))
+      .localCheckpoint(eager = false)
     val retired = full.where(col("__cs") === 1L)
       .select(col("doc_id"), col("pos"), col("r"), col("__cs"))
     val act = full.where(col("__cs") > 1L)
@@ -149,6 +156,8 @@ object SuffixOps {
         Window.partitionBy(col("r")).orderBy(col("__b").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__bt")
+    // active-set-sized; lazily checkpointed because it too has two
+    // consumer actions (the relabel join and the stability probe)
     val lab = c2.join(bTot, Seq("r", "__b"))
       .withColumn("__sless", coalesce(sum(col("__c2")).over(
         Window.partitionBy(col("r"), col("__b")).orderBy(col("__r2").asc)
@@ -156,6 +165,7 @@ object SuffixOps {
       .select(col("r"), col("__b"), col("__r2"),
         (col("r") + col("__boff") + col("__sless")).as("__nr"),
         col("__c2"))
+      .localCheckpoint(eager = false)
     val relab = act.join(lab, Seq("r", "__b", "__r2"))
       .select(col("doc_id"), col("pos"), col("__nr").as("r"),
         col("__c2").as("__cs"))
@@ -164,9 +174,13 @@ object SuffixOps {
 
   /** 1-based global position of every row under (r, doc_id, pos) — all
     * tuples unique, so row_number over the same integer-bucketed
-    * two-phase shape gives the total order in one corpus exchange. */
-  private def orderPositions(last: DataFrame, n: Long,
-                             out: String): DataFrame = {
+    * two-phase shape gives the total order in one corpus exchange.
+    * `__pid` (the order-preserving bucket) is kept on the output so
+    * callers can walk SA-adjacent rows with a window over the SAME
+    * partitioning instead of a corpus-sized self-join (q values are
+    * contiguous within a bucket and buckets stack in q order). */
+  private def orderPositions(last: DataFrame, n: Long, out: String,
+                             extra: Seq[String] = Nil): DataFrame = {
     val parts = last.sparkSession.sessionState.conf.numShufflePartitions
     val b = last.withColumn("__pid", expr(s"(r * $parts) div ${n + 1}"))
     val cw = Window.orderBy(col("__pid"))
@@ -178,7 +192,8 @@ object SuffixOps {
       .orderBy(col("r").asc, col("doc_id").asc, col("pos").asc)
     b.join(broadcast(offsets), "__pid")
       .withColumn(out, col("__off") + row_number().over(rw).cast(LongType))
-      .select(col("doc_id"), col("pos"), col("r"), col(out))
+      .select(Seq(col("doc_id"), col("pos"), col("r"), col(out),
+        col("__pid")) ++ extra.map(col): _*)
   }
 
   /** The doubling rounds: returns (roundFrames R_0..R_J, J, tokens
@@ -254,6 +269,44 @@ object SuffixOps {
       .select(col("doc_id"), col("pos"), col("sa_rank"))
   }
 
+  /** SA-adjacent pairs (predecessor x, successor y at q = x.q + 1) with
+    * both sides' remaining lengths — built from ONE `lead` window over
+    * [[orderPositions]]'s own `__pid` partitioning plus a bounded
+    * (≤ 2·numPartitions rows) boundary stitch, instead of the q-keyed
+    * corpus self-join: q is contiguous within a bucket and buckets stack
+    * in q order, so the only cross-partition successors are each
+    * bucket's max-q row → next non-empty bucket's min-q row, recovered
+    * from two map-side-partial min_by/max_by aggregations broadcast-
+    * joined on the q value. Saves two corpus-sized exchanges (the self-
+    * join's two sides) per call. */
+  private def adjacentPairs(sa: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("__pid")).orderBy(
+      col("r").asc, col("doc_id").asc, col("pos").asc)
+    val nxt = struct(col("doc_id"), col("pos"), col("rem"))
+    val within = sa
+      .withColumn("__nxt", lead(nxt, 1).over(wq))
+      .where(col("__nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("rem").as("__rema"),
+        col("__nxt.doc_id").as("doc_b"), col("__nxt.pos").as("pos_b"),
+        col("__nxt.rem").as("__remb"))
+    val lasts = sa.groupBy(col("__pid"))
+      .agg(max_by(struct(col("doc_id"), col("pos"), col("rem")), col("q"))
+        .as("__x"), max(col("q")).as("__q"))
+      .select(col("__x.doc_id").as("doc_a"), col("__x.pos").as("pos_a"),
+        col("__x.rem").as("__rema"), col("__q"))
+    val firsts = sa.groupBy(col("__pid"))
+      .agg(min_by(struct(col("doc_id"), col("pos"), col("rem")), col("q"))
+        .as("__y"), min(col("q")).as("__q"))
+      .select(col("__y.doc_id").as("doc_b"), col("__y.pos").as("pos_b"),
+        col("__y.rem").as("__remb"), col("__q"))
+    val across = lasts.join(broadcast(firsts),
+        firsts("__q") === lasts("__q") + 1)
+      .select(col("doc_a"), col("pos_a"), col("__rema"),
+        col("doc_b"), col("pos_b"), col("__remb"))
+    within.unionByName(across)
+  }
+
   /** Top-k longest repeated token spans: adjacent suffix pairs in SA
     * order with their exact LCP — the Lee et al. dedup artifact (every
     * pair with lcp ≥ threshold is a byte-identical repeated passage; the
@@ -266,18 +319,16 @@ object SuffixOps {
                            k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val (rounds, maxJ, toks, n) = doublingRounds(docs, idCol, textCol)
-    val sa = orderPositions(rounds.last, n, "q")
-      .select(col("doc_id"), col("pos"), col("q"))
+    // rem rides the ONE (doc_id, pos) join into the pre-window frame, so
+    // both sides of every adjacent pair carry their remaining length out
+    // of adjacentPairs for free — v1 joined rem back onto the pair frame
+    // twice (two more corpus-sized exchanges).
+    val sa = orderPositions(
+        rounds.last.join(toks.select(col("doc_id"), col("pos"), col("rem")),
+          Seq("doc_id", "pos")),
+        n, "q", extra = Seq("rem"))
       .localCheckpoint(eager = false)
-    val rem = toks.select(col("doc_id"), col("pos"), col("rem"))
-    var pairs = sa.as("x").join(sa.as("y"), col("y.q") === col("x.q") + 1)
-      .select(col("x.doc_id").as("doc_a"), col("x.pos").as("pos_a"),
-        col("y.doc_id").as("doc_b"), col("y.pos").as("pos_b"))
-      .join(rem.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-        col("rem").as("__rema")), Seq("doc_a", "pos_a"))
-      .join(rem.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
-        col("rem").as("__remb")), Seq("doc_b", "pos_b"))
-      .withColumn("lcp", lit(0L))
+    var pairs = adjacentPairs(sa).withColumn("lcp", lit(0L))
     // sparse-table descent, highest level first; the advance probe is
     // (pos + lcp), an expression equi-join key against the round frame.
     // Equal round-j ranks ⟺ equal padded 2^j-token segments, so the
@@ -286,9 +337,23 @@ object SuffixOps {
     // advance past the document end — true LCP there is min(remaining),
     // which the cap yields exactly; in every other path lcp ≤ min(rem)
     // already and the cap is a no-op).
-    for (j <- maxJ to 0 by -1) {
-      val step = 1L << j
-      val rj = rounds(math.min(j, rounds.size - 1))
+    //
+    // Levels j ≥ rounds.size−1 all read the LAST round frame, where equal
+    // ranks ⟺ identical suffix tails outright (stability exit: the final
+    // round split no class, the loop's own stop condition; depth exit:
+    // 2^last ≥ maxdoclen, so the padded segment covers any tail). Those
+    // levels therefore collapse into ONE join — equal advances past the
+    // document end in a single step (maxDl ≥ any true lcp; the least(rem)
+    // cap lands the exact value, and every deeper probe at pos+lcp >
+    // doclen left-join-misses, exactly as the unrolled levels behaved) —
+    // where v1 spent 2 corpus-sized shuffle joins per collapsed level
+    // re-deriving the same verdict.
+    val topLevel = rounds.size - 1
+    for (j <- topLevel to 0 by -1) {
+      // 2^maxJ ≥ maxdoclen by jFull's definition — the collapsed top
+      // level's advance lands past every document end when equal
+      val step = if (j == topLevel) 1L << maxJ else 1L << j
+      val rj = rounds(j)
       pairs = pairs
         .join(rj.select(col("doc_id").as("__da"), col("pos").as("__pa"),
             col("r").as("__ra")),
