@@ -786,8 +786,14 @@ object Similarity {
   private def mmrFromCandidates(emb: DataFrame, idCol: String,
                                 vecCol: String, cands: DataFrame, k: Int)
   : DataFrame = {
+    // LAZY-checkpointed: both frames are bounded (|probes|·n and
+    // |probes|·n·(n−1) rows) but their LINEAGE is the full candidate
+    // tier (brute-force or IVF probe) — every one of the k−1 greedy
+    // rounds below joins them, so without the checkpoint the candidate
+    // generation re-runs once per round per reference.
     val rel = cands.select(col("pid"), col("nid"),
       round(col("sim") * 1e6).cast(LongType).as("rel"))
+      .localCheckpoint(eager = false)
     // pairwise candidate-candidate sims per probe: the candidate ID sets
     // rejoin the corpus for their vectors (bounded: n ids per probe),
     // then an n×n per-probe join — round-6 cosine in 1e-6 integer units
@@ -801,6 +807,7 @@ object Similarity {
       .select(col("pid"), col("a"), col("b"),
         round(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           * 1e6).cast(LongType).as("s"))
+      .localCheckpoint(eager = false)
     val wFirst = Window.partitionBy(col("pid"))
       .orderBy(col("rel").desc, col("nid").asc)
     var sel = rel

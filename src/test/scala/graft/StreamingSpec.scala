@@ -710,9 +710,16 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // three files → maxFilesPerTrigger=1 forces three real triggers
       val srcDir = tmp("graft_snd_src_")
-      delta.where(col("doc_id") % 3 === 0).write.parquet(s"$srcDir/f1")
-      delta.where(col("doc_id") % 3 === 1).write.parquet(s"$srcDir/f2")
-      delta.where(col("doc_id") % 3 === 2).write.parquet(s"$srcDir/f3")
+      // coalesce(1): exactly ONE parquet file per split so
+      // maxFilesPerTrigger=1 yields exactly these three batches (the
+      // load-time split guard parallelizes `delta`, which would
+      // otherwise write one file per partition)
+      delta.where(col("doc_id") % 3 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/f1")
+      delta.where(col("doc_id") % 3 === 1).coalesce(1)
+        .write.parquet(s"$srcDir/f2")
+      delta.where(col("doc_id") % 3 === 2).coalesce(1)
+        .write.parquet(s"$srcDir/f3")
       val out = tmp("graft_snd_out_")
       val q = graft.streaming.StreamingNearDup.start(
         spark.readStream.schema(d.schema)
