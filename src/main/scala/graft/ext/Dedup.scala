@@ -71,10 +71,17 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  private def bandedSignatures(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+  private def bandedSignatures(sh: DataFrame, k: Int, bands: Int): DataFrame =
+    bandsOfSignatures(signaturesOfShingles(sh, k), k, bands)
+
+  /** Band keys from an ALREADY-BUILT signature frame — split out so a
+    * caller that also consumes the signatures directly
+    * ([[jaccardEstimate]]) can build both from ONE materialization
+    * instead of re-running the k-column min aggregation per consumer. */
+  private def bandsOfSignatures(sig: DataFrame, k: Int,
+                                bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = signaturesOfShingles(sh, k)
     val bandHash = (0 until r).map(i => element_at(col("sig"), col("b") * r + i + 1))
     sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
@@ -285,12 +292,15 @@ object Dedup {
                       maxDf: Int = Int.MaxValue): DataFrame = {
     // ONE distinct shingle frame feeds both the LSH candidate generation
     // and the Jaccard verification: min over the distinct set equals min
-    // over the multiset, so the signatures are unchanged, and the shared
-    // subtree means ReuseExchange computes the scan+explode+distinct once
-    // for all consumers instead of paying a second full explode pass for
-    // the candidate side. (Standalone minHashLsh keeps the multiset path —
-    // a lone groupBy needs no distinct shuffle in front of it.)
+    // over the multiset, so the signatures are unchanged. LAZY-
+    // checkpointed: ReuseExchange shares the distinct exchange within one
+    // plan, but the frame has FOUR downstream consumers (signatures, df
+    // cap, sizes, intersection) whose post-exchange work re-runs per
+    // consumer — the checkpoint materializes the distinct rows once.
+    // (Standalone minHashLsh keeps the multiset path — a lone groupBy
+    // needs no distinct shuffle in front of it.)
     val sh0 = shingles(docs, idCol, textCol).distinct()
+      .localCheckpoint(eager = false)
     val cand = minHashLshFromShingles(sh0, k, bands)
     val sh = capDf(sh0
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")), maxDf)
@@ -326,8 +336,19 @@ object Dedup {
   def jaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
-    val sigs = signaturesOfShingles(sh, k)
-    val cand = minHashLshFromShingles(sh, k, bands)
+    // ONE materialization of the k-column signature aggregation feeds
+    // the banding AND both sides of the per-pair comparison (three
+    // consumers in separate exchange shapes — lazy checkpoint, the
+    // minHashVerified discipline); previously the banding path re-ran
+    // the whole shingle scan + signature aggregation.
+    val sigs = signaturesOfShingles(sh, k).localCheckpoint(eager = false)
+    val banded = bandsOfSignatures(sigs, k, bands)
+    val cand = banded.as("a")
+      .join(banded.as("c").hint("merge"),
+        col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
+          && col("c.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"))
+      .distinct()
     cand
       .join(sigs.select(col("doc_id").as("da"), col("sig").as("__sa")), "da")
       .join(sigs.select(col("doc_id").as("db"), col("sig").as("__sb")), "db")
@@ -1106,9 +1127,12 @@ object Dedup {
     // shuffle/join key instead of a ~30-char one. A cross-shingle xxhash64
     // collision (P ≈ n²/2⁶⁵) would add a spurious intersection element;
     // negligible even at 10⁹ distinct shingles.
+    // lazy checkpoint: three consumers (sizes + both self-join sides)
+    // of the explode + distinct + df-cap pipeline
     val sh = capDf(shingles(docs, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .distinct(), maxDf)
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("c"), col("a.sh") === col("c.sh") && col("c.doc_id") > col("a.doc_id"))
