@@ -229,8 +229,13 @@ object Dedup {
     // and the group table as the rows that ARE their own representative.
     // A groupBy+join formulation costs two extra corpus-sized exchanges —
     // pure overhead on corpora where exact dups are rare.
+    // LAZY-checkpointed: simHashPairs consumes members twice (the
+    // within-group self-join) plus twice more in the cross expansion,
+    // and groups twice (both band-join sides) — without the checkpoint
+    // each consumer re-runs the 64-column bit-sum aggregation.
     val members0 = sig.withColumn("rep", min(col("doc_id"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy("cs")))
+      .localCheckpoint(eager = false)
     val members = members0.select(col("doc_id"), col("rep"))
     val groups = members0.where(col("doc_id") === col("rep"))
       .select(col("cs"), col("rep"))
@@ -836,9 +841,16 @@ object Dedup {
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double, k: Int = 16, bands: Int = 4,
                     maxDf: Int = Int.MaxValue): DataFrame = {
+    // keepers feeds the doc→keeper map AND the survivor semi-join (and
+    // through survivors, the LSH stage and the CC vertex set) — one lazy
+    // materialization instead of re-hashing the corpus per consumer
     val hashed = docs.select(md5(col(textCol)).as("h"), col(idCol).as("doc_id"))
     val keepers = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+      .localCheckpoint(eager = false)
     val docKeeper = hashed.join(keepers, "h").select(col("doc_id"), col("keeper"))
+    // survivors is NOT checkpointed: it carries the full text column, so
+    // caching it stores the corpus; its two consumers re-run only a
+    // cheap semi-join against the cached keepers
     val survivors = docs.join(keepers.select(col("keeper").as(idCol)),
       Seq(idCol), "left_semi")
     val pairs = minHashVerified(survivors, idCol, textCol, threshold, k, bands, maxDf)
